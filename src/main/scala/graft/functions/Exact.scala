@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic numeric helpers.
+  *
+  * The correctness gate hash-compares our results against a DuckDB oracle.
+  * Double aggregation order differs between engines (Spark partial aggs per
+  * partition vs DuckDB sequential), so plain `sum(double)` is not bit-stable.
+  * The fix: scale to integer-valued doubles/longs *before* aggregating.
+  * Integer arithmetic below 2^53 is exact in IEEE double regardless of
+  * order, so both engines produce identical bits. One final division by the
+  * scale (a single deterministic IEEE op on identical inputs) restores units.
+  *
+  * This is also the right call at 100 TB: money as scaled longs avoids both
+  * float drift and Decimal's slow non-codegen path in wide aggregations.
+  */
+object Exact {
+
+  /** `x` scaled by 10^digits and rounded to a long. Exact for inputs that
+    * carry at most `digits` decimal digits (all money columns in testdata).
+    */
+  def toScaledLong(x: Column, digits: Int): Column = {
+    val scale = math.pow(10, digits)
+    round(x * lit(scale), 0).cast("long")
+  }
+
+  /** Sum a double column exactly: integerize per row, sum longs, divide once. */
+  def exactSum(x: Column, digits: Int): Column = {
+    val scale = math.pow(10, digits)
+    sum(toScaledLong(x, digits)).cast("double") / lit(scale)
+  }
+
+  /** Average with the same exact-integer strategy (one division at the end). */
+  def exactAvg(x: Column, digits: Int): Column = {
+    val scale = math.pow(10, digits)
+    (sum(toScaledLong(x, digits)).cast("double") / count(x)) / lit(scale)
+  }
+
+  /** Revenue expression used throughout: extendedprice * (1 - discount).
+    * Computed per-row in double (bit-identical across engines), then
+    * integerized at 4 decimals for exact aggregation.
+    */
+  def revenueE4(price: Column, discount: Column): Column =
+    toScaledLong(price * (lit(1.0) - discount), 4)
+
+  /** Matching DuckDB SQL fragment for [[revenueE4]] (kept adjacent so the two
+    * sides can't drift).
+    */
+  val revenueE4Sql: String =
+    "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+}
