@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place where every entry point (Verify, Bench, tests, ad-hoc mains)
+  * builds its SparkSession, so the semantic-critical confs cannot drift.
+  *
+  * Confs that change query *results* (and therefore must match the DuckDB
+  * oracle the driver compares against):
+  *  - session time zone UTC: timestamp<->date casts are zone-sensitive.
+  *  - nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which Spark has no
+  *    type for; we read it as epoch-nano BIGINT (DuckDB mirror: epoch_ns(ts)).
+  */
+object Sessions {
+
+  def build(appName: String, cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      // One shuffle partition per core: at local[32] the driver contract asks
+      // for 32, not the 200 default sized for real clusters. AQE coalesces
+      // further when partitions come out small.
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def cpusFromEnv(default: Int): Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(default)
+}

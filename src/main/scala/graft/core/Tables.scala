@@ -27,19 +27,9 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** Session factory used by tests and ad-hoc mains. Verify/Bench build their
-    * own session per the driver contract; keep configs in sync with this.
+  /** Session factory used by tests and ad-hoc mains. Delegates to
+    * [[Sessions.build]] so semantic confs can't drift across entry points.
     */
-  def localSession(appName: String, cores: Int = 4): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(appName)
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  def localSession(appName: String, cores: Int = 4): SparkSession =
+    Sessions.build(appName, cores)
 }

@@ -38,12 +38,36 @@ object Exact {
     (sum(toScaledLong(x, digits)).cast("double") / count(x)) / lit(scale)
   }
 
-  /** Revenue expression used throughout: extendedprice * (1 - discount).
-    * Computed per-row in double (bit-identical across engines), then
-    * integerized at 4 decimals for exact aggregation.
+  /** DuckDB SQL fragment computing exactly [[toScaledLong]]. */
+  def toScaledLongSql(expr: String, digits: Int): String = {
+    val scale = math.pow(10, digits)
+    s"CAST(round(($expr) * $scale, 0) AS BIGINT)"
+  }
+
+  /** DuckDB SQL fragment computing exactly [[exactSum]] (same expression
+    * tree, so the division result is bit-identical).
     */
+  def exactSumSql(expr: String, digits: Int): String = {
+    val scale = math.pow(10, digits)
+    s"CAST(sum(${toScaledLongSql(expr, digits)}) AS DOUBLE) / $scale"
+  }
+
+  /** DuckDB SQL fragment computing exactly [[exactAvg]]. */
+  def exactAvgSql(expr: String, digits: Int): String = {
+    val scale = math.pow(10, digits)
+    s"(CAST(sum(${toScaledLongSql(expr, digits)}) AS DOUBLE) / CAST(count($expr) AS BIGINT)) / $scale"
+  }
+
+  /** Revenue expression used throughout: extendedprice * (1 - discount),
+    * per-row double (bit-identical across engines when the oracle uses the
+    * same tree: `x * (1.0 - d)`). Feed to [[exactSum]] for aggregation.
+    */
+  def revenue(price: Column, discount: Column): Column =
+    price * (lit(1.0) - discount)
+
+  /** [[revenue]] integerized at 4 decimals for exact aggregation. */
   def revenueE4(price: Column, discount: Column): Column =
-    toScaledLong(price * (lit(1.0) - discount), 4)
+    toScaledLong(revenue(price, discount), 4)
 
   /** Matching DuckDB SQL fragment for [[revenueE4]] (kept adjacent so the two
     * sides can't drift).

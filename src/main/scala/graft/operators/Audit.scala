@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Data-quality audit operators (SURVEY §2.10 Q1-Q4; reference:
+  * BBT-ETL-DW scripts/audit_report.py).
+  *
+  * Differences from the reference, by design:
+  *  - the reference runs one Spark job per rule and collect()s violating-id
+  *    lists to the driver (audit_report.py:87-100) — O(rules) jobs and
+  *    driver memory proportional to violations. Here the whole profile is
+  *    ONE aggregate job, and violation scans return DataFrames (callers cap
+  *    the sample themselves), so the audit stays distributed at 100 TB.
+  *  - duplicate-row counting is one shuffle (group-count) instead of the
+  *    reference's two full jobs (count vs dropDuplicates().count(),
+  *    audit_report.py:58).
+  */
+object Audit {
+
+  /** Typed audit result consumed by [[Cleaning]] — the reference's
+    * audit_report.json document (audit_report.py:152-181) as a case class.
+    */
+  final case class AuditReport(
+      missingValues: Map[String, Long],
+      duplicateRows: Long,
+      duplicateColumnGroups: Map[String, Seq[String]],
+      formatViolations: Map[String, Long])
+
+  private def isNullOrNan(df: DataFrame, c: String): Column = {
+    val base = col(c).isNull
+    df.schema(c).dataType match {
+      case DoubleType | FloatType => base || isnan(col(c))
+      case _ => base
+    }
+  }
+
+  /** Per-column null/NaN counts in one pass (audit_report.py:52-54). */
+  def nullProfile(df: DataFrame): DataFrame =
+    df.select(df.columns.toSeq.map(c =>
+      count(when(isNullOrNan(df, c), lit(1))).as(c)): _*)
+
+  /** Full-row duplicate count in one shuffle (audit_report.py:57-60). */
+  def duplicateRowCount(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val keys = if (cols.nonEmpty) cols else df.columns.toSeq
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg((sum("cnt") - count(lit(1))).cast("long").as("dup_rows"))
+  }
+
+  private val DupCol = "^([A-Za-z]+)(\\d+)$".r
+
+  /** Duplicate-source-column detection: names matching stem+digits grouped
+    * by stem, groups of >1 flagged (audit_report.py:62-84 — Spark's CSV
+    * reader renames a twice-occurring header `OrderID` to
+    * `OrderID0`/`OrderID14`). Metadata-only: touches no data.
+    */
+  def duplicateColumnGroups(columns: Seq[String]): Map[String, Seq[String]] =
+    columns.collect { case c @ DupCol(stem, _) => stem -> c }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .filter(_._2.size > 1)
+
+  /** [[duplicateColumnGroups]] as a one-row-per-group DataFrame. */
+  def duplicateColumnsDf(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val groups = duplicateColumnGroups(df.columns.toSeq).toSeq
+      .map { case (stem, cols) => (stem, cols.size.toLong) }
+      .sortBy(_._1)
+    groups.toDF("stem", "n_cols")
+  }
+
+  /** One named violation rule: rows where `bad` holds violate it. */
+  final case class FormatRule(name: String, bad: Column)
+
+  /** All rules counted in ONE pass (vs audit_report.py:89's
+    * job-per-rule + collect): a single aggregate emitting one column per
+    * rule.
+    */
+  def violationCounts(df: DataFrame, rules: Seq[FormatRule]): DataFrame =
+    df.select(rules.map(r => count(when(r.bad, lit(1))).as(r.name)): _*)
+
+  /** Violating rows for one rule, as a DataFrame (caller limits/collects). */
+  def violations(df: DataFrame, rule: FormatRule): DataFrame =
+    df.filter(rule.bad)
+
+  /** Assemble the typed report. The three aggregates are tiny (one row
+    * each); collecting them is driver-side by nature, not a scale concern.
+    */
+  def report(df: DataFrame, rules: Seq[FormatRule]): AuditReport = {
+    val nulls = nullProfile(df).collect()(0)
+    val missing = df.columns.zipWithIndex
+      .map { case (c, i) => c -> nulls.getLong(i) }.toMap
+    val dups = duplicateRowCount(df).collect()(0).getLong(0)
+    val vio: Row =
+      if (rules.isEmpty) Row.empty else violationCounts(df, rules).collect()(0)
+    val vioMap = rules.zipWithIndex
+      .map { case (r, i) => r.name -> vio.getLong(i) }.toMap
+    AuditReport(missing, dups, duplicateColumnGroups(df.columns.toSeq), vioMap)
+  }
+}

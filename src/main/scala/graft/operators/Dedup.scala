@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM training-data pipelines: exact,
+  * n-gram-Jaccard, MinHash-LSH, and SimHash variants.
+  *
+  * Scale shapes (the whole point — none of these is all-pairs):
+  *  - exact: one hash-shuffle on the content digest;
+  *  - n-gram Jaccard: inverted-index blocking — pairs are generated only
+  *    for documents sharing a shingle (a pair with J>0 necessarily shares
+  *    one), then verified exactly;
+  *  - MinHash-LSH: band buckets bound the candidate set; the signature is
+  *    computed per-document in one pass, candidates verified exactly;
+  *  - SimHash: constant-size fingerprint, near-dup = small Hamming
+  *    distance, banded by fingerprint bytes.
+  * No crossJoin appears in any plan.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed, trimmed, lowercased content (the normalization
+    * applied before hashing/shingling).
+    */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact dedup: sha-256 of normalized content, keep-min-id per group.
+    * DuckDB mirror: sha256(regexp_replace(lower(trim(x)), '\s+', ' ', 'g')).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("content_hash", sha2(normalizeText(col(textCol)), 256))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Non-empty whitespace tokens, as a SQL fragment over column `textCol`. */
+  private def toksSql(textCol: String): String =
+    s"filter(split($textCol, ' '), t -> length(t) > 0)"
+
+  /** Distinct word-`n`-gram shingles of column `textCol`. Documents
+    * shorter than `n` tokens yield an empty array (guarded: Spark's
+    * sequence(1, 0) would count DOWN, not produce an empty range).
+    */
+  def shingles(textCol: String, n: Int): Column = expr(
+    s"""IF(size(${toksSql(textCol)}) < $n, array(),
+        array_distinct(transform(
+          sequence(1, size(${toksSql(textCol)}) - ${n - 1}),
+          i -> array_join(slice(${toksSql(textCol)}, i, $n), ' '))))""")
+
+  /** Exact near-dup pairs by `n`-gram Jaccard >= `threshold`, blocked on
+    * shared shingles (inverted index self-join; complete because J > 0
+    * implies a shared shingle). Output: (doc_a, doc_b, jaccard), a < b.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc"), size(col("sh")).cast("long").as("n_sh"))
+    val inv = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+    val inter = inv.as("a")
+      .join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature over the array column `shingleCol`: element i is
+    * min over shingles of xxhash64(i, shingle) — k seeded permutations.
+    */
+  def minHashSignature(shingleCol: String, k: Int): Column =
+    expr(s"""transform(sequence(0, ${k - 1}),
+         i -> array_min(transform($shingleCol, t -> xxhash64(i, t))))""")
+
+  /** MinHash-LSH near-dup candidates, verified with exact Jaccard.
+    *
+    * bands x rowsPerBand = k. A pair collides if any band of their
+    * signatures matches exactly; collision probability is 1-(1-J^r)^b, so
+    * at 16x4 a J=0.5 pair is caught w.p. ~0.67 and J=0.8 w.p. ~0.999.
+    * Candidates (bounded by bucket joins, never all-pairs) are verified
+    * against true shingle-set Jaccard, so precision is exact and only
+    * recall is probabilistic — DedupSpec pins recall against
+    * [[ngramJaccardPairs]] on the testdata.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.2): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minHashSignature("sh", k))
+    val banded = sig.select(col("doc"),
+      posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
+          b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"""))
+        .as(Seq("band", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    // exact verification of the bounded candidate set
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Portable 31-polynomial hash of lambda-var token `t`, mod a prime —
+    * deliberately NOT xxhash64: the DuckDB oracle reproduces it with
+    * list_reduce, so SimHash results are cross-engine checkable.
+    */
+  private def portableTokenHash(t: String): String =
+    s"""aggregate(sequence(1, length($t)), CAST(7 AS BIGINT),
+        (a, i) -> (a * 31 + ascii(substring($t, i, 1))) % 1073741789)"""
+
+  /** 16-bit SimHash over frequency-weighted tokens of column `textCol`:
+    * bit j is set iff the sum over tokens of (bit j of the portable hash
+    * ? +1 : -1) is positive.
+    */
+  def simHash16(textCol: String): Column = expr(
+    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+        acc + IF(
+          aggregate(${toksSql(textCol)}, CAST(0 AS BIGINT), (v, t) ->
+            v + IF((${portableTokenHash("t")} DIV
+                    CAST(power(2, j) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
+          CAST(power(2, j) AS BIGINT), CAST(0 AS BIGINT)))""")
+
+  /** Near-dup pairs by SimHash Hamming distance <= `maxDist`, banded on
+    * the two fingerprint bytes (pigeonhole-complete for maxDist 0; a
+    * recall-bound heuristic above that — finer bands buy completeness).
+    */
+  def simHashNearPairs(df: DataFrame, idCol: String, textCol: String,
+                       maxDist: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("doc"), simHash16(textCol).as("fp"))
+    val banded = fp.select(col("doc"), col("fp"),
+      posexplode(array(col("fp") % 256, expr("fp DIV 256")))
+        .as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(fp_a ^ fp_b)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+  }
+}

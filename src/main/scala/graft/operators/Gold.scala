@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Star-schema build (SURVEY §2.11 G1-G5; reference: BBT-ETL-DW
+  * scripts/etl_transform/etl_gold/map_cols.py:43-284).
+  *
+  * Key-design departures from the reference, both scale-driven:
+  *  - the reference assigns surrogate keys with monotonically_increasing_id
+  *    (map_cols.py:44 etc.) — partitioning-dependent, so not reproducible.
+  *    Dims here use row_number over the natural key: deterministic, and the
+  *    single-partition window is fine because dims are dim-sized. For keys
+  *    on FACT-sized tables we derive them arithmetically (datediff for
+  *    calendar, orderkey*10+linenumber for the sales id) — zero shuffles,
+  *    deterministic, valid at any scale.
+  *  - every dim side of the fact build is broadcast: the fact never
+  *    shuffles for a dim join; the only wide exchange is fact x orders on
+  *    the order key.
+  */
+object Gold {
+
+  /** G1 — deterministic surrogate key for a dim-sized table. */
+  def withSurrogateKey(df: DataFrame, naturalKey: String,
+                       keyName: String): DataFrame =
+    df.withColumn(keyName,
+      row_number().over(Window.orderBy(naturalKey)).cast("long"))
+
+  /** G2 — SCD2 scaffolding columns (map_cols.py:89-91: IsCurrent=true,
+    * fixed effective-start, open end date).
+    */
+  def withScd2(df: DataFrame, startDate: String): DataFrame =
+    df.withColumn("IsCurrent", lit(true))
+      .withColumn("EffectiveStartDate", lit(startDate).cast("date"))
+      .withColumn("EffectiveEndDate", lit(null).cast("date"))
+
+  /** G4 — calendar dim: date spine + parts (map_cols.py:199-224). The key
+    * is datediff-from-anchor: deterministic and computable on a fact row
+    * without joining the dim.
+    */
+  def calendarDim(s: SparkSession, from: String, to: String): DataFrame =
+    s.sql(s"""SELECT explode(sequence(to_date('$from'), to_date('$to'),
+                interval 1 day)) AS CalendarDate""")
+      .select(
+        (datediff(col("CalendarDate"), lit(from).cast("date")) + 1)
+          .cast("long").as("CalendarKey"),
+        col("CalendarDate"),
+        year(col("CalendarDate")).cast("long").as("Year"),
+        quarter(col("CalendarDate")).cast("long").as("Quarter"),
+        month(col("CalendarDate")).cast("long").as("Month"),
+        dayofweek(col("CalendarDate")).cast("long").as("DayOfWeek"))
+
+  /** Calendar anchor for the testdata fact (orders start 1995-01-01). */
+  val calendarAnchor = "1995-01-01"
+
+  def dimCustomer(s: SparkSession, dir: String): DataFrame =
+    withScd2(
+      withSurrogateKey(Tables.customer(s, dir), "c_custkey", "CustomerKey"),
+      "2024-01-01")
+
+  def dimProduct(s: SparkSession, dir: String): DataFrame =
+    withSurrogateKey(Tables.part(s, dir), "p_partkey", "ProductKey")
+
+  def dimStore(s: SparkSession, dir: String): DataFrame =
+    withSurrogateKey(Tables.supplier(s, dir), "s_suppkey", "StoreKey")
+
+  /** G5 — fact assembly (map_cols.py:226-284): natural->surrogate mapping
+    * through the dim chain, degenerate dims kept on the fact, measures at
+    * line grain.
+    */
+  def factSales(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    Tables.lineitem(s, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dimCustomer(s, dir).select("c_custkey", "CustomerKey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dimProduct(s, dir).select("p_partkey", "ProductKey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(dimStore(s, dir).select("s_suppkey", "StoreKey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+          .as("SalesID"),
+        col("CustomerKey"), col("ProductKey"), col("StoreKey"),
+        (datediff(col("o_orderdate").cast("date"),
+          lit(calendarAnchor).cast("date")) + 1).cast("long")
+          .as("CalendarKey"),
+        col("l_orderkey").as("OrderID"),
+        col("o_orderdate").cast("date").as("OrderDate"),
+        col("l_quantity").as("Quantity"),
+        col("l_discount").as("Discount"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("Revenue"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque binary columns + typed
+  * metadata, with per-partition batch "decoding".
+  *
+  * The decode itself is STUBBED (this container has no image/audio codecs)
+  * behind [[FakeCodec]] — a deterministic fake — but everything Spark-side
+  * is real and tested: the binary column representation, the metadata
+  * struct schema, the mapPartitions batch shape (one codec instance per
+  * partition, streamed rows, no per-row setup), and the partitioning
+  * contract (decode is embarrassingly parallel, no shuffle).
+  */
+object Multimodal {
+
+  /** One media item: payload + metadata the way a 100 TB lake would store
+    * it (binary column next to typed metadata, never parsed-at-read).
+    */
+  final case class MediaItem(id: Long, payload: Array[Byte], mediaType: String,
+                             sizeBytes: Long)
+
+  /** Extracted features from a decoded item. `width`/`height` are what a
+    * real image decode would fill; the fake derives them from content so
+    * tests can assert determinism.
+    */
+  final case class MediaFeatures(id: Long, mediaType: String, sizeBytes: Long,
+                                 width: Int, height: Int, checksum: Long)
+
+  /** Deterministic stand-in for an image/audio codec. A real deployment
+    * replaces exactly this object (same signature) with JNI/library calls.
+    */
+  object FakeCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Long) = {
+      // ??? <- real codec goes here; deterministic fake below
+      var checksum = 7L
+      var i = 0
+      while (i < payload.length) {
+        checksum = (checksum * 31 + (payload(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      val width = 16 + (checksum % 1024).toInt
+      val height = 16 + ((checksum / 1024) % 1024).toInt
+      (width, height, checksum)
+    }
+  }
+
+  /** Wrap a text table as media items (the testdata has no true binary
+    * media; utf-8 payloads exercise the identical plumbing).
+    */
+  def asMediaItems(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("text/plain").as("mediaType"),
+      octet_length(col(textCol)).cast("long").as("sizeBytes"))
+
+  /** Batch feature extraction: one codec per partition, rows streamed
+    * through it. This is the Scala-native equivalent of a Pandas-UDF
+    * mapInPandas decode stage — no shuffle, parallelism = input partitions.
+    */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { rows =>
+      // per-partition setup (a real codec's init/handle lives here)
+      val codec = FakeCodec
+      rows.map { item =>
+        val (w, h, c) = codec.decode(item.payload)
+        MediaFeatures(item.id, item.mediaType, item.sizeBytes, w, h, c)
+      }
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two tiers, as a 100 TB pipeline needs both:
+  *  - brute-force cosine top-k for a SMALL query set: broadcast the
+  *    queries, one scan of the corpus, per-partition scoring, top-k via
+  *    window. Cost O(|corpus| x |queries|) with no corpus shuffle — the
+  *    right baseline, and exact.
+  *  - random-hyperplane LSH bucketing for corpus-x-corpus workloads:
+  *    sign-pattern buckets bound candidate generation, top-k within
+  *    bucket. Probabilistic recall (SimilaritySpec pins it against
+  *    brute force); never materializes all pairs.
+  *
+  * All arithmetic is double with an explicit left-to-right fold so the
+  * DuckDB oracle (list_reduce) produces bit-identical scores.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns — the fold
+    * order is the contract (matches DuckDB list_reduce in the oracle).
+    */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  def norm(a: String): Column = sqrt(dot(a, a))
+
+  /** cosine = dot / (sqrt(aa) * sqrt(bb)), same tree as the oracle. */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each row of `queries` over `corpus`.
+    * Both inputs: (idCol, vecCol: array<float>). Output:
+    * (q_id, rnk, n_id, cosine), deterministic ties broken by id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine("qv", "cv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded into [-0.5, 0.5). Seeds the LSH without RNG state.
+    */
+  private def planeComponent(plane: String, dim: String): String =
+    s"(CAST(pmod(xxhash64($plane, $dim), 1000000) AS DOUBLE) / 1000000.0) - 0.5"
+
+  /** Sign-pattern LSH bucket of a vector: bit p of the bucket id is the
+    * sign of dot(vec, plane_p) over `nPlanes` deterministic hyperplanes.
+    */
+  def lshBucket(vecCol: String, nPlanes: Int): Column = expr(
+    s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
+        acc + IF(
+          aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
+              (x, d) -> x * (${planeComponent("p", "d")})),
+            CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0,
+          CAST(power(2, p) AS BIGINT), CAST(0 AS BIGINT)))""")
+
+  /** ANN top-k: candidates limited to the query's LSH bucket, then exact
+    * cosine + window top-k within bucket. One shuffle on bucket id.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", lshBucket("cv", nPlanes))
+    val q = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket("qv", nPlanes))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine("qv", "cv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cosine")
+  }
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
+  * (brute-force + LSH ANN), text analysis (lang-id, quality, tokens,
+  * fingerprints) and multimodal binary plumbing.
+  */
+object LlmOps {
+
+  // L1 — exact dedup: content digest -> keep-min-id. One hash shuffle;
+  // the shape that holds at 100 TB.
+  private val l1 = QueryDef("l1_exact_dedup", (s, dir) => {
+    Dedup.exactDupGroups(Tables.documents(s, dir), "doc_id", "text")
+  }, Some("""SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ',
+      'g')) AS content_hash, min(doc_id) AS keep_id,
+      CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY 1"""), headline = true)
+
+  // L2 — exact 3-gram-Jaccard near-dup pairs, inverted-index blocked
+  // (complete: J>0 requires a shared shingle), threshold 0.2.
+  private val l2 = QueryDef("l2_ngram_jaccard", (s, dir) => {
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.2)
+  }, Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) s
+        FROM toks WHERE len(tk) >= 3),
+      sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) n FROM sh),
+      ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+      cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          CAST(count(*) AS BIGINT) inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+          AS jaccard
+      FROM cand JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+        >= 0.2"""), headline = true)
+
+  // L3 — MinHash-LSH near-dup (64 perms, 16x4 bands, exact verification).
+  // Signatures use xxhash64, which DuckDB can't reproduce -> no SQL
+  // oracle; recall vs the exact L2 result is pinned in DedupSpec.
+  private val l3 = QueryDef("l3_minhash_lsh", (s, dir) => {
+    Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+  }, None, headline = true)
+
+  // L4 — 16-bit SimHash fingerprints with a PORTABLE polynomial token
+  // hash, so the whole bit-vote pipeline is oracle-checkable in DuckDB.
+  private val l4 = QueryDef("l4_simhash", (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simHash16("text").as("simhash"))
+  }, Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      th AS (SELECT doc_id, list_transform(tk, t ->
+          list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(range(1, length(t) + 1),
+              i -> CAST(ascii(t[i]) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1073741789)) hs
+        FROM toks)
+      SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(0, 16), j ->
+          CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(hs, h -> CASE
+                WHEN (h // CAST(power(2, j) AS BIGINT)) % 2 = 1
+                THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+              (x, y) -> x + y) > 0
+          THEN CAST(power(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        (x, y) -> x + y) AS simhash
+      FROM th"""))
+
+  // L5 — brute-force cosine top-5: broadcast 10 query vectors, one corpus
+  // scan, window top-k. Exact baseline for ANN.
+  private val l5 = QueryDef("l5_knn_brute", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        FROM embeddings),
+      q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+      scored AS (SELECT q_id, e.vec_id n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])),
+            (x, y) -> x + y)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])),
+              (x, y) -> x + y))
+           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+              (x, y) -> x + y))) AS cosine
+        FROM e, q WHERE q_id <> e.vec_id),
+      ranked AS (SELECT q_id, n_id, cosine,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS BIGINT) rnk
+        FROM scored)
+      SELECT q_id, rnk, n_id, cosine FROM ranked WHERE rnk <= 5"""),
+    headline = true)
+
+  // L6 — LSH-bucketed ANN (8 deterministic hyperplanes): the scale path.
+  // Buckets use xxhash64-derived planes -> no SQL oracle; recall vs L5 is
+  // pinned in SimilaritySpec.
+  private val l6 = QueryDef("l6_ann_lsh", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nPlanes = 8)
+  }, None)
+
+  private val langMarkers =
+    Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
+      "zh" -> "window")
+
+  // L7 — heuristic language ID (marker-token argmax, first-wins ties),
+  // confusion-matrix output against the labeled lang column.
+  private val l7 = QueryDef("l7_lang_id", (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("predicted", TextAnalysis.langId("text", langMarkers))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+  }, Some {
+    val hits = langMarkers.map { case (lang, m) =>
+      s"CAST(len(list_filter(list_filter(string_split(text, ' '), " +
+        s"t -> length(t) > 0), t -> t = '$m')) AS BIGINT) AS h_$lang"
+    }.mkString(", ")
+    val langs = langMarkers.map(_._1)
+    val caseArms = langs.zipWithIndex.dropRight(1).map { case (l, i) =>
+      val laters = langs.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $laters THEN '$l'"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT lang, $hits FROM documents)
+       SELECT lang, CASE $caseArms ELSE '${langs.last}' END AS predicted,
+       CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1, 2"""
+  })
+
+  // L8 — quality-score features (the cheap pre-training filters).
+  private val l8 = QueryDef("l8_quality_score", (s, dir) => {
+    val feats = TextAnalysis.qualityFeatures("text", Seq("the", "a"))
+    feats.foldLeft(Tables.documents(s, dir)) { case (df, (name, c)) =>
+      df.withColumn(name, c)
+    }.select((Seq("doc_id", "lang") ++ feats.map(_._1)).map(col): _*)
+  }, Some("""WITH t AS (SELECT doc_id, lang, text,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents)
+      SELECT doc_id, lang,
+        CAST(length(text) AS BIGINT) AS n_chars_m,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(tk, x -> CAST(length(x) AS BIGINT))),
+          (a, b) -> a + b) AS DOUBLE) / CAST(len(tk) AS BIGINT)
+          AS avg_token_len,
+        CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x)))
+          AS DOUBLE) / CAST(len(tk) AS BIGINT) AS stopword_ratio,
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS BIGINT) AS alpha_ratio
+      FROM t"""))
+
+  // L9 — token counting: whitespace + BPE-ish regex pre-tokenizer.
+  private val l9 = QueryDef("l9_token_count", (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("ws_tokens", TextAnalysis.tokenCount("text"))
+      .withColumn("bpeish_tokens", TextAnalysis.bpeishCount("text"))
+      .groupBy("lang").agg(
+        sum("ws_tokens").cast("long").as("ws_total"),
+        sum("bpeish_tokens").cast("long").as("bpeish_total"),
+        count(lit(1)).as("n_docs"))
+  }, Some("""SELECT lang,
+      CAST(sum(len(list_filter(string_split(text, ' '),
+        t -> length(t) > 0))) AS BIGINT) AS ws_total,
+      CAST(sum(len(regexp_extract_all(text,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpeish_total,
+      CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang"""))
+
+  // L10 — order-sensitive rolling-hash fingerprint (portable fold).
+  private val l10 = QueryDef("l10_fingerprint", (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint("text").as("fp"))
+  }, Some("""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(string_split(text, ' '),
+        t -> length(t) > 0),
+        t -> CAST(length(t) * 17 + ascii(t[1]) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      FROM documents"""))
+
+  // M1 — multimodal binary plumbing: payload as binary + typed metadata;
+  // digest/header expressions on the blob. (The mapPartitions decode stub
+  // is exercised by MultimodalSpec.)
+  private val m1 = QueryDef("m1_media_meta", (s, dir) => {
+    Multimodal.asMediaItems(Tables.documents(s, dir), "doc_id", "text")
+      .select(
+        col("id"), col("mediaType"), col("sizeBytes"),
+        md5(col("payload")).as("digest"),
+        lower(hex(substring(col("payload"), 1, 4))).as("header_hex"))
+  }, Some("""SELECT doc_id AS id, 'text/plain' AS mediaType,
+      CAST(octet_length(encode(text)) AS BIGINT) AS sizeBytes,
+      md5(text) AS digest,
+      lower(hex(encode(substring(text, 1, 4)))) AS header_hex
+      FROM documents"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, m1)
+}
