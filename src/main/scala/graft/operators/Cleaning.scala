@@ -60,8 +60,14 @@ object Cleaning {
     * pinned separately in CleaningSpec (DuckDB's %y century rule differs,
     * so oracle queries use 4-digit years).
     */
-  def normalizeDate(c: Column, fmt: String = "M/d/yyyy"): Column =
-    when(c.rlike("^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}$"), to_date(c, fmt))
+  def normalizeDate(c: Column, fmt: String = "M/d/yyyy"): Column = {
+    val shape =
+      if (fmt.endsWith("yyyy")) "^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}$"
+      else "^[0-9]{1,2}/[0-9]{1,2}/[0-9]{2}$" // the reference's yy guard
+    // try_to_date: a shape-matching string can still be an invalid date
+    // (13/45/1996) — cleaning maps it to null, never a runtime error.
+    when(c.rlike(shape), try_to_date(c, fmt))
+  }
 
   /** E9 fill-policy map (data_cleaning.py:81-105): column -> default for
     * string/numeric columns; date columns deliberately keep their nulls

@@ -74,7 +74,16 @@ object Gold {
   def factSales(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_orderdate")
+    // Line id: the synthetic lineitem repeats l_linenumber within an order,
+    // so the unique line ordinal comes from a PARTITIONED window (per-order
+    // partitions — scales, unlike a global orderBy). The full-column
+    // ordering is total (no duplicate rows), hence deterministic.
+    val lineId = row_number().over(
+      Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"))
     Tables.lineitem(s, dir)
+      .withColumn("__line", lineId.cast("long"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(dimCustomer(s, dir).select("c_custkey", "CustomerKey")),
         col("o_custkey") === col("c_custkey"))
@@ -83,7 +92,7 @@ object Gold {
       .join(broadcast(dimStore(s, dir).select("s_suppkey", "StoreKey")),
         col("l_suppkey") === col("s_suppkey"))
       .select(
-        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+        (col("l_orderkey") * 100 + col("__line")).cast("long")
           .as("SalesID"),
         col("CustomerKey"), col("ProductKey"), col("StoreKey"),
         (datediff(col("o_orderdate").cast("date"),

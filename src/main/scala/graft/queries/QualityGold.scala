@@ -244,7 +244,10 @@ object QualityGold {
       dims AS (SELECT s_suppkey,
         CAST(row_number() OVER (ORDER BY s_suppkey) AS BIGINT)
           AS StoreKey FROM supplier)
-      SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS SalesID,
+      SELECT CAST(l_orderkey * 100 + row_number() OVER (
+          PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey,
+          l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax,
+          l_shipdate) AS BIGINT) AS SalesID,
         CustomerKey, ProductKey, StoreKey,
         CAST(datediff('day', DATE '${Gold.calendarAnchor}',
           CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS CalendarKey,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup groups normalized copies and keeps the min id") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "  hello world "), (3L, "HELLO WORLD"),
+      (4L, "something else")).toDF("doc_id", "text")
+    val out = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSet
+    assert(out == Set((1L, 3L), (4L, 1L)))
+  }
+
+  test("ngram Jaccard: known overlap computes exactly") {
+    // shingle sets: a = {x y z, y z w}, b = {x y z, y z q} -> J = 1/3
+    val docs = Seq((1L, "x y z w"), (2L, "x y z q")).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("jaccard") == 1.0 / 3.0)
+  }
+
+  test("MinHash-LSH finds the planted near-dups: recall >= 0.9 vs the " +
+    "exact pairs at J >= 0.2, perfect precision by construction") {
+    val docs = Tables.documents(s, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh.subsetOf(exact), "verification step guarantees precision")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (found ${lsh.size}/${exact.size})")
+  }
+
+  test("LSH plan contains no cartesian/nested-loop join") {
+    val plan = Dedup.minHashLshPairs(Tables.documents(s, sf),
+      "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("simhash is deterministic and near-identical docs land within " +
+    "small Hamming distance") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), Dedup.simHash16("text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps.values.forall(v => v >= 0 && v < 65536))
+    val pairs = Dedup.simHashNearPairs(docs, "doc_id", "text", maxDist = 0)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.WarehouseLoader
+import graft.sources.WarehouseLoader.ParquetSink
+
+class GoldWarehouseSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("calendar dim: 1097 contiguous keys over 2022-01-01..2025-01-01 " +
+    "(the reference's spine, map_cols.py:200-206)") {
+    val cal = Gold.calendarDim(s, "2022-01-01", "2025-01-01")
+    assert(cal.count() == 1097)
+    val keys = cal.agg(min("CalendarKey"), max("CalendarKey"),
+      countDistinct("CalendarKey")).collect()(0)
+    assert((keys.getLong(0), keys.getLong(1), keys.getLong(2)) ==
+      (1L, 1097L, 1097L))
+  }
+
+  test("fact build: every FK resolves (referential integrity by " +
+    "construction) and SalesID is unique at line grain") {
+    val fact = Gold.factSales(s, sf).cache()
+    val n = fact.count()
+    assert(n == 6000)
+    val nulls = fact.select(
+      count(when(col("CustomerKey").isNull, 1)).as("c"),
+      count(when(col("ProductKey").isNull, 1)).as("p"),
+      count(when(col("StoreKey").isNull, 1)).as("st"),
+      count(when(col("CalendarKey").isNull, 1)).as("cal")).collect()(0)
+    assert((0 until 4).forall(nulls.getLong(_) == 0L))
+    assert(fact.select(countDistinct("SalesID")).collect()(0).getLong(0) == n)
+    fact.unpersist()
+  }
+
+  test("warehouse load: dims land strictly before the fact (G6, " +
+    "etl_load.py:38-61) through the pluggable sink") {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_wh").toString
+    val dimA = Seq((1L, "x")).toDF("k", "v")
+    val fact = Seq((1L, 10.0)).toDF("k", "m")
+    val order = WarehouseLoader.load(new ParquetSink(root),
+      dims = Seq("dim_a" -> dimA, "dim_b" -> dimA),
+      fact = "fact_sales" -> fact)
+    assert(order == Seq("dim_a", "dim_b", "fact_sales"))
+    assert(s.read.parquet(s"$root/fact_sales").count() == 1)
+    // append semantics: loading again doubles the fact
+    WarehouseLoader.load(new ParquetSink(root),
+      dims = Seq("dim_a" -> dimA), fact = "fact_sales" -> fact)
+    assert(s.read.parquet(s"$root/fact_sales").count() == 2)
+  }
+
+  test("anomaly rules: first-match-wins priority order " +
+    "(anomalies.py:62-68)") {
+    import s.implicits._
+    import graft.operators.Anomalies.AnomalyRule
+    val rules = Seq(
+      AnomalyRule("first", col("v") > 10),
+      AnomalyRule("second", col("v") > 5))
+    // v=20 matches both -> labeled by the HIGHER-priority rule
+    val out = Seq(20, 7, 1).toDF("v")
+      .withColumn("label", Anomalies.label(rules))
+      .collect().map(_.getString(1)).toSeq
+    assert(out == Seq("first", "second", "ok"))
+  }
+}
