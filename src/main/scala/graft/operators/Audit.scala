@@ -73,6 +73,30 @@ object Audit {
   /** One named violation rule: rows where `bad` holds violate it. */
   final case class FormatRule(name: String, bad: Column)
 
+  /** The reference's audit predicates (audit_report.py:113-138), with
+    * Spark-3 comparison semantics reproduced under Spark 4 ANSI mode:
+    * its `stringCol < 0` coerced the string to INT with decimal
+    * truncation ("-12.5" -> -12 counted, "-0.15" -> 0 not counted) —
+    * pinned against the committed golden report in AuditGoldenSpec.
+    */
+  object RefRules {
+    val phonePattern = "^[0-9.()\\- ]*$"
+    def intCoerced(c: String): Column =
+      col(c).try_cast("double").cast("int")
+    def posFloat(c: String): Column =
+      col(c).try_cast("float").isNull || intCoerced(c) < 0
+    def posFloatStrict(c: String): Column =
+      col(c).try_cast("float").isNull || intCoerced(c) <= 0
+    def posInt(c: String): Column =
+      col(c).try_cast("int").isNull || intCoerced(c) < 0
+    def posIntStrict(c: String): Column =
+      col(c).try_cast("int").isNull || intCoerced(c) <= 0
+    def badPhone(c: String): Column = !col(c).rlike(phonePattern)
+    def nonAlpha(c: String): Column = !col(c).rlike("^[a-zA-Z ]+$")
+    def notIsoDate(c: String): Column =
+      !col(c).rlike("^\\d{4}-\\d{2}-\\d{2}$")
+  }
+
   /** All rules counted in ONE pass (vs audit_report.py:89's
     * job-per-rule + collect): a single aggregate emitting one column per
     * rule.

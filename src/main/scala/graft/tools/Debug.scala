@@ -30,12 +30,26 @@ object Debug {
     println("max linenumber: " + li.agg(max("l_linenumber")).collect()(0))
     val sales = graft.sources.Csv.readInferred(s, "/root/reference/data/raw/sales.csv")
     println("Discount dtype: " + sales.schema("Discount").dataType)
-    println("sales schema: " + sales.schema.map(f => f.name + ":" + f.dataType.simpleString).mkString(", "))
-    val products = graft.sources.Csv.readInferred(s, "/root/reference/data/raw/products.csv")
-    println("products schema: " + products.schema.map(f => f.name + ":" + f.dataType.simpleString).mkString(", "))
-    products.filter(col("UnitPrice").try_cast("float").isNull ||
-        col("UnitPrice").try_cast("int") <= 0)
-      .select("ProductID", "UnitPrice").show(10, false)
+    s.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    val rawSales = graft.sources.Csv.readInferred(s, "/root/reference/data/raw/sales.csv")
+    rawSales.select(col("OrderDate"),
+        graft.operators.Cleaning.normalizeDate(col("OrderDate"), "M/dd/yy").as("norm"),
+        try_to_date(col("OrderDate"), "M/dd/yy").as("direct"),
+        to_date(col("OrderDate"), "M/dd/yy").as("plain"))
+      .filter(col("norm").isNull).show(8, false)
+    s.conf.set("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+    val out = graft.pipeline.ReferenceParity.run(s, "/root/reference/data/raw", "2024-11-24")
+    val sc = out.salesConformed.cache()
+    println("salesConformed rows: " + sc.count())
+    println("null TaxRateID: " + sc.filter(col("TaxRateID").isNull).count())
+    println("null ExchangeID: " + sc.filter(col("ExchangeID").isNull).count())
+    println("null OrderDate: " + sc.filter(col("OrderDate").isNull).count())
+    sc.filter(col("ExchangeID").isNull)
+      .groupBy("ProductCountry").count().show(20, false)
+    out.productsFlagged.filter(col("anomaly_type").isNotNull)
+      .select("ProductID", "ProductName", "product_status").show(5, false)
+    out.dimProducts.filter(col("ProductStatus") === "End of Lifecycle")
+      .select("ProductID", "UnitsInStock", "UnitsOnOrder").show(20, false)
     s.stop()
   }
 }

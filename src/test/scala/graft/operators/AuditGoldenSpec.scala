@@ -18,22 +18,7 @@ class AuditGoldenSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val raw = "/root/reference/data/raw"
 
-  // The reference's `col < 0` compares a STRING column against an int
-  // literal; Spark 3 coerces the string to the literal's INT type with
-  // decimal TRUNCATION ("-12.5" -> -12 counted, "-0.15" -> 0 not counted —
-  // verified against the committed golden ids). Under Spark 4's ANSI mode
-  // the same behavior is try_cast-to-double then cast-to-int (truncating).
-  private def intCoerced(c: String): Column =
-    col(c).try_cast("double").cast("int")
-  private def posFloat(c: String): Column =
-    col(c).try_cast("float").isNull || intCoerced(c) < 0
-  private def posFloatStrict(c: String): Column =
-    col(c).try_cast("float").isNull || intCoerced(c) <= 0
-  private def posInt(c: String): Column =
-    col(c).try_cast("int").isNull || intCoerced(c) < 0
-  private def posIntStrict(c: String): Column =
-    col(c).try_cast("int").isNull || intCoerced(c) <= 0
-  private val phonePattern = "^[0-9.()\\- ]*$"
+  import Audit.RefRules._
 
   private def vioMap(df: DataFrame, rules: Seq[FormatRule]) = {
     val row = Audit.violationCounts(df, rules).collect()(0)
