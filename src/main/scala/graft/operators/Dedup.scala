@@ -53,8 +53,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    // cache: the shingle arrays feed three consumers (sizes, the inverted
+    // index, and nothing else would stop CollapseProject from inlining
+    // the whole tokenize+shingle expression into each)
     val sh = df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0).cache()
     val sizes = sh.select(col("doc"), size(col("sh")).cast("long").as("n_sh"))
     val inv = sh.select(col("doc"), explode(col("sh")).as("shingle"))
     val inter = inv.as("a")
@@ -73,6 +76,12 @@ object Dedup {
 
   /** MinHash signature over the array column `shingleCol`: element i is
     * min over shingles of xxhash64(i, shingle) — k seeded permutations.
+    *
+    * NOTE: referencing this array column from several downstream
+    * expressions makes Catalyst's CollapseProject INLINE (= recompute) the
+    * whole k x |shingles| hash tensor per reference; [[minHashLshPairs]]
+    * therefore uses the explode/aggregate formulation instead, where each
+    * hash is computed exactly once.
     */
   def minHashSignature(shingleCol: String, k: Int): Column =
     expr(s"""transform(sequence(0, ${k - 1}),
@@ -93,12 +102,22 @@ object Dedup {
                       threshold: Double = 0.2): DataFrame = {
     val k = bands * rowsPerBand
     val sh = df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minHashSignature("sh", k))
+      .filter(size(col("sh")) > 0).cache()
+    // signature via explode + k min-aggregates: each xxhash64 is computed
+    // exactly once per (doc, shingle, perm) — one shuffle on doc id, and
+    // map-side partial mins keep the exchange tiny. (The array-expression
+    // form recomputes the hash tensor per downstream reference — see
+    // minHashSignature's note.)
+    val exploded = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+    val minAggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val sig = exploded.groupBy("doc").agg(minAggs.head, minAggs.tail: _*)
     val banded = sig.select(col("doc"),
-      posexplode(expr(s"""transform(sequence(0, ${bands - 1}),
-          b -> xxhash64(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"""))
-        .as(Seq("band", "bucket")))
+      posexplode(expr((0 until bands).map { b =>
+        val slice = (0 until rowsPerBand)
+          .map(r => s"h${b * rowsPerBand + r}").mkString(", ")
+        s"xxhash64($b, array($slice))"
+      }.mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

@@ -70,6 +70,54 @@ object Similarity {
             CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0,
           CAST(power(2, p) AS BIGINT), CAST(0 AS BIGINT)))""")
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their
+    * nearest of `nCells` centroid cells; a query probes its `nProbe`
+    * nearest cells and runs exact cosine top-k over just those cells'
+    * vectors. One corpus shuffle on cell id; centroids broadcast.
+    *
+    * Centroids are a deterministic sample of the corpus (every
+    * |corpus|/nCells-th vector by id) — a k-means refinement would slot in
+    * here without changing the query path.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val n = c.count()
+    val stride = math.max(1L, n / nCells)
+    val centroids = c.filter(col("n_id") % stride === 0)
+      .limit(nCells)
+      .select(col("n_id").as("cell"), col("cv").as("centroid"))
+    // nearest cell per corpus vector: argmax cosine over the broadcast
+    // centroid set (cosine, since vectors aren't normalized)
+    def nearestCells(df: DataFrame, vec: String, out: String,
+                     take: Int): DataFrame = {
+      val scored = df.join(broadcast(centroids))
+        .withColumn("__sim", cosine(vec, "centroid"))
+      val w = Window.partitionBy(df.columns.head)
+        .orderBy(col("__sim").desc, col("cell"))
+      scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= take)
+        .drop("centroid", "__sim", "__r")
+        .withColumnRenamed("cell", out)
+    }
+    val assigned = nearestCells(c, "cv", "cell", 1)
+    val probed = nearestCells(q, "qv", "cell", nProbe)
+    val joined = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine("qv", "cv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    // each corpus vector lives in exactly one cell, so a (q, n) pair
+    // occurs at most once — no dedup needed before ranking
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "cosine")
+  }
+
   /** ANN top-k: candidates limited to the query's LSH bucket, then exact
     * cosine + window top-k within bucket. One shuffle on bucket id.
     */

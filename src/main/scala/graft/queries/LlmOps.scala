@@ -46,7 +46,11 @@ object LlmOps {
       FROM cand JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
-        >= 0.2"""), headline = true)
+        >= 0.2"""))
+  // (l2 is deliberately NOT a bench headline: it is the exact quadratic
+  // baseline that LSH exists to avoid — on this tiny-vocab synthetic
+  // corpus common shingles make the inverted index pathologically dense.
+  // The scale path is l3.)
 
   // L3 — MinHash-LSH near-dup (64 perms, 16x4 bands, exact verification).
   // Signatures use xxhash64, which DuckDB can't reproduce -> no SQL
@@ -114,6 +118,15 @@ object LlmOps {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nPlanes = 8)
+  }, None)
+
+  // L11 — IVF ANN (16 cells, 4 probes): the other standard bucketed-ANN
+  // shape. Cell assignment depends on the sampled centroids -> no SQL
+  // oracle; recall-vs-probes behavior pinned in SimilaritySpec.
+  private val l11 = QueryDef("l11_ann_ivf", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
   }, None)
 
   private val langMarkers =
@@ -207,5 +220,5 @@ object LlmOps {
       FROM documents"""))
 
   val defs: Seq[QueryDef] =
-    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, m1)
+    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, m1)
 }

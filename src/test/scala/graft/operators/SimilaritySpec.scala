@@ -46,6 +46,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.nonEmpty)
   }
 
+  test("IVF ANN: probing more cells raises recall; single-cell assignment " +
+    "keeps candidates bounded") {
+    val emb = Tables.embeddings(s, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = nProbe)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ivf & brute).size.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r8 >= r2, s"recall should not drop with more probes ($r2 -> $r8)")
+    assert(r8 >= 0.4, s"recall@nProbe=8 was $r8")
+  }
+
   test("ANN plan never materializes all pairs (join is on bucket id)") {
     val emb = Tables.embeddings(s, sf)
     val plan = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),

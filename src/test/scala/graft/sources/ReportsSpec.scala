@@ -1,0 +1,54 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Audit.AuditReport
+
+class ReportsSpec extends AnyFunSuite {
+
+  private val report = AuditReport(
+    missingValues = Map("ShippedDate" -> 73L, "ShipRegion" -> 1298L,
+      "OrderID0" -> 0L),
+    duplicateRows = 0L,
+    duplicateColumnGroups = Map("OrderID" -> Seq("OrderID0", "OrderID14")),
+    formatViolations = Map("OrderDate" -> 2155L, "Freight" -> 5L))
+
+  test("audit JSON is valid and carries the reference report's shape") {
+    val tmp = Files.createTempDirectory("graft_reports")
+    val path = s"$tmp/audit_report.json"
+    Reports.writeAuditJson(path, Map("sales" -> report))
+    val body = Files.readString(Paths.get(path))
+    // shape: array of per-source documents with the reference's keys
+    assert(body.startsWith("[") && body.endsWith("]"))
+    assert(body.contains(""""source": "sales""""))
+    assert(body.contains(""""ShippedDate": 73"""))
+    assert(body.contains(""""duplicate_rows": 0"""))
+    assert(body.contains(" - OrderID: OrderID0, OrderID14"))
+    assert(body.contains(""""column": "OrderDate", "error_count": 2155"""))
+    // must parse as JSON (the cleaner consumes it) — spark.read.json is
+    // the parser we have on the classpath
+    val parsed = graft.TestSpark.spark.read.option("multiLine", "true")
+      .json(path)
+    assert(parsed.select("source").collect().map(_.getString(0)).toSeq ==
+      Seq("sales"))
+  }
+
+  test("text report lists nonzero findings only") {
+    val txt = Reports.auditText("sales", report)
+    assert(txt.contains("ShippedDate: 73"))
+    assert(!txt.contains("OrderID0: 0"))
+    assert(txt.contains("Duplicate Rows: 0"))
+    assert(txt.contains("Freight: 5 records"))
+  }
+
+  test("anomaly summary matches the reference's committed format") {
+    val txt = Reports.anomalySummary("2024-11-24",
+      Map("sales" -> 0L, "products" -> 1L))
+    assert(txt.contains("Anomalies Detection Summary"))
+    assert(txt.contains("Date: 2024-11-24"))
+    assert(txt.contains("Sales Anomalies: 0"))
+    assert(txt.contains("Products Anomalies: 1"))
+  }
+}
