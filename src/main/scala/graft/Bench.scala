@@ -18,6 +18,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench", Sessions.cpusFromEnv(32))
 
+    // Warmup: touch every input once (parquet footers, codegen JIT,
+    // broadcast machinery) so the first timed query doesn't absorb
+    // session-startup cost that isn't the query's.
+    graft.core.Tables.all.foreach { t =>
+      try graft.core.Tables.t(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     Registry.headlines.foreach { q =>

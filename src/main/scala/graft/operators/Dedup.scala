@@ -40,12 +40,18 @@ object Dedup {
   /** Distinct word-`n`-gram shingles of column `textCol`. Documents
     * shorter than `n` tokens yield an empty array (guarded: Spark's
     * sequence(1, 0) would count DOWN, not produce an empty range).
+    *
+    * The token array is bound ONCE as a lambda variable (the
+    * transform-over-singleton trick): a naive expression that repeats the
+    * tokenizer sub-expression gets it re-evaluated per shingle position
+    * after Catalyst inlines projections — O(len^2) tokenization measured
+    * 6.6s over 500 docs; this form is ~20x cheaper.
     */
   def shingles(textCol: String, n: Int): Column = expr(
-    s"""IF(size(${toksSql(textCol)}) < $n, array(),
-        array_distinct(transform(
-          sequence(1, size(${toksSql(textCol)}) - ${n - 1}),
-          i -> array_join(slice(${toksSql(textCol)}, i, $n), ' '))))""")
+    s"""element_at(transform(array(${toksSql(textCol)}), ts ->
+          IF(size(ts) < $n, array(),
+             array_distinct(transform(sequence(1, size(ts) - ${n - 1}),
+               i -> array_join(slice(ts, i, $n), ' '))))), 1)""")
 
   /** Exact near-dup pairs by `n`-gram Jaccard >= `threshold`, blocked on
     * shared shingles (inverted index self-join; complete because J > 0
@@ -147,15 +153,20 @@ object Dedup {
 
   /** 16-bit SimHash over frequency-weighted tokens of column `textCol`:
     * bit j is set iff the sum over tokens of (bit j of the portable hash
-    * ? +1 : -1) is positive.
+    * ? +1 : -1) is positive. Token hashes are bound once as a lambda
+    * variable (same trick as [[shingles]]) so the char-level hash fold
+    * runs once per token, not once per (token, bit).
     */
   def simHash16(textCol: String): Column = expr(
-    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-        acc + IF(
-          aggregate(${toksSql(textCol)}, CAST(0 AS BIGINT), (v, t) ->
-            v + IF((${portableTokenHash("t")} DIV
-                    CAST(power(2, j) AS BIGINT)) % 2 = 1, 1, -1)) > 0,
-          CAST(power(2, j) AS BIGINT), CAST(0 AS BIGINT)))""")
+    s"""element_at(transform(
+          array(transform(${toksSql(textCol)},
+                t -> ${portableTokenHash("t")})),
+          hs -> aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+            acc + IF(
+              aggregate(hs, CAST(0 AS BIGINT), (v, h) ->
+                v + IF((h DIV CAST(power(2, j) AS BIGINT)) % 2 = 1,
+                       1, -1)) > 0,
+              CAST(power(2, j) AS BIGINT), CAST(0 AS BIGINT)))), 1)""")
 
   /** Near-dup pairs by SimHash Hamming distance <= `maxDist`, banded on
     * the two fingerprint bytes (pigeonhole-complete for maxDist 0; a

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Exact
+
+/** Operators beyond the reference's inventory that any warehouse/analytics
+  * user of it would reach for next: sessionization, per-group top-N,
+  * rollup subtotals, JSON field extraction, sketch distinct. (SURVEY §2.13
+  * lists these as "free from Spark" — here they are, registered and
+  * checked.)
+  */
+object Extras {
+
+  // X1 — gap-based sessionization over the event stream: a new session
+  // starts after >30min of user inactivity; session id = running count of
+  // session starts. Shuffles once on user_id — the canonical partitioned
+  // event-time op.
+  private val x1 = QueryDef("x1_sessionize", (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sessions = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > gapUs).cast("long"))
+      .withColumn("session_seq",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    sessions.groupBy("user_id", "session_seq").agg(
+        count(lit(1)).as("n_events"),
+        ((max("ts_us") - min("ts_us")) / lit(1000000L)).as("duration_s"))
+      .groupBy("user_id").agg(
+        max("session_seq").cast("long").as("n_sessions"),
+        sum("n_events").cast("long").as("n_events"),
+        max("duration_s").as("max_session_s"))
+  }, Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events),
+      g AS (SELECT user_id, ts_us,
+        CASE WHEN lag(ts_us) OVER w IS NULL
+               OR ts_us - lag(ts_us) OVER w > 30*60*1000*1000
+             THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sess AS (SELECT user_id, ts_us,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_seq
+        FROM g),
+      agg AS (SELECT user_id, session_seq,
+        CAST(count(*) AS BIGINT) AS n_events,
+        (max(ts_us) - min(ts_us)) / 1000000 AS duration_s
+        FROM sess GROUP BY 1, 2)
+      SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions,
+        CAST(sum(n_events) AS BIGINT) AS n_events,
+        max(duration_s) AS max_session_s
+      FROM agg GROUP BY user_id"""), headline = true)
+
+  // X2 — top-N per group (window rank + filter): top-3 orders by price
+  // within each priority.
+  private val x2 = QueryDef("x2_topn_per_group", (s, dir) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+  }, Some("""SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk,
+        o_orderkey, o_totalprice
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+      WHERE rnk <= 3"""))
+
+  // X3 — rollup subtotals (the dashboard's grand-total + per-group tiles
+  // in one pass; SURVEY §2.13 notes cube/rollup come free).
+  private val x3 = QueryDef("x3_rollup", (s, dir) => {
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        Exact.exactSum(col("l_quantity"), 2).as("qty"))
+  }, Some(s"""SELECT l_returnflag, l_linestatus,
+      CAST(count(*) AS BIGINT) AS n,
+      ${Exact.exactSumSql("l_quantity", 2)} AS qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+
+  // X4 — JSON field extraction from the event props payload.
+  private val x4 = QueryDef("x4_json_extract", (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type").agg(
+        min("k").as("k_min"), max("k").as("k_max"),
+        count(when(col("k").isNull, lit(1))).as("k_nulls"))
+  }, Some("""SELECT event_type,
+      CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_min,
+      CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max,
+      CAST(count(*) FILTER (WHERE props->>'k' IS NULL) AS BIGINT) AS k_nulls
+      FROM events GROUP BY event_type"""))
+
+  // X5 — sketch distinct (HLL++): the 100 TB way to count uniques. The
+  // estimate is engine-specific -> rows-only here; ExtrasSpec pins the
+  // relative error against the exact count.
+  private val x5 = QueryDef("x5_approx_distinct", (s, dir) => {
+    Tables.lineitem(s, dir).agg(
+      approx_count_distinct(col("l_orderkey"), rsd = 0.01)
+        .as("approx_orders"),
+      countDistinct("l_orderkey").as("exact_orders"))
+  }, None)
+
+  val defs: Seq[QueryDef] = Seq(x1, x2, x3, x4, x5)
+}

@@ -24,7 +24,8 @@ final case class QueryDef(
 object Registry {
   /** All registered queries, every SURVEY.md §2 family. */
   def all: Seq[QueryDef] =
-    Relational.defs ++ JoinsAggs.defs ++ QualityGold.defs ++ LlmOps.defs
+    Relational.defs ++ JoinsAggs.defs ++ QualityGold.defs ++ LlmOps.defs ++
+      Extras.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

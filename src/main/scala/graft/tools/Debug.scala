@@ -30,6 +30,28 @@ object Debug {
     println("max linenumber: " + li.agg(max("l_linenumber")).collect()(0))
     val sales = graft.sources.Csv.readInferred(s, "/root/reference/data/raw/sales.csv")
     println("Discount dtype: " + sales.schema("Discount").dataType)
+    if (args.headOption.contains("minhash")) {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, "/root/testdata/sf0.1")
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      time("warm docs")(docs.count())
+      val sh = docs.select(col("doc_id").as("doc"),
+        Dedup.shingles("text", 3).as("sh"))
+        .filter(size(col("sh")) > 0).cache()
+      time("shingles materialize")(sh.count())
+      val exploded = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+      time("exploded count")(exploded.count())
+      val minAggs = (0 until 64).map(i =>
+        min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      val sig = exploded.groupBy("doc").agg(minAggs.head, minAggs.tail: _*)
+      time("signatures")(sig.count())
+      time("full pairs")(Dedup.minHashLshPairs(docs, "doc_id", "text").count())
+      time("full pairs again")(Dedup.minHashLshPairs(docs, "doc_id", "text").count())
+      s.stop(); return
+    }
     s.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
     val rawSales = graft.sources.Csv.readInferred(s, "/root/reference/data/raw/sales.csv")
     rawSales.select(col("OrderDate"),
