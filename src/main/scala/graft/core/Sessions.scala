@@ -17,6 +17,7 @@ object Sessions {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       // One shuffle partition per core: at local[32] the driver contract asks
       // for 32, not the 200 default sized for real clusters. AQE coalesces
       // further when partitions come out small.

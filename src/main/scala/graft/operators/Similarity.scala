@@ -23,10 +23,11 @@ object Similarity {
 
   /** Sequential-fold dot product of two array<double> columns — the fold
     * order is the contract (matches DuckDB list_reduce in the oracle).
+    * Resolves to the native codegen'd [[graft.plans.VecDot]] expression
+    * (registered by GraftExtensions); same left-to-right double
+    * accumulation, no intermediate array / closure dispatch.
     */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   def norm(a: String): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,20 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Engine extensions registered on every session (core/Sessions.scala):
+  * native functions beyond the Spark built-ins, injected through the
+  * supported SparkSessionExtensions surface so `expr("vec_dot(a, b)")`
+  * and SQL both resolve them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(children(0), children(1))))
+  }
+}
