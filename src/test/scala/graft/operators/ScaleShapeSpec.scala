@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** Plan-shape evidence for the 100 TB design claims: bucketed co-located
+  * joins (no exchange), partition pruning at the scan, and salted skew
+  * handling that preserves results.
+  */
+class ScaleShapeSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the join: sort-merge join with NO " +
+    "shuffle exchange on either side") {
+    val wh = s"graft_li_b${System.nanoTime()}"
+    val (t1, t2) = (s"${wh}_lineitem", s"${wh}_orders")
+    Tables.lineitem(s, sf).write.bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").format("parquet").saveAsTable(t1)
+    Tables.orders(s, sf).write.bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").format("parquet").saveAsTable(t2)
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table(t1).join(s.table(t2),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      // and it still computes the right thing
+      assert(joined.count() ==
+        Tables.lineitem(s, sf).join(Tables.orders(s, sf),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql(s"DROP TABLE IF EXISTS $t1")
+      s.sql(s"DROP TABLE IF EXISTS $t2")
+    }
+  }
+
+  test("hive-partitioned lake layout prunes partitions at the scan") {
+    val root = Files.createTempDirectory("graft_part").toString
+    Tables.orders(s, sf)
+      .withColumn("yr", year(col("o_orderdate")))
+      .write.partitionBy("yr").mode("overwrite").parquet(root)
+    val pruned = s.read.parquet(root).filter(col("yr") === 1998)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan.take(800))
+    assert(scan.contains("(yr#") || scan.contains("yr = 1998") ||
+      scan.contains("= 1998"), scan.take(800))
+    val expected = Tables.orders(s, sf)
+      .filter(year(col("o_orderdate")) === 1998).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("salted aggregation equals the direct aggregation on a skewed key") {
+    import s.implicits._
+    // 10k rows of one hot key + uniform tail
+    val skewed = s.range(10000).select(lit("hot").as("k"),
+        (col("id") % 7).cast("double").as("v"))
+      .union(s.range(3000).select(
+        concat(lit("k"), col("id") % 50).as("k"),
+        (col("id") % 11).cast("double").as("v")))
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("v_sum"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    val salted = Skew.saltedSum(skewed, "k", "v", salts = 8,
+        saltFrom = Seq("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    assert(salted == direct)
+  }
+
+  test("salted left join equals the plain left join") {
+    import s.implicits._
+    val left = s.range(5000).select(lit(1L).as("k"), col("id").as("payload"))
+      .union(s.range(100).select((col("id") % 10).as("k"), col("id")))
+    val right = Seq((1L, "hot-dim"), (2L, "cold-dim")).toDF("k", "attr")
+    val plain = left.join(right, Seq("k"), "left")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    val salted = Skew.saltedLeftJoin(left, right, "k", salts = 4,
+        saltFrom = Seq("payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSet
+    assert(salted == plain)
+  }
+}
