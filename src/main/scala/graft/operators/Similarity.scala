@@ -119,6 +119,29 @@ object Similarity {
       .select("q_id", "rnk", "n_id", "cosine")
   }
 
+  /** Embedding-cosine near-dup pairs: corpus-x-corpus, blocked by LSH
+    * bucket (pairs are generated only within a bucket, never all-pairs),
+    * then EXACT cosine filters candidates at `threshold`. Fewer planes =
+    * bigger buckets = higher recall; precision is exact either way.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nPlanes: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket("v", nPlanes))
+    val a = c.select(col("bucket"), col("doc").as("doc_a"),
+      col("v").as("va"))
+    val b = c.select(col("bucket"), col("doc").as("doc_b"),
+      col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine", cosine("va", "vb"))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+      .distinct() // a pair may share several bucket... (single bucket per
+      // vector => at most once; distinct guards future multi-probe use)
+  }
+
   /** ANN top-k: candidates limited to the query's LSH bucket, then exact
     * cosine + window top-k within bucket. One shuffle on bucket id.
     */

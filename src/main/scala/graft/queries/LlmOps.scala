@@ -129,6 +129,13 @@ object LlmOps {
       "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
   }, None)
 
+  // L12 — embedding-cosine near-dup pairs, LSH-bucket-blocked with exact
+  // verification (rows-only: buckets are xxhash64-derived).
+  private val l12 = QueryDef("l12_cosine_near_dup", (s, dir) => {
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+      "vec_id", "embedding", threshold = 0.9, nPlanes = 4)
+  }, None)
+
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
       "zh" -> "window")
@@ -220,5 +227,5 @@ object LlmOps {
       FROM documents"""))
 
   val defs: Seq[QueryDef] =
-    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, m1)
+    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, m1)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.{Anomalies, Cleaning}
 import graft.operators.Anomalies.AnomalyRule
@@ -39,4 +40,37 @@ object StreamOps {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
+
+  /** Input/state/output records for the custom-state operator. */
+  final case class KeyedEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class UserState(nEvents: Long, valueSum: Double, lastTs: Long)
+  final case class UserUpdate(user_id: Long, nEvents: Long,
+                              valueSum: Double, lastTs: Long)
+
+  /** Custom keyed state via mapGroupsWithState: a running per-user profile
+    * (count, value sum, last event time) maintained across micro-batches —
+    * the shape every "aggregate that windows can't express" streaming op
+    * takes (processing-time timeout configurable by the caller's trigger).
+    */
+  def runningUserProfile(events: Dataset[KeyedEvent])
+      : Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[KeyedEvent],
+         state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, 0L))
+          val updated = batch.foldLeft(prev) { (st, e) =>
+            UserState(st.nEvents + 1, st.valueSum + e.value,
+              math.max(st.lastTs, e.ts_us))
+          }
+          state.update(updated)
+          UserUpdate(userId, updated.nEvents, updated.valueSum,
+            updated.lastTs)
+      }
+  }
+
+  /** Output mode required by [[runningUserProfile]] sinks. */
+  val runningProfileOutputMode: OutputMode = OutputMode.Update()
 }

