@@ -1,10 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.schema.Star
 
 /** Star-schema build (SURVEY §2.11 G1-G5; reference: BBT-ETL-DW
   * scripts/etl_transform/etl_gold/map_cols.py:43-284).
@@ -104,5 +105,13 @@ object Gold {
         col("l_discount").as("Discount"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("Revenue"))
+  }
+
+  /** [[factSales]] as a typed Dataset: field access is compile-checked
+    * downstream (SURVEY §1.1 — fixed Gold schema, so encoders fit).
+    */
+  def factSalesTyped(s: SparkSession, dir: String): Dataset[Star.FactSales] = {
+    import s.implicits._
+    factSales(s, dir).as[Star.FactSales]
   }
 }

@@ -132,16 +132,20 @@ object JoinsAggs {
         SELECT l_partkey, max(CAST(l_shipdate AS DATE)) AS last_ship
         FROM lineitem GROUP BY l_partkey) ls ON p_partkey = ls.l_partkey"""))
 
-  // J7 — left-anti join: customers with no orders (anomalies.py:100-115
-  // implements this by hand with a left join + null test; left_anti is the
-  // shuffle-equivalent explicit form).
+  // J7 — left-anti join: customers with no URGENT order (anomalies.py:
+  // 100-115 implements the anti shape by hand with a left join + null
+  // test; left_anti is the shuffle-equivalent explicit form). The URGENT
+  // filter keeps the anti set non-empty at every scale factor — an
+  // all-rows-match anti join would "pass" vacuously.
   private val j7 = QueryDef("j7_anti_join", (s, dir) => {
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir),
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
   }, Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"""))
 
   // J12 — dim-to-dim left joins (map_cols.py:254-258), snowflaking
   // supplier -> nation -> region with broadcast dims.
