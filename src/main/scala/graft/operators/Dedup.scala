@@ -143,6 +143,51 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Resolve near-dup PAIRS into keep/drop decisions: connected components
+    * by iterative min-label propagation (each doc repeatedly adopts the
+    * smallest id reachable over pair edges), then every component keeps
+    * its minimum id. Iterations bound the component DIAMETER handled —
+    * near-dup clusters are shallow (a hub + copies), so few rounds close
+    * them; the loop stops early at a fixpoint.
+    *
+    * Scale shape: each round is one join + one groupBy-min on ids — no
+    * driver-side graph, no quadratic step. (This is the standard
+    * large-scale alternative to a graph library for dedup clustering.)
+    *
+    * @return (doc, keeper) for every id in `allIds` — keeper == doc means
+    *         the row survives dedup.
+    */
+  def resolveKeepers(pairs: DataFrame, allIds: DataFrame, idCol: String,
+                     maxIter: Int = 5): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = allIds.select(col(idCol).as("doc"), col(idCol).as("label"))
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      // each doc adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.select(col("doc").as("dst"),
+          col("label").as("n_label")), Seq("dst"))
+        .groupBy(col("src").as("doc"))
+        .agg(min("n_label").as("n_label"))
+      val next = labels.join(viaNeighbors, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("n_label"), col("label")))
+            .as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"),
+          Seq("doc"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("doc"), col("label").as("keeper"))
+  }
+
   /** Portable 31-polynomial hash of lambda-var token `t`, mod a prime —
     * deliberately NOT xxhash64: the DuckDB oracle reproduces it with
     * list_reduce, so SimHash results are cross-engine checkable.

@@ -54,6 +54,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop"))
   }
 
+  test("keeper resolution: chained pairs collapse to one component, " +
+    "singletons keep themselves") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("doc_id")
+    val keepers = Dedup.resolveKeepers(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 1-2-3-4 chain (diameter 3) all resolve to 1
+    assert(Seq(1L, 2L, 3L, 4L).forall(keepers(_) == 1L))
+    assert(keepers(5L) == 5L)   // untouched singleton
+    assert(keepers(10L) == 10L & keepers(11L) == 10L)
+    // survivors = docs that keep themselves
+    assert(keepers.count { case (d, k) => d == k } == 3)
+  }
+
+  test("end-to-end dedup: MinHash pairs + keeper resolution shrink the " +
+    "corpus by exactly the number of planted near-dups") {
+    val docs = Tables.documents(s, sf)
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+    val keepers = Dedup.resolveKeepers(pairs, docs.select("doc_id"), "doc_id")
+    val survivors = keepers.filter(col("doc") === col("keeper")).count()
+    val dropped = docs.count() - survivors
+    assert(dropped > 0, "planted near-dups must be dropped")
+    assert(dropped <= pairs.count(), "can't drop more docs than pairs imply")
+  }
+
   test("simhash is deterministic and near-identical docs land within " +
     "small Hamming distance") {
     val docs = Seq(

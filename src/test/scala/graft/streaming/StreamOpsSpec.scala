@@ -60,6 +60,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file stream over the real events table produces the same per-type " +
+    "counts as the batch read (batch/stream operator parity)") {
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.core.Tables.events(s, dir)
+    // the file-stream source needs a DIRECTORY to watch
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = s.readStream.schema(batch.schema)
+      .parquet(streamDir.toString)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("evt_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT event_type, n FROM evt_counts")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batched = batch.groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batched)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark aggregate per minute") {
     import s.implicits._
     implicit val sq = s.sqlContext
