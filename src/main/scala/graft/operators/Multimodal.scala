@@ -56,6 +56,32 @@ object Multimodal {
       lit("text/plain").as("mediaType"),
       octet_length(col(textCol)).cast("long").as("sizeBytes"))
 
+  /** One sampled "frame" of a media item. */
+  final case class Frame(id: Long, frameIndex: Int, offset: Long,
+                         frameBytes: Array[Byte])
+
+  /** Frame sampling: emit every `stride`-th fixed-size chunk of the
+    * payload (what video frame-sampling looks like once a real demuxer
+    * replaces the byte-slicing stub — the Spark shape is identical:
+    * per-partition codec, one input row fanning out to N frame rows,
+    * no shuffle).
+    */
+  def sampleFrames(items: Dataset[MediaItem], frameSize: Int,
+                   stride: Int): Dataset[Frame] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { rows =>
+      rows.flatMap { item =>
+        // ??? <- real demuxer goes here; fixed-size chunking stands in
+        val n = item.payload.length / frameSize
+        (0 until n by stride).iterator.map { i =>
+          val off = i * frameSize
+          Frame(item.id, i, off.toLong,
+            java.util.Arrays.copyOfRange(item.payload, off, off + frameSize))
+        }
+      }
+    }
+  }
+
   /** Batch feature extraction: one codec per partition, rows streamed
     * through it. This is the Scala-native equivalent of a Pandas-UDF
     * mapInPandas decode stage — no shuffle, parallelism = input partitions.

@@ -87,6 +87,24 @@ class AuditGoldenSpec extends AnyFunSuite {
     assert(badPrices == Set(4, 23, 25))
   }
 
+  test("the reference notebook's 5-row micro fixture profiles as expected " +
+    "(notebooks/etl_audit.ipynb cell 1: one null date, one null amount)") {
+    import s.implicits._
+    val df = Seq(
+      (Option("2024-01-01"), 1001, "ProductA", Option(500)),
+      (Option("2024-01-01"), 1002, "ProductB", None),
+      (Option("2024-01-02"), 1003, "ProductA", Option(300)),
+      (None, 1004, "ProductC", Option(200)),
+      (Option("2024-01-03"), 1005, "ProductB", Option(1500)))
+      .toDF("date", "transaction_id", "product", "amount")
+    val nulls = Audit.nullProfile(df).collect()(0)
+    val missing = df.columns.zipWithIndex
+      .map { case (c, i) => c -> nulls.getLong(i) }.toMap
+    assert(missing == Map("date" -> 1L, "transaction_id" -> 0L,
+      "product" -> 0L, "amount" -> 1L))
+    assert(Audit.duplicateRowCount(df).collect()(0).getLong(0) == 0)
+  }
+
   test("suppliers.csv: phone/fax violations match") {
     val suppliers = Csv.readInferred(s, s"$raw/suppliers.csv")
     val vio = vioMap(suppliers, Seq(

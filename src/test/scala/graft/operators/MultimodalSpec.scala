@@ -28,6 +28,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats1.forall(f => sizes(f.id) == f.sizeBytes))
   }
 
+  test("frame sampling: every stride-th fixed-size chunk, ids preserved, " +
+    "no partial frames") {
+    import s.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val items = Seq(Multimodal.MediaItem(7L, payload, "video/fake", 100L))
+      .toDS()
+    val frames = Multimodal.sampleFrames(items, frameSize = 16, stride = 2)
+      .collect().sortBy(_.frameIndex)
+    // 100 bytes / 16 = 6 full frames, sampled at stride 2 -> indices 0,2,4
+    assert(frames.map(_.frameIndex).toSeq == Seq(0, 2, 4))
+    assert(frames.forall(_.frameBytes.length == 16))
+    assert(frames.forall(_.id == 7L))
+    assert(frames(1).offset == 32L)
+    assert(frames(1).frameBytes(0) == 32.toByte)
+  }
+
   test("identical payloads yield identical features") {
     import s.implicits._
     val items = Seq(
