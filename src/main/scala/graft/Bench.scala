@@ -41,6 +41,26 @@ object Bench {
       }
     }
 
+    // Reference-pipeline throughput: the full CSV->audit->clean->enrich->
+    // conform->anomalies->star flow at the reference's own data scale, in
+    // ONE session. (The reference runs the same flow as nine separate
+    // spark-submit processes with per-row Python UDFs.)
+    val refRaw = "/root/reference/data/raw"
+    if (new java.io.File(refRaw).isDirectory) {
+      val t0 = System.nanoTime()
+      try {
+        val out = graft.pipeline.ReferenceParity.run(spark, refRaw, "2024-11-24")
+        out.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
+        out.dimProducts.write.format("noop").mode(SaveMode.Overwrite).save()
+        timings("ref_pipeline_e2e") = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors("ref_pipeline_e2e") =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+      }
+    }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
