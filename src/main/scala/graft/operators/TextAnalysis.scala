@@ -68,6 +68,24 @@ object TextAnalysis {
     }._2
   }
 
+  /** Token-window chunks for training-data preparation: windows of
+    * `size` tokens starting every `stride` tokens (stride < size =
+    * overlapping context windows). Returns array<struct<start, chunk>>;
+    * explode it to one row per chunk. The token array is bound once
+    * (lambda-variable trick — see Dedup.shingles).
+    */
+  def chunks(textCol: String, size: Int, stride: Int): Column = expr(
+    s"""element_at(transform(array(${toksSql(textCol)}), ts ->
+        transform(sequence(1, size(ts), $stride),
+          i -> struct(CAST(i AS BIGINT) AS start,
+                      array_join(slice(ts, i, $size), ' ') AS chunk))), 1)""")
+
+  /** PII-style pattern redaction: digit runs masked (the cheap scrub pass
+    * a training pipeline runs before tokenization).
+    */
+  def redactDigits(textCol: String, mask: String = "#"): Column =
+    expr(s"regexp_replace($textCol, '[0-9]+', '$mask')")
+
   /** Order-sensitive rolling-hash document fingerprint over tokens:
     * fold (acc * 31 + (17 * len(tok) + ascii(first char))) mod prime.
     * Portable: the DuckDB oracle reproduces it with list_reduce.

@@ -211,6 +211,39 @@ object LlmOps {
       (a, b) -> (a * 31 + b) % 1000000007) AS fp
       FROM documents"""))
 
+  // L13 — token-window chunking (size 32, stride 24 => 8-token overlap):
+  // the context-window preparation step of a training pipeline.
+  private val l13 = QueryDef("l13_chunking", (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.chunks("text", size = 32, stride = 24))
+          .as("c"))
+      .select(col("doc_id"), col("c.start").as("chunk_start"),
+        col("c.chunk").as("chunk"))
+  }, Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> length(x) > 0) tk
+        FROM documents)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_start,
+        array_to_string(tk[i : i + 31], ' ') AS chunk
+      FROM t, LATERAL (SELECT unnest(range(1, len(tk) + 1, 24)) AS i) s"""))
+
+  // L14 — pattern redaction over the event props payload (digit runs
+  // masked), with before/after distinct counts as the check.
+  private val l14 = QueryDef("l14_redact", (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("redacted", TextAnalysis.redactDigits("props"))
+      .agg(countDistinct("props").as("n_raw"),
+        countDistinct("redacted").as("n_redacted"),
+        count(when(col("redacted") === "{\"k\": #}", lit(1)))
+          .as("n_masked_shape"))
+  }, Some("""SELECT
+      CAST(count(DISTINCT props) AS BIGINT) AS n_raw,
+      CAST(count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))
+        AS BIGINT) AS n_redacted,
+      CAST(count(*) FILTER (WHERE regexp_replace(props, '[0-9]+', '#',
+        'g') = '{"k": #}') AS BIGINT) AS n_masked_shape
+      FROM events"""))
+
   // M1 — multimodal binary plumbing: payload as binary + typed metadata;
   // digest/header expressions on the blob. (The mapPartitions decode stub
   // is exercised by MultimodalSpec.)
@@ -227,5 +260,5 @@ object LlmOps {
       FROM documents"""))
 
   val defs: Seq[QueryDef] =
-    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, m1)
+    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, m1)
 }
