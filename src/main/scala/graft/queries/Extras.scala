@@ -109,5 +109,45 @@ object Extras {
       countDistinct("l_orderkey").as("exact_orders"))
   }, None)
 
-  val defs: Seq[QueryDef] = Seq(x1, x2, x3, x4, x5)
+  // X6 — deterministic argmax per group via struct-max (max_by has no
+  // tiebreak; ordering the struct by (value, key) pins ties).
+  private val x6 = QueryDef("x6_argmax", (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(max(struct(col("o_totalprice").as("p"),
+        col("o_orderkey").as("k"))).as("m"))
+      .select(col("o_custkey"), col("m.p").as("best_price"),
+        col("m.k").as("best_order"))
+  }, Some("""SELECT o_custkey, m.p AS best_price, m.k AS best_order
+      FROM (SELECT o_custkey,
+        max({'p': o_totalprice, 'k': o_orderkey}) AS m
+        FROM orders GROUP BY o_custkey)"""))
+
+  // X7 — fixed-width histogram (arithmetic buckets — portable, unlike
+  // width_bucket which DuckDB lacks).
+  private val x7 = QueryDef("x7_histogram", (s, dir) => {
+    Tables.orders(s, dir)
+      .withColumn("bucket",
+        floor(col("o_totalprice") / lit(60000.0)).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }, Some("""SELECT CAST(floor(o_totalprice / 60000.0) AS BIGINT)
+      AS bucket, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1"""))
+
+  // X8 — order-insensitive list aggregation: collect_set sorted then
+  // joined (raw collect_list order is partitioning-dependent — never
+  // expose it).
+  private val x8 = QueryDef("x8_collect_sorted", (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(array_join(sort_array(collect_set("o_orderstatus")), ",")
+        .as("statuses"),
+        count(lit(1)).as("n"))
+  }, Some("""SELECT o_orderpriority,
+      array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+        AS statuses,
+      CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority"""))
+
+  val defs: Seq[QueryDef] = Seq(x1, x2, x3, x4, x5, x6, x7, x8)
 }

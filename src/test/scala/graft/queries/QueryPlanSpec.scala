@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Locks in the physical-plan shapes the 100 TB design depends on — a
+  * regression here (a lost broadcast hint, an accidental cartesian) would
+  * still produce correct small-scale results, so only a plan assertion
+  * catches it.
+  */
+class QueryPlanSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.queries(name)(s, sf).queryExecution.executedPlan.toString
+
+  test("no registered query plans a cartesian product") {
+    val offenders = Registry.all.filter { q =>
+      val p = q.run(s, sf).queryExecution.executedPlan.toString
+      p.contains("CartesianProduct")
+    }.map(_.name)
+    // the deliberate exceptions: brute-force kNN broadcasts a 10-row query
+    // side (BroadcastNestedLoopJoin, not CartesianProduct), so even those
+    // stay out of this list
+    assert(offenders.isEmpty, offenders.toString)
+  }
+
+  test("star joins broadcast their dims (a8, j3, g5)") {
+    Seq("a8_dashboard_revenue", "j3_broadcast_inner", "g5_fact_build")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+        assert(!p.contains("CartesianProduct"), q)
+      }
+  }
+
+  test("as-of join shuffles each side once on the key, no join node at all") {
+    val p = plan("j5_asof_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of is a union + window, not a join")
+    assert(p.contains("Window"), p.take(400))
+  }
+
+  test("scans prune columns: a8's lineitem scan reads only the 3 columns " +
+    "it needs") {
+    val p = plan("a8_dashboard_revenue")
+    val scanSchema = p.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("l_orderkey"))
+      .getOrElse(fail("no lineitem scan found"))
+    assert(scanSchema.contains("l_orderkey") &&
+      scanSchema.contains("l_extendedprice") &&
+      scanSchema.contains("l_discount"))
+    assert(!scanSchema.contains("l_comment") &&
+      !scanSchema.contains("l_shipdate") &&
+      !scanSchema.contains("l_quantity"),
+      s"column pruning regressed: $scanSchema")
+  }
+
+  test("filters reach the parquet scan (pushdown on f5's date window)") {
+    val p = plan("f5_date_window")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"), p.take(1200))
+  }
+}
