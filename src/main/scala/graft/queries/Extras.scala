@@ -149,5 +149,57 @@ object Extras {
       CAST(count(*) AS BIGINT) AS n
       FROM orders GROUP BY o_orderpriority"""))
 
-  val defs: Seq[QueryDef] = Seq(x1, x2, x3, x4, x5, x6, x7, x8)
+  // X9 — declarative constraint checks over the star inputs: uniqueness,
+  // not-null, row predicate, and referential integrity, one violation
+  // count each (G6's pre-load integrity gate as a first-class operator).
+  private val x9 = QueryDef("x9_constraints", (s, dir) => {
+    import graft.operators.Constraints._
+    check(Tables.lineitem(s, dir), Seq(
+      Unique("dup_line_keys", Seq("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey")),
+      NotNull("null_orderkey", "l_orderkey"),
+      Check("nonpositive_qty", col("l_quantity") > 0),
+      ForeignKey("orphan_orders", Seq("l_orderkey"),
+        Tables.orders(s, dir), Seq("o_orderkey")),
+      ForeignKey("orphan_parts", Seq("l_partkey"),
+        Tables.part(s, dir), Seq("p_partkey"))))
+  }, Some("""SELECT
+      CAST((SELECT coalesce(sum(cnt - 1), 0) FROM (
+        SELECT count(*) cnt FROM lineitem
+        GROUP BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        HAVING count(*) > 1)) AS BIGINT) AS dup_line_keys,
+      CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+        AS BIGINT) AS null_orderkey,
+      CAST((SELECT count(*) FROM lineitem
+        WHERE NOT coalesce(l_quantity > 0, false)) AS BIGINT)
+        AS nonpositive_qty,
+      CAST((SELECT count(*) FROM lineitem WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT)
+        AS orphan_orders,
+      CAST((SELECT count(*) FROM lineitem WHERE NOT EXISTS (
+        SELECT 1 FROM part WHERE p_partkey = l_partkey)) AS BIGINT)
+        AS orphan_parts"""))
+
+  // X10 — pivot matrix (the dashboard's rows-x-columns tile): revenue by
+  // returnflag pivoted over linestatus. Pivot values are pinned so the
+  // output schema is static and oracle-mirrorable with FILTER aggregates.
+  private val x10 = QueryDef("x10_pivot", (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("O", "F", "P"))
+      .agg(Exact.exactSum(Exact.revenue(col("l_extendedprice"),
+        col("l_discount")), 4))
+      .withColumnRenamed("O", "rev_O")
+      .withColumnRenamed("F", "rev_F")
+      .withColumnRenamed("P", "rev_P")
+  }, Some {
+    def cell(status: String) =
+      s"""CAST(sum(CAST(round((l_extendedprice * (1.0 - l_discount)) *
+          10000.0, 0) AS BIGINT)) FILTER (WHERE l_linestatus = '$status')
+          AS DOUBLE) / 10000.0"""
+    s"""SELECT l_returnflag, ${cell("O")} AS rev_O, ${cell("F")} AS rev_F,
+        ${cell("P")} AS rev_P FROM lineitem GROUP BY l_returnflag"""
+  })
+
+  val defs: Seq[QueryDef] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10)
 }
