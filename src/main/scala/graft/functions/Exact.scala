@@ -26,10 +26,29 @@ object Exact {
     round(x * lit(scale), 0).cast("long")
   }
 
-  /** Sum a double column exactly: integerize per row, sum longs, divide once. */
+  /** Sum a double column exactly: integerize per row, sum longs, divide
+    * once.
+    *
+    * Overflow envelope: the long partial sums hold |sum| < 9.2e18 scaled
+    * units — at 4 digits that is 9.2e14 in value units (e.g. ~1e9 rows of
+    * million-scale money). Beyond that envelope use [[exactSumBig]]: same
+    * semantics through a decimal(38,0) accumulator (wider, modestly
+    * slower).
+    */
   def exactSum(x: Column, digits: Int): Column = {
     val scale = math.pow(10, digits)
     sum(toScaledLong(x, digits)).cast("double") / lit(scale)
+  }
+
+  /** [[exactSum]] with a 38-digit decimal accumulator for row counts
+    * where a long SUM could overflow (the 100 TB default). Per-row scaled
+    * values still need to fit a double's 2^53 integer envelope — money
+    * does; it is the accumulated total that outgrows long first.
+    */
+  def exactSumBig(x: Column, digits: Int): Column = {
+    val scale = math.pow(10, digits)
+    sum(round(x * lit(scale), 0).cast("decimal(38,0)")).cast("double") /
+      lit(scale)
   }
 
   /** Average with the same exact-integer strategy (one division at the end). */

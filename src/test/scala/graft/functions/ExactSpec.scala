@@ -43,6 +43,20 @@ class ExactSpec extends AnyFunSuite {
     assert(math.abs(a - exact) < 1e-4 && math.abs(b - exact) < 1e-4)
   }
 
+  test("exactSumBig equals exactSum inside the long envelope and " +
+    "survives magnitudes where longs would wrap") {
+    import s.implicits._
+    val df = seeded.map(_.toDouble).toDF("v").repartition(3)
+    val a = df.agg(Exact.exactSum(col("v"), 2)).collect()(0).getDouble(0)
+    val b = df.agg(Exact.exactSumBig(col("v"), 2)).collect()(0).getDouble(0)
+    assert(a == b)
+    // 2M rows of 9e8 at 4 digits: per-row scaled 9e12 (double-exact),
+    // total scaled 1.8e19 — past Long.MaxValue, fine in decimal(38,0)
+    val huge = s.range(2000000).select(lit(9.0e8).as("v")).repartition(4)
+      .agg(Exact.exactSumBig(col("v"), 4)).collect()(0).getDouble(0)
+    assert(math.abs(huge - 1.8e15) / 1.8e15 < 1e-12, huge.toString)
+  }
+
   test("exactAvg equals BigDecimal average") {
     import s.implicits._
     val expected =
