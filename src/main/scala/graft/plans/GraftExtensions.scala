@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(children(0), children(1))))
+    ext.injectOptimizerRule(_ => new DimBroadcastRule)
   }
 }
