@@ -143,6 +143,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Benchmark decontamination: for each document of `corpus`, the
+    * maximum `n`-gram overlap ratio against ANY document of `benchmark`
+    * (|shared shingles| / |benchmark doc's shingles|). Training docs with
+    * high overlap against an eval set get dropped before training.
+    *
+    * Same inverted-index blocking as [[ngramJaccardPairs]], across two
+    * corpora: candidates only where a shingle is shared, never all-pairs.
+    */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val cSh = corpus.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0).cache()
+    val bSh = benchmark.select(col(idCol).as("bdoc"),
+        shingles(textCol, n).as("bsh"))
+      .filter(size(col("bsh")) > 0).cache()
+    val cInv = cSh.select(col("doc"), explode(col("sh")).as("shingle"))
+    val bInv = bSh.select(col("bdoc"), size(col("bsh")).cast("long").as("bn"),
+      explode(col("bsh")).as("shingle"))
+    cInv.join(bInv, "shingle")
+      .groupBy("doc", "bdoc", "bn").agg(count(lit(1)).as("shared"))
+      .withColumn("overlap", col("shared").cast("double") / col("bn"))
+      .groupBy("doc").agg(max("overlap").as("max_overlap"))
+  }
+
   /** Resolve near-dup PAIRS into keep/drop decisions: connected components
     * by iterative min-label propagation (each doc repeatedly adopts the
     * smallest id reachable over pair edges), then every component keeps

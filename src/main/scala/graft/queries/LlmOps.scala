@@ -244,6 +244,30 @@ object LlmOps {
         'g') = '{"k": #}') AS BIGINT) AS n_masked_shape
       FROM events"""))
 
+  // L15 — benchmark decontamination: max 3-gram overlap of each document
+  // against a "benchmark" slice (here: the first 25 docs stand in for an
+  // eval set). The planted near-dups surface as overlap ~1.0.
+  private val l15 = QueryDef("l15_decontamination", (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationScores(
+      docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+      "doc_id", "text", n = 3)
+  }, Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) s
+        FROM toks WHERE len(tk) >= 3),
+      c AS (SELECT doc_id doc, unnest(s) shingle FROM sh
+            WHERE doc_id >= 25),
+      b AS (SELECT doc_id bdoc, CAST(len(s) AS BIGINT) bn,
+              unnest(s) shingle FROM sh WHERE doc_id < 25),
+      ov AS (SELECT doc, bdoc, bn, CAST(count(*) AS BIGINT) shared
+             FROM c JOIN b USING (shingle) GROUP BY 1, 2, 3)
+      SELECT doc, max(CAST(shared AS DOUBLE) / bn) AS max_overlap
+      FROM ov GROUP BY doc"""))
+
   // M1 — multimodal binary plumbing: payload as binary + typed metadata;
   // digest/header expressions on the blob. (The mapPartitions decode stub
   // is exercised by MultimodalSpec.)
@@ -260,5 +284,6 @@ object LlmOps {
       FROM documents"""))
 
   val defs: Seq[QueryDef] =
-    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, m1)
+    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15,
+      m1)
 }
