@@ -201,5 +201,34 @@ object Extras {
         ${cell("P")} AS rev_P FROM lineitem GROUP BY l_returnflag"""
   })
 
-  val defs: Seq[QueryDef] = Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10)
+  // X11 — analytic windows beyond the reference's row_number/last:
+  // lag/lead (order-to-order deltas), ntile (quartiles), percent_rank.
+  private val x11 = QueryDef("x11_window_analytics", (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("prev_order", lag("o_orderkey", 1).over(w))
+      .withColumn("next_order", lead("o_orderkey", 1).over(w))
+      .withColumn("quartile", ntile(4).over(wPrice).cast("long"))
+      .withColumn("price_rank", percent_rank().over(wPrice))
+      .filter(col("o_custkey") < 50)
+      .select("o_custkey", "o_orderkey", "prev_order", "next_order",
+        "quartile", "price_rank")
+  }, Some("""SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+        lag(o_orderkey, 1) OVER w AS prev_order,
+        lead(o_orderkey, 1) OVER w AS next_order,
+        CAST(ntile(4) OVER wp AS BIGINT) AS quartile,
+        percent_rank() OVER wp AS price_rank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+             wp AS (PARTITION BY o_custkey
+                    ORDER BY o_totalprice, o_orderkey))
+      WHERE o_custkey < 50"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11)
 }
