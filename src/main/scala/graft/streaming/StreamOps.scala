@@ -73,4 +73,60 @@ object StreamOps {
 
   /** Output mode required by [[runningUserProfile]] sinks. */
   val runningProfileOutputMode: OutputMode = OutputMode.Update()
+
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp,
+                              value: Double)
+  final case class SessionState(start: Long, lastTs: Long, nEvents: Long,
+                                valueSum: Double)
+  final case class ClosedSession(user_id: Long, startMs: Long, endMs: Long,
+                                 nEvents: Long, valueSum: Double)
+
+  /** Streaming sessionization via flatMapGroupsWithState + EVENT-TIME
+    * timeout: a user's session accumulates while events keep arriving
+    * within `gapMs` of each other; once the watermark passes
+    * lastEvent + gap, the state times out and the CLOSED session is
+    * emitted (the batch equivalent is x1_sessionize's gap windows).
+    * Requires a watermark on `ts` upstream and Append output mode.
+    */
+  def sessionize(events: Dataset[TimedEvent], gapMs: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[TimedEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, st.start, st.lastTs,
+              st.nEvents, st.valueSum))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.lastTs <= gapMs =>
+                  cur = Some(SessionState(st.start, math.max(st.lastTs, t),
+                    st.nEvents + 1, st.valueSum + e.value))
+                case Some(st) =>
+                  closed ::= ClosedSession(userId, st.start, st.lastTs,
+                    st.nEvents, st.valueSum)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

@@ -60,6 +60,34 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes a session when the " +
+    "gap passes (event-time timeout) or a later event starts a new one") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import StreamOps.TimedEvent
+    def ts(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val input = MemoryStream[TimedEvent]
+    val q = StreamOps.sessionize(input.toDS(), gapMs = 5000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: two events 2s apart; then an event 20s later both
+      // advances the watermark past session 1's gap AND starts session 2
+      input.addData(TimedEvent(1L, ts(1), 1.0), TimedEvent(1L, ts(3), 2.0))
+      q.processAllAvailable()
+      input.addData(TimedEvent(1L, ts(40), 7.0))
+      q.processAllAvailable()
+      input.addData(TimedEvent(2L, ts(59), 1.0)) // push watermark further
+      q.processAllAvailable()
+      val closed = s.sql(
+        "SELECT user_id, nEvents, valueSum FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(closed.contains((1L, 2L, 3.0)),
+        s"first session (2 events, sum 3.0) should have closed: $closed")
+    } finally q.stop()
+  }
+
   test("file stream over the real events table produces the same per-type " +
     "counts as the batch read (batch/stream operator parity)") {
     import s.implicits._
