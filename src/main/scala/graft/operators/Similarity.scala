@@ -61,15 +61,22 @@ object Similarity {
     s"(CAST(pmod(xxhash64($plane, $dim), 1000000) AS DOUBLE) / 1000000.0) - 0.5"
 
   /** Sign-pattern LSH bucket of a vector: bit p of the bucket id is the
-    * sign of dot(vec, plane_p) over `nPlanes` deterministic hyperplanes.
+    * sign of dot(vec, plane_{p + offset}) over `nPlanes` deterministic
+    * hyperplanes. `offsetExpr` is a SQL expression (may reference columns)
+    * selecting which plane family to use — the hook for multi-table LSH,
+    * where table t hashes with planes [t*nPlanes, (t+1)*nPlanes).
     */
-  def lshBucket(vecCol: String, nPlanes: Int): Column = expr(
+  def lshBucketAt(vecCol: String, nPlanes: Int,
+                  offsetExpr: String): Column = expr(
     s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
         acc + IF(
           aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-              (x, d) -> x * (${planeComponent("p", "d")})),
+              (x, d) -> x * (${planeComponent(s"(p + ($offsetExpr))", "d")})),
             CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0,
           CAST(power(2, p) AS BIGINT), CAST(0 AS BIGINT)))""")
+
+  def lshBucket(vecCol: String, nPlanes: Int): Column =
+    lshBucketAt(vecCol, nPlanes, "0")
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest of `nCells` centroid cells; a query probes its `nProbe`
@@ -119,27 +126,44 @@ object Similarity {
       .select("q_id", "rnk", "n_id", "cosine")
   }
 
-  /** Embedding-cosine near-dup pairs: corpus-x-corpus, blocked by LSH
-    * bucket (pairs are generated only within a bucket, never all-pairs),
-    * then EXACT cosine filters candidates at `threshold`. Fewer planes =
-    * bigger buckets = higher recall; precision is exact either way.
+  /** Embedding-cosine near-dup pairs: corpus-x-corpus, blocked by
+    * MULTI-TABLE sign-pattern LSH, then EXACT cosine verifies candidates
+    * at `threshold`.
+    *
+    * Each vector is hashed into `nTables` independent tables (table t uses
+    * hyperplanes [t*nPlanes, (t+1)*nPlanes)); candidate pairs are generated
+    * only within a (table, bucket) cell — never all-pairs. A pair at true
+    * cosine c collides in one table with probability r^nPlanes where
+    * r = 1 - acos(c)/pi, so recall = 1 - (1 - r^nPlanes)^nTables: tunable
+    * to ~1 for any target threshold by adding tables, while nPlanes keeps
+    * each bucket (and thus the candidate count) small. Precision is exact
+    * either way — every emitted pair passed a real cosine comparison.
+    *
+    * Cost shape at 100 TB: the explode multiplies the corpus by nTables
+    * before ONE shuffle on (table, bucket); the exact filter runs
+    * within-partition before the final distinct touches only
+    * above-threshold pairs. No all-pairs materialization anywhere
+    * (SimilaritySpec asserts no CartesianProduct in the plan).
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, nPlanes: Int = 4): DataFrame = {
+                         threshold: Double, nPlanes: Int = 4,
+                         nTables: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("doc"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", lshBucket("v", nPlanes))
-    val a = c.select(col("bucket"), col("doc").as("doc_a"),
+      .withColumn("tbl", explode(sequence(lit(0), lit(nTables - 1))))
+      .withColumn("bucket", lshBucketAt("v", nPlanes, s"tbl * $nPlanes"))
+    val a = c.select(col("tbl"), col("bucket"), col("doc").as("doc_a"),
       col("v").as("va"))
-    val b = c.select(col("bucket"), col("doc").as("doc_b"),
+    val b = c.select(col("tbl"), col("bucket"), col("doc").as("doc_b"),
       col("v").as("vb"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("cosine", cosine("va", "vb"))
       .filter(col("cosine") >= threshold)
       .select("doc_a", "doc_b", "cosine")
-      .distinct() // a pair may share several bucket... (single bucket per
-      // vector => at most once; distinct guards future multi-probe use)
+      // a pair may collide in several tables; the distinct runs AFTER the
+      // exact filter so only above-threshold pairs are ever shuffled
+      .distinct()
   }
 
   /** ANN top-k: candidates limited to the query's LSH bucket, then exact

@@ -129,11 +129,18 @@ object LlmOps {
       "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
   }, None)
 
-  // L12 — embedding-cosine near-dup pairs, LSH-bucket-blocked with exact
-  // verification (rows-only: buckets are xxhash64-derived).
+  // L12 — embedding-cosine near-dup pairs, multi-table-LSH-blocked with
+  // exact verification (rows-only: buckets are xxhash64-derived). The
+  // synthetic embeddings carry no planted near-dups (max pairwise cosine
+  // ~0.51 at sf0.01), so the threshold is set to the data's similarity
+  // scale: tau=0.4 yields ~60 true pairs at sf0.01 / ~900 at sf0.1.
+  // 8 tables x 2 planes gives collision recall
+  // 1-(1-r^2)^8 ~ 0.98 at c=0.4 (r = 1 - acos(c)/pi). High-threshold
+  // dedup (tau>=0.9, more planes/fewer tables) is pinned with planted
+  // pairs in SimilaritySpec.
   private val l12 = QueryDef("l12_cosine_near_dup", (s, dir) => {
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
-      "vec_id", "embedding", threshold = 0.9, nPlanes = 4)
+      "vec_id", "embedding", threshold = 0.4, nPlanes = 2, nTables = 8)
   }, None)
 
   private val langMarkers =

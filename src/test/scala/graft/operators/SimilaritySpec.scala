@@ -67,17 +67,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r8 >= 0.4, s"recall@nProbe=8 was $r8")
   }
 
-  test("cosine near-dup pairs: exact precision at the threshold, " +
-    "bucket-blocked candidates only") {
+  // Deterministic pseudo-random unit-ish vector for the planted fixture.
+  private def fixtureVec(seed: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { d =>
+      (math.sin(seed * 7919.0 + d * 104729.0) * 0.5).toFloat
+    }
+
+  // Copy of `v` nudged so cosine(v, out) stays >= ~0.99.
+  private def nearCopy(v: Array[Float], seed: Int): Array[Float] =
+    v.zipWithIndex.map { case (x, d) =>
+      (x + math.sin(seed * 31.0 + d) * 0.01).toFloat
+    }
+
+  test("cosine near-dup pairs: planted near-dups are all recovered " +
+    "(recall vs brute force), precision exact, no all-pairs") {
+    val dim = 32
+    val base = (0L until 100L).map(i => (i, fixtureVec(i.toInt, dim)))
+    // plant 10 near-duplicate partners (ids 100..109 ~ copies of 0..9)
+    val planted = (0 until 10).map(i =>
+      (100L + i, nearCopy(base(i)._2, seed = i)))
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 4, nTables = 8)
+    assert(!pairs.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val found = pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(found.nonEmpty, "planted near-dups must be found")
+    // ground truth via brute force (small fixture, test-only)
+    val ids = (base ++ planted)
+    val truth = (for {
+      (ia, va) <- ids; (ib, vb) <- ids if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x.toDouble).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x.toDouble).sum)
+      if dot / (na * nb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 10, s"fixture must plant >=10 true pairs, got ${truth.size}")
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
+    // precision is exact by construction: everything emitted is a true pair
+    assert((found -- truth).isEmpty, s"false positives: ${found -- truth}")
+  }
+
+  test("cosine near-dup pairs: gate configuration returns rows on the " +
+    "driver's testdata (threshold matched to the data's similarity scale)") {
     val emb = Tables.embeddings(s, sf)
     val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-      threshold = 0.95, nPlanes = 4)
-    val plan = pairs.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"))
+      threshold = 0.4, nPlanes = 2, nTables = 8)
     val rows = pairs.collect()
-    // precision is exact by construction: every returned pair really has
-    // cosine >= threshold (re-verify one against the brute-force scorer)
-    rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.95))
+    assert(rows.nonEmpty, "l12 gate config must be non-vacuous on testdata")
+    rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
   }
 
   test("ANN plan never materializes all pairs (join is on bucket id)") {
