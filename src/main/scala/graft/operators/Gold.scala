@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.plans.DimBroadcast
 import graft.schema.Star
 
 /** Star-schema build (SURVEY §2.11 G1-G5; reference: BBT-ETL-DW
@@ -18,9 +19,12 @@ import graft.schema.Star
   *    on FACT-sized tables we derive them arithmetically (datediff for
   *    calendar, orderkey*10+linenumber for the sales id) — zero shuffles,
   *    deterministic, valid at any scale.
-  *  - every dim side of the fact build is broadcast: the fact never
-  *    shuffles for a dim join; the only wide exchange is fact x orders on
-  *    the order key.
+  *  - every dim side of the fact build is hinted through
+  *    [[graft.plans.DimBroadcast.hint]]: while a dim fits the configured
+  *    bound the fact never shuffles for it, and once a SCALING dim
+  *    (customer/part/supplier all grow with SF) outgrows the bound the
+  *    plan degrades to a shuffle join instead of OOMing the driver. The
+  *    only always-wide exchange is fact x orders on the order key.
   */
 object Gold {
 
@@ -86,11 +90,14 @@ object Gold {
     Tables.lineitem(s, dir)
       .withColumn("__line", lineId.cast("long"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dimCustomer(s, dir).select("c_custkey", "CustomerKey")),
+      .join(DimBroadcast.hint(
+          dimCustomer(s, dir).select("c_custkey", "CustomerKey")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(dimProduct(s, dir).select("p_partkey", "ProductKey")),
+      .join(DimBroadcast.hint(
+          dimProduct(s, dir).select("p_partkey", "ProductKey")),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(dimStore(s, dir).select("s_suppkey", "StoreKey")),
+      .join(DimBroadcast.hint(
+          dimStore(s, dir).select("s_suppkey", "StoreKey")),
         col("l_suppkey") === col("s_suppkey"))
       .select(
         (col("l_orderkey") * 100 + col("__line")).cast("long")
