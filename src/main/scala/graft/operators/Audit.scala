@@ -19,14 +19,32 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   */
 object Audit {
 
+  /** One entry of the reference's `data_type_and_format_inconsistencies`
+    * array (audit_report.py:87-100): the violated column, its count, the
+    * human-readable expected-type string the cleaner dispatches on
+    * (data_cleaning.py:139-179), and a (capped) sample of violating row
+    * ids. `errorIds` keeps the source id type — ints serialize unquoted,
+    * strings quoted — matching the committed reference reports.
+    */
+  final case class FormatIssue(
+      column: String,
+      errorCount: Long,
+      expectedType: String,
+      errorIds: Seq[Any])
+
   /** Typed audit result consumed by [[Cleaning]] — the reference's
     * audit_report.json document (audit_report.py:152-181) as a case class.
+    * `formatViolations` keeps every rule's count (including zeros);
+    * `inconsistencies` carries the reference-parity entries (only rules
+    * with errors, with expected_type + error_ids) when the report was
+    * built with an id column.
     */
   final case class AuditReport(
       missingValues: Map[String, Long],
       duplicateRows: Long,
       duplicateColumnGroups: Map[String, Seq[String]],
-      formatViolations: Map[String, Long])
+      formatViolations: Map[String, Long],
+      inconsistencies: Seq[FormatIssue] = Nil)
 
   private def isNullOrNan(df: DataFrame, c: String): Column = {
     val base = col(c).isNull
@@ -70,8 +88,13 @@ object Audit {
     groups.toDF("stem", "n_cols")
   }
 
-  /** One named violation rule: rows where `bad` holds violate it. */
-  final case class FormatRule(name: String, bad: Column)
+  /** One named violation rule: rows where `bad` holds violate it.
+    * `expectedType` is the reference's dispatch string (e.g. "positive
+    * float", "date in YYYY-MM-DD format" — audit_report.py:103-138);
+    * empty when the caller doesn't need report parity.
+    */
+  final case class FormatRule(name: String, bad: Column,
+                              expectedType: String = "")
 
   /** The reference's audit predicates (audit_report.py:113-138), with
     * Spark-3 comparison semantics reproduced under Spark 4 ANSI mode:
@@ -110,8 +133,18 @@ object Audit {
 
   /** Assemble the typed report. The three aggregates are tiny (one row
     * each); collecting them is driver-side by nature, not a scale concern.
+    *
+    * When `idColumn` is given, each rule with errors also collects a
+    * violating-id sample for the reference-parity `error_ids` field
+    * (audit_report.py:96-100 collects ALL ids — unbounded driver memory;
+    * here the sample is capped at `maxErrorIds` via `limit`, which
+    * terminates the scan early instead of materializing every violation,
+    * so the report stays safe at any scale). Only rules that fired run an
+    * id job, mirroring the reference's append-if-nonzero behavior.
     */
-  def report(df: DataFrame, rules: Seq[FormatRule]): AuditReport = {
+  def report(df: DataFrame, rules: Seq[FormatRule],
+             idColumn: Option[String] = None,
+             maxErrorIds: Int = 10000): AuditReport = {
     val nulls = nullProfile(df).collect()(0)
     val missing = df.columns.zipWithIndex
       .map { case (c, i) => c -> nulls.getLong(i) }.toMap
@@ -120,6 +153,14 @@ object Audit {
       if (rules.isEmpty) Row.empty else violationCounts(df, rules).collect()(0)
     val vioMap = rules.zipWithIndex
       .map { case (r, i) => r.name -> vio.getLong(i) }.toMap
-    AuditReport(missing, dups, duplicateColumnGroups(df.columns.toSeq), vioMap)
+    val issues = idColumn.toSeq.flatMap { id =>
+      rules.filter(r => vioMap(r.name) > 0).map { r =>
+        val ids = df.filter(r.bad).select(id).limit(maxErrorIds)
+          .collect().map(_.get(0)).toSeq
+        FormatIssue(r.name, vioMap(r.name), r.expectedType, ids)
+      }
+    }
+    AuditReport(missing, dups, duplicateColumnGroups(df.columns.toSeq),
+      vioMap, issues)
   }
 }

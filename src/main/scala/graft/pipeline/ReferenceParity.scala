@@ -64,16 +64,32 @@ object ReferenceParity {
       case "date" => df // all *Date* columns normalized together, below
     }
 
+  /** The reference's expected-type strings per rule kind — what its
+    * cleaner dispatches on (audit_report.py:103-138 descriptions,
+    * consumed at data_cleaning.py:139-179).
+    */
+  private val expectedTypeOf = Map(
+    "date" -> "date in YYYY-MM-DD format",
+    "posFloat" -> "positive float",
+    "posInt" -> "positive integer",
+    "phone" -> "numeric with . ( ) - symbols",
+    "nonEmpty" -> "must be a non-empty string",
+    "alpha" -> "must contain only alphabetic characters and spaces")
+
   /** Audit-then-clean one source: the reference's feedback loop — only
     * columns the audit flagged get cleaned (data_cleaning.py:196-206).
+    * `idColumn` feeds the report's error_ids samples (audit parity).
     */
   private def auditAndClean(df: DataFrame,
                             rules: Seq[(String, String, Column)],
                             fillStrings: Map[String, String],
-                            fillNumerics: Map[String, Double])
+                            fillNumerics: Map[String, Double],
+                            idColumn: String)
       : (Audit.AuditReport, DataFrame) = {
     val report = Audit.report(df,
-      rules.map { case (c, _, bad) => Audit.FormatRule(c, bad) })
+      rules.map { case (c, kind, bad) =>
+        Audit.FormatRule(c, bad, expectedTypeOf(kind)) },
+      idColumn = Some(idColumn))
 
     // 1. fills, only for columns the audit saw missing (E9 policy map)
     val missing = report.missingValues.filter(_._2 > 0).keySet
@@ -130,7 +146,8 @@ object ReferenceParity {
         ("Quantity", "posInt", posInt("Quantity"))),
       fillStrings = Seq("ShipName", "ShipAddress", "ShipCity", "ShipRegion",
         "ShipPostalCode", "ShipCountry").map(_ -> unknownFill).toMap,
-      fillNumerics = Map("Freight" -> 0.0, "Discount" -> 0.0))
+      fillNumerics = Map("Freight" -> 0.0, "Discount" -> 0.0),
+      idColumn = "OrderID0")
     val salesClean = salesClean0
 
     val (customersAudit, customersClean) = auditAndClean(customersRaw,
@@ -142,7 +159,8 @@ object ReferenceParity {
           col("Address").isNull || col("Address") === "")),
       fillStrings = Seq("CompanyName", "City", "Region", "PostalCode",
         "Fax", "Phone").map(_ -> unknownFill).toMap,
-      fillNumerics = Map.empty)
+      fillNumerics = Map.empty,
+      idColumn = "CustomerID")
 
     val (productsAudit, productsClean) = auditAndClean(productsRaw,
       rules = Seq(
@@ -151,7 +169,8 @@ object ReferenceParity {
         ("ReorderLevel", "posInt", posIntStrict("ReorderLevel")),
         ("UnitPrice", "posFloat", posFloatStrict("UnitPrice"))),
       fillStrings = Map("ProductName" -> unknownFill),
-      fillNumerics = Map.empty)
+      fillNumerics = Map.empty,
+      idColumn = "ProductID")
 
     val (suppliersAudit, suppliersClean) = auditAndClean(suppliersRaw,
       rules = Seq(
@@ -159,7 +178,8 @@ object ReferenceParity {
         ("Fax", "phone", badPhone("Fax"))),
       fillStrings = Seq("CompanyName", "Region", "Fax", "HomePage")
         .map(_ -> unknownFill).toMap,
-      fillNumerics = Map.empty)
+      fillNumerics = Map.empty,
+      idColumn = "SupplierID")
 
     // ---- enrich (add_columns.py) ----
     // customers: continent + client tier from lifetime purchases (A1+G3)
@@ -186,21 +206,22 @@ object ReferenceParity {
         .when(col("UnitsInStock") > 0 || col("UnitsOnOrder") > 0, "Active")
         .otherwise("Inactive"))
 
-    // taxrate: ISO + deterministic TaxRateID (W1, add_columns.py:170-173)
-    val taxEnriched = CountryCodes.withIsoCode(taxrateRaw, "Country", "ISO")
-      .drop("Country").withColumnRenamed("ISO", "Country")
-      .withColumn("TaxRateID",
-        row_number().over(Window.orderBy("Country", "Year")).cast("long"))
+    // taxrate: ISO + deterministic TaxRateID (W1, add_columns.py:170-173,
+    // assigned without a single-partition global window — Gold.orderedId)
+    val taxEnriched = Gold.orderedId(
+      CountryCodes.withIsoCode(taxrateRaw, "Country", "ISO")
+        .drop("Country").withColumnRenamed("ISO", "Country"),
+      Seq("Country", "Year"), "TaxRateID")
 
     // exchange: dedup, ISO, tolerant date parse, deterministic ExchangeID
-    val exchangeEnriched = CountryCodes.withIsoCode(
-        exchangeRaw.dropDuplicates(), "country", "ISO")
-      .drop("country").withColumnRenamed("ISO", "country")
-      .withColumn("date", date_format(coalesce(
-        try_to_date(col("date"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
-        try_to_date(col("date"))), "yyyy-MM-dd"))
-      .withColumn("ExchangeID",
-        row_number().over(Window.orderBy("date", "country")).cast("long"))
+    val exchangeEnriched = Gold.orderedId(
+      CountryCodes.withIsoCode(
+          exchangeRaw.dropDuplicates(), "country", "ISO")
+        .drop("country").withColumnRenamed("ISO", "country")
+        .withColumn("date", date_format(coalesce(
+          try_to_date(col("date"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+          try_to_date(col("date"))), "yyyy-MM-dd")),
+      Seq("date", "country"), "ExchangeID")
 
     // ---- tax conformance (J2, sales_tax.py:62-67) ----
     val salesIso = CountryCodes.withIsoCode(salesGeo, "ShipCountry",
@@ -272,8 +293,7 @@ object ReferenceParity {
 
     // ---- gold (G1-G5, map_cols.py) ----
     def key(df: DataFrame, orderCol: String, name: String): DataFrame =
-      df.withColumn(name,
-        row_number().over(Window.orderBy(orderCol)).cast("long"))
+      Gold.orderedId(df, Seq(orderCol), name)
 
     val dimTaxRate = key(taxEnriched, "TaxRateID", "TaxRateKey")
       .select("TaxRateKey", "TaxRateID", "Country", "Year", "TaxRate")
@@ -352,10 +372,9 @@ object ReferenceParity {
         "inner")
       .join(broadcast(productsWithStore), Seq("ProductID"), "left")
       .filter(col("StoreKey").isNotNull)
-    val factSales = fact
-      .withColumn("SalesID", row_number().over(Window.orderBy(
-        "OrderID", "ProductID", "Quantity", "Discount", "OrderDate"))
-        .cast("long"))
+    val factSales = Gold.orderedId(fact,
+        Seq("OrderID", "ProductID", "Quantity", "Discount", "OrderDate"),
+        "SalesID")
       .select("SalesID", "CustomerKey", "ProductKey", "StoreKey",
         "CalendarKey", "OrderID", "OrderDate", "ShippedDate",
         "region_code", "Quantity", "Discount", "TaxRateKey", "ExchangeKey")

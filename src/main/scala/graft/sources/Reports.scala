@@ -21,8 +21,23 @@ object Reports {
     case c => c.toString
   }
 
+  /** A scalar id value: numbers/booleans bare, anything else a JSON
+    * string — so an int id column serializes as `10248` and a string id
+    * column as `"ALFKI"`, matching the reference's committed reports.
+    */
+  private def jsonScalar(v: Any): String = v match {
+    case null => "null"
+    case b: java.lang.Boolean => b.toString
+    case n: java.lang.Number => n.toString
+    case other => s""""${esc(other.toString)}""""
+  }
+
   /** S7 — the audit report as JSON (schema mirrors the reference's
-    * audit_report.json document).
+    * audit_report.json document, audit_report.py:43-100: entries in the
+    * inconsistency array appear only for rules that fired and carry
+    * `expected_type` + `error_ids` so the reference's cleaner
+    * (data_cleaning.py:196-206) could consume our report unchanged).
+    * Reports built without an id column fall back to count-only entries.
     */
   def auditJson(source: String, r: AuditReport): String = {
     val missing = r.missingValues.toSeq.sortBy(_._1)
@@ -31,10 +46,18 @@ object Reports {
       .map { case (stem, cols) =>
         s""" - ${stem}: ${cols.mkString(", ")}"""
       }.map(s => s""""${esc(s)}"""").mkString(", ")
-    val vio = r.formatViolations.toSeq.sortBy(_._1)
-      .map { case (c, n) =>
-        s"""{"column": "${esc(c)}", "error_count": $n}"""
-      }.mkString(", ")
+    val vio =
+      if (r.inconsistencies.nonEmpty)
+        r.inconsistencies.map { i =>
+          s"""{"column": "${esc(i.column)}", """ +
+            s""""error_count": ${i.errorCount}, """ +
+            s""""expected_type": "${esc(i.expectedType)}", """ +
+            s""""error_ids": [${i.errorIds.map(jsonScalar).mkString(", ")}]}"""
+        }.mkString(", ")
+      else r.formatViolations.toSeq.sortBy(_._1)
+        .map { case (c, n) =>
+          s"""{"column": "${esc(c)}", "error_count": $n}"""
+        }.mkString(", ")
     s"""{"source": "${esc(source)}", "missing_values": {$missing}, """ +
       s""""duplicate_rows": ${r.duplicateRows}, """ +
       s""""duplicate_columns": [$dupCols], """ +

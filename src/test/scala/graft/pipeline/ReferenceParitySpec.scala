@@ -43,6 +43,37 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(out.audits("customers").formatViolations("Phone") == 3)
   }
 
+  test("audit inconsistencies carry expected_type + error_ids matching " +
+    "the committed 2024-12-02 report, per source") {
+    // the committed document, parsed back through Spark's JSON reader —
+    // error_ids arrays union to string across int- and string-id sources
+    val ref = s.read.option("multiLine", "true")
+      .json("/root/reference/logs/data_processing/2024-12-02/audit_report.json")
+      .select(col("source"),
+        explode(col("data_type_and_format_inconsistencies")).as("i"))
+      .select("source", "i.column", "i.error_count", "i.expected_type",
+        "i.error_ids")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getString(3),
+          r.getSeq[String](4).sorted))
+      .toMap
+
+    for (src <- Seq("sales", "customers", "products", "suppliers")) {
+      val ours = out.audits(src).inconsistencies
+      // same entries, in the reference's rule order
+      assert(ours.map(i => (src, i.column)).toSet == ref.keySet.filter(_._1 == src),
+        s"$src entry set")
+      ours.foreach { i =>
+        val (refCount, refType, refIds) = ref((src, i.column))
+        assert(i.errorCount == refCount, s"$src.${i.column} count")
+        assert(i.expectedType == refType, s"$src.${i.column} expected_type")
+        assert(i.errorIds.map(_.toString).sorted == refIds,
+          s"$src.${i.column} error_ids")
+      }
+    }
+  }
+
   test("fact has 2151 rows (the dashboard Clients tile) over 21 ship " +
     "countries, with no null surrogate keys") {
     val fact = out.factSales.cache()

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Audit.AuditReport
+import graft.operators.Audit.{AuditReport, FormatIssue}
 
 class ReportsSpec extends AnyFunSuite {
 
@@ -33,6 +33,41 @@ class ReportsSpec extends AnyFunSuite {
       .json(path)
     assert(parsed.select("source").collect().map(_.getString(0)).toSeq ==
       Seq("sales"))
+  }
+
+  test("inconsistency entries serialize expected_type + error_ids with " +
+    "source-typed ids (ints bare, strings quoted) like the reference") {
+    val withIssues = report.copy(inconsistencies = Seq(
+      FormatIssue("OrderDate", 2155L, "date in YYYY-MM-DD format",
+        Seq(10248, 10248, 10249)),
+      FormatIssue("Phone", 3L, "numeric with . ( ) - symbols",
+        Seq("DRACD", "DUMON"))))
+    val tmp = Files.createTempDirectory("graft_reports")
+    val path = s"$tmp/audit_report.json"
+    Reports.writeAuditJson(path, Map("sales" -> withIssues))
+    val body = Files.readString(Paths.get(path))
+    assert(body.contains(""""expected_type": "date in YYYY-MM-DD format""""))
+    assert(body.contains(""""error_ids": [10248, 10248, 10249]"""))
+    assert(body.contains(""""error_ids": ["DRACD", "DUMON"]"""))
+    // entries appear in rule order, not sorted
+    assert(body.indexOf(""""column": "OrderDate"""") <
+      body.indexOf(""""column": "Phone""""))
+    // and the document still parses with the same top-level shape as the
+    // reference's committed audit_report.json
+    val parsed = graft.TestSpark.spark.read.option("multiLine", "true")
+      .json(path)
+    val refCols = graft.TestSpark.spark.read.option("multiLine", "true")
+      .json("/root/reference/logs/data_processing/2024-12-02/audit_report.json")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col(
+          "data_type_and_format_inconsistencies")).as("i"))
+      .select("i.*").columns.toSet
+    val ourCols = parsed
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col(
+          "data_type_and_format_inconsistencies")).as("i"))
+      .select("i.*").columns.toSet
+    assert(ourCols == refCols)
   }
 
   test("text report lists nonzero findings only") {
