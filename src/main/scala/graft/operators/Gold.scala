@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.core.Tables
 import graft.plans.DimBroadcast
@@ -33,6 +34,28 @@ object Gold {
                        keyName: String): DataFrame =
     df.withColumn(keyName,
       row_number().over(Window.orderBy(naturalKey)).cast("long"))
+
+  /** Contiguous 1-based ids in global sort order WITHOUT a global window:
+    * `row_number().over(Window.orderBy(...))` collapses the whole table
+    * into one partition (the reference's W1 shape, add_columns.py:170-173
+    * — fine at 72 rows, fatal at scale). Here the table is range-
+    * partitioned and sorted on the order columns, then ids come from a
+    * per-partition count + offset pass (`zipWithIndex`): two light jobs,
+    * every partition stays parallel, and for a total ordering (unique
+    * order-column tuples) the assigned ids are IDENTICAL to the global
+    * window's.
+    */
+  def orderedId(df: DataFrame, orderCols: Seq[String],
+                name: String): DataFrame = {
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = sorted.schema.add(name, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 
   /** G2 — SCD2 scaffolding columns (map_cols.py:89-91: IsCurrent=true,
     * fixed effective-start, open end date).

@@ -23,6 +23,23 @@ class GoldWarehouseSpec extends AnyFunSuite {
       (1L, 1097L, 1097L))
   }
 
+  test("orderedId assigns exactly the global-window row_number ids " +
+    "without a single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.core.Tables.orders(s, sf)
+    val viaWindow = orders.withColumn("id",
+      row_number().over(Window.orderBy("o_orderkey")).cast("long"))
+      .select("o_orderkey", "id")
+    val viaOrdered = Gold.orderedId(orders, Seq("o_orderkey"), "id")
+      .select("o_orderkey", "id")
+    assert(viaOrdered.except(viaWindow).count() == 0)
+    assert(viaWindow.except(viaOrdered).count() == 0)
+    // the assigner's plan must not contain a global (unpartitioned) window
+    assert(viaOrdered.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+  }
+
   test("fact build: every FK resolves (referential integrity by " +
     "construction) and SalesID is unique at line grain") {
     val fact = Gold.factSales(s, sf).cache()
