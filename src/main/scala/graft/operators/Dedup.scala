@@ -53,29 +53,77 @@ object Dedup {
              array_distinct(transform(sequence(1, size(ts) - ${n - 1}),
                i -> array_join(slice(ts, i, $n), ' '))))), 1)""")
 
+  /** (doc, sh) shingle table, cached: the arrays feed several consumers
+    * (the inverted index and the exact verification), and nothing else
+    * would stop CollapseProject from inlining the whole tokenize+shingle
+    * expression into each.
+    */
+  private def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0).cache()
+
+  /** Exploded (doc, shingle) inverted index, with shingles whose document
+    * frequency exceeds `maxDocFreq` dropped BEFORE any join. The cap is
+    * the hot-shingle guard a 100 TB corpus needs: a boilerplate shingle
+    * appearing in d documents contributes d^2/2 candidate pairs on its
+    * own (a license header in 1M docs = 5*10^11 pairs from one shingle);
+    * capping bounds every shingle's contribution at maxDocFreq^2/2 while
+    * dropping only shingles so common they carry no discriminating
+    * signal.
+    */
+  private def invertedIndex(sh: DataFrame, maxDocFreq: Int): DataFrame = {
+    val inv = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+    if (maxDocFreq == Int.MaxValue) inv
+    else {
+      val hot = inv.groupBy("shingle").agg(count(lit(1)).as("doc_freq"))
+        .filter(col("doc_freq") > maxDocFreq).select("shingle")
+      inv.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing an index shingle. */
+  private def candidatePairs(inv: DataFrame): DataFrame =
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+
+  /** Inverted-index candidate pairs for [[ngramJaccardPairs]], exposed so
+    * the hot-shingle cap's candidate-set reduction is observable/testable
+    * without running the verification stage.
+    */
+  def ngramCandidates(df: DataFrame, idCol: String, textCol: String,
+                      n: Int, maxDocFreq: Int = Int.MaxValue): DataFrame =
+    candidatePairs(invertedIndex(shingleTable(df, idCol, textCol, n),
+      maxDocFreq))
+
   /** Exact near-dup pairs by `n`-gram Jaccard >= `threshold`, blocked on
     * shared shingles (inverted index self-join; complete because J > 0
     * implies a shared shingle). Output: (doc_a, doc_b, jaccard), a < b.
+    *
+    * `maxDocFreq` engages the hot-shingle cap (see [[invertedIndex]]):
+    * candidate GENERATION ignores shingles shared by more than that many
+    * documents, but every surviving candidate is verified against the
+    * FULL shingle sets, so reported jaccard values are always exact. With
+    * the cap, completeness weakens from "all pairs with J > 0" to "all
+    * pairs sharing at least one non-hot shingle" — the standard trade: a
+    * pair similar only through boilerplate is exactly the pair dedup
+    * should not chase.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
-    // cache: the shingle arrays feed three consumers (sizes, the inverted
-    // index, and nothing else would stop CollapseProject from inlining
-    // the whole tokenize+shingle expression into each)
-    val sh = df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0).cache()
-    val sizes = sh.select(col("doc"), size(col("sh")).cast("long").as("n_sh"))
-    val inv = sh.select(col("doc"), explode(col("sh")).as("shingle"))
-    val inter = inv.as("a")
-      .join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+                        n: Int, threshold: Double,
+                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    candidatePairs(invertedIndex(sh, maxDocFreq))
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
+          - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -150,21 +198,31 @@ object Dedup {
     *
     * Same inverted-index blocking as [[ngramJaccardPairs]], across two
     * corpora: candidates only where a shingle is shared, never all-pairs.
+    *
+    * `maxDocFreq` caps shingles by their CORPUS document frequency before
+    * the cross-corpus join (the blowup term is |corpus docs with shingle|
+    * x |benchmark docs with shingle|); surviving (doc, bdoc) candidates
+    * are verified against full shingle sets, so overlap ratios stay
+    * exact.
     */
   def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String,
-                          n: Int): DataFrame = {
-    val cSh = corpus.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0).cache()
+                          n: Int,
+                          maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val cSh = shingleTable(corpus, idCol, textCol, n)
     val bSh = benchmark.select(col(idCol).as("bdoc"),
         shingles(textCol, n).as("bsh"))
       .filter(size(col("bsh")) > 0).cache()
-    val cInv = cSh.select(col("doc"), explode(col("sh")).as("shingle"))
-    val bInv = bSh.select(col("bdoc"), size(col("bsh")).cast("long").as("bn"),
-      explode(col("bsh")).as("shingle"))
+    val cInv = invertedIndex(cSh, maxDocFreq)
+    val bInv = bSh.select(col("bdoc"), explode(col("bsh")).as("shingle"))
     cInv.join(bInv, "shingle")
-      .groupBy("doc", "bdoc", "bn").agg(count(lit(1)).as("shared"))
-      .withColumn("overlap", col("shared").cast("double") / col("bn"))
+      .select("doc", "bdoc").distinct()
+      .join(cSh, "doc")
+      .join(bSh, "bdoc")
+      .withColumn("shared",
+        size(array_intersect(col("sh"), col("bsh"))).cast("long"))
+      .withColumn("overlap",
+        col("shared").cast("double") / size(col("bsh")).cast("long"))
       .groupBy("doc").agg(max("overlap").as("max_overlap"))
   }
 

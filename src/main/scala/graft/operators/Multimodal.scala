@@ -4,14 +4,18 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque binary columns + typed
-  * metadata, with per-partition batch "decoding".
+  * metadata, with per-partition batch decoding.
   *
-  * The decode itself is STUBBED (this container has no image/audio codecs)
-  * behind [[FakeCodec]] — a deterministic fake — but everything Spark-side
-  * is real and tested: the binary column representation, the metadata
-  * struct schema, the mapPartitions batch shape (one codec instance per
-  * partition, streamed rows, no per-row setup), and the partitioning
-  * contract (decode is embarrassingly parallel, no shuffle).
+  * IMAGE decode is REAL: image-MIME payloads go through the JDK's
+  * `javax.imageio` (PNG/JPEG/BMP/GIF readers ship with the JVM — no
+  * external codec needed), yielding true pixel dimensions. Audio/video
+  * have no in-container codec and stay behind [[FakeCodec]], a
+  * deterministic fake with the identical signature, so the Spark-side
+  * contract is fully exercised either way: the binary column
+  * representation, the metadata struct schema, the mapPartitions batch
+  * shape (one codec instance per partition, streamed rows, no per-row
+  * setup), and the partitioning contract (decode is embarrassingly
+  * parallel, no shuffle).
   */
 object Multimodal {
 
@@ -28,12 +32,12 @@ object Multimodal {
   final case class MediaFeatures(id: Long, mediaType: String, sizeBytes: Long,
                                  width: Int, height: Int, checksum: Long)
 
-  /** Deterministic stand-in for an image/audio codec. A real deployment
-    * replaces exactly this object (same signature) with JNI/library calls.
+  /** Deterministic stand-in for codecs this container lacks (audio,
+    * video). A real deployment replaces exactly this object (same
+    * signature) with JNI/library calls.
     */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Long) = {
-      // ??? <- real codec goes here; deterministic fake below
       var checksum = 7L
       var i = 0
       while (i < payload.length) {
@@ -43,6 +47,36 @@ object Multimodal {
       val width = 16 + (checksum % 1024).toInt
       val height = 16 + ((checksum / 1024) % 1024).toInt
       (width, height, checksum)
+    }
+  }
+
+  /** REAL image decode via the JDK's ImageIO: true width/height from the
+    * pixel data, checksum folded over the decoded ARGB rasters (not the
+    * compressed bytes — two encodings of the same pixels checksum alike).
+    * Returns None when the payload is not a decodable image, so callers
+    * can fall back rather than poison a 100 TB batch job on one corrupt
+    * file.
+    */
+  object ImageCodec {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+      val img = try {
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      } catch { case _: java.io.IOException => null }
+      Option(img).map { i =>
+        val (w, h) = (i.getWidth, i.getHeight)
+        var checksum = 7L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            checksum = (checksum * 31 + (i.getRGB(x, y) & 0xffffffL)) %
+              1000000007L
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, checksum)
+      }
     }
   }
 
@@ -84,7 +118,9 @@ object Multimodal {
 
   /** Batch feature extraction: one codec per partition, rows streamed
     * through it. This is the Scala-native equivalent of a Pandas-UDF
-    * mapInPandas decode stage — no shuffle, parallelism = input partitions.
+    * mapInPandas decode stage — no shuffle, parallelism = input
+    * partitions. Image-MIME items decode for real (ImageIO); everything
+    * else — and any undecodable image — takes the deterministic fake.
     */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
@@ -92,7 +128,11 @@ object Multimodal {
       // per-partition setup (a real codec's init/handle lives here)
       val codec = FakeCodec
       rows.map { item =>
-        val (w, h, c) = codec.decode(item.payload)
+        val (w, h, c) =
+          if (item.mediaType.startsWith("image/"))
+            ImageCodec.decode(item.payload)
+              .getOrElse(codec.decode(item.payload))
+          else codec.decode(item.payload)
         MediaFeatures(item.id, item.mediaType, item.sizeBytes, w, h, c)
       }
     }

@@ -83,8 +83,10 @@ object Similarity {
     * nearest cells and runs exact cosine top-k over just those cells'
     * vectors. One corpus shuffle on cell id; centroids broadcast.
     *
-    * Centroids are a deterministic sample of the corpus (every
-    * |corpus|/nCells-th vector by id) — a k-means refinement would slot in
+    * Centroids are a deterministic pseudo-random sample: the nCells
+    * corpus vectors with the smallest xxhash64(id) (a TakeOrdered, no
+    * corpus count and no job at operator-construction time — the whole
+    * operator stays one lazy plan). A k-means refinement would slot in
     * here without changing the query path.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -94,9 +96,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val n = c.count()
-    val stride = math.max(1L, n / nCells)
-    val centroids = c.filter(col("n_id") % stride === 0)
+    val centroids = c.orderBy(xxhash64(col("n_id")), col("n_id"))
       .limit(nCells)
       .select(col("n_id").as("cell"), col("cv").as("centroid"))
     // nearest cell per corpus vector: argmax cosine over the broadcast

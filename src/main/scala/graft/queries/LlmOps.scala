@@ -130,17 +130,27 @@ object LlmOps {
   }, None)
 
   // L12 — embedding-cosine near-dup pairs, multi-table-LSH-blocked with
-  // exact verification (rows-only: buckets are xxhash64-derived). The
-  // synthetic embeddings carry no planted near-dups (max pairwise cosine
-  // ~0.51 at sf0.01), so the threshold is set to the data's similarity
-  // scale: tau=0.4 yields ~60 true pairs at sf0.01 / ~900 at sf0.1.
-  // 8 tables x 2 planes gives collision recall
-  // 1-(1-r^2)^8 ~ 0.98 at c=0.4 (r = 1 - acos(c)/pi). High-threshold
-  // dedup (tau>=0.9, more planes/fewer tables) is pinned with planted
-  // pairs in SimilaritySpec.
+  // exact verification (rows-only: buckets are xxhash64-derived), run at
+  // the operator's DESIGN POINT: high-threshold dedup (tau=0.9, 8 planes
+  // x 8 tables -> 256 buckets/table, collision recall 1-(1-r^8)^8 ~ 0.94
+  // at c=0.9 where r = 1 - acos(c)/pi, candidate cost ~ 2T/2^p = 1/16 of
+  // brute force). The synthetic embeddings carry no natural near-dups
+  // (max pairwise cosine ~0.51 at sf0.01), so the corpus is unioned with
+  // a deterministic slightly-perturbed twin of each vector (cosine ~0.97
+  // to its original) — the standard dedup scenario of re-crawled /
+  // re-encoded documents. A low-threshold config (tau~0.4) is NOT run
+  // here: with few planes the blocking cost approaches brute force
+  // (2T/2^p >= 1), and hyperplane LSH is the wrong tool at that
+  // similarity scale.
   private val l12 = QueryDef("l12_cosine_near_dup", (s, dir) => {
-    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
-      "vec_id", "embedding", threshold = 0.4, nPlanes = 2, nTables = 8)
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val twins = base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
+              (x, d) -> x + CAST(0.04 * sin(CAST(d AS DOUBLE)
+                + CAST(vec_id AS DOUBLE)) AS FLOAT))""").as("embedding"))
+    Similarity.cosineNearDupPairs(base.unionByName(twins),
+      "vec_id", "embedding", threshold = 0.9, nPlanes = 8, nTables = 8)
   }, None)
 
   private val langMarkers =

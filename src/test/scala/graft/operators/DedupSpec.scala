@@ -31,6 +31,56 @@ class DedupSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("jaccard") == 1.0 / 3.0)
   }
 
+  test("hot-shingle cap: identical pairs on testdata with the cap " +
+    "engaged, and exact jaccard values either way") {
+    val docs = Tables.documents(s, sf)
+    def pairs(cap: Int) = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = cap)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(50)
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped,
+      s"cap=50 changed results: ${capped.diff(uncapped)} vs ${uncapped.diff(capped)}")
+  }
+
+  test("hot-shingle cap: a boilerplate shingle shared by every doc stops " +
+    "generating quadratic candidates once capped") {
+    val boiler = "copyright license header text"
+    // 200 docs: all share the boilerplate prefix; only 0 and 1 are real
+    // dups (identical bodies)
+    val docs = (0L until 200L).map { i =>
+      val body = if (i <= 1) "payload for row zero alpha beta"
+        else s"payload for row $i alpha beta"
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramCandidates(docs, "doc_id", "text", n = 3)
+      .count()
+    val capped = Dedup.ngramCandidates(docs, "doc_id", "text", n = 3,
+      maxDocFreq = 10).count()
+    assert(uncapped >= 19900, s"boilerplate should force all-pairs: $uncapped")
+    assert(capped < uncapped / 100,
+      s"cap must cut candidates by orders of magnitude: $uncapped -> $capped")
+    // the real dup pair still survives the cap AND verifies
+    val found = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDocFreq = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(found.contains((0L, 1L)), s"planted dup lost: ${found.toSeq}")
+  }
+
+  test("contamination scores: cap engaged leaves testdata scores exact") {
+    val docs = Tables.documents(s, sf)
+    val corpus = docs.filter(col("doc_id") >= 25)
+    val bench = docs.filter(col("doc_id") < 25)
+    def scores(cap: Int) = Dedup.contaminationScores(corpus, bench,
+        "doc_id", "text", n = 3, maxDocFreq = cap)
+      .collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Double]("max_overlap"))).toSet
+    assert(scores(50) == scores(Int.MaxValue))
+  }
+
   test("MinHash-LSH finds the planted near-dups: recall >= 0.9 vs the " +
     "exact pairs at J >= 0.2, perfect precision by construction") {
     val docs = Tables.documents(s, sf)

@@ -44,6 +44,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(1).frameBytes(0) == 32.toByte)
   }
 
+  // Render a real PNG in memory: a w x h gradient, returned as the
+  // encoded bytes a lake's binary column would hold.
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 7 + y * 131) % 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG payloads decode to their true pixel dimensions through " +
+    "the batch pipeline") {
+    import s.implicits._
+    val items = Seq(
+      MediaItem(1L, pngBytes(23, 17), "image/png", 0L),
+      MediaItem(2L, pngBytes(64, 48), "image/png", 0L),
+      // same pixels re-encoded -> same checksum as item 2's pixels
+      MediaItem(3L, pngBytes(64, 48), "image/png", 0L),
+      // corrupt image bytes must fall back, not crash the batch
+      MediaItem(4L, Array[Byte](1, 2, 3, 4), "image/png", 0L))
+      .toDS()
+    val out = Multimodal.extractFeatures(items).collect().sortBy(_.id)
+    assert((out(0).width, out(0).height) == (23, 17))
+    assert((out(1).width, out(1).height) == (64, 48))
+    assert(out(1).checksum == out(2).checksum,
+      "pixel-level checksum must not depend on the encoded byte stream")
+    assert(out.length == 4, "corrupt payload must survive via fallback")
+  }
+
   test("identical payloads yield identical features") {
     import s.implicits._
     val items = Seq(

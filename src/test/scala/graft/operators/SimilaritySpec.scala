@@ -110,14 +110,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert((found -- truth).isEmpty, s"false positives: ${found -- truth}")
   }
 
-  test("cosine near-dup pairs: gate configuration returns rows on the " +
-    "driver's testdata (threshold matched to the data's similarity scale)") {
-    val emb = Tables.embeddings(s, sf)
-    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-      threshold = 0.4, nPlanes = 2, nTables = 8)
+  test("l12 gate query: non-vacuous on the driver's testdata at the " +
+    "design-point config (tau=0.9, twins recovered, no all-pairs)") {
+    // pin the REGISTERED query, not a lookalike
+    val pairs = graft.SparkEntry.queries("l12_cosine_near_dup")(s, sf)
+    assert(!pairs.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
     val rows = pairs.collect()
     assert(rows.nonEmpty, "l12 gate config must be non-vacuous on testdata")
-    rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.4))
+    rows.foreach(r => assert(r.getAs[Double]("cosine") >= 0.9))
+    // the bulk of recovered pairs must be (original, twin) couples
+    val twinPairs = rows.count(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L)
+    assert(twinPairs >= 400,
+      s"expected >=400 of 500 planted twins at sf0.001 " +
+        s"(theoretical recall ~0.94), got $twinPairs")
+  }
+
+  test("ivfTopK construction triggers no Spark job (lazy centroid sample)") {
+    // read (and schema-infer) the inputs BEFORE the listener window: the
+    // assertion is about the OPERATOR's construction, not the scan setup
+    val emb = Tables.embeddings(s, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    emb.schema
+
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.ivfTopK(emb, queries,
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      Thread.sleep(1000) // listener events are delivered asynchronously
+      assert(jobs == 0, s"operator construction ran $jobs job(s)")
+    } finally s.sparkContext.removeSparkListener(listener)
   }
 
   test("ANN plan never materializes all pairs (join is on bucket id)") {
