@@ -9,10 +9,12 @@ import org.apache.spark.sql.DataFrame
   * before the fact so FK discipline holds by ordering).
   *
   * The sink is pluggable: production uses [[JdbcSink]] (the exact
-  * df.write.jdbc shape the reference uses); tests use [[ParquetSink]],
-  * a filesystem-backed fake (no database exists in the sandbox).
-  * Load-order semantics — the part that can silently corrupt a warehouse —
-  * are therefore testable without a server.
+  * df.write.jdbc shape the reference uses — exercised for real in
+  * GoldWarehouseSpec against an embedded in-memory Derby, the JVM-local
+  * stand-in for the reference's SQL Server); [[ParquetSink]] is a
+  * filesystem-backed alternative for environments without any database.
+  * Load-order semantics — the part that can silently corrupt a
+  * warehouse — are testable through either sink.
   */
 object WarehouseLoader {
 

@@ -72,6 +72,55 @@ class GoldWarehouseSpec extends AnyFunSuite {
     assert(s.read.parquet(s"$root/fact_sales").count() == 2)
   }
 
+  test("warehouse load through REAL JDBC: star lands in embedded Derby, " +
+    "reads back with matching counts, append appends (S4, etl_load.py)") {
+    import s.implicits._
+    // keep Derby's derby.log out of the repo
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft_derby").toString)
+    val url = "jdbc:derby:memory:graftdw;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    // Derby resolves unqualified tables against the schema named after
+    // the connecting user — read with the same credentials the sink used
+    props.setProperty("user", "graft")
+    props.setProperty("password", "graft")
+
+    val dimCustomer = Gold.dimCustomer(s, sf)
+      .select("CustomerKey", "c_custkey", "c_name", "c_acctbal")
+    val dimProduct = Gold.dimProduct(s, sf)
+      .select("ProductKey", "p_partkey", "p_brand")
+    val fact = Gold.factSales(s, sf)
+      .select("SalesID", "CustomerKey", "ProductKey", "OrderDate",
+        "Quantity", "Revenue")
+
+    val order = WarehouseLoader.load(
+      new WarehouseLoader.JdbcSink(url, user = "graft", password = "graft",
+        driver = driver),
+      dims = Seq("dim_customers" -> dimCustomer, "dim_products" -> dimProduct),
+      fact = "fact_sales" -> fact)
+    assert(order == Seq("dim_customers", "dim_products", "fact_sales"))
+
+    // counts round-trip through the database
+    def readTable(t: String) = s.read.jdbc(url, t, props)
+    assert(readTable("dim_customers").count() == dimCustomer.count())
+    assert(readTable("dim_products").count() == dimProduct.count())
+    val factRows = fact.count()
+    assert(readTable("fact_sales").count() == factRows)
+    // and values survive: revenue total matches to the cent
+    val dbRevenue = readTable("fact_sales")
+      .agg(round(sum("Revenue"), 2)).collect()(0).getDouble(0)
+    val dfRevenue = fact.agg(round(sum("Revenue"), 2)).collect()(0)
+      .getDouble(0)
+    assert(dbRevenue == dfRevenue)
+
+    // append semantics (the reference's mode, etl_load.py:30-32)
+    new WarehouseLoader.JdbcSink(url, "graft", "graft", driver)
+      .append(fact, "fact_sales")
+    assert(readTable("fact_sales").count() == 2 * factRows)
+  }
+
   test("anomaly rules: first-match-wins priority order " +
     "(anomalies.py:62-68)") {
     import s.implicits._
