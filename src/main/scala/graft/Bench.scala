@@ -12,8 +12,64 @@ import graft.queries.Registry
   *   would let Catalyst prune the computed columns away and time nothing).
   * - A failed query is reported in "errors", never folded into the timing
   *   sum (a crash must not masquerade as a fast run).
+  * - "queries"/"value" stay the headline set (round-comparable); the FULL
+  *   registry is timed too ("all_queries") so a regression in any of the
+  *   ~80 non-headline queries is visible, and "deltas_vs_prev" compares
+  *   every shared query against the newest BENCH_r*.json in the repo
+  *   (positive delta = slower than last round, seconds).
   */
 object Bench {
+
+  /** Per-query timings from the newest prior BENCH_r*.json, parsed with
+    * the Jackson shipped in Spark. Empty when no prior round exists.
+    *
+    * The driver wraps our stdout line as {n, rc, cpus, sf, tail, parsed}:
+    * "parsed" holds the metric object when the driver could parse it,
+    * otherwise the raw line sits inside the captured "tail" text — both
+    * shapes (and a bare metric object) are handled.
+    */
+  private def previousBench(): (String, Map[String, Double]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    def timingsOf(node: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, Double] =
+      Seq("all_queries", "queries").map(node.path)
+        .find(n => n.isObject && n.size() > 0)
+        .map { n =>
+          val it = n.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }.getOrElse(Map.empty)
+
+    def fromFile(f: java.io.File): Map[String, Double] = {
+      val root = mapper.readTree(f)
+      val direct = timingsOf(root)
+      if (direct.nonEmpty) direct
+      else {
+        val parsed = timingsOf(root.path("parsed"))
+        if (parsed.nonEmpty) parsed
+        else {
+          val tail = root.path("tail").asText("")
+          "\\{\"metric\".*\\}".r.findFirstIn(tail)
+            .map(line => timingsOf(mapper.readTree(line)))
+            .getOrElse(Map.empty)
+        }
+      }
+    }
+
+    val prior = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName)
+    prior.lastOption.map { f =>
+      try f.getName -> fromFile(f)
+      catch { case _: Throwable => f.getName -> Map.empty[String, Double] }
+    }.getOrElse("" -> Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench", Sessions.cpusFromEnv(32))
@@ -27,18 +83,36 @@ object Bench {
     }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val allTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    Registry.headlines.foreach { q =>
+
+    def time(name: String, run: () => Unit,
+             into: scala.collection.mutable.LinkedHashMap[String, Double])
+        : Unit = {
       val t0 = System.nanoTime()
       try {
-        q.run(spark, sfDir).write.format("noop").mode(SaveMode.Overwrite).save()
-        timings(q.name) = (System.nanoTime() - t0) / 1e9
+        run()
+        into(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString
-          System.err.println(s"[bench] $q failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+    }
+
+    // headline set first (the round-over-round contract numbers)...
+    Registry.headlines.foreach { q =>
+      time(q.name, () => q.run(spark, sfDir)
+        .write.format("noop").mode(SaveMode.Overwrite).save(), timings)
+    }
+    allTimings ++= timings
+    // ...then the rest of the registry, so all ~92 queries have a
+    // regression signal (timed after the headlines to keep the headline
+    // numbers free of interference from the breadth sweep)
+    Registry.all.filterNot(_.headline).foreach { q =>
+      time(q.name, () => q.run(spark, sfDir)
+        .write.format("noop").mode(SaveMode.Overwrite).save(), allTimings)
     }
 
     // Reference-pipeline throughput: the full CSV->audit->clean->enrich->
@@ -53,6 +127,7 @@ object Bench {
         out.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
         out.dimProducts.write.format("noop").mode(SaveMode.Overwrite).save()
         timings("ref_pipeline_e2e") = (System.nanoTime() - t0) / 1e9
+        allTimings("ref_pipeline_e2e") = timings("ref_pipeline_e2e")
       } catch {
         case e: Throwable =>
           errors("ref_pipeline_e2e") =
@@ -69,10 +144,17 @@ object Bench {
       } + "\""
     val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }
       .mkString("{", ",", "}")
+    val allQs = allTimings.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    val (prevFile, prev) = previousBench()
+    val deltas = allTimings.collect {
+      case (k, v) if prev.contains(k) =>
+        s"${jstr(k)}:${math.rint((v - prev(k)) * 1000) / 1000}"
+    }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"all_queries":$allQs,"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }
