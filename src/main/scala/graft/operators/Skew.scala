@@ -7,11 +7,30 @@ import org.apache.spark.sql.functions._
   * reality: one dominant customer/currency/date serializes a whole
   * partition).
   *
-  * First line of defense is AQE's runtime skew-join splitting (enabled in
-  * Sessions). These operators cover what AQE can't: skewed AGGREGATIONS
-  * whose single hot key exceeds one task even after partial aggregation
-  * of high-cardinality payloads, and skewed joins against a
-  * non-broadcastable build side.
+  * == AQE vs salting — when to use which ==
+  *
+  * First line of defense is AQE's runtime skew-JOIN splitting (on by
+  * default with adaptive execution; ScaleShapeSpec demonstrates the
+  * split appearing as `skew=true` in the final adaptive plan). Prefer it
+  * because it needs no code change, acts only when a partition actually
+  * exceeds `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`
+  * (x `skewedPartitionFactor` over the median), and costs nothing when
+  * data is well distributed.
+  *
+  * Reach for explicit salting when AQE cannot help:
+  *  - skewed AGGREGATIONS: AQE splits join partitions, not hash
+  *    aggregates — a hot group whose per-key state is large (collect_list
+  *    payloads, many distincts) still lands in one task; [[saltedSum]]
+  *    forces extra partials.
+  *  - sort-merge-join SORT pressure: AQE splits the probe side of the
+  *    join, but a single hot key must still be sorted/spilled per split;
+  *    [[saltedLeftJoin]] changes the shuffle KEY itself to (key, salt).
+  *  - deterministic plans: AQE decisions depend on runtime sizes and can
+  *    differ run to run; salting is fixed at plan time.
+  * The price of salting is an n-fold replication of the other side
+  * ([[saltedLeftJoin]]) or a second aggregate ([[saltedSum]]) that you
+  * pay whether or not the skew materializes — which is exactly why AQE
+  * is the default and salting the targeted override.
   */
 object Skew {
 
