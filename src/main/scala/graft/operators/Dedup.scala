@@ -111,20 +111,47 @@ object Dedup {
     * pairs sharing at least one non-hot shingle" — the standard trade: a
     * pair similar only through boilerplate is exactly the pair dedup
     * should not chase.
+    *
+    * Two physical paths, same values (DedupSpec pins them equal):
+    *  - UNCAPPED: the index join itself counts shared shingles (one
+    *    groupBy over the join output; only shingle sizes join in) —
+    *    cheapest, since no shingle arrays travel through the shuffle;
+    *  - CAPPED: the count over a filtered index would undercount, so
+    *    candidates re-verify against the full arrays instead.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n)
-    candidatePairs(invertedIndex(sh, maxDocFreq))
-      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
-          - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
+    val jaccardOf =
+      if (maxDocFreq == Int.MaxValue) {
+        val sizes = sh.select(col("doc"),
+          size(col("sh")).cast("long").as("n_sh"))
+        invertedIndex(sh, maxDocFreq).as("a")
+          .join(invertedIndex(sh, maxDocFreq).as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc") < col("b.doc"))
+          .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc").as("doc_a"),
+            col("n_sh").as("n_a")), "doc_a")
+          .join(sizes.select(col("doc").as("doc_b"),
+            col("n_sh").as("n_b")), "doc_b")
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      } else {
+        candidatePairs(invertedIndex(sh, maxDocFreq))
+          .join(sh.select(col("doc").as("doc_a"),
+            col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc").as("doc_b"),
+            col("sh").as("sh_b")), "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
+              - col("inter")).cast("double"))
+      }
+    jaccardOf.filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 

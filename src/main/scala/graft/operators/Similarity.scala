@@ -54,29 +54,38 @@ object Similarity {
       .select("q_id", "rnk", "n_id", "cosine")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded into [-0.5, 0.5). Seeds the LSH without RNG state.
+  /** Deterministic pseudo-random hyperplane for LSH: component d of plane
+    * p is splitmix64(p, d) folded into [-0.5, 0.5). Planes are generated
+    * DRIVER-SIDE and shipped as array literals, so bucket assignment runs
+    * as nPlanes codegen'd [[graft.plans.VecDot]] calls per vector —
+    * Spark's higher-order functions (the alternative: zip_with/aggregate
+    * over a hash formula) evaluate their lambda interpreted PER ELEMENT,
+    * which made bucketing the dominant cost of every LSH query
+    * (nTables x nPlanes x dim interpreted evals per vector; measured
+    * ~10x slower at sf0.1).
     */
-  private def planeComponent(plane: String, dim: String): String =
-    s"(CAST(pmod(xxhash64($plane, $dim), 1000000) AS DOUBLE) / 1000000.0) - 0.5"
+  private def planeArray(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      var z = plane.toLong * 0x9E3779B97F4A7C15L +
+        d.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (java.lang.Math.floorMod(z, 1000000L).toDouble / 1000000.0) - 0.5
+    }
 
-  /** Sign-pattern LSH bucket of a vector: bit p of the bucket id is the
-    * sign of dot(vec, plane_{p + offset}) over `nPlanes` deterministic
-    * hyperplanes. `offsetExpr` is a SQL expression (may reference columns)
-    * selecting which plane family to use — the hook for multi-table LSH,
-    * where table t hashes with planes [t*nPlanes, (t+1)*nPlanes).
+  /** Sign-pattern LSH bucket of `vecCol` (array<double>, `dim` elements):
+    * bit p of the bucket id is the sign of dot(vec, plane_{p + offset}).
+    * `planeOffset` selects the plane family — the hook for multi-table
+    * LSH, where table t hashes with planes [t*nPlanes, (t+1)*nPlanes).
     */
-  def lshBucketAt(vecCol: String, nPlanes: Int,
-                  offsetExpr: String): Column = expr(
-    s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
-        acc + IF(
-          aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-              (x, d) -> x * (${planeComponent(s"(p + ($offsetExpr))", "d")})),
-            CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0,
-          CAST(power(2, p) AS BIGINT), CAST(0 AS BIGINT)))""")
-
-  def lshBucket(vecCol: String, nPlanes: Int): Column =
-    lshBucketAt(vecCol, nPlanes, "0")
+  def lshBucket(vecCol: String, nPlanes: Int, dim: Int,
+                planeOffset: Int = 0): Column =
+    (0 until nPlanes).map { p =>
+      when(call_function("vec_dot", col(vecCol),
+          lit(planeArray(planeOffset + p, dim))) > lit(0.0d),
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest of `nCells` centroid cells; a query probes its `nProbe`
@@ -146,12 +155,17 @@ object Similarity {
     * (SimilaritySpec asserts no CartesianProduct in the plan).
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, nPlanes: Int = 4,
+                         threshold: Double, dim: Int, nPlanes: Int = 4,
                          nTables: Int = 8): DataFrame = {
+    // all nTables buckets are computed BEFORE the fan-out (one row per
+    // vector through the bucketing arithmetic), then posexplode emits
+    // the (table, bucket) pairs
+    val buckets = array((0 until nTables).map(t =>
+      lshBucket("v", nPlanes, dim, planeOffset = t * nPlanes)): _*)
     val c = corpus.select(col(idCol).as("doc"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("tbl", explode(sequence(lit(0), lit(nTables - 1))))
-      .withColumn("bucket", lshBucketAt("v", nPlanes, s"tbl * $nPlanes"))
+      .select(col("doc"), col("v"),
+        posexplode(buckets).as(Seq("tbl", "bucket")))
     val a = c.select(col("tbl"), col("bucket"), col("doc").as("doc_a"),
       col("v").as("va"))
     val b = c.select(col("tbl"), col("bucket"), col("doc").as("doc_b"),
@@ -166,19 +180,33 @@ object Similarity {
       .distinct()
   }
 
-  /** ANN top-k: candidates limited to the query's LSH bucket, then exact
-    * cosine + window top-k within bucket. One shuffle on bucket id.
+  /** ANN top-k: candidates limited to same-bucket vectors, then exact
+    * cosine + window top-k. One shuffle on (table, bucket).
+    *
+    * `nTables` > 1 hashes every vector into that many independent plane
+    * families and unions the candidate sets (deduplicated before
+    * scoring): per-table collision for a pair at cosine c is r^nPlanes
+    * (r = 1 - acos(c)/pi), so recall rises to 1-(1-r^nPlanes)^nTables at
+    * a linear cost in tables — the same recall/cost dial
+    * [[cosineNearDupPairs]] uses.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("bucket", lshBucket("cv", nPlanes))
-    val q = queries.select(col(idCol).as("q_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", lshBucket("qv", nPlanes))
-    val joined = c.join(broadcast(q), Seq("bucket"))
+              vecCol: String, k: Int, dim: Int,
+              nPlanes: Int = 8, nTables: Int = 1): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+      val buckets = array((0 until nTables).map(t =>
+        lshBucket(vec, nPlanes, dim, planeOffset = t * nPlanes)): _*)
+      df.select(col(id), col(vec),
+        posexplode(buckets).as(Seq("tbl", "bucket")))
+    }
+    val c = bucketed(corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("cv")), "n_id", "cv")
+    val q = bucketed(queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv")), "q_id", "qv")
+    val joined = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
+      // a pair can collide in several tables; score each candidate once
+      .select("q_id", "n_id", "qv", "cv").distinct()
       .withColumn("cosine", cosine("qv", "cv"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("n_id"))

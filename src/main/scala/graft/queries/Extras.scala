@@ -102,11 +102,20 @@ object Extras {
   // X5 — sketch distinct (HLL++): the 100 TB way to count uniques. The
   // estimate is engine-specific -> rows-only here; ExtrasSpec pins the
   // relative error against the exact count.
+  //
+  // The two counts are computed in SEPARATE aggregations on purpose:
+  // mixing a DISTINCT aggregate with a non-distinct one in a single agg
+  // makes the planner rewrite through a groupBy(distinct key) stage that
+  // carries every other aggregate's buffer PER KEY — at rsd=0.01 the HLL
+  // buffer is ~1.6k longs, so the "combined" form shuffles ~13 KB per
+  // distinct order (measured 3x slower at sf0.1, and growing with key
+  // count). Two single-pass aggs + a 1x1-row cross join sidestep it.
   private val x5 = QueryDef("x5_approx_distinct", (s, dir) => {
-    Tables.lineitem(s, dir).agg(
-      approx_count_distinct(col("l_orderkey"), rsd = 0.01)
-        .as("approx_orders"),
-      countDistinct("l_orderkey").as("exact_orders"))
+    Tables.lineitem(s, dir)
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.01)
+        .as("approx_orders"))
+      .crossJoin(Tables.lineitem(s, dir)
+        .agg(countDistinct("l_orderkey").as("exact_orders")))
   }, None)
 
   // X6 — deterministic argmax per group via struct-max (max_by has no

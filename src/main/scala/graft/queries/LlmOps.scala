@@ -111,13 +111,15 @@ object LlmOps {
       SELECT q_id, rnk, n_id, cosine FROM ranked WHERE rnk <= 5"""),
     headline = true)
 
-  // L6 — LSH-bucketed ANN (8 deterministic hyperplanes): the scale path.
-  // Buckets use xxhash64-derived planes -> no SQL oracle; recall vs L5 is
-  // pinned in SimilaritySpec.
+  // L6 — LSH-bucketed ANN: the scale path. 4 independent tables of 8
+  // hyperplanes each — per-table collision for cosine-c pairs is r^8
+  // (r = 1 - acos(c)/pi), unioned across tables for tunable recall at
+  // linear cost. Plane components are engine-internal -> no SQL oracle;
+  // recall vs L5 is pinned in SimilaritySpec.
   private val l6 = QueryDef("l6_ann_lsh", (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, nPlanes = 8)
+      "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8, nTables = 4)
   }, None)
 
   // L11 — IVF ANN (16 cells, 4 probes): the other standard bucketed-ANN
@@ -131,10 +133,11 @@ object LlmOps {
 
   // L12 — embedding-cosine near-dup pairs, multi-table-LSH-blocked with
   // exact verification (rows-only: buckets are xxhash64-derived), run at
-  // the operator's DESIGN POINT: high-threshold dedup (tau=0.9, 8 planes
-  // x 8 tables -> 256 buckets/table, collision recall 1-(1-r^8)^8 ~ 0.94
-  // at c=0.9 where r = 1 - acos(c)/pi, candidate cost ~ 2T/2^p = 1/16 of
-  // brute force). The synthetic embeddings carry no natural near-dups
+  // the operator's DESIGN POINT: high-threshold dedup (tau=0.9, 12
+  // planes x 8 tables -> 4096 buckets/table; a twin pair at cosine ~0.97
+  // has per-table collision r^12 ~ 0.41 with r = 1 - acos(c)/pi, so
+  // recall 1-(1-0.41)^8 ~ 0.985, while candidate cost ~ 2T/2^p = 1/256
+  // of brute force). The synthetic embeddings carry no natural near-dups
   // (max pairwise cosine ~0.51 at sf0.01), so the corpus is unioned with
   // a deterministic slightly-perturbed twin of each vector (cosine ~0.97
   // to its original) — the standard dedup scenario of re-crawled /
@@ -150,7 +153,8 @@ object LlmOps {
               (x, d) -> x + CAST(0.04 * sin(CAST(d AS DOUBLE)
                 + CAST(vec_id AS DOUBLE)) AS FLOAT))""").as("embedding"))
     Similarity.cosineNearDupPairs(base.unionByName(twins),
-      "vec_id", "embedding", threshold = 0.9, nPlanes = 8, nTables = 8)
+      "vec_id", "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
+      nTables = 8)
   }, None)
 
   private val langMarkers =
