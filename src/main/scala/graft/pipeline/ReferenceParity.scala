@@ -126,16 +126,27 @@ object ReferenceParity {
 
   def run(s: SparkSession, rawDir: String, runDate: String): Outputs = {
     // ---- extract (S1, etl_extract.py) ----
-    val salesRaw = Csv.readInferred(s, s"$rawDir/sales.csv")
-    val customersRaw = Csv.readInferred(s, s"$rawDir/customers.csv")
-    val productsRaw = Csv.readInferred(s, s"$rawDir/products.csv")
-    val suppliersRaw = Csv.readInferred(s, s"$rawDir/suppliers.csv")
+    // raw extracts are cached: the audit stage runs ~10 independent jobs
+    // per source, and without the cache each re-parses the CSV (the
+    // reference avoids the same re-parse by materializing bronze parquet,
+    // etl_extract.py:54)
+    val salesRaw = Csv.readInferred(s, s"$rawDir/sales.csv").cache()
+    val customersRaw = Csv.readInferred(s, s"$rawDir/customers.csv").cache()
+    val productsRaw = Csv.readInferred(s, s"$rawDir/products.csv").cache()
+    val suppliersRaw = Csv.readInferred(s, s"$rawDir/suppliers.csv").cache()
     val taxrateRaw = Csv.readInferred(s, s"$rawDir/taxrate.csv")
     val exchangeRaw = Csv.readInferred(s, s"$rawDir/exchange_data.csv")
 
     // ---- audit + clean (Q1-Q6, audit_report.py + data_cleaning.py) ----
+    // The four sources are independent until enrichment; their audits
+    // (each a handful of small jobs) run concurrently — the reference
+    // serializes them only because it is one driver script looping
+    // (audit_report.py:155), not because of a data dependency.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val unknownFill = "Unknown"
-    val (salesAudit, salesClean0) = auditAndClean(salesRaw,
+    val fSales = Future(auditAndClean(salesRaw,
       rules = Seq(
         ("OrderDate", "date", notIsoDate("OrderDate")),
         ("RequiredDate", "date", notIsoDate("RequiredDate")),
@@ -147,10 +158,8 @@ object ReferenceParity {
       fillStrings = Seq("ShipName", "ShipAddress", "ShipCity", "ShipRegion",
         "ShipPostalCode", "ShipCountry").map(_ -> unknownFill).toMap,
       fillNumerics = Map("Freight" -> 0.0, "Discount" -> 0.0),
-      idColumn = "OrderID0")
-    val salesClean = salesClean0
-
-    val (customersAudit, customersClean) = auditAndClean(customersRaw,
+      idColumn = "OrderID0"))
+    val fCustomers = Future(auditAndClean(customersRaw,
       rules = Seq(
         ("Phone", "phone", badPhone("Phone")),
         ("Fax", "phone", badPhone("Fax")),
@@ -160,9 +169,9 @@ object ReferenceParity {
       fillStrings = Seq("CompanyName", "City", "Region", "PostalCode",
         "Fax", "Phone").map(_ -> unknownFill).toMap,
       fillNumerics = Map.empty,
-      idColumn = "CustomerID")
+      idColumn = "CustomerID"))
 
-    val (productsAudit, productsClean) = auditAndClean(productsRaw,
+    val fProducts = Future(auditAndClean(productsRaw,
       rules = Seq(
         ("UnitsInStock", "posInt", posIntStrict("UnitsInStock")),
         ("UnitsOnOrder", "posInt", posIntStrict("UnitsOnOrder")),
@@ -170,16 +179,29 @@ object ReferenceParity {
         ("UnitPrice", "posFloat", posFloatStrict("UnitPrice"))),
       fillStrings = Map("ProductName" -> unknownFill),
       fillNumerics = Map.empty,
-      idColumn = "ProductID")
+      idColumn = "ProductID"))
 
-    val (suppliersAudit, suppliersClean) = auditAndClean(suppliersRaw,
+    val fSuppliers = Future(auditAndClean(suppliersRaw,
       rules = Seq(
         ("Phone", "phone", badPhone("Phone")),
         ("Fax", "phone", badPhone("Fax"))),
       fillStrings = Seq("CompanyName", "Region", "Fax", "HomePage")
         .map(_ -> unknownFill).toMap,
       fillNumerics = Map.empty,
-      idColumn = "SupplierID")
+      idColumn = "SupplierID"))
+
+    val (salesAudit, salesClean0) = Await.result(fSales, Duration.Inf)
+    val (customersAudit, customersClean) =
+      Await.result(fCustomers, Duration.Inf)
+    val (productsAudit, productsClean) = Await.result(fProducts, Duration.Inf)
+    val (suppliersAudit, suppliersClean) =
+      Await.result(fSuppliers, Duration.Inf)
+    // The cleaned/conformed frames are stage HAND-OFFS consumed by many
+    // downstream actions (enrichment, anomalies, every dim, the fact).
+    // The reference materializes each to silver parquet between its nine
+    // processes; cache() is the one-session equivalent — without it every
+    // downstream job re-runs the CSV scan + cleaning chain.
+    val salesClean = salesClean0.cache()
 
     // ---- enrich (add_columns.py) ----
     // customers: continent + client tier from lifetime purchases (A1+G3)
@@ -211,7 +233,7 @@ object ReferenceParity {
     val taxEnriched = Gold.orderedId(
       CountryCodes.withIsoCode(taxrateRaw, "Country", "ISO")
         .drop("Country").withColumnRenamed("ISO", "Country"),
-      Seq("Country", "Year"), "TaxRateID")
+      Seq("Country", "Year"), "TaxRateID").cache()
 
     // exchange: dedup, ISO, tolerant date parse, deterministic ExchangeID
     val exchangeEnriched = Gold.orderedId(
@@ -221,7 +243,7 @@ object ReferenceParity {
         .withColumn("date", date_format(coalesce(
           try_to_date(col("date"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
           try_to_date(col("date"))), "yyyy-MM-dd")),
-      Seq("date", "country"), "ExchangeID")
+      Seq("date", "country"), "ExchangeID").cache()
 
     // ---- tax conformance (J2, sales_tax.py:62-67) ----
     val salesIso = CountryCodes.withIsoCode(salesGeo, "ShipCountry",
@@ -272,6 +294,7 @@ object ReferenceParity {
           .otherwise(col("ExchangeID")))
       .drop("ex_country", "ex_date", "k", "t", "last_rate",
         "ISO_ProdCountry")
+      .cache()
 
     // ---- anomalies (Q7-Q8, anomalies.py) ----
     val runDateCol = lit(runDate).cast("date")
