@@ -238,6 +238,38 @@ object Extras {
                     ORDER BY o_totalprice, o_orderkey))
       WHERE o_custkey < 50"""))
 
+  // X12 — exact percentiles per group (linear interpolation — the same
+  // definition both engines implement), plus the scale path: at 100 TB
+  // exact percentile sorts each group, so approx_percentile (t-digest-
+  // style GK sketch, mergeable, one pass) is the production form —
+  // ExtrasSpec pins its error against these exact values.
+  private val x12 = QueryDef("x12_percentiles", (s, dir) => {
+    Tables.orders(s, dir).groupBy("o_orderpriority").agg(
+      expr("percentile(o_totalprice, 0.5)").as("p50"),
+      expr("percentile(o_totalprice, 0.9)").as("p90"),
+      count(lit(1)).as("n"))
+  }, Some("""SELECT o_orderpriority,
+      quantile_cont(o_totalprice, 0.5) AS p50,
+      quantile_cont(o_totalprice, 0.9) AS p90,
+      CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority"""))
+
+  // X13 — full cube with grouping_id: every subtotal combination in one
+  // pass (the dashboard's grand total, per-flag, per-status, and matrix
+  // tiles; completes §2.13's grouping-sets family next to x3's rollup).
+  private val x13 = QueryDef("x13_cube", (s, dir) => {
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        Exact.exactSum(col("l_quantity"), 2).as("qty"))
+  }, Some(s"""SELECT l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+        AS gid,
+      CAST(count(*) AS BIGINT) AS n,
+      ${Exact.exactSumSql("l_quantity", 2)} AS qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+
   val defs: Seq[QueryDef] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13)
 }

@@ -304,7 +304,48 @@ object LlmOps {
       lower(hex(encode(substring(text, 1, 4)))) AS header_hex
       FROM documents"""))
 
+  // L16 — the training-corpus cleaning funnel END TO END, composed from
+  // the primitive stages and fully oracle-checked: quality gate
+  // (alpha-ratio + min length) -> prefix-fingerprint dedup (sha256 of the
+  // first 20 normalized tokens — the cheap screen for re-crawled docs
+  // whose tails differ; one hash shuffle, the l1 scale shape) -> per-lang
+  // surviving doc/token stats. Thresholds sit inside the testdata's
+  // feature distribution so every stage is non-vacuous (quality drops
+  // ~45%, dedup removes the planted prefix-dups).
+  private val l16 = QueryDef("l16_corpus_clean", (s, dir) => {
+    val feats = TextAnalysis.qualityFeatures("text", Seq("the", "a")).toMap
+    val kept = Tables.documents(s, dir)
+      .withColumn("n_tokens", feats("n_tokens"))
+      .withColumn("alpha_ratio", feats("alpha_ratio"))
+      .filter(col("alpha_ratio") >= 0.82 && col("n_tokens") >= 20)
+      .withColumn("fp", sha2(expr(
+        """array_join(slice(filter(split(text, ' '),
+           t -> length(t) > 0), 1, 20), ' ')"""), 256))
+    val keepers = kept.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    kept.join(keepers,
+        kept("fp") === keepers("fp") && col("doc_id") === col("keep_id"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+  }, Some("""WITH t AS (SELECT doc_id, lang, text,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      scored AS (SELECT doc_id, lang, text, tk,
+          CAST(len(tk) AS BIGINT) n_tokens,
+          CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS BIGINT) alpha_ratio
+        FROM t),
+      kept AS (SELECT *,
+          sha256(array_to_string(tk[1:20], ' ')) fp
+        FROM scored WHERE alpha_ratio >= 0.82 AND n_tokens >= 20),
+      keepers AS (SELECT fp, min(doc_id) keep_id FROM kept GROUP BY fp)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM kept JOIN keepers
+        ON kept.fp = keepers.fp AND kept.doc_id = keepers.keep_id
+      GROUP BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15,
-      m1)
+      l16, m1)
 }

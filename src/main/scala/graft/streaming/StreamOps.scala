@@ -41,6 +41,24 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("value_sum"))
 
+  /** Streaming exact dedup: the l1 content-hash dedup as a stream
+    * operator. Each document is keyed by the sha-256 of its normalized
+    * text; `dropDuplicatesWithinWatermark` keeps per-key state only until
+    * the event-time watermark passes, so state is BOUNDED (the unbounded
+    * alternative, dropDuplicates on a stream, retains every key forever —
+    * a guaranteed OOM on a 100 TB ingest). Duplicates arriving within the
+    * watermark window are suppressed; a re-crawl after the window emits
+    * again and is the batch layer's job (exactly how production ingest
+    * dedup splits responsibilities).
+    */
+  def streamingExactDedup(docs: DataFrame, textCol: String, tsCol: String,
+                          watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        sha2(graft.operators.Dedup.normalizeText(col(textCol)), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Input/state/output records for the custom-state operator. */
   final case class KeyedEvent(user_id: Long, ts_us: Long, value: Double)
   final case class UserState(nEvents: Long, valueSum: Double, lastTs: Long)

@@ -83,6 +83,43 @@ class ScaleShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter pruning: a selective dim filter injects a " +
+    "might_contain predicate into the fact scan side") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // production thresholds (10 GB application side) exist to avoid
+      // overhead on small scans; lower them so the testdata-sized join
+      // demonstrates the 100 TB mechanism
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val selectiveOrders = Tables.orders(s, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+      val joined = Tables.lineitem(s, sf)
+        .join(selectiveOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderdate").agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"bloom filter should be injected:\n${optimized.take(1500)}")
+      // and the result matches the unfiltered-plan answer
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expected = Tables.lineitem(s, sf)
+        .join(selectiveOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderdate").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.get(0), r.getLong(1))).toSet
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      val actual = joined.collect().map(r => (r.get(0), r.getLong(1))).toSet
+      assert(actual == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("hive-partitioned lake layout prunes partitions at the scan") {
     val root = Files.createTempDirectory("graft_part").toString
     Tables.orders(s, sf)

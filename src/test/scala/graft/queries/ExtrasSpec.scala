@@ -16,6 +16,25 @@ class ExtrasSpec extends AnyFunSuite {
     assert(relErr < 0.05, s"approx=$approx exact=$exact relErr=$relErr")
   }
 
+  test("approx_percentile (the 100 TB one-pass path) lands within 2% of " +
+    "the exact percentiles x12 computes") {
+    import org.apache.spark.sql.functions._
+    val exact = Registry.queries("x12_percentiles")(s, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.core.Tables.orders(s, sf)
+      .groupBy("o_orderpriority").agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (k, (e50, e90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$k p50 $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.02, s"$k p90 $a90 vs $e90")
+    }
+  }
+
   test("sessionization: session counts are positive and bounded by events") {
     val rows = Registry.queries("x1_sessionize")(s, sf).collect()
     assert(rows.nonEmpty)

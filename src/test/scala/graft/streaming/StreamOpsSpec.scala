@@ -10,6 +10,7 @@ import graft.TestSpark
 import graft.operators.Anomalies.AnomalyRule
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 class StreamOpsSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
@@ -32,6 +33,33 @@ class StreamOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
       // empty event_type cleaned to 'unknown'; value 500 flagged 'big'
       assert(out == Set(("click", "ok"), ("unknown", "big")))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup suppresses content duplicates within the " +
+    "watermark with bounded per-key state") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamOps.streamingExactDedup(input.toDF(), "text", "ts")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1L, Timestamp.valueOf("2024-01-01 00:00:01"), "Hello  World"),
+        Doc(2L, Timestamp.valueOf("2024-01-01 00:00:02"), " hello world "),
+        Doc(3L, Timestamp.valueOf("2024-01-01 00:00:03"), "other text"))
+      q.processAllAvailable()
+      // a later micro-batch with another copy, still inside the watermark
+      input.addData(
+        Doc(4L, Timestamp.valueOf("2024-01-01 00:00:10"), "HELLO WORLD"),
+        Doc(5L, Timestamp.valueOf("2024-01-01 00:00:11"), "fresh content"))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM deduped")
+        .collect().map(_.getLong(0)).toSet
+      // 2 (same normalized content as 1, same batch) and 4 (same content,
+      // later batch within the watermark) are suppressed
+      assert(ids == Set(1L, 3L, 5L))
     } finally q.stop()
   }
 
