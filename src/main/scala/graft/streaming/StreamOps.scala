@@ -59,6 +59,54 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream INTERVAL join: each purchase matches the same user's
+    * signup events from the preceding `lookback`. Both sides carry
+    * watermarks and the join condition bounds event time on both sides —
+    * the two things Structured Streaming needs to EXPIRE buffered rows;
+    * without them a stream-stream join's state grows without bound.
+    */
+  def purchasesWithSignups(events: DataFrame, tsCol: String = "ts",
+                           lookback: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col(tsCol).as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        col("user_id").as("su_user"), col(tsCol).as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    purchases.join(signups,
+        col("user_id") === col("su_user") &&
+          col("s_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+          col("s_ts") <= col("p_ts"))
+      .select("purchase_id", "user_id", "p_ts", "signup_id", "s_ts",
+        "value")
+  }
+
+  /** Streaming SCD2 warehouse maintenance: a foreachBatch body that
+    * merges each micro-batch of dimension updates into the parquet dim
+    * via [[graft.operators.ScdMerge]] — the standard pattern for
+    * streaming upserts into a batch store (read current state, merge,
+    * rewrite). `localCheckpoint` breaks the lineage on the merged frame
+    * so the overwrite of the path just read is legal; a production
+    * deployment would swap the parquet dir for a transactional table
+    * format and this body is the only code that changes.
+    */
+  def scd2ForeachBatch(dimPath: String, naturalKey: String,
+                       compareCols: Seq[String],
+                       asOfForBatch: Long => String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val current = batch.sparkSession.read.parquet(dimPath)
+      val merged = graft.operators.ScdMerge.merge(
+          current, batch, naturalKey, compareCols,
+          asOf = asOfForBatch(batchId), closeMissing = false)
+        .localCheckpoint(true)
+      merged.write.mode("overwrite").parquet(dimPath)
+    }
+  }
+
   /** Input/state/output records for the custom-state operator. */
   final case class KeyedEvent(user_id: Long, ts_us: Long, value: Double)
   final case class UserState(nEvents: Long, valueSum: Double, lastTs: Long)

@@ -11,6 +11,9 @@ import graft.operators.Anomalies.AnomalyRule
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
+case class FullEv(event_id: Long, user_id: Long, ts: Timestamp,
+                  event_type: String, value: Double)
+case class DimRow(k: Long, v: String)
 
 class StreamOpsSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
@@ -61,6 +64,73 @@ class StreamOpsSpec extends AnyFunSuite {
       // later batch within the watermark) are suppressed
       assert(ids == Set(1L, 3L, 5L))
     } finally q.stop()
+  }
+
+  test("stream-stream interval join: purchases pick up same-user signups " +
+    "within the lookback, on both sides of a micro-batch boundary") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val input = MemoryStream[FullEv]
+    val q = StreamOps.purchasesWithSignups(input.toDF(),
+        lookback = "30 minutes", watermark = "2 hours")
+      .writeStream.format("memory").queryName("joined")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        FullEv(1L, 7L, ts(0), "signup", 0.0),
+        FullEv(2L, 7L, ts(10), "purchase", 9.0), // 10 min after signup: in
+        FullEv(3L, 8L, ts(5), "signup", 0.0))
+      q.processAllAvailable()
+      input.addData(
+        FullEv(4L, 8L, ts(20), "purchase", 4.0), // matches batch-1 signup
+        FullEv(5L, 7L, ts(50), "purchase", 2.0)) // 50 min after: outside
+      q.processAllAvailable()
+      val pairs = s.sql("SELECT purchase_id, signup_id FROM joined")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((2L, 1L), (4L, 3L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch SCD2 sink: streamed dim updates close and open " +
+    "versions in the parquet dimension across micro-batches") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_scd2_stream").toString + "/dim"
+    Seq((1L, "a", true, "2024-01-01", null.asInstanceOf[String]),
+        (2L, "b", true, "2024-01-01", null.asInstanceOf[String]))
+      .toDF("k", "v", "IsCurrent", "start_s", "end_s")
+      .select(col("k"), col("v"), col("IsCurrent"),
+        col("start_s").cast("date").as("EffectiveStartDate"),
+        col("end_s").cast("date").as("EffectiveEndDate"))
+      .write.parquet(dimPath)
+
+    val input = MemoryStream[DimRow]
+    val q = input.toDS().toDF()
+      .writeStream
+      .foreachBatch(StreamOps.scd2ForeachBatch(dimPath, "k", Seq("v"),
+        asOfForBatch = id => f"2024-02-${id + 1}%02d"))
+      .start()
+    try {
+      input.addData(DimRow(1L, "a2")) // change k=1
+      q.processAllAvailable()
+      input.addData(DimRow(3L, "c")) // brand-new key
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = s.read.parquet(dimPath)
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Boolean]("IsCurrent"),
+        Option(r.getAs[java.sql.Date]("EffectiveEndDate"))
+          .map(_.toString).orNull))
+      .toSet
+    assert(rows == Set(
+      (1L, "a", false, "2024-02-01"), // closed by batch 0
+      (1L, "a2", true, null), // opened by batch 0
+      (2L, "b", true, null), // untouched (closeMissing=false)
+      (3L, "c", true, null))) // opened by batch 1
   }
 
   test("mapGroupsWithState keeps running per-user state across " +
