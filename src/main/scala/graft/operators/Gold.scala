@@ -20,20 +20,33 @@ import graft.schema.Star
   *    on FACT-sized tables we derive them arithmetically (datediff for
   *    calendar, orderkey*10+linenumber for the sales id) — zero shuffles,
   *    deterministic, valid at any scale.
-  *  - every dim side of the fact build is hinted through
-  *    [[graft.plans.DimBroadcast.hint]]: while a dim fits the configured
-  *    bound the fact never shuffles for it, and once a SCALING dim
-  *    (customer/part/supplier all grow with SF) outgrows the bound the
-  *    plan degrades to a shuffle join instead of OOMing the driver. The
-  *    only always-wide exchange is fact x orders on the order key.
+  *  - dim sides of the fact build are size-guarded in two layers: the
+  *    [[graft.plans.DimBroadcast.hint]] wrapper broadcasts only when the
+  *    compile-time estimate fits the configured bound, and because the
+  *    [[orderedId]]-keyed dims are RDD-backed (no estimate) the hint
+  *    stands down entirely and AQE converts the shuffle join to
+  *    broadcast at RUNTIME from actual sizes (GoldWarehouseSpec asserts
+  *    the conversion). Either way a scaling dim can never force-OOM the
+  *    driver. The only always-wide exchange is fact x orders on the
+  *    order key.
   */
 object Gold {
 
-  /** G1 — deterministic surrogate key for a dim-sized table. */
+  /** G1 — deterministic surrogate key: contiguous ids in natural-key
+    * order via [[orderedId]]. Identical ids to
+    * `row_number().over(Window.orderBy(naturalKey))` (GoldWarehouseSpec
+    * pins the equality) but without the single-partition collapse — the
+    * reference's dims are bounded, ours (customer/part/supplier) GROW
+    * with SF, so the key assignment itself must scale. One consequence:
+    * the output is RDD-backed, so Catalyst has no size estimate for it
+    * and compile-time broadcast hints stand down — AQE's runtime
+    * conversion picks broadcast from the ACTUAL shuffle sizes instead
+    * (asserted in GoldWarehouseSpec), which is the better mechanism at
+    * every scale.
+    */
   def withSurrogateKey(df: DataFrame, naturalKey: String,
                        keyName: String): DataFrame =
-    df.withColumn(keyName,
-      row_number().over(Window.orderBy(naturalKey)).cast("long"))
+    orderedId(df, Seq(naturalKey), keyName)
 
   /** Contiguous 1-based ids in global sort order WITHOUT a global window:
     * `row_number().over(Window.orderBy(...))` collapses the whole table

@@ -42,9 +42,19 @@ class GoldWarehouseSpec extends AnyFunSuite {
 
   test("fact build: every FK resolves (referential integrity by " +
     "construction) and SalesID is unique at line grain") {
-    val fact = Gold.factSales(s, sf).cache()
-    val n = fact.count()
+    val fact = Gold.factSales(s, sf)
+    // the RDD-backed dims carry no size estimate, so the compile-time
+    // plan sort-merges the dim joins; AQE must convert them to broadcast
+    // at runtime from the ACTUAL shuffle sizes (the scale-correct
+    // mechanism: estimates can't OOM it, real sizes drive it)
+    val rows = fact.collect()
+    val finalPlan = fact.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"))
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).size >= 3,
+      s"AQE should runtime-convert the small dim joins:\n${finalPlan.take(1200)}")
+    val n = rows.length.toLong
     assert(n == 6000)
+    fact.cache()
     val nulls = fact.select(
       count(when(col("CustomerKey").isNull, 1)).as("c"),
       count(when(col("ProductKey").isNull, 1)).as("p"),
