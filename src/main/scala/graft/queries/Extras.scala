@@ -270,6 +270,27 @@ object Extras {
       ${Exact.exactSumSql("l_quantity", 2)} AS qty
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""))
 
+  // X14 — the SQL entry point (SURVEY §2.13: "spark.sql available for
+  // free since we register tables as temp views"): ONE ANSI SQL string, a
+  // star-chain revenue rollup, executed verbatim by BOTH engines — Spark
+  // over registered temp views, DuckDB as the oracle. Demonstrates that a
+  // SQL-first consumer of the reference could run unchanged queries here.
+  private val x14Sql =
+    s"""SELECT n_name,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        ${Exact.exactSumSql("l_extendedprice * (1.0 - l_discount)", 4)}
+          AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name"""
+  private val x14 = QueryDef("x14_sql_entry", (s, dir) => {
+    Seq("lineitem", "orders", "customer", "nation").foreach(t =>
+      Tables.t(s, dir, t).createOrReplaceTempView(t))
+    s.sql(x14Sql)
+  }, Some(x14Sql))
+
   val defs: Seq[QueryDef] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14)
 }
