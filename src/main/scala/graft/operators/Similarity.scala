@@ -180,6 +180,30 @@ object Similarity {
       .distinct()
   }
 
+  /** L2-normalize + symmetric int8 quantization summary of an
+    * array<double> vector column: per-vector scale = max|x_i|/127 over
+    * the normalized components, q_i = round(x_i / norm / scale) in
+    * [-127, 127] — the standard compression applied to embeddings before
+    * ANN serving (4x smaller, dot products within ~1%). Emits a struct
+    * of (scale, qsum, qmin, qmax); map-only, no shuffle, and the fold
+    * orders match DuckDB's list_reduce so the whole thing is
+    * oracle-checkable (l17).
+    */
+  def int8QuantStats(vecCol: String): Column = expr(
+    s"""element_at(transform(array(sqrt(vec_dot($vecCol, $vecCol))), nrm ->
+          element_at(transform(array(
+              array_max(transform($vecCol, x -> abs(x / nrm))) / 127.0D),
+            sc -> struct(
+              sc AS scale,
+              aggregate($vecCol, CAST(0 AS BIGINT),
+                (a, x) -> a + CAST(round(x / nrm / sc, 0) AS BIGINT))
+                AS qsum,
+              array_min(transform($vecCol,
+                x -> CAST(round(x / nrm / sc, 0) AS BIGINT))) AS qmin,
+              array_max(transform($vecCol,
+                x -> CAST(round(x / nrm / sc, 0) AS BIGINT))) AS qmax)),
+            1)), 1)""")
+
   /** ANN top-k: candidates limited to same-bucket vectors, then exact
     * cosine + window top-k. One shuffle on (table, bucket).
     *

@@ -345,7 +345,38 @@ object LlmOps {
         ON kept.fp = keepers.fp AND kept.doc_id = keepers.keep_id
       GROUP BY lang"""))
 
+  // L17 — embedding int8 quantization summary (Similarity.int8QuantStats):
+  // per-vector normalize + symmetric quantize, the compression step
+  // between embedding generation and ANN serving. Fold orders mirror
+  // DuckDB's list_reduce, so the scale and quantized stats hash-match.
+  private val l17 = QueryDef("l17_embed_quantize", (s, dir) => {
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), Similarity.int8QuantStats("v").as("q"))
+      .select(col("vec_id"), col("q.scale").as("scale"),
+        col("q.qsum").as("qsum"), col("q.qmin").as("qmin"),
+        col("q.qmax").as("qmax"))
+  }, Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        FROM embeddings),
+      n AS (SELECT vec_id, v,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(v, x -> x * x)), (a, b) -> a + b)) nrm
+        FROM e),
+      sc AS (SELECT vec_id, v, nrm,
+          list_max(list_transform(v, x -> abs(x / nrm))) / 127.0 s
+        FROM n)
+      SELECT vec_id, s AS scale,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(v, x -> CAST(round(x / nrm / s, 0) AS BIGINT))),
+          (a, b) -> a + b) AS BIGINT) AS qsum,
+        CAST(list_min(list_transform(v,
+          x -> CAST(round(x / nrm / s, 0) AS BIGINT))) AS BIGINT) AS qmin,
+        CAST(list_max(list_transform(v,
+          x -> CAST(round(x / nrm / s, 0) AS BIGINT))) AS BIGINT) AS qmax
+      FROM sc"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15,
-      l16, m1)
+      l16, l17, m1)
 }

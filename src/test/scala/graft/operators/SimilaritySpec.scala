@@ -132,6 +132,29 @@ class SimilaritySpec extends AnyFunSuite {
         s"(theoretical recall ~0.94), got $twinPairs")
   }
 
+  test("int8 quantization: values stay in [-127, 127] and reconstruction " +
+    "error is bounded by half a quantization step") {
+    val emb = Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = emb.select(Similarity.int8QuantStats("v").as("q"))
+      .select("q.scale", "q.qmin", "q.qmax").collect()
+    assert(stats.length == 500)
+    stats.foreach { r =>
+      assert(r.getLong(1) >= -127 && r.getLong(2) <= 127)
+      assert(r.getDouble(0) > 0)
+    }
+    // reconstruction: |x/nrm - q*scale| <= scale/2 for every component
+    val maxErr = emb.select(expr(
+      """element_at(transform(array(sqrt(vec_dot(v, v))), nrm ->
+           element_at(transform(array(
+               array_max(transform(v, x -> abs(x / nrm))) / 127.0D), sc ->
+             array_max(transform(v, x ->
+               abs(x / nrm - round(x / nrm / sc, 0) * sc) / sc))), 1)), 1)
+      """).as("relErr"))
+      .agg(max("relErr")).collect()(0).getDouble(0)
+    assert(maxErr <= 0.5 + 1e-9, s"max reconstruction error $maxErr steps")
+  }
+
   test("ivfTopK construction triggers no Spark job (lazy centroid sample)") {
     // read (and schema-infer) the inputs BEFORE the listener window: the
     // assertion is about the OPERATOR's construction, not the scan setup
