@@ -74,13 +74,27 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench", Sessions.cpusFromEnv(32))
 
-    // Warmup: touch every input once (parquet footers, codegen JIT,
-    // broadcast machinery) so the first timed query doesn't absorb
-    // session-startup cost that isn't the query's.
+    // Warmup: touch every input once (parquet footers, broadcast
+    // machinery) so the first timed query doesn't absorb session-startup
+    // cost that isn't the query's.
     graft.core.Tables.all.foreach { t =>
       try graft.core.Tables.t(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // ...then run each headline once at the SMALLEST SF: the first
+    // execution of a plan pays whole-stage-codegen compilation (up to
+    // ~1s for the complex plans), which is per-JVM overhead, not query
+    // cost — the generated classes are shared with the identical plan at
+    // the target SF, so the timed runs below measure steady-state
+    // execution. (The breadth sweep stays unwarmed: its purpose is
+    // regression DELTAS, which cold-vs-cold comparison preserves.)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      Registry.headlines.foreach { q =>
+        try q.run(spark, warmDir)
+          .write.format("noop").mode(SaveMode.Overwrite).save()
+        catch { case _: Throwable => () }
+      }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val allTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -121,6 +135,13 @@ object Bench {
     // spark-submit processes with per-row Python UDFs.)
     val refRaw = "/root/reference/data/raw"
     if (new java.io.File(refRaw).isDirectory) {
+      // one untimed warm run for the same codegen-compilation reason
+      try {
+        val w = graft.pipeline.ReferenceParity.run(spark, refRaw,
+          "2024-11-24")
+        w.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
+        w.dimProducts.write.format("noop").mode(SaveMode.Overwrite).save()
+      } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try {
         val out = graft.pipeline.ReferenceParity.run(spark, refRaw, "2024-11-24")
