@@ -61,9 +61,10 @@ object Bench {
       }
     }
 
+    // numeric round sort — lexicographic would rank r9 above r10
     val prior = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName)
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
     prior.lastOption.map { f =>
       try f.getName -> fromFile(f)
       catch { case _: Throwable => f.getName -> Map.empty[String, Double] }

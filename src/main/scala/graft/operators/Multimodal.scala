@@ -59,9 +59,12 @@ object Multimodal {
     */
   object ImageCodec {
     def decode(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+      // the JDK decoders throw unchecked exceptions (not just
+      // IOException) on malformed headers — any decode failure must fall
+      // back, never kill the task
       val img = try {
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      } catch { case _: java.io.IOException => null }
+      } catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { i =>
         val (w, h) = (i.getWidth, i.getHeight)
         var checksum = 7L
