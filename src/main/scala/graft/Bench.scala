@@ -104,6 +104,11 @@ object Bench {
     def time(name: String, run: () => Unit,
              into: scala.collection.mutable.LinkedHashMap[String, Double])
         : Unit = {
+      // isolate queries: operator-internal cache() is part of a query's
+      // own cost, but Spark's CacheManager matches canonicalized plans
+      // ACROSS queries (and against the warmup runs), which would let one
+      // query silently serve another's work from memory
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         run()
@@ -136,13 +141,15 @@ object Bench {
     // spark-submit processes with per-row Python UDFs.)
     val refRaw = "/root/reference/data/raw"
     if (new java.io.File(refRaw).isDirectory) {
-      // one untimed warm run for the same codegen-compilation reason
+      // one untimed warm run for the same codegen-compilation reason;
+      // drop its caches so the timed run re-does the real I/O + cleaning
       try {
         val w = graft.pipeline.ReferenceParity.run(spark, refRaw,
           "2024-11-24")
         w.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
         w.dimProducts.write.format("noop").mode(SaveMode.Overwrite).save()
       } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         val out = graft.pipeline.ReferenceParity.run(spark, refRaw, "2024-11-24")

@@ -44,7 +44,13 @@ object Audit {
       duplicateRows: Long,
       duplicateColumnGroups: Map[String, Seq[String]],
       formatViolations: Map[String, Long],
-      inconsistencies: Seq[FormatIssue] = Nil)
+      inconsistencies: Seq[FormatIssue] = Nil,
+      /** Whether error-id samples were collected: distinguishes "id
+        * column given, zero violations" (serialize an EMPTY parity
+        * array, like the reference) from "built without an id column"
+        * (serialize count-only entries).
+        */
+      hasIdSamples: Boolean = false)
 
   private def isNullOrNan(df: DataFrame, c: String): Column = {
     val base = col(c).isNull
@@ -181,6 +187,7 @@ object Audit {
       futures.map(f => Await.result(f, Duration.Inf))
     }
     AuditReport(missing, Await.result(fDups, Duration.Inf),
-      duplicateColumnGroups(df.columns.toSeq), vioMap, issues)
+      duplicateColumnGroups(df.columns.toSeq), vioMap, issues,
+      hasIdSamples = idColumn.isDefined)
   }
 }

@@ -57,6 +57,14 @@ object Gold {
     * every partition stays parallel, and for a total ordering (unique
     * order-column tuples) the assigned ids are IDENTICAL to the global
     * window's.
+    *
+    * EAGERNESS caveat: the range-partitioner's sampling and
+    * zipWithIndex's partition-count job run when this method is CALLED,
+    * not at the first downstream action (both are computed in the RDD
+    * constructors). Construct keyed frames once and reuse them; a fully
+    * lazy variant would trade this for an extra shuffle (window over
+    * spark_partition_id) and is not worth it for id assignment that
+    * happens once per pipeline build.
     */
   def orderedId(df: DataFrame, orderCols: Seq[String],
                 name: String): DataFrame = {

@@ -58,6 +58,11 @@ object Multimodal {
     * file.
     */
   object ImageCodec {
+    // ImageIO's default stream cache spills every decode through a temp
+    // FILE on local disk — pure waste for in-memory payloads, and per-row
+    // in the batch path. Disabled once per JVM.
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decode(payload: Array[Byte]): Option[(Int, Int, Long)] = {
       // the JDK decoders throw unchecked exceptions (not just
       // IOException) on malformed headers — any decode failure must fall
@@ -68,11 +73,15 @@ object Multimodal {
       Option(img).map { i =>
         val (w, h) = (i.getWidth, i.getHeight)
         var checksum = 7L
+        val rowBuf = new Array[Int](w)
         var y = 0
         while (y < h) {
+          // bulk row fetch: per-pixel getRGB pays a color-model
+          // conversion call per pixel
+          i.getRGB(0, y, w, 1, rowBuf, 0, w)
           var x = 0
           while (x < w) {
-            checksum = (checksum * 31 + (i.getRGB(x, y) & 0xffffffL)) %
+            checksum = (checksum * 31 + (rowBuf(x) & 0xffffffL)) %
               1000000007L
             x += 1
           }

@@ -47,7 +47,9 @@ object Reports {
         s""" - ${stem}: ${cols.mkString(", ")}"""
       }.map(s => s""""${esc(s)}"""").mkString(", ")
     val vio =
-      if (r.inconsistencies.nonEmpty)
+      if (r.hasIdSamples)
+        // parity mode: only fired rules appear (the reference appends
+        // if-nonzero), so a clean source serializes an empty array
         r.inconsistencies.map { i =>
           s"""{"column": "${esc(i.column)}", """ +
             s""""error_count": ${i.errorCount}, """ +

@@ -37,7 +37,7 @@ class ReportsSpec extends AnyFunSuite {
 
   test("inconsistency entries serialize expected_type + error_ids with " +
     "source-typed ids (ints bare, strings quoted) like the reference") {
-    val withIssues = report.copy(inconsistencies = Seq(
+    val withIssues = report.copy(hasIdSamples = true, inconsistencies = Seq(
       FormatIssue("OrderDate", 2155L, "date in YYYY-MM-DD format",
         Seq(10248, 10248, 10249)),
       FormatIssue("Phone", 3L, "numeric with . ( ) - symbols",
@@ -68,6 +68,17 @@ class ReportsSpec extends AnyFunSuite {
           "data_type_and_format_inconsistencies")).as("i"))
       .select("i.*").columns.toSet
     assert(ourCols == refCols)
+  }
+
+  test("a clean source audited WITH an id column serializes an empty " +
+    "inconsistencies array (reference appends if-nonzero), while a " +
+    "report without id samples keeps count-only entries") {
+    val clean = report.copy(hasIdSamples = true, inconsistencies = Nil)
+    val parity = Reports.auditJson("customers", clean)
+    assert(parity.contains(""""data_type_and_format_inconsistencies": []"""))
+    // legacy (no id column): counts stay, zeros included
+    val legacy = Reports.auditJson("customers", report)
+    assert(legacy.contains(""""column": "OrderDate", "error_count": 2155"""))
   }
 
   test("text report lists nonzero findings only") {
