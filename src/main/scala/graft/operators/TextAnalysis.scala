@@ -93,4 +93,48 @@ object TextAnalysis {
   def fingerprint(textCol: String): Column = expr(
     s"""aggregate(${toksSql(textCol)}, CAST(0 AS BIGINT), (a, t) ->
         (a * 31 + length(t) * 17 + ascii(substring(t, 1, 1))) % 1000000007)""")
+
+  /** Deterministic split assignment for reproducible train/val/test
+    * partitioning: an LCG-style hash of the numeric doc id folded into
+    * [0, 100), integer arithmetic only so any engine reproduces it
+    * exactly. Buckets [0,train) -> "train", [train,train+val) -> "val",
+    * rest -> "test". Stable under reruns, cluster layouts, and engine
+    * swaps — the property random sampling can't give a 100 TB pipeline.
+    */
+  def splitAssign(idCol: String, trainPct: Int, valPct: Int): Column = {
+    val bucket = s"pmod($idCol * 1103515245 + 12345, 100)"
+    expr(s"""CASE WHEN $bucket < $trainPct THEN 'train'
+             WHEN $bucket < ${trainPct + valPct} THEN 'val'
+             ELSE 'test' END""")
+  }
+
+  /** Top-`k` characteristic terms per document by an integer tf-idf
+    * rank: score = tf * nDocs / docFreq with BIGINT truncating division
+    * (monotone in the real tf*idf for fixed tf scale, and exactly
+    * reproducible cross-engine, unlike a floating-point log). Terms
+    * shorter than `minLen` are skipped (stopword screen).
+    */
+  def topTfidfTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int,
+                    minLen: Int): org.apache.spark.sql.DataFrame = {
+    val terms = docs
+      .select(col(idCol).as("doc"),
+        explode(expr(s"array_distinct(${toksSql(textCol)})")).as("term"))
+      .filter(length(col("term")) >= minLen)
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(expr(toksSql(textCol))).as("term"))
+      .filter(length(col("term")) >= minLen)
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    // corpus size joins in as a 1-row aggregate (no job at construction)
+    val nDocs = docs.select(countDistinct(col(idCol)).as("__n_docs"))
+    val df = terms.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(nDocs)
+      .withColumn("score",
+        expr("CAST(tf * __n_docs AS BIGINT) DIV doc_freq"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc"), col("rnk"), col("term"), col("score"))
+  }
 }

@@ -376,7 +376,58 @@ object LlmOps {
           x -> CAST(round(x / nrm / s, 0) AS BIGINT))) AS BIGINT) AS qmax
       FROM sc"""))
 
+  // L18 — top characteristic terms per document by integer tf-idf rank
+  // (TextAnalysis.topTfidfTerms): BIGINT score = tf * N DIV doc_freq, so
+  // the ranking is exactly reproducible cross-engine (a float log-idf
+  // would hash-diverge in the last ulp). Restricted to the first 25 docs
+  // to keep the gate output reviewable; the operator itself is
+  // corpus-wide (two shuffles: term stats + per-doc window).
+  private val l18 = QueryDef("l18_tfidf_terms", (s, dir) => {
+    TextAnalysis.topTfidfTerms(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, minLen = 5)
+      .filter(col("doc") < 25)
+  }, Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> length(t) >= 5) tk
+        FROM documents),
+      tf AS (SELECT doc_id AS doc, unnest(tk) AS term FROM toks),
+      tfc AS (SELECT doc, term, CAST(count(*) AS BIGINT) tf
+        FROM tf GROUP BY doc, term),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) doc_freq FROM (
+        SELECT DISTINCT doc, term FROM tf) GROUP BY term),
+      n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) n_docs
+        FROM documents),
+      scored AS (SELECT doc, term, tf * n_docs // doc_freq AS score
+        FROM tfc JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (SELECT doc, term, score,
+          CAST(row_number() OVER (PARTITION BY doc
+            ORDER BY score DESC, term) AS BIGINT) rnk
+        FROM scored)
+      SELECT doc, rnk, term, CAST(score AS BIGINT) AS score
+      FROM ranked WHERE rnk <= 3 AND doc < 25"""))
+
+  // L19 — deterministic train/val/test split (80/10/10) + per-split
+  // corpus stats: the reproducible alternative to random sampling — the
+  // same doc lands in the same split on any engine, any cluster layout,
+  // any rerun (integer LCG hash of the id, no RNG state).
+  private val l19 = QueryDef("l19_split_assign", (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("split", TextAnalysis.splitAssign("doc_id", 80, 10))
+      .withColumn("n_tokens", TextAnalysis.tokenCount("text"))
+      .groupBy("lang", "split").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("total_tokens"))
+  }, Some("""WITH assigned AS (SELECT lang,
+        CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 80 THEN 'train'
+             WHEN (doc_id * 1103515245 + 12345) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        CAST(len(list_filter(string_split(text, ' '),
+          t -> length(t) > 0)) AS BIGINT) n_tokens
+        FROM documents)
+      SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM assigned GROUP BY lang, split"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15,
-      l16, l17, m1)
+      l16, l17, l18, l19, m1)
 }
