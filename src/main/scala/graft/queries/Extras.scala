@@ -291,6 +291,37 @@ object Extras {
     s.sql(x14Sql)
   }, Some(x14Sql))
 
+  // X15 — keyed upsert (MERGE INTO semantics, operators/Upsert.scala):
+  // a derived update set (BUILDING customers re-segmented, plus one
+  // synthetic new key) merged into customer; updates win on matched
+  // keys, current rows survive otherwise. Verified by per-segment
+  // counts so the 15k-row merged output stays a compact oracle result.
+  private val x15 = QueryDef("x15_upsert", (s, dir) => {
+    import graft.operators.Upsert
+    val customer = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val updates = customer.filter(col("c_mktsegment") === "BUILDING")
+      .withColumn("c_mktsegment", lit("CONSTRUCTION"))
+      .unionByName(
+        customer.sparkSession.range(1).select(
+          lit(-1L).as("c_custkey"), lit("new-customer").as("c_name"),
+          lit("FRESH").as("c_mktsegment")))
+    Upsert.merge(customer, updates, Seq("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+  }, Some("""WITH cust AS (SELECT c_custkey, c_name, c_mktsegment
+        FROM customer),
+      updates AS (
+        SELECT c_custkey, c_name, 'CONSTRUCTION' AS c_mktsegment
+        FROM cust WHERE c_mktsegment = 'BUILDING'
+        UNION ALL
+        SELECT -1, 'new-customer', 'FRESH'),
+      merged AS (
+        SELECT * FROM cust WHERE NOT EXISTS (
+          SELECT 1 FROM updates u WHERE u.c_custkey = cust.c_custkey)
+        UNION ALL SELECT * FROM updates)
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      FROM merged GROUP BY c_mktsegment"""))
+
   val defs: Seq[QueryDef] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15)
 }
