@@ -100,9 +100,15 @@ object TextAnalysis {
     * exactly. Buckets [0,train) -> "train", [train,train+val) -> "val",
     * rest -> "test". Stable under reruns, cluster layouts, and engine
     * swaps — the property random sampling can't give a 100 TB pipeline.
+    *
+    * The id is reduced mod 1e8+7 FIRST (non-negative), so the multiply
+    * never wraps 64-bit for any long id and the outer pmod sees a
+    * positive operand — both needed for engines whose `%` is
+    * sign-preserving (DuckDB) to agree with Spark's pmod.
     */
   def splitAssign(idCol: String, trainPct: Int, valPct: Int): Column = {
-    val bucket = s"pmod($idCol * 1103515245 + 12345, 100)"
+    val bucket =
+      s"pmod(pmod($idCol, 100000007) * 1103515245 + 12345, 100)"
     expr(s"""CASE WHEN $bucket < $trainPct THEN 'train'
              WHEN $bucket < ${trainPct + valPct} THEN 'val'
              ELSE 'test' END""")

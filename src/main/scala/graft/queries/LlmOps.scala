@@ -417,8 +417,10 @@ object LlmOps {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").cast("long").as("total_tokens"))
   }, Some("""WITH assigned AS (SELECT lang,
-        CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 80 THEN 'train'
-             WHEN (doc_id * 1103515245 + 12345) % 100 < 90 THEN 'val'
+        CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
+               * 1103515245 + 12345) % 100 < 80 THEN 'train'
+             WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
+               * 1103515245 + 12345) % 100 < 90 THEN 'val'
              ELSE 'test' END AS split,
         CAST(len(list_filter(string_split(text, ' '),
           t -> length(t) > 0)) AS BIGINT) n_tokens

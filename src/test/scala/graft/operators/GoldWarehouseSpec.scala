@@ -40,6 +40,28 @@ class GoldWarehouseSpec extends AnyFunSuite {
     }.isEmpty)
   }
 
+  test("orderedId properties on generated key sets: ids are exactly " +
+    "1..n in sort order, for empty / single / skewed inputs") {
+    import s.implicits._
+    import org.scalacheck.{Gen, rng}
+    val gen: Gen[List[Long]] = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100000L, 100000L))).map(_.distinct)
+    val cases = Iterator.iterate(rng.Seed(7L))(_.next).take(12)
+      .map(sd => gen.apply(Gen.Parameters.default, sd).getOrElse(Nil))
+      .toSeq ++ Seq(Nil, List(42L), (1L to 64L).toList)
+    cases.foreach { keys =>
+      val df = keys.toDF("k")
+      val out = Gold.orderedId(df, Seq("k"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.length == keys.length)
+      // ids form exactly 1..n, and sorting by key equals sorting by id
+      assert(out.map(_._2).sorted.toSeq == (1L to keys.length).toSeq,
+        s"ids not contiguous for ${keys.take(5)}...")
+      assert(out.sortBy(_._1).map(_._2).toSeq ==
+        out.map(_._2).sorted.toSeq, "id order must equal key order")
+    }
+  }
+
   test("fact build: every FK resolves (referential integrity by " +
     "construction) and SalesID is unique at line grain") {
     val fact = Gold.factSales(s, sf)
