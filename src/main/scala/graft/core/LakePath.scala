@@ -27,6 +27,15 @@ final case class LakePath(root: String, layer: String, source: String) {
 
   /** Every run, with the run_date column exposed. */
   def readAll(s: SparkSession): DataFrame = s.read.parquet(dir)
+
+  /** Every run, with SCHEMA EVOLUTION: columns added by later runs union
+    * in (earlier runs read them as null). mergeSchema reads every
+    * partition's footer instead of sampling one — the cost of supporting
+    * a table whose shape changed mid-history, paid only on this explicit
+    * call, never by default.
+    */
+  def readAllMerged(s: SparkSession): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(dir)
 }
 
 object LakePath {

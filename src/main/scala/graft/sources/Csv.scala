@@ -22,6 +22,20 @@ object Csv {
   def readInferred(s: SparkSession, path: String): DataFrame =
     s.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** Production ingest with QUARANTINE instead of crash-or-silently-null:
+    * PERMISSIVE mode keeps every row, and rows that fail the schema land
+    * with their raw text in `_corrupt_record` so the caller can split the
+    * frame into (clean, quarantined) — at 100 TB a single malformed line
+    * must neither kill the job (FAILFAST) nor vanish (DROPMALFORMED).
+    */
+  def readQuarantining(s: SparkSession, path: String,
+                       schema: StructType): DataFrame =
+    s.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 }

@@ -32,4 +32,21 @@ class LakePathSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan.take(600))
   }
+
+  test("schema evolution: a column added by a later run reads as null " +
+    "for earlier runs through readAllMerged") {
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_lake_evo").toString
+    val lake = LakePath.silver(root, "docs")
+    lake.write(Seq((1L, "a")).toDF("id", "v"), "2024-01-01")
+    lake.write(Seq((2L, "b", 0.9)).toDF("id", "v", "quality"),
+      "2024-01-02")
+    val all = lake.readAllMerged(s)
+    assert(all.columns.toSet ==
+      Set("id", "v", "quality", "run_date"))
+    val rows = all.select("id", "quality").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(0.9)))
+  }
 }
