@@ -150,44 +150,54 @@ object Audit {
     */
   def report(df: DataFrame, rules: Seq[FormatRule],
              idColumn: Option[String] = None,
-             maxErrorIds: Int = 10000): AuditReport = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+             maxErrorIds: Int = 10000,
+             jobTimeout: scala.concurrent.duration.Duration =
+               scala.concurrent.duration.Duration(15, "min")): AuditReport = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
 
-    // the duplicate-row count needs its own shuffle job — overlap it with
-    // the profile scan (Spark schedules jobs from separate threads side
-    // by side)
-    val fDups = Future(duplicateRowCount(df).collect()(0).getLong(0))
+    // a DEDICATED pool, not ExecutionContext.global: report() may itself
+    // be called from a future (the parity pipeline audits sources
+    // concurrently), and nested blocking on the shared global pool can
+    // starve it once maxExtraThreads compensation runs out. The finite
+    // jobTimeout turns a wedged Spark job into a clear TimeoutException
+    // instead of an audit that hangs forever.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // the duplicate-row count needs its own shuffle job — overlap it
+      // with the profile scan (Spark schedules jobs from separate threads
+      // side by side)
+      val fDups = Future(duplicateRowCount(df).collect()(0).getLong(0))
 
-    // null counts and rule-violation counts are both one-row conditional
-    // aggregates over the same rows: ONE fused scan instead of two
-    val nCols = df.columns.length
-    val profile: Row = df.select(
-      df.columns.toSeq.map(c =>
-        count(when(isNullOrNan(df, c), lit(1))).as(s"__null_$c")) ++
-        rules.map(r => count(when(r.bad, lit(1))).as(s"__vio_${r.name}"))
-        : _*).collect()(0)
-    val missing = df.columns.zipWithIndex
-      .map { case (c, i) => c -> profile.getLong(i) }.toMap
-    val vioMap = rules.zipWithIndex
-      .map { case (r, i) => r.name -> profile.getLong(nCols + i) }.toMap
+      // null counts and rule-violation counts are both one-row conditional
+      // aggregates over the same rows: ONE fused scan instead of two
+      val nCols = df.columns.length
+      val profile: Row = df.select(
+        df.columns.toSeq.map(c =>
+          count(when(isNullOrNan(df, c), lit(1))).as(s"__null_$c")) ++
+          rules.map(r => count(when(r.bad, lit(1))).as(s"__vio_${r.name}"))
+          : _*).collect()(0)
+      val missing = df.columns.zipWithIndex
+        .map { case (c, i) => c -> profile.getLong(i) }.toMap
+      val vioMap = rules.zipWithIndex
+        .map { case (r, i) => r.name -> profile.getLong(nCols + i) }.toMap
 
-    val issues = idColumn.toSeq.flatMap { id =>
-      // the per-rule id scans are independent little jobs — run them
-      // concurrently instead of serially paying scan latency per rule
-      val fired = rules.filter(r => vioMap(r.name) > 0)
-      val futures = fired.map { r =>
-        Future {
-          val ids = df.filter(r.bad).select(id).limit(maxErrorIds)
-            .collect().map(_.get(0)).toSeq
-          FormatIssue(r.name, vioMap(r.name), r.expectedType, ids)
+      val issues = idColumn.toSeq.flatMap { id =>
+        // the per-rule id scans are independent little jobs — run them
+        // concurrently instead of serially paying scan latency per rule
+        val fired = rules.filter(r => vioMap(r.name) > 0)
+        val futures = fired.map { r =>
+          Future {
+            val ids = df.filter(r.bad).select(id).limit(maxErrorIds)
+              .collect().map(_.get(0)).toSeq
+            FormatIssue(r.name, vioMap(r.name), r.expectedType, ids)
+          }
         }
+        futures.map(f => Await.result(f, jobTimeout))
       }
-      futures.map(f => Await.result(f, Duration.Inf))
-    }
-    AuditReport(missing, Await.result(fDups, Duration.Inf),
-      duplicateColumnGroups(df.columns.toSeq), vioMap, issues,
-      hasIdSamples = idColumn.isDefined)
+      AuditReport(missing, Await.result(fDups, jobTimeout),
+        duplicateColumnGroups(df.columns.toSeq), vioMap, issues,
+        hasIdSamples = idColumn.isDefined)
+    } finally pool.shutdown()
   }
 }

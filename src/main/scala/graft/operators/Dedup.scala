@@ -242,15 +242,30 @@ object Dedup {
       .filter(size(col("bsh")) > 0).cache()
     val cInv = invertedIndex(cSh, maxDocFreq)
     val bInv = bSh.select(col("bdoc"), explode(col("bsh")).as("shingle"))
-    cInv.join(bInv, "shingle")
-      .select("doc", "bdoc").distinct()
-      .join(cSh, "doc")
-      .join(bSh, "bdoc")
-      .withColumn("shared",
-        size(array_intersect(col("sh"), col("bsh"))).cast("long"))
-      .withColumn("overlap",
-        col("shared").cast("double") / size(col("bsh")).cast("long"))
-      .groupBy("doc").agg(max("overlap").as("max_overlap"))
+    // Same two physical paths as [[ngramJaccardPairs]]: uncapped, the
+    // index join's group-count IS the exact shared-shingle count (shingle
+    // arrays are distinct), so no full arrays travel through the shuffle;
+    // capped, the filtered index would undercount, so the surviving
+    // candidates re-verify against the full shingle sets.
+    val overlaps =
+      if (maxDocFreq == Int.MaxValue) {
+        val bSizes = bSh.select(col("bdoc"),
+          size(col("bsh")).cast("long").as("n_b"))
+        cInv.join(bInv, "shingle")
+          .groupBy("doc", "bdoc").agg(count(lit(1)).as("shared"))
+          .join(bSizes, "bdoc")
+          .withColumn("overlap", col("shared").cast("double") / col("n_b"))
+      } else {
+        cInv.join(bInv, "shingle")
+          .select("doc", "bdoc").distinct()
+          .join(cSh, "doc")
+          .join(bSh, "bdoc")
+          .withColumn("shared",
+            size(array_intersect(col("sh"), col("bsh"))).cast("long"))
+          .withColumn("overlap",
+            col("shared").cast("double") / size(col("bsh")).cast("long"))
+      }
+    overlaps.groupBy("doc").agg(max("overlap").as("max_overlap"))
   }
 
   /** Resolve near-dup PAIRS into keep/drop decisions: connected components

@@ -105,16 +105,45 @@ object Gold {
   /** Calendar anchor for the testdata fact (orders start 1995-01-01). */
   val calendarAnchor = "1995-01-01"
 
+  /** Memo of [[orderedId]]-keyed dim frames, per session (weak key: a
+    * stopped session's entries drop with the session) and dim+dir. Because
+    * orderedId runs its sampling/count jobs at CONSTRUCTION (see its
+    * caveat), every re-construction of factSales — plan inspection,
+    * repeated query runs, DimBroadcast stats access — would otherwise
+    * re-pay ~2 jobs per dim; the memo makes dim keying once-per-session.
+    */
+  private val dimMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  private def memoizedDim(s: SparkSession, key: String)
+                         (build: => DataFrame): DataFrame =
+    dimMemo.synchronized {
+      var perSession = dimMemo.get(s)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty[String, DataFrame]
+        dimMemo.put(s, perSession)
+      }
+      perSession.getOrElseUpdate(key, build)
+    }
+
   def dimCustomer(s: SparkSession, dir: String): DataFrame =
-    withScd2(
-      withSurrogateKey(Tables.customer(s, dir), "c_custkey", "CustomerKey"),
-      "2024-01-01")
+    memoizedDim(s, s"customer:$dir") {
+      withScd2(
+        withSurrogateKey(Tables.customer(s, dir), "c_custkey",
+          "CustomerKey"),
+        "2024-01-01")
+    }
 
   def dimProduct(s: SparkSession, dir: String): DataFrame =
-    withSurrogateKey(Tables.part(s, dir), "p_partkey", "ProductKey")
+    memoizedDim(s, s"product:$dir") {
+      withSurrogateKey(Tables.part(s, dir), "p_partkey", "ProductKey")
+    }
 
   def dimStore(s: SparkSession, dir: String): DataFrame =
-    withSurrogateKey(Tables.supplier(s, dir), "s_suppkey", "StoreKey")
+    memoizedDim(s, s"store:$dir") {
+      withSurrogateKey(Tables.supplier(s, dir), "s_suppkey", "StoreKey")
+    }
 
   /** G5 — fact assembly (map_cols.py:226-284): natural->surrogate mapping
     * through the dim chain, degenerate dims kept on the fact, measures at

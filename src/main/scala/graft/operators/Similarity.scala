@@ -188,21 +188,28 @@ object Similarity {
     * of (scale, qsum, qmin, qmax); map-only, no shuffle, and the fold
     * orders match DuckDB's list_reduce so the whole thing is
     * oracle-checkable (l17).
+    *
+    * A zero vector (nrm = 0) is emitted as an explicit all-zero struct:
+    * without the guard the division produces NaN/Infinity, whose
+    * handling diverges across engines and would poison the oracle hash.
     */
   def int8QuantStats(vecCol: String): Column = expr(
     s"""element_at(transform(array(sqrt(vec_dot($vecCol, $vecCol))), nrm ->
-          element_at(transform(array(
-              array_max(transform($vecCol, x -> abs(x / nrm))) / 127.0D),
-            sc -> struct(
-              sc AS scale,
-              aggregate($vecCol, CAST(0 AS BIGINT),
-                (a, x) -> a + CAST(round(x / nrm / sc, 0) AS BIGINT))
-                AS qsum,
-              array_min(transform($vecCol,
-                x -> CAST(round(x / nrm / sc, 0) AS BIGINT))) AS qmin,
-              array_max(transform($vecCol,
-                x -> CAST(round(x / nrm / sc, 0) AS BIGINT))) AS qmax)),
-            1)), 1)""")
+          IF(nrm = 0.0D,
+            struct(0.0D AS scale, CAST(0 AS BIGINT) AS qsum,
+              CAST(0 AS BIGINT) AS qmin, CAST(0 AS BIGINT) AS qmax),
+            element_at(transform(array(
+                array_max(transform($vecCol, x -> abs(x / nrm))) / 127.0D),
+              sc -> struct(
+                sc AS scale,
+                aggregate($vecCol, CAST(0 AS BIGINT),
+                  (a, x) -> a + CAST(round(x / nrm / sc, 0) AS BIGINT))
+                  AS qsum,
+                array_min(transform($vecCol,
+                  x -> CAST(round(x / nrm / sc, 0) AS BIGINT))) AS qmin,
+                array_max(transform($vecCol,
+                  x -> CAST(round(x / nrm / sc, 0) AS BIGINT))) AS qmax)),
+              1))), 1)""")
 
   /** ANN top-k: candidates limited to same-bucket vectors, then exact
     * cosine + window top-k. One shuffle on (table, bucket).

@@ -366,14 +366,20 @@ object LlmOps {
       sc AS (SELECT vec_id, v, nrm,
           list_max(list_transform(v, x -> abs(x / nrm))) / 127.0 s
         FROM n)
-      SELECT vec_id, s AS scale,
-        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(v, x -> CAST(round(x / nrm / s, 0) AS BIGINT))),
-          (a, b) -> a + b) AS BIGINT) AS qsum,
-        CAST(list_min(list_transform(v,
-          x -> CAST(round(x / nrm / s, 0) AS BIGINT))) AS BIGINT) AS qmin,
-        CAST(list_max(list_transform(v,
-          x -> CAST(round(x / nrm / s, 0) AS BIGINT))) AS BIGINT) AS qmax
+      SELECT vec_id,
+        CASE WHEN nrm = 0 THEN CAST(0.0 AS DOUBLE) ELSE s END AS scale,
+        CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT) ELSE
+          CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(v, x -> CAST(round(x / nrm / s, 0) AS BIGINT))),
+            (a, b) -> a + b) AS BIGINT) END AS qsum,
+        CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT) ELSE
+          CAST(list_min(list_transform(v,
+            x -> CAST(round(x / nrm / s, 0) AS BIGINT))) AS BIGINT)
+          END AS qmin,
+        CASE WHEN nrm = 0 THEN CAST(0 AS BIGINT) ELSE
+          CAST(list_max(list_transform(v,
+            x -> CAST(round(x / nrm / s, 0) AS BIGINT))) AS BIGINT)
+          END AS qmax
       FROM sc"""))
 
   // L18 — top characteristic terms per document by integer tf-idf rank

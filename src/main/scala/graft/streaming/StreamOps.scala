@@ -88,22 +88,46 @@ object StreamOps {
     * merges each micro-batch of dimension updates into the parquet dim
     * via [[graft.operators.ScdMerge]] — the standard pattern for
     * streaming upserts into a batch store (read current state, merge,
-    * rewrite). `localCheckpoint` breaks the lineage on the merged frame
-    * so the overwrite of the path just read is legal; a production
-    * deployment would swap the parquet dir for a transactional table
-    * format and this body is the only code that changes.
+    * rewrite).
+    *
+    * The rewrite is CRASH-SAFE: the merged dim is written to a staging
+    * sibling first, the live dir is parked at `__prev`, and the staging
+    * dir is renamed into place (rename is atomic per directory on
+    * HDFS-like filesystems). A failure mid-write — or a foreachBatch
+    * retry after a lost executor — leaves either the prior version live
+    * or parked at `__prev`, never a half-written (or deleted) dim; a
+    * direct `mode("overwrite")` on the live path would delete the only
+    * copy before a non-atomic write. Writing to a separate path also
+    * makes reading-while-rewriting legal without a lineage checkpoint.
+    * A production deployment would swap the parquet dir for a
+    * transactional table format and this body is the only code that
+    * changes.
     */
   def scd2ForeachBatch(dimPath: String, naturalKey: String,
                        compareCols: Seq[String],
                        asOfForBatch: Long => String)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     if (!batch.isEmpty) {
-      val current = batch.sparkSession.read.parquet(dimPath)
+      val spark = batch.sparkSession
+      val current = spark.read.parquet(dimPath)
       val merged = graft.operators.ScdMerge.merge(
           current, batch, naturalKey, compareCols,
           asOf = asOfForBatch(batchId), closeMissing = false)
-        .localCheckpoint(true)
-      merged.write.mode("overwrite").parquet(dimPath)
+      val live = new org.apache.hadoop.fs.Path(dimPath)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(dimPath + "__staging")
+      val prev = new org.apache.hadoop.fs.Path(dimPath + "__prev")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      fs.delete(prev, true)
+      if (!fs.rename(live, prev))
+        throw new java.io.IOException(
+          s"scd2ForeachBatch: cannot park $live at $prev")
+      if (!fs.rename(staging, live)) {
+        fs.rename(prev, live) // roll back: restore the prior version
+        throw new java.io.IOException(
+          s"scd2ForeachBatch: cannot publish $staging to $live")
+      }
+      fs.delete(prev, true)
     }
   }
 
