@@ -74,6 +74,15 @@ object Similarity {
       (java.lang.Math.floorMod(z, 1000000L).toDouble / 1000000.0) - 0.5
     }
 
+  /** Plane `plane`'s components as a SQL double-list literal (full
+    * round-trip precision via Double.toString): an oracle engine parsing
+    * this literal recovers the EXACT doubles [[lshBucket]] uses, so LSH
+    * bucketing is cross-engine reproducible — the planes were never
+    * random, only engine-internal (l6p registers the oracle).
+    */
+  def planeSqlLiteral(plane: Int, dim: Int): String =
+    planeArray(plane, dim).map(_.toString).mkString("[", ", ", "]")
+
   /** Sign-pattern LSH bucket of `vecCol` (array<double>, `dim` elements):
     * bit p of the bucket id is the sign of dot(vec, plane_{p + offset}).
     * `planeOffset` selects the plane family — the hook for multi-table

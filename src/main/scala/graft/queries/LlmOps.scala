@@ -52,12 +52,107 @@ object LlmOps {
   // corpus common shingles make the inverted index pathologically dense.
   // The scale path is l3.)
 
+  // L2B — the capped form of L2: candidate generation ignores shingles
+  // shared by more than 10 documents (one bounded-collector shuffle, see
+  // Dedup.cappedCandidatePairs), surviving candidates verified against
+  // FULL shingle sets. The cap is plain SQL (doc-frequency filter before
+  // the self-join), so the capped semantics are oracle-checked end to
+  // end. Honest benchmark note: on THIS corpus the cap does not beat l2's
+  // wall-time — the synthetic vocab is so small that every shingle is
+  // moderately common (df <= 50; the planted dup clusters share df~7-10
+  // shingles, so cap 10 is the minimal full-recall setting), and the cap
+  // trades 2/3 of the index-join volume for an array-verify per
+  // candidate. The cap's value is the WORST case, not the average: one
+  // df=10^6 boilerplate shingle makes the uncapped join generate 5*10^11
+  // pairs while the capped form is unaffected — DedupSpec's boilerplate-
+  // corpus test shows the ~100x candidate cut the moment hot shingles
+  // actually exist.
+  private val l2b = QueryDef("l2b_ngram_jaccard_capped", (s, dir) => {
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.2, maxDocFreq = 10)
+  }, Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) s
+        FROM toks WHERE len(tk) >= 3),
+      ex AS (SELECT doc_id AS doc, unnest(s) AS shingle FROM sh),
+      freq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+      kept AS (SELECT ex.doc, ex.shingle FROM ex
+        JOIN freq USING (shingle) WHERE df <= 10),
+      cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc < b.doc),
+      inter AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+        FROM cand c JOIN ex ea ON ea.doc = c.doc_a
+        JOIN ex eb ON eb.doc = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY 1, 2),
+      sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+          AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+        >= 0.2"""))
+
   // L3 — MinHash-LSH near-dup (64 perms, 16x4 bands, exact verification).
   // Signatures use xxhash64, which DuckDB can't reproduce -> no SQL
-  // oracle; recall vs the exact L2 result is pinned in DedupSpec.
+  // oracle; recall vs the exact L2 result is pinned in DedupSpec. The
+  // cross-engine-checkable sibling is L3P below.
   private val l3 = QueryDef("l3_minhash_lsh", (s, dir) => {
     Dedup.minHashLshPairs(Tables.documents(s, dir), "doc_id", "text")
   }, None, headline = true)
+
+  // L3P — the PORTABLE-permutation MinHash-LSH (Dedup.Portable): affine
+  // maps over the polynomial shingle hash instead of xxhash64, every
+  // stage (signature mins, band folds, bucket join, exact verify)
+  // mirrored in the DuckDB oracle below — the full LSH pipeline
+  // hash-checked cross-engine. Default remains xxhash64 (l3).
+  private val l3p = QueryDef("l3p_minhash_portable", (s, dir) => {
+    Dedup.minHashLshPairsPortable(Tables.documents(s, dir), "doc_id",
+      "text")
+  }, Some {
+    import Dedup.Portable._
+    val minCols = (0 until 64).map(i =>
+      s"min((${aCoef(i)} * h + ${bCoef(i)}) % $P) AS h$i")
+      .mkString(",\n        ")
+    val buckets = (0 until 16).map { b =>
+      bucketFold((0 until 4).map(r => s"h${b * 4 + r}"))
+    }.mkString("[", ",\n          ", "]")
+    s"""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+          FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, len(tk) - 1),
+            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) s
+          FROM toks WHERE len(tk) >= 3),
+        ex AS (SELECT doc_id AS doc, unnest(s) AS shingle FROM sh),
+        hs AS (SELECT doc, list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(range(1, length(shingle) + 1),
+              i -> CAST(ascii(shingle[i]) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % $P) AS h FROM ex),
+        sig AS (SELECT doc, $minCols FROM hs GROUP BY doc),
+        banded AS (SELECT doc, unnest(range(0, 16)) AS band,
+          unnest($buckets) AS bucket FROM sig),
+        cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+        inter AS (SELECT c.doc_a, c.doc_b,
+            CAST(count(*) AS BIGINT) AS inter
+          FROM cand c JOIN ex ea ON ea.doc = c.doc_a
+          JOIN ex eb ON eb.doc = c.doc_b AND eb.shingle = ea.shingle
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh)
+        SELECT doc_a, doc_b,
+          CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+            AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+          >= 0.2"""
+  })
 
   // L4 — 16-bit SimHash fingerprints with a PORTABLE polynomial token
   // hash, so the whole bit-vote pipeline is oracle-checkable in DuckDB.
@@ -121,6 +216,50 @@ object LlmOps {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8, nTables = 4)
   }, None)
+
+  // L6P — the SAME lshTopK call as L6, with a full DuckDB oracle: the
+  // hyperplanes were never random, only engine-internal — embedding
+  // their exact double components as SQL literals (Double.toString
+  // round-trips) lets DuckDB recompute every bucket bit, candidate set
+  // and cosine bit-identically. L6 itself stays rows-only purely to keep
+  // one registry entry timing the production form.
+  private val l6p = QueryDef("l6p_ann_lsh_portable", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8, nTables = 4)
+  }, Some {
+    val planeRows = (0 until 32).map(g =>
+      s"($g, ${Similarity.planeSqlLiteral(g, 64)})").mkString(",\n        ")
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 65), i -> $a[i] * $b[i])),
+          (x, y) -> x + y)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+          FROM embeddings),
+        planes AS (SELECT * FROM (VALUES $planeRows) t(g, pl)),
+        bits AS (SELECT vec_id, g // 8 AS tbl,
+            CASE WHEN ${dot("v", "pl")} > 0
+              THEN CAST(power(2, g % 8) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS bit
+          FROM e CROSS JOIN planes),
+        buck AS (SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+          FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+          FROM buck q JOIN buck c
+            ON q.tbl = c.tbl AND q.bucket = c.bucket
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        scored AS (SELECT q_id, n_id,
+            ${dot("eq.v", "ec.v")}
+            / (sqrt(${dot("eq.v", "eq.v")})
+             * sqrt(${dot("ec.v", "ec.v")})) AS cosine
+          FROM cand JOIN e eq ON eq.vec_id = q_id
+          JOIN e ec ON ec.vec_id = n_id),
+        ranked AS (SELECT q_id, n_id, cosine,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT q_id, rnk, n_id, cosine FROM ranked WHERE rnk <= 5"""
+  })
 
   // L11 — IVF ANN (16 cells, 4 probes): the other standard bucketed-ANN
   // shape. Cell assignment depends on the sampled centroids -> no SQL
@@ -436,6 +575,6 @@ object LlmOps {
       FROM assigned GROUP BY lang, split"""))
 
   val defs: Seq[QueryDef] =
-    Seq(l1, l2, l3, l4, l5, l6, l7, l8, l9, l10, l11, l12, l13, l14, l15,
-      l16, l17, l18, l19, m1)
+    Seq(l1, l2, l2b, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10, l11, l12,
+      l13, l14, l15, l16, l17, l18, l19, m1)
 }

@@ -97,6 +97,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (found ${lsh.size}/${exact.size})")
   }
 
+  test("portable MinHash-LSH matches the xxhash64 form's guarantees: " +
+    "recall >= 0.9 vs exact pairs, perfect precision") {
+    val docs = Tables.documents(s, sf)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairsPortable(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verification step guarantees precision")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (found ${lsh.size}/${exact.size})")
+  }
+
   test("LSH plan contains no cartesian/nested-loop join") {
     val plan = Dedup.minHashLshPairs(Tables.documents(s, sf),
       "doc_id", "text").queryExecution.executedPlan.toString
