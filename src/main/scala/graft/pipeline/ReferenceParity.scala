@@ -123,29 +123,22 @@ object ReferenceParity {
     "Ireland", "Slovakia", "Slovenia", "Estonia", "Lithuania", "Latvia",
     "Luxembourg", "Malta")
 
-  def run(s: SparkSession, rawDir: String, runDate: String): Outputs = {
-    // ---- extract (S1, etl_extract.py) ----
-    // raw extracts are cached: the audit stage runs ~10 independent jobs
-    // per source, and without the cache each re-parses the CSV (the
-    // reference avoids the same re-parse by materializing bronze parquet,
-    // etl_extract.py:54)
-    val salesRaw = Csv.readInferred(s, s"$rawDir/sales.csv").cache()
-    val customersRaw = Csv.readInferred(s, s"$rawDir/customers.csv").cache()
-    val productsRaw = Csv.readInferred(s, s"$rawDir/products.csv").cache()
-    val suppliersRaw = Csv.readInferred(s, s"$rawDir/suppliers.csv").cache()
-    val taxrateRaw = Csv.readInferred(s, s"$rawDir/taxrate.csv")
-    val exchangeRaw = Csv.readInferred(s, s"$rawDir/exchange_data.csv")
+  /** Audit + clean recipe of one raw source (rules, fill policies, the
+    * id column feeding error_ids parity).
+    */
+  private final case class SourceSpec(
+      rules: Seq[(String, String, Column)],
+      fillStrings: Map[String, String],
+      fillNumerics: Map[String, Double],
+      idColumn: String)
 
-    // ---- audit + clean (Q1-Q6, audit_report.py + data_cleaning.py) ----
-    // The four sources are independent until enrichment; their audits
-    // (each a handful of small jobs) run concurrently — the reference
-    // serializes them only because it is one driver script looping
-    // (audit_report.py:155), not because of a data dependency.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val unknownFill = "Unknown"
-    val fSales = Future(auditAndClean(salesRaw,
+  private val unknownFill = "Unknown"
+
+  /** Per-source audit/clean specs (audit_report.py:103-138 rule sets,
+    * data_cleaning.py:196-226 fill policies).
+    */
+  private val sourceSpecs: Map[String, SourceSpec] = Map(
+    "sales" -> SourceSpec(
       rules = Seq(
         ("OrderDate", "date", notIsoDate("OrderDate")),
         ("RequiredDate", "date", notIsoDate("RequiredDate")),
@@ -157,8 +150,8 @@ object ReferenceParity {
       fillStrings = Seq("ShipName", "ShipAddress", "ShipCity", "ShipRegion",
         "ShipPostalCode", "ShipCountry").map(_ -> unknownFill).toMap,
       fillNumerics = Map("Freight" -> 0.0, "Discount" -> 0.0),
-      idColumn = "OrderID0"))
-    val fCustomers = Future(auditAndClean(customersRaw,
+      idColumn = "OrderID0"),
+    "customers" -> SourceSpec(
       rules = Seq(
         ("Phone", "phone", badPhone("Phone")),
         ("Fax", "phone", badPhone("Fax")),
@@ -168,9 +161,8 @@ object ReferenceParity {
       fillStrings = Seq("CompanyName", "City", "Region", "PostalCode",
         "Fax", "Phone").map(_ -> unknownFill).toMap,
       fillNumerics = Map.empty,
-      idColumn = "CustomerID"))
-
-    val fProducts = Future(auditAndClean(productsRaw,
+      idColumn = "CustomerID"),
+    "products" -> SourceSpec(
       rules = Seq(
         ("UnitsInStock", "posInt", posIntStrict("UnitsInStock")),
         ("UnitsOnOrder", "posInt", posIntStrict("UnitsOnOrder")),
@@ -178,9 +170,8 @@ object ReferenceParity {
         ("UnitPrice", "posFloat", posFloatStrict("UnitPrice"))),
       fillStrings = Map("ProductName" -> unknownFill),
       fillNumerics = Map.empty,
-      idColumn = "ProductID"))
-
-    val fSuppliers = Future(auditAndClean(suppliersRaw,
+      idColumn = "ProductID"),
+    "suppliers" -> SourceSpec(
       rules = Seq(
         ("Phone", "phone", badPhone("Phone")),
         ("Fax", "phone", badPhone("Fax"))),
@@ -188,6 +179,130 @@ object ReferenceParity {
         .map(_ -> unknownFill).toMap,
       fillNumerics = Map.empty,
       idColumn = "SupplierID"))
+
+  /** All six raw sources, in pipeline order. */
+  val sourceNames: Seq[String] = Seq("sales", "customers", "products",
+    "suppliers", "taxrate", "exchange_data")
+
+  /** PER-SOURCE LOG-AND-CONTINUE extract (the reference wraps every
+    * source read in try/except and keeps going, etl_extract.py:39-61;
+    * audit_report.py:155-179 and data_cleaning.py:228-245 loop the same
+    * way): each source's read/infer failure becomes a Left, never an
+    * exception, so one broken file cannot take down the ingest of the
+    * other five. The four audited sources are cached — the audit stage
+    * runs ~10 independent jobs per source, and without the cache each
+    * would re-parse the CSV (the reference avoids the same re-parse by
+    * materializing bronze parquet, etl_extract.py:54).
+    */
+  def extractAll(s: SparkSession, rawDir: String)
+      : Seq[(String, Either[String, DataFrame])] =
+    sourceNames.map { name =>
+      name -> scala.util.Try {
+        val df = Csv.readInferred(s, s"$rawDir/$name.csv")
+        if (sourceSpecs.contains(name)) df.cache() else df
+      }.toEither.left.map(e => s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  /** One source's fate in a [[runResilient]] report: the extracted frame
+    * (if the read succeeded), its audit (audited sources only), and the
+    * extract/audit error if any.
+    */
+  final case class SourceOutcome(
+      frame: Option[DataFrame],
+      audit: Option[Audit.AuditReport],
+      error: Option[String])
+
+  /** The run report of [[runResilient]]: per-source outcomes, plus the
+    * full pipeline outputs when (and only when) every source arrived.
+    */
+  final case class ResilientRun(
+      sources: Map[String, SourceOutcome],
+      outputs: Option[Outputs]) {
+    def failures: Map[String, String] =
+      sources.collect { case (n, o) if o.error.isDefined => n -> o.error.get }
+  }
+
+  /** FAIL-FAST orchestration: any extract failure aborts the run with an
+    * exception (a driver main exits non-zero). For the reference's
+    * log-and-continue behavior use [[runResilient]].
+    */
+  def run(s: SparkSession, rawDir: String, runDate: String): Outputs = {
+    val extracted = extractAll(s, rawDir)
+    val failed = extracted.collect { case (n, Left(e)) => s"$n ($e)" }
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"extract failed for: ${failed.mkString("; ")}")
+    runFrom(s, extracted.collect { case (n, Right(df)) => n -> df }.toMap,
+      runDate)
+  }
+
+  /** LOG-AND-CONTINUE orchestration (reference parity for
+    * etl_extract.py:39-61): every source extracts independently, the
+    * audited survivors still get their audit+clean pass (so a run with
+    * one broken file still produces five usable source results and four
+    * — or fewer — audit reports), and all failures are surfaced in the
+    * returned report instead of thrown. Full pipeline outputs are built
+    * only when all six sources arrived (the enrichment joins need them).
+    */
+  def runResilient(s: SparkSession, rawDir: String,
+                   runDate: String): ResilientRun = {
+    val extracted = extractAll(s, rawDir).toMap
+    val frames = extracted.collect { case (n, Right(df)) => n -> df }
+    if (extracted.valuesIterator.forall(_.isRight)) {
+      val out = runFrom(s, frames, runDate)
+      ResilientRun(
+        sourceNames.map(n => n -> SourceOutcome(Some(frames(n)),
+          out.audits.get(n), None)).toMap,
+        Some(out))
+    } else {
+      val outcomes = sourceNames.map { n =>
+        n -> (extracted(n) match {
+          case Left(err) => SourceOutcome(None, None, Some(err))
+          case Right(df) =>
+            sourceSpecs.get(n) match {
+              case None => SourceOutcome(Some(df), None, None)
+              case Some(spec) =>
+                scala.util.Try(auditAndClean(df, spec.rules,
+                  spec.fillStrings, spec.fillNumerics, spec.idColumn)) match {
+                  case scala.util.Success((audit, _)) =>
+                    SourceOutcome(Some(df), Some(audit), None)
+                  case scala.util.Failure(e) =>
+                    SourceOutcome(Some(df), None,
+                      Some(s"audit: ${e.getMessage}"))
+                }
+            }
+        })
+      }
+      ResilientRun(outcomes.toMap, None)
+    }
+  }
+
+  private def runFrom(s: SparkSession, raw: Map[String, DataFrame],
+                      runDate: String): Outputs = {
+    val salesRaw = raw("sales")
+    val customersRaw = raw("customers")
+    val productsRaw = raw("products")
+    val suppliersRaw = raw("suppliers")
+    val taxrateRaw = raw("taxrate")
+    val exchangeRaw = raw("exchange_data")
+
+    // ---- audit + clean (Q1-Q6, audit_report.py + data_cleaning.py) ----
+    // The four sources are independent until enrichment; their audits
+    // (each a handful of small jobs) run concurrently — the reference
+    // serializes them only because it is one driver script looping
+    // (audit_report.py:155), not because of a data dependency.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    def auditF(name: String) = Future {
+      val spec = sourceSpecs(name)
+      auditAndClean(raw(name), spec.rules, spec.fillStrings,
+        spec.fillNumerics, spec.idColumn)
+    }
+    val fSales = auditF("sales")
+    val fCustomers = auditF("customers")
+    val fProducts = auditF("products")
+    val fSuppliers = auditF("suppliers")
 
     val (salesAudit, salesClean0) = Await.result(fSales, Duration.Inf)
     val (customersAudit, customersClean) =

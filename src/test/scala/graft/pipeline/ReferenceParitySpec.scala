@@ -131,4 +131,48 @@ class ReferenceParitySpec extends AnyFunSuite {
       !col("OrderDate").rlike("^\\d{4}-\\d{2}-\\d{2}$")).count()
     assert(bad == 0)
   }
+
+  test("log-and-continue: one broken source -> the other five extract, " +
+    "surviving audits run, the failure lands in the report; fail-fast " +
+    "mode throws instead") {
+    // stage a raw dir with sales.csv missing (the reference's per-source
+    // try/except scenario, etl_extract.py:39-61)
+    val dir = java.nio.file.Files.createTempDirectory("graft-resilient")
+    val src = java.nio.file.Paths.get("/root/reference/data/raw")
+    ReferenceParity.sourceNames.filter(_ != "sales").foreach { n =>
+      java.nio.file.Files.copy(src.resolve(s"$n.csv"),
+        dir.resolve(s"$n.csv"))
+    }
+    val report = ReferenceParity.runResilient(s, dir.toString,
+      runDate = "2024-11-24")
+    assert(report.outputs.isEmpty)
+    assert(report.failures.keySet == Set("sales"))
+    val survivors = ReferenceParity.sourceNames.filter(_ != "sales")
+    survivors.foreach { n =>
+      val o = report.sources(n)
+      assert(o.error.isEmpty && o.frame.isDefined, s"$n should survive")
+      assert(o.frame.get.limit(1).count() == 1, s"$n should be readable")
+    }
+    // audited survivors still produce their audit reports
+    assert(report.sources("customers").audit.isDefined)
+    assert(report.sources("products").audit.isDefined)
+    assert(report.sources("suppliers").audit.isDefined)
+    assert(report.sources("customers").audit.get
+      .formatViolations("Phone") == 3)
+    // fail-fast mode: the same broken dir aborts the run
+    intercept[IllegalStateException] {
+      ReferenceParity.run(s, dir.toString, runDate = "2024-11-24")
+    }
+  }
+
+  test("runResilient over an intact raw dir returns full outputs and " +
+    "no failures") {
+    val report = ReferenceParity.runResilient(s, "/root/reference/data/raw",
+      runDate = "2024-11-24")
+    assert(report.failures.isEmpty)
+    assert(report.outputs.isDefined)
+    assert(ReferenceParity.sourceNames
+      .forall(n => report.sources(n).frame.isDefined))
+    assert(report.sources("sales").audit.isDefined)
+  }
 }
