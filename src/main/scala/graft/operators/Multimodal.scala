@@ -102,28 +102,79 @@ object Multimodal {
       lit("text/plain").as("mediaType"),
       octet_length(col(textCol)).cast("long").as("sizeBytes"))
 
-  /** One sampled "frame" of a media item. */
+  /** One sampled "frame" of a media item. For demuxed containers
+    * (GIF), `offset` is the frame ordinal in the stream (the LZW stream
+    * exposes no per-frame byte offsets) and `frameBytes` is the decoded
+    * frame re-encoded as a self-contained PNG; for the byte-chunk
+    * fallback, `offset` is the true byte offset of the chunk.
+    */
   final case class Frame(id: Long, frameIndex: Int, offset: Long,
                          frameBytes: Array[Byte])
 
-  /** Frame sampling: emit every `stride`-th fixed-size chunk of the
-    * payload (what video frame-sampling looks like once a real demuxer
-    * replaces the byte-slicing stub — the Spark shape is identical:
-    * per-partition codec, one input row fanning out to N frame rows,
-    * no shuffle).
+  /** REAL multi-frame container demux: GIF through the JDK's
+    * frame-indexed ImageReader (the one multi-frame container format
+    * with a JVM-built-in codec). Returns None for non-GIF or undecodable
+    * payloads so batch jobs fall back instead of dying on one bad file.
+    */
+  object GifDemux {
+    def frames(payload: Array[Byte])
+        : Option[Vector[java.awt.image.BufferedImage]] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            // getNumImages(true) walks the stream counting image
+            // descriptors — exactly a demuxer's index pass
+            val n = r.getNumImages(true)
+            Some((0 until n).map(r.read).toVector)
+          } catch {
+            case scala.util.control.NonFatal(_) => None
+          } finally r.dispose()
+        }
+      } finally in.close()
+    }
+
+    def toPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Frame sampling: every `stride`-th frame of each item. GIF payloads
+    * demux for REAL (per-frame decode via [[GifDemux]], true per-frame
+    * dimensions, frames re-encoded as standalone PNGs); payloads without
+    * a JVM codec (audio/video containers) fall back to fixed-size byte
+    * chunks so the pipeline shape stays identical either way:
+    * per-partition codec, one input row fanning out to N frame rows, no
+    * shuffle.
     */
   def sampleFrames(items: Dataset[MediaItem], frameSize: Int,
                    stride: Int): Dataset[Frame] = {
     import items.sparkSession.implicits._
     items.mapPartitions { rows =>
-      rows.flatMap { item =>
-        // ??? <- real demuxer goes here; fixed-size chunking stands in
+      def chunked(item: MediaItem): Iterator[Frame] = {
         val n = item.payload.length / frameSize
         (0 until n by stride).iterator.map { i =>
           val off = i * frameSize
           Frame(item.id, i, off.toLong,
             java.util.Arrays.copyOfRange(item.payload, off, off + frameSize))
         }
+      }
+      rows.flatMap { item =>
+        if (item.mediaType == "image/gif")
+          GifDemux.frames(item.payload) match {
+            case Some(fs) =>
+              (0 until fs.length by stride).iterator.map(i =>
+                Frame(item.id, i, i.toLong, GifDemux.toPng(fs(i))))
+            case None => chunked(item) // corrupt container: degrade
+          }
+        else chunked(item)
       }
     }
   }

@@ -75,6 +75,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 4, "corrupt payload must survive via fallback")
   }
 
+  // Encode a real multi-frame GIF in memory: n solid-color frames of
+  // w x h (primary colors survive GIF palette quantization exactly).
+  private val frameColors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00)
+  private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until n).foreach { i =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(frameColors(i % frameColors.length)))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  test("GIF payloads demux into REAL per-frame images: true frame count " +
+    "and dimensions, stride sampling, PNG-decodable frame bytes") {
+    import s.implicits._
+    val payload = gifBytes(12, 9, 4)
+    val items = Seq(
+      MediaItem(1L, payload, "image/gif", payload.length.toLong)).toDS()
+    val all = Multimodal.sampleFrames(items, frameSize = 16, stride = 1)
+      .collect().sortBy(_.frameIndex)
+    assert(all.map(_.frameIndex).toSeq == Seq(0, 1, 2, 3),
+      "demuxer must find all four frames")
+    all.foreach { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frameBytes))
+      assert((img.getWidth, img.getHeight) == (12, 9),
+        s"frame ${f.frameIndex} must decode to its true dimensions")
+      assert((img.getRGB(3, 3) & 0xffffff) ==
+        frameColors(f.frameIndex % frameColors.length),
+        s"frame ${f.frameIndex} must carry its own pixel content")
+    }
+    // stride sampling picks every 2nd frame
+    val sampled = Multimodal.sampleFrames(items, frameSize = 16, stride = 2)
+      .collect().sortBy(_.frameIndex)
+    assert(sampled.map(_.frameIndex).toSeq == Seq(0, 2))
+    // a corrupt container degrades to byte-chunking, never crashes
+    val corrupt = Seq(MediaItem(2L,
+      Array.fill[Byte](64)(0x5a), "image/gif", 64L)).toDS()
+    val degraded = Multimodal.sampleFrames(corrupt, frameSize = 16,
+      stride = 1).collect()
+    assert(degraded.length == 4 &&
+      degraded.forall(_.frameBytes.length == 16))
+  }
+
   test("identical payloads yield identical features") {
     import s.implicits._
     val items = Seq(
