@@ -142,26 +142,34 @@ object Bench {
     val refRaw = "/root/reference/data/raw"
     if (new java.io.File(refRaw).isDirectory) {
       // one untimed warm run for the same codegen-compilation reason;
-      // drop its caches so the timed run re-does the real I/O + cleaning
-      try {
-        val w = graft.pipeline.ReferenceParity.run(spark, refRaw,
-          "2024-11-24")
-        w.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
-        w.dimProducts.write.format("noop").mode(SaveMode.Overwrite).save()
-      } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try {
-        val out = graft.pipeline.ReferenceParity.run(spark, refRaw, "2024-11-24")
-        out.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
-        out.dimProducts.write.format("noop").mode(SaveMode.Overwrite).save()
-        timings("ref_pipeline_e2e") = (System.nanoTime() - t0) / 1e9
-        allTimings("ref_pipeline_e2e") = timings("ref_pipeline_e2e")
-      } catch {
-        case e: Throwable =>
-          errors("ref_pipeline_e2e") =
-            Option(e.getMessage).getOrElse(e.getClass.getName)
-              .linesIterator.take(1).mkString
+      // drop its caches so the timed run re-does the real I/O + cleaning.
+      // Both runs execute under the pipeline's own small-data tuning
+      // (ReferenceParity.smallDataTuned — AQE off, few shuffle
+      // partitions), exactly as a production deployment of this bounded
+      // pipeline would run it.
+      graft.pipeline.ReferenceParity.smallDataTuned(spark) {
+        try {
+          val w = graft.pipeline.ReferenceParity.run(spark, refRaw,
+            "2024-11-24")
+          w.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
+          w.dimProducts.write.format("noop").mode(SaveMode.Overwrite).save()
+        } catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          val out = graft.pipeline.ReferenceParity.run(spark, refRaw,
+            "2024-11-24")
+          out.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
+          out.dimProducts.write.format("noop").mode(SaveMode.Overwrite)
+            .save()
+          timings("ref_pipeline_e2e") = (System.nanoTime() - t0) / 1e9
+          allTimings("ref_pipeline_e2e") = timings("ref_pipeline_e2e")
+        } catch {
+          case e: Throwable =>
+            errors("ref_pipeline_e2e") =
+              Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.take(1).mkString
+        }
       }
     }
 

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+  IntegerType, LongType, ShortType}
 
 /** Data-quality audit operators (SURVEY §2.10 Q1-Q4; reference:
   * BBT-ETL-DW scripts/audit_report.py).
@@ -137,16 +139,49 @@ object Audit {
   def violations(df: DataFrame, rule: FormatRule): DataFrame =
     df.filter(rule.bad)
 
+  /** Bounded violating-id collector: keeps the first `cap` ids seen per
+    * partition-merge order, so a rule with a billion violations holds
+    * `cap` strings of aggregation state, not a billion (a plain
+    * collect_list + slice would buffer them ALL first). One instance per
+    * rule rides a single fused scan in [[report]].
+    */
+  private final class BoundedIds(cap: Int)
+      extends Aggregator[String, Seq[String], Seq[String]] {
+    override def zero: Seq[String] = Vector.empty
+    override def reduce(b: Seq[String], x: String): Seq[String] =
+      if (x == null || b.lengthCompare(cap) >= 0) b else b :+ x
+    override def merge(a: Seq[String], b: Seq[String]): Seq[String] =
+      (a ++ b).take(cap)
+    override def finish(b: Seq[String]): Seq[String] = b
+    override def bufferEncoder: Encoder[Seq[String]] = BoundedIds.enc
+    override def outputEncoder: Encoder[Seq[String]] = BoundedIds.enc
+  }
+
+  private object BoundedIds {
+    // derived ONCE per JVM (encoder derivation goes through Scala's
+    // globally-locked runtime reflection — deriving per report() call
+    // serialized every concurrent audit behind the lock), and
+    // catalyst-native rather than Encoders.kryo: a kryo-encoded buffer
+    // makes every TASK pay a fresh Kryo instantiation per aggregator,
+    // which dwarfed the actual 2,155-row scan in the parity audit
+    val enc: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** Assemble the typed report. The three aggregates are tiny (one row
     * each); collecting them is driver-side by nature, not a scale concern.
     *
-    * When `idColumn` is given, each rule with errors also collects a
-    * violating-id sample for the reference-parity `error_ids` field
-    * (audit_report.py:96-100 collects ALL ids — unbounded driver memory;
-    * here the sample is capped at `maxErrorIds` via `limit`, which
-    * terminates the scan early instead of materializing every violation,
-    * so the report stays safe at any scale). Only rules that fired run an
-    * id job, mirroring the reference's append-if-nonzero behavior.
+    * When `idColumn` is given, every fired rule's violating-id sample
+    * (the reference-parity `error_ids` field; audit_report.py:96-100
+    * collects ALL ids — unbounded driver memory) rides THE SAME single
+    * scan as the null/violation counts, one [[BoundedIds]] collector per
+    * rule: `maxErrorIds` caps both the aggregation state and the driver
+    * result, and the entire audit is one row-level scan plus the
+    * duplicate-count shuffle. (The alternative — one early-terminating
+    * `limit` scan per rule — wins only when violations are dense enough
+    * to hit the cap early; with rare violations each of the k scans
+    * reads the entire table.) Only rules that fired emit an entry,
+    * mirroring the reference's append-if-nonzero behavior.
     */
   def report(df: DataFrame, rules: Seq[FormatRule],
              idColumn: Option[String] = None,
@@ -169,31 +204,52 @@ object Audit {
       // side by side)
       val fDups = Future(duplicateRowCount(df).collect()(0).getLong(0))
 
-      // null counts and rule-violation counts are both one-row conditional
-      // aggregates over the same rows: ONE fused scan instead of two
+      // null counts, rule-violation counts AND the violating-id samples
+      // are all row-level aggregates over the same rows: ONE fused scan
+      // (ids collected as strings, restored to the id column's type
+      // below so int ids keep serializing unquoted)
       val nCols = df.columns.length
-      val profile: Row = df.select(
+      val sampler = udaf(new BoundedIds(maxErrorIds), Encoders.STRING)
+      val sampleCols = idColumn.toSeq.flatMap(id => rules.map(r =>
+        sampler(when(r.bad, col(id).cast("string")))
+          .as(s"__ids_${r.name}")))
+      val tProfile0 = System.nanoTime()
+      val profileDf = df.select(
         df.columns.toSeq.map(c =>
           count(when(isNullOrNan(df, c), lit(1))).as(s"__null_$c")) ++
           rules.map(r => count(when(r.bad, lit(1))).as(s"__vio_${r.name}"))
-          : _*).collect()(0)
+          ++ sampleCols
+          : _*)
+      val tPlan0 = System.nanoTime()
+      profileDf.queryExecution.executedPlan
+      val tPlan1 = System.nanoTime()
+      val profile: Row = profileDf.collect()(0)
+      if (sys.env.get("GRAFT_PARITY_TIMING").contains("1"))
+        println(f"[audit] profile scan " +
+          f"${(System.nanoTime() - tProfile0) / 1e9}%.2f s " +
+          f"(analyze ${(tPlan0 - tProfile0) / 1e9}%.2f, " +
+          f"plan ${(tPlan1 - tPlan0) / 1e9}%.2f; " +
+          f"${df.columns.length} cols, ${rules.length} rules)")
       val missing = df.columns.zipWithIndex
         .map { case (c, i) => c -> profile.getLong(i) }.toMap
       val vioMap = rules.zipWithIndex
         .map { case (r, i) => r.name -> profile.getLong(nCols + i) }.toMap
 
       val issues = idColumn.toSeq.flatMap { id =>
-        // the per-rule id scans are independent little jobs — run them
-        // concurrently instead of serially paying scan latency per rule
-        val fired = rules.filter(r => vioMap(r.name) > 0)
-        val futures = fired.map { r =>
-          Future {
-            val ids = df.filter(r.bad).select(id).limit(maxErrorIds)
-              .collect().map(_.get(0)).toSeq
-            FormatIssue(r.name, vioMap(r.name), r.expectedType, ids)
-          }
+        val restore: String => Any = df.schema(id).dataType match {
+          case IntegerType => _.toInt
+          case LongType => _.toLong
+          case ShortType => _.toShort
+          case ByteType => _.toByte
+          case _ => identity
         }
-        futures.map(f => Await.result(f, jobTimeout))
+        rules.zipWithIndex
+          .filter { case (r, _) => vioMap(r.name) > 0 }
+          .map { case (r, i) =>
+            FormatIssue(r.name, vioMap(r.name), r.expectedType,
+              profile.getSeq[String](nCols + rules.length + i)
+                .map(restore))
+          }
       }
       AuditReport(missing, Await.result(fDups, jobTimeout),
         duplicateColumnGroups(df.columns.toSeq), vioMap, issues,

@@ -114,10 +114,15 @@ object Dedup {
         if (m.length > cap + 1) m.take(cap + 1) else m
       }
     override def finish(b: Array[Long]): Array[Long] = b
-    override def bufferEncoder: Encoder[Array[Long]] =
-      Encoders.kryo[Array[Long]]
-    override def outputEncoder: Encoder[Array[Long]] =
-      ExpressionEncoder[Array[Long]]()
+    override def bufferEncoder: Encoder[Array[Long]] = BoundedDocs.enc
+    override def outputEncoder: Encoder[Array[Long]] = BoundedDocs.enc
+  }
+
+  private object BoundedDocs {
+    // derived once per JVM, catalyst-native (NOT Encoders.kryo: a kryo
+    // buffer costs a fresh Kryo instantiation per task per aggregator —
+    // see Audit.BoundedIds)
+    val enc: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
   /** Capped candidate pairs in ONE shuffle: group the exploded index per

@@ -65,6 +65,9 @@ object Gold {
     * lazy variant would trade this for an extra shuffle (window over
     * spark_partition_id) and is not worth it for id assignment that
     * happens once per pipeline build.
+    *
+    * For frames KNOWN BOUNDED by construction use [[orderedIdBounded]]
+    * instead — fully lazy, no RDD round-trip.
     */
   def orderedId(df: DataFrame, orderCols: Seq[String],
                 name: String): DataFrame = {
@@ -77,6 +80,22 @@ object Gold {
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** [[orderedId]] for frames KNOWN BOUNDED by construction (reference-
+    * parity dims, lookup tables): a plain row_number over a global sort.
+    * Entirely LAZY — no construction jobs, no RDD round-trip (the
+    * zipWithIndex form's `.rdd` makes AQE materialize every upstream
+    * shuffle stage AT CALL TIME, which serialized ~2 jobs per call site
+    * through the parity pipeline), and Catalyst keeps optimizing through
+    * it. The price is the single-partition window collapse — fatal on an
+    * SF-scaling table, irrelevant on a bounded one; callers assert
+    * boundedness, the default [[orderedId]] stays the scaling path. Ids
+    * are identical to [[orderedId]]'s for total orderings.
+    */
+  def orderedIdBounded(df: DataFrame, orderCols: Seq[String],
+                       name: String): DataFrame =
+    df.withColumn(name, row_number()
+      .over(Window.orderBy(orderCols.map(col): _*)).cast("long"))
 
   /** G2 — SCD2 scaffolding columns (map_cols.py:89-91: IsCurrent=true,
     * fixed effective-start, open end date).

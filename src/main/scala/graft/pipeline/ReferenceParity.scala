@@ -189,19 +189,35 @@ object ReferenceParity {
     * audit_report.py:155-179 and data_cleaning.py:228-245 loop the same
     * way): each source's read/infer failure becomes a Left, never an
     * exception, so one broken file cannot take down the ingest of the
-    * other five. The four audited sources are cached — the audit stage
-    * runs ~10 independent jobs per source, and without the cache each
-    * would re-parse the CSV (the reference avoids the same re-parse by
-    * materializing bronze parquet, etl_extract.py:54).
+    * other five. Every source is cached — the in-session equivalent of
+    * the reference's bronze parquet (etl_extract.py:54): each CSV is
+    * parsed once at first use and every later stage reads memory. The
+    * schema-inference pass (which reads the whole file) runs here, so a
+    * missing or unreadable source surfaces at extract where
+    * log-and-continue can report it.
     */
   def extractAll(s: SparkSession, rawDir: String)
-      : Seq[(String, Either[String, DataFrame])] =
-    sourceNames.map { name =>
-      name -> scala.util.Try {
-        val df = Csv.readInferred(s, s"$rawDir/$name.csv")
-        if (sourceSpecs.contains(name)) df.cache() else df
-      }.toEither.left.map(e => s"${e.getClass.getSimpleName}: ${e.getMessage}")
-    }
+      : Seq[(String, Either[String, DataFrame])] = {
+    // the six reads are independent and each pays an eager
+    // schema-inference job — run them concurrently (Spark schedules
+    // jobs from separate threads side by side)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sourceNames.length)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = sourceNames.map { name =>
+        name -> Future(scala.util.Try {
+          Csv.readInferred(s, s"$rawDir/$name.csv").cache()
+        }.toEither.left.map(e =>
+          s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+      }
+      fs.map { case (n, f) =>
+        n -> Await.result(f, Duration(10, "min"))
+      }
+    } finally pool.shutdown()
+  }
 
   /** One source's fate in a [[runResilient]] report: the extracted frame
     * (if the read succeeded), its audit (audited sources only), and the
@@ -222,12 +238,43 @@ object ReferenceParity {
       sources.collect { case (n, o) if o.error.isDefined => n -> o.error.get }
   }
 
+  /** Run `body` under this pipeline's SMALL-DATA tuning and restore the
+    * session confs after: adaptive query execution off (AQE's
+    * stage-by-stage driver re-planning exists to fix BIG shuffles at
+    * runtime; on a bounded fixed-shape workload it only serializes every
+    * tiny stage behind a driver round-trip) and a handful of shuffle
+    * partitions (2,155 rows do not need 32 reducers; fewer tasks = less
+    * scheduling latency per stage). Results are identical either way —
+    * both confs are physical-planning only. They are read at ACTION
+    * time, so the scope must cover the actions, not just run(): wrap the
+    * whole run-plus-consume block. Callers on a shared session should
+    * not run unrelated large queries concurrently inside the scope.
+    */
+  def smallDataTuned[T](s: SparkSession, partitions: Int = 4)(body: => T): T = {
+    val aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "200")
+    val wscg = s.conf.get("spark.sql.codegen.wholeStage", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // whole-stage codegen trades ~100-300ms of Janino compilation per
+    // plan shape for faster per-row execution — the right trade on
+    // millions of rows, the wrong one on thousands (the audit queries'
+    // compile time exceeds their entire interpreted runtime)
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    try body
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqe)
+      s.conf.set("spark.sql.shuffle.partitions", parts)
+      s.conf.set("spark.sql.codegen.wholeStage", wscg)
+    }
+  }
+
   /** FAIL-FAST orchestration: any extract failure aborts the run with an
     * exception (a driver main exits non-zero). For the reference's
     * log-and-continue behavior use [[runResilient]].
     */
   def run(s: SparkSession, rawDir: String, runDate: String): Outputs = {
-    val extracted = extractAll(s, rawDir)
+    val extracted = phase("extract")(extractAll(s, rawDir))
     val failed = extracted.collect { case (n, Left(e)) => s"$n ($e)" }
     if (failed.nonEmpty)
       throw new IllegalStateException(
@@ -277,6 +324,16 @@ object ReferenceParity {
     }
   }
 
+  // dev-only phase timing (GRAFT_PARITY_TIMING=1)
+  private def phase[T](name: String)(body: => T): T = {
+    if (sys.env.get("GRAFT_PARITY_TIMING").contains("1")) {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[parity] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else body
+  }
+
   private def runFrom(s: SparkSession, raw: Map[String, DataFrame],
                       runDate: String): Outputs = {
     val salesRaw = raw("sales")
@@ -296,20 +353,24 @@ object ReferenceParity {
     import scala.concurrent.duration.Duration
     def auditF(name: String) = Future {
       val spec = sourceSpecs(name)
-      auditAndClean(raw(name), spec.rules, spec.fillStrings,
-        spec.fillNumerics, spec.idColumn)
+      phase(s"audit:$name") {
+        auditAndClean(raw(name), spec.rules, spec.fillStrings,
+          spec.fillNumerics, spec.idColumn)
+      }
     }
-    val fSales = auditF("sales")
-    val fCustomers = auditF("customers")
-    val fProducts = auditF("products")
-    val fSuppliers = auditF("suppliers")
-
-    val (salesAudit, salesClean0) = Await.result(fSales, Duration.Inf)
-    val (customersAudit, customersClean) =
-      Await.result(fCustomers, Duration.Inf)
-    val (productsAudit, productsClean) = Await.result(fProducts, Duration.Inf)
-    val (suppliersAudit, suppliersClean) =
-      Await.result(fSuppliers, Duration.Inf)
+    val (salesAudit, salesClean0, customersAudit, customersClean,
+        productsAudit, productsClean, suppliersAudit, suppliersClean) =
+      phase("audit") {
+        val fSales = auditF("sales")
+        val fCustomers = auditF("customers")
+        val fProducts = auditF("products")
+        val fSuppliers = auditF("suppliers")
+        val (sa, sc) = Await.result(fSales, Duration.Inf)
+        val (ca, cc) = Await.result(fCustomers, Duration.Inf)
+        val (pa, pc) = Await.result(fProducts, Duration.Inf)
+        val (ua, uc) = Await.result(fSuppliers, Duration.Inf)
+        (sa, sc, ca, cc, pa, pc, ua, uc)
+      }
     // The cleaned/conformed frames are stage HAND-OFFS consumed by many
     // downstream actions (enrichment, anomalies, every dim, the fact).
     // The reference materializes each to silver parquet between its nine
@@ -342,15 +403,23 @@ object ReferenceParity {
         .when(col("UnitsInStock") > 0 || col("UnitsOnOrder") > 0, "Active")
         .otherwise("Inactive"))
 
-    // taxrate: ISO + deterministic TaxRateID (W1, add_columns.py:170-173,
-    // assigned without a single-partition global window — Gold.orderedId)
-    val taxEnriched = Gold.orderedId(
+    // BOUNDEDNESS INVARIANT for this pipeline: every frame below is
+    // Northwind-bounded by construction (the largest source is sales at
+    // 11,371 raw rows — fixed parity data, NOT SF-scaling), which is why
+    // (a) id assignment uses Gold.orderedIdBounded (lazy single-partition
+    // row_number; zero construction jobs) and (b) bare broadcast() hints
+    // are safe here. Do NOT copy either pattern into an SF-scaling path —
+    // those use Gold's parallel orderedId and DimBroadcast.hint's size
+    // guard.
+
+    // taxrate: ISO + deterministic TaxRateID (W1, add_columns.py:170-173)
+    val taxEnriched = Gold.orderedIdBounded(
       CountryCodes.withIsoCode(taxrateRaw, "Country", "ISO")
         .drop("Country").withColumnRenamed("ISO", "Country"),
       Seq("Country", "Year"), "TaxRateID").cache()
 
     // exchange: dedup, ISO, tolerant date parse, deterministic ExchangeID
-    val exchangeEnriched = Gold.orderedId(
+    val exchangeEnriched = Gold.orderedIdBounded(
       CountryCodes.withIsoCode(
           exchangeRaw.dropDuplicates(), "country", "ISO")
         .drop("country").withColumnRenamed("ISO", "country")
@@ -388,15 +457,32 @@ object ReferenceParity {
           col("OrderDate") === col("ex_date"), "left")
     // ...and the rate falls back as-of style: last known rate at-or-before
     // the order date per country (the reference's window-forward-fill
-    // intent, sales_currency.py:77-100, done as one broadcastable lookup)
-    val lastRate = graft.operators.AsOfJoin.asOf(
-      salesWithEx.select(col("ISO_ProdCountry").as("k"),
-        col("OrderDate").as("t")).distinct(),
-      exchangeEnriched.select(col("country").as("k"), col("date").as("t"),
-        col("exchange_rate_to_euro").as("r"), col("ExchangeID")),
-      keyCols = Seq("k"), leftTime = "t", rightTime = "t",
-      payload = Map("r" -> "last_rate"),
-      rightTieBreak = Some("ExchangeID"))
+    // intent, sales_currency.py:77-100). Implemented as a DENSE rate
+    // spine — every (country, calendar day) of the pipeline's date range
+    // forward-filled from the exchange dim — rather than an as-of probe
+    // of the sales dates: the spine is bounded by construction
+    // (countries x 1097 days), derives from the exchange dim ALONE, and
+    // so builds concurrently with the sales chain instead of adding a
+    // distinct + window + join to its critical path. Ties on
+    // (country, date) resolve to the highest ExchangeID, matching the
+    // as-of operator's rightTieBreak.
+    val rateDays = s.sql(
+      """SELECT explode(sequence(to_date('2022-01-01'),
+           to_date('2025-01-01'), interval 1 day)) AS d""")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("t"))
+    val ratePoints = exchangeEnriched
+      .groupBy(col("country").as("k"), col("date").as("t"))
+      .agg(expr("max_by(exchange_rate_to_euro, ExchangeID)").as("r"))
+    val fillW = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val lastRate = ratePoints.select("k").distinct()
+      .crossJoin(rateDays) // bounded: |countries| x 1097 days
+      .join(ratePoints, Seq("k", "t"), "left")
+      .withColumn("last_rate", last("r", ignoreNulls = true).over(fillW))
+      .filter(col("last_rate").isNotNull)
+      .select("k", "t", "last_rate")
     val salesConformed = salesWithEx
       .join(broadcast(lastRate),
         col("ISO_ProdCountry") === col("k") && col("OrderDate") === col("t"),
@@ -430,7 +516,7 @@ object ReferenceParity {
 
     // ---- gold (G1-G5, map_cols.py) ----
     def key(df: DataFrame, orderCol: String, name: String): DataFrame =
-      Gold.orderedId(df, Seq(orderCol), name)
+      Gold.orderedIdBounded(df, Seq(orderCol), name)
 
     val dimTaxRate = key(taxEnriched, "TaxRateID", "TaxRateKey")
       .select("TaxRateKey", "TaxRateID", "Country", "Year", "TaxRate")
@@ -509,7 +595,7 @@ object ReferenceParity {
         "inner")
       .join(broadcast(productsWithStore), Seq("ProductID"), "left")
       .filter(col("StoreKey").isNotNull)
-    val factSales = Gold.orderedId(fact,
+    val factSales = Gold.orderedIdBounded(fact,
         Seq("OrderID", "ProductID", "Quantity", "Discount", "OrderDate"),
         "SalesID")
       .select("SalesID", "CustomerKey", "ProductKey", "StoreKey",

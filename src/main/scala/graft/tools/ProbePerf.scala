@@ -15,18 +15,49 @@ object ProbePerf {
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = Sessions.build("probe-perf", Sessions.cpusFromEnv(32))
     if (name == "ref_pipeline_e2e") {
+      // job accounting: how many jobs each phase launches and their
+      // aggregate scheduler time — the e2e latency lever is job COUNT
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+      val starts =
+        new scala.collection.concurrent.TrieMap[Int, Long]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(js.jobId, js.time)
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.remove(je.jobId).foreach { t0 =>
+              jobs.incrementAndGet()
+              jobNanos.addAndGet((je.time - t0) * 1000000L)
+            }
+        })
+      // GRAFT_PROBE_COLD=1 reproduces Bench's measurement (codegen warm,
+      // caches cleared before each rep)
+      val cold = sys.env.get("GRAFT_PROBE_COLD").contains("1")
       for (i <- 1 to reps) {
+        if (cold) spark.catalog.clearCache()
+        jobs.set(0); jobNanos.set(0L)
         val t0 = System.nanoTime()
-        val out = graft.pipeline.ReferenceParity.run(spark,
-          "/root/reference/data/raw", "2024-11-24")
-        val t1 = System.nanoTime()
-        out.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
-        val t2 = System.nanoTime()
-        out.dimProducts.write.format("noop").mode(SaveMode.Overwrite).save()
-        val t3 = System.nanoTime()
+        val (t1, runJobs, t2, t3) =
+          graft.pipeline.ReferenceParity.smallDataTuned(spark) {
+            val out = graft.pipeline.ReferenceParity.run(spark,
+              "/root/reference/data/raw", "2024-11-24")
+            val t1 = System.nanoTime()
+            val runJobs = jobs.get()
+            out.factSales.write.format("noop").mode(SaveMode.Overwrite)
+              .save()
+            val t2 = System.nanoTime()
+            out.dimProducts.write.format("noop").mode(SaveMode.Overwrite)
+              .save()
+            (t1, runJobs, t2, System.nanoTime())
+          }
+        Thread.sleep(300) // let the listener bus drain
         println(f"PROBE $name rep$i total ${(t3 - t0) / 1e9}%.2f s " +
           f"(run ${(t1 - t0) / 1e9}%.2f, fact ${(t2 - t1) / 1e9}%.2f, " +
-          f"dims ${(t3 - t2) / 1e9}%.2f)")
+          f"dims ${(t3 - t2) / 1e9}%.2f; jobs: run=$runJobs " +
+          f"all=${jobs.get()} busy=${jobNanos.get() / 1e9}%.2f s)")
       }
       spark.stop()
       return
