@@ -131,6 +131,49 @@ object StreamOps {
     }
   }
 
+  /** Late-data accounting, as DATA (the audit philosophy applied to
+    * streams): Structured Streaming silently DROPS rows that arrive
+    * older than the watermark — the only trace is the per-batch
+    * `numRowsDroppedByWatermark` counter inside StreamingQueryProgress.
+    * This listener collects those counters so a pipeline can query its
+    * own late-data losses as a DataFrame (join it against the output,
+    * alert on it, load it into the warehouse) instead of losing rows
+    * invisibly.
+    *
+    * Usage: `val m = new LateDataMonitor(spark).attach()` before
+    * starting queries; `m.metrics` any time after. Listener delivery is
+    * asynchronous — call [[org.apache.spark.sql.streaming.StreamingQueryManager]]
+    * progress-dependent assertions after the bus has drained (tests
+    * retry briefly).
+    */
+  final class LateDataMonitor(s: org.apache.spark.sql.SparkSession)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val drops =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val dropped =
+        e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      if (dropped > 0)
+        drops.add((Option(e.progress.name)
+          .getOrElse(e.progress.id.toString), e.progress.batchId, dropped))
+    }
+
+    def attach(): this.type = { s.streams.addListener(this); this }
+    def detach(): Unit = s.streams.removeListener(this)
+
+    /** One row per (query, micro-batch) that dropped late rows. */
+    def metrics: DataFrame = {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      drops.asScala.toSeq
+        .toDF("query", "batch_id", "rows_dropped_late")
+    }
+  }
+
   /** Input/state/output records for the custom-state operator. */
   final case class KeyedEvent(user_id: Long, ts_us: Long, value: Double)
   final case class UserState(nEvents: Long, valueSum: Double, lastTs: Long)

@@ -211,6 +211,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late rows dropped by the watermark are COUNTED by " +
+    "LateDataMonitor, not silently lost") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val monitor = new StreamOps.LateDataMonitor(s).attach()
+    val input = MemoryStream[Ev]
+    // append mode + 2-minute watermark: state evicts, late input drops
+    val q = StreamOps.windowedTypeCounts(input.toDF(), "ts",
+        watermark = "2 minutes")
+      .writeStream.format("memory").queryName("late_counts")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      // watermark is now 00:08; these two are far older -> dropped
+      input.addData(
+        Ev(Timestamp.valueOf("2024-01-01 00:01:00"), "click", 2.0),
+        Ev(Timestamp.valueOf("2024-01-01 00:02:00"), "click", 3.0))
+      q.processAllAvailable()
+      // listener delivery is async; give the bus a moment
+      var dropped = 0L
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (dropped == 0L && System.nanoTime() < deadline) {
+        dropped = monitor.metrics
+          .filter(col("query") === "late_counts")
+          .agg(sum("rows_dropped_late")).collect()(0).getLong(0)
+        if (dropped == 0L) Thread.sleep(200)
+      }
+      assert(dropped == 2L,
+        s"both late rows must be accounted for, got $dropped")
+    } finally { q.stop(); monitor.detach() }
+  }
+
   test("windowed counts with watermark aggregate per minute") {
     import s.implicits._
     implicit val sq = s.sqlContext
