@@ -139,6 +139,92 @@ object Audit {
   def violations(df: DataFrame, rule: FormatRule): DataFrame =
     df.filter(rule.bad)
 
+  /** One source's audit recipe for [[reportAll]]. */
+  final case class SourceAudit(name: String, df: DataFrame,
+                               rules: Seq[FormatRule],
+                               idColumn: Option[String] = None)
+
+  /** Audit SEVERAL sources in TWO Spark actions total, however many
+    * sources there are: every source's fused profile scan (null counts +
+    * violation counts + bounded id samples, uniformly shaped as maps)
+    * unions into one job whose per-source subtrees execute in parallel
+    * executor-side, and the per-source duplicate-row counts union into a
+    * second, concurrently-scheduled job. Running k separate
+    * [[report]]s from k threads does NOT parallelize in practice — tiny
+    * jobs serialize behind the driver's single-threaded scheduling, so
+    * k sources cost k × one-source latency; this shape costs ~one.
+    */
+  def reportAll(sources: Seq[SourceAudit], maxErrorIds: Int = 10000,
+                jobTimeout: scala.concurrent.duration.Duration =
+                  scala.concurrent.duration.Duration(15, "min"))
+      : Map[String, AuditReport] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    require(sources.nonEmpty)
+    val sampler = udaf(new BoundedIds(maxErrorIds), Encoders.STRING)
+    val emptySamples = map_from_arrays(
+      array().cast("array<string>"),
+      array().cast("array<array<string>>"))
+
+    def profileRow(sa: SourceAudit): DataFrame = {
+      val countPairs: Seq[Column] =
+        sa.df.columns.toSeq.flatMap(c => Seq(lit(s"null:$c"),
+          count(when(isNullOrNan(sa.df, c), lit(1))))) ++
+          sa.rules.flatMap(r => Seq(lit(s"vio:${r.name}"),
+            count(when(r.bad, lit(1)))))
+      val samples: Column = sa.idColumn match {
+        case Some(id) if sa.rules.nonEmpty =>
+          map(sa.rules.flatMap(r => Seq(lit(r.name),
+            sampler(when(r.bad, col(id).cast("string"))))): _*)
+        case _ => emptySamples
+      }
+      sa.df.select(lit(sa.name).as("src"),
+        map(countPairs: _*).as("counts"), samples.as("samples"))
+    }
+
+    def dupRow(sa: SourceAudit): DataFrame =
+      duplicateRowCount(sa.df)
+        .select(lit(sa.name).as("src"), col("dup_rows"))
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fDups = Future {
+        sources.map(dupRow).reduce(_ unionByName _).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val profiles = sources.map(profileRow).reduce(_ unionByName _)
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getMap[String, Long](1),
+            r.getMap[String, scala.collection.Seq[String]](2)))
+        .toMap
+      val dups = Await.result(fDups, jobTimeout)
+
+      sources.map { sa =>
+        val (counts, samples) = profiles(sa.name)
+        val missing = sa.df.columns.toSeq
+          .map(c => c -> counts(s"null:$c")).toMap
+        val vioMap = sa.rules.map(r => r.name -> counts(s"vio:${r.name}"))
+          .toMap
+        val issues = sa.idColumn.toSeq.flatMap { id =>
+          val restore: String => Any = sa.df.schema(id).dataType match {
+            case IntegerType => _.toInt
+            case LongType => _.toLong
+            case ShortType => _.toShort
+            case ByteType => _.toByte
+            case _ => identity
+          }
+          sa.rules.filter(r => vioMap(r.name) > 0).map(r =>
+            FormatIssue(r.name, vioMap(r.name), r.expectedType,
+              samples(r.name).map(restore).toSeq))
+        }
+        sa.name -> AuditReport(missing, dups(sa.name),
+          duplicateColumnGroups(sa.df.columns.toSeq), vioMap, issues,
+          hasIdSamples = sa.idColumn.isDefined)
+      }.toMap
+    } finally pool.shutdown()
+  }
+
   /** Bounded violating-id collector: keeps the first `cap` ids seen per
     * partition-merge order, so a rule with a billion violations holds
     * `cap` strings of aggregation state, not a billion (a plain

@@ -89,7 +89,18 @@ object ReferenceParity {
       rules.map { case (c, kind, bad) =>
         Audit.FormatRule(c, bad, expectedTypeOf(kind)) },
       idColumn = Some(idColumn))
+    (report, cleanFromReport(df, report, rules, fillStrings, fillNumerics))
+  }
 
+  /** The audit-driven cleaning steps, given an already-computed report
+    * (the reference's feedback loop: only columns the audit flagged get
+    * cleaned, data_cleaning.py:196-206).
+    */
+  private def cleanFromReport(df: DataFrame, report: Audit.AuditReport,
+                              rules: Seq[(String, String, Column)],
+                              fillStrings: Map[String, String],
+                              fillNumerics: Map[String, Double])
+      : DataFrame = {
     // 1. fills, only for columns the audit saw missing (E9 policy map)
     val missing = report.missingValues.filter(_._2 > 0).keySet
     var out = df.na.fill(fillStrings.filter(f => missing(f._1)))
@@ -115,7 +126,7 @@ object ReferenceParity {
       d.withColumn(c, date_format(
         Cleaning.normalizeDate(col(c).cast("string"), "M/d/yy"),
         "yyyy-MM-dd")))
-    (report, out)
+    out
   }
 
   private val eurozone = Seq("France", "Italy", "Germany", "Austria",
@@ -344,33 +355,34 @@ object ReferenceParity {
     val exchangeRaw = raw("exchange_data")
 
     // ---- audit + clean (Q1-Q6, audit_report.py + data_cleaning.py) ----
-    // The four sources are independent until enrichment; their audits
-    // (each a handful of small jobs) run concurrently — the reference
+    // The four sources are independent until enrichment, so their audits
+    // run as ONE fused action (Audit.reportAll) — the reference
     // serializes them only because it is one driver script looping
-    // (audit_report.py:155), not because of a data dependency.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    def auditF(name: String) = Future {
-      val spec = sourceSpecs(name)
-      phase(s"audit:$name") {
-        auditAndClean(raw(name), spec.rules, spec.fillStrings,
-          spec.fillNumerics, spec.idColumn)
-      }
+    // (audit_report.py:155), not because of a data dependency. (Running
+    // them as four concurrent report() futures does not actually
+    // parallelize: tiny jobs serialize behind driver scheduling.)
+    val auditNames = Seq("sales", "customers", "products", "suppliers")
+    val audits = phase("audit") {
+      Audit.reportAll(auditNames.map { n =>
+        val spec = sourceSpecs(n)
+        Audit.SourceAudit(n, raw(n),
+          spec.rules.map { case (c, kind, bad) =>
+            Audit.FormatRule(c, bad, expectedTypeOf(kind)) },
+          idColumn = Some(spec.idColumn))
+      })
     }
-    val (salesAudit, salesClean0, customersAudit, customersClean,
-        productsAudit, productsClean, suppliersAudit, suppliersClean) =
-      phase("audit") {
-        val fSales = auditF("sales")
-        val fCustomers = auditF("customers")
-        val fProducts = auditF("products")
-        val fSuppliers = auditF("suppliers")
-        val (sa, sc) = Await.result(fSales, Duration.Inf)
-        val (ca, cc) = Await.result(fCustomers, Duration.Inf)
-        val (pa, pc) = Await.result(fProducts, Duration.Inf)
-        val (ua, uc) = Await.result(fSuppliers, Duration.Inf)
-        (sa, sc, ca, cc, pa, pc, ua, uc)
-      }
+    def cleaned(n: String): DataFrame = {
+      val spec = sourceSpecs(n)
+      cleanFromReport(raw(n), audits(n), spec.rules, spec.fillStrings,
+        spec.fillNumerics)
+    }
+    val (salesAudit, salesClean0) = (audits("sales"), cleaned("sales"))
+    val (customersAudit, customersClean) =
+      (audits("customers"), cleaned("customers"))
+    val (productsAudit, productsClean) =
+      (audits("products"), cleaned("products"))
+    val (suppliersAudit, suppliersClean) =
+      (audits("suppliers"), cleaned("suppliers"))
     // The cleaned/conformed frames are stage HAND-OFFS consumed by many
     // downstream actions (enrichment, anomalies, every dim, the fact).
     // The reference materializes each to silver parquet between its nine
