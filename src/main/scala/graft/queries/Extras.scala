@@ -322,6 +322,34 @@ object Extras {
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
       FROM merged GROUP BY c_mktsegment"""))
 
+  // X16 — bucketed co-located join (sources/Bucketed): both join sides
+  // written bucketed+sorted on the join key, then joined through the
+  // catalog. The RESULT is layout-independent (the oracle joins the
+  // plain parquet), which is the point — bucketing changes the PLAN
+  // (exchange-free join, pinned in BucketedSpec), never the data. At
+  // this SF the planner may still pick broadcast for the small side;
+  // the bucketed layout is what survives when neither side broadcasts.
+  private val x16 = QueryDef("x16_bucketed_join", (s, dir) => {
+    import graft.sources.Bucketed
+    val tmp = System.getProperty("java.io.tmpdir") + "/graft_bucketed"
+    Bucketed.writeBucketed(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
+      "graft_b_lineitem", "l_orderkey", 8, s"$tmp/lineitem")
+    Bucketed.writeBucketed(
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+      "graft_b_orders", "o_orderkey", 8, s"$tmp/orders")
+    s.table("graft_b_lineitem")
+      .join(s.table("graft_b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.exactSum(col("l_extendedprice"), 2).as("gross"))
+  }, Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      ${Exact.exactSumSql("l_extendedprice", 2)} AS gross
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
   val defs: Seq[QueryDef] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15)
+    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
+      x16)
 }
