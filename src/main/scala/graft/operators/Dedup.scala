@@ -252,14 +252,18 @@ object Dedup {
     val k = bands * rowsPerBand
     val sh = df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
       .filter(size(col("sh")) > 0).cache()
-    // signature via explode + k min-aggregates: each xxhash64 is computed
-    // exactly once per (doc, shingle, perm) — one shuffle on doc id, and
-    // map-side partial mins keep the exchange tiny. (The array-expression
-    // form recomputes the hash tensor per downstream reference — see
-    // minHashSignature's note.)
+    // signature via explode + k min-aggregates — one shuffle on doc id,
+    // map-side partial mins keep the exchange tiny. Each shingle STRING
+    // is hashed exactly once (xxhash64), then the k permutations re-hash
+    // that fixed-width LONG (xxhash64(i, h)): k constant-width hashes per
+    // shingle instead of k variable-length string traversals. (Affine
+    // maps would be cheaper still, but long multiplication overflows
+    // under ANSI mode; and the array-expression form recomputes the hash
+    // tensor per downstream reference — see minHashSignature's note.)
     val exploded = sh.select(col("doc"), explode(col("sh")).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
     val minAggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
     val sig = exploded.groupBy("doc").agg(minAggs.head, minAggs.tail: _*)
     val banded = sig.select(col("doc"),
       posexplode(expr((0 until bands).map { b =>
@@ -446,11 +450,13 @@ object Dedup {
 
   /** Portable 31-polynomial hash of lambda-var token `t`, mod a prime —
     * deliberately NOT xxhash64: the DuckDB oracle reproduces it with
-    * list_reduce, so SimHash results are cross-engine checkable.
+    * list_reduce, so SimHash/portable-MinHash results are cross-engine
+    * checkable. Resolves to the native codegen'd
+    * [[graft.plans.PolyHash]] (one compiled loop per string; the SQL
+    * higher-order fold it replaces interpreted a lambda per CHARACTER,
+    * dominating every portable-hash operator).
     */
-  private def portableTokenHash(t: String): String =
-    s"""aggregate(sequence(1, length($t)), CAST(7 AS BIGINT),
-        (a, i) -> (a * 31 + ascii(substring($t, i, 1))) % 1073741789)"""
+  private def portableTokenHash(t: String): String = s"poly_hash($t)"
 
   /** 16-bit SimHash over frequency-weighted tokens of column `textCol`:
     * bit j is set iff the sum over tokens of (bit j of the portable hash

@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PolyHash(children(0))))
     ext.injectOptimizerRule(_ => new DimBroadcastRule)
   }
 }
