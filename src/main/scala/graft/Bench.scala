@@ -53,10 +53,19 @@ object Bench {
         val parsed = timingsOf(root.path("parsed"))
         if (parsed.nonEmpty) parsed
         else {
+          // the driver may truncate the FRONT of the captured tail, in
+          // which case no complete {"metric"...} object survives — fall
+          // back to extracting the flat "all_queries"/"queries" fragment
+          // (no nested braces inside, so a [^}]* match is exact)
           val tail = root.path("tail").asText("")
-          "\\{\"metric\".*\\}".r.findFirstIn(tail)
+          val full = "\\{\"metric\".*\\}".r.findFirstIn(tail)
             .map(line => timingsOf(mapper.readTree(line)))
             .getOrElse(Map.empty)
+          if (full.nonEmpty) full
+          else Seq("all_queries", "queries").iterator.flatMap { k =>
+            (s""""$k":\\{[^}]*\\}""").r.findFirstIn(tail)
+              .map(frag => timingsOf(mapper.readTree("{" + frag + "}")))
+          }.find(_.nonEmpty).getOrElse(Map.empty)
         }
       }
     }
@@ -65,11 +74,33 @@ object Bench {
     val prior = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-    prior.lastOption.map { f =>
-      try f.getName -> fromFile(f)
-      catch { case _: Throwable => f.getName -> Map.empty[String, Double] }
-    }.getOrElse("" -> Map.empty)
+    val fromDriver: (String, Map[String, Double]) =
+      prior.lastOption.map { f =>
+        try f.getName -> fromFile(f)
+        catch {
+          case _: Throwable => f.getName -> Map.empty[String, Double]
+        }
+      }.getOrElse("" -> Map.empty[String, Double])
+    if (fromDriver._2.nonEmpty) fromDriver
+    else {
+      // the driver keeps only the last ~2KB of our stdout, which
+      // truncates the full-registry timing map — fall back to our own
+      // history sidecar (the driver's round-end bench run appends there
+      // too, so at round start the last line IS the previous round)
+      val hist = new java.io.File(historyFile)
+      if (!hist.isFile) fromDriver
+      else {
+        val lines = scala.io.Source.fromFile(hist)
+        val last = try lines.getLines().foldLeft("")((_, l) => l)
+        finally lines.close()
+        if (last.isEmpty) fromDriver
+        else try historyFile -> timingsOf(mapper.readTree(last))
+        catch { case _: Throwable => fromDriver }
+      }
+    }
   }
+
+  private val historyFile = "BENCH_HISTORY.jsonl"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -191,7 +222,13 @@ object Bench {
         s"${jstr(k)}:${math.rint((v - prev(k)) * 1000) / 1000}"
     }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"all_queries":$allQs,"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"all_queries":$allQs,"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // append to the local history AFTER computing deltas, so the next
+    // run (or round) can diff against this one even when the driver's
+    // stdout capture truncates the line
+    val w = new java.io.FileWriter(historyFile, true)
+    try w.write(line + "\n") finally w.close()
     spark.stop()
   }
 }
