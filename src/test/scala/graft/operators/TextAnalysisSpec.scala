@@ -27,6 +27,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("chunks: stride windows cover every token, overlap by " +
+    "size - stride, and short docs yield one partial chunk") {
+    import s.implicits._
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = Seq(text).toDF("text")
+      .select(explode(TextAnalysis.chunks("text", size = 4, stride = 3))
+        .as("c"))
+      .select("c.start", "c.chunk").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // starts 1,4,7,10; last two are partial windows
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 7L, 10L))
+    assert(out(0)._2 == "t1 t2 t3 t4")
+    assert(out(1)._2 == "t4 t5 t6 t7", "windows overlap by size - stride")
+    assert(out(3)._2 == "t10", "tail chunk keeps the remainder")
+    // a doc shorter than one window still yields its single chunk
+    val short = Seq("only two").toDF("text")
+      .select(explode(TextAnalysis.chunks("text", 32, 24)).as("c"))
+      .select("c.chunk").collect()
+    assert(short.map(_.getString(0)).toSeq == Seq("only two"))
+  }
+
+  test("redactDigits masks every digit run; langId ties resolve to the " +
+    "earliest marker") {
+    import s.implicits._
+    val red = Seq("card 4111-1111, zip 94103").toDF("t")
+      .select(TextAnalysis.redactDigits("t").as("r")).head().getString(0)
+    assert(red == "card #-#, zip #")
+    val markers = Seq("en" -> "the", "de" -> "der")
+    val lang = Seq(
+      "the der the", // en wins 2-1
+      "der der the", // de wins 2-1
+      "the der", // 1-1 tie -> first entry (en) wins
+      "nothing here") // 0-0 tie -> first entry
+      .toDF("t").select(TextAnalysis.langId("t", markers).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(lang == Seq("en", "de", "en", "en"))
+  }
+
+  test("fingerprint is order-sensitive (anagram docs differ) and " +
+    "deterministic") {
+    import s.implicits._
+    val fp = Seq("alpha beta gamma", "gamma beta alpha",
+        "alpha beta gamma")
+      .toDF("t").select(TextAnalysis.fingerprint("t").as("f"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) != fp(1), "token order must matter")
+    assert(fp(0) == fp(2))
+  }
+
   test("topTfidfTerms: corpus-wide terms score low, doc-unique terms " +
     "rank first, ties break lexicographically") {
     import s.implicits._
