@@ -41,13 +41,29 @@ object Constraints {
         .agg(count(lit(1)).as(n))
   }
 
-  /** All constraints in one result row (each is its own aggregate job
-    * under the hood; Spark shares the scans via the union of one-row
-    * frames).
+  /** All constraints in one result row. Row-level constraints (NotNull,
+    * Check) FUSE into a single scan — they are conditional counts over
+    * the same rows, so k of them cost one aggregation, not k. Unique and
+    * ForeignKey need their own shuffle/join shapes and stay separate;
+    * the one-row results assemble via crossJoin (1x1 rows — the one
+    * legitimate cartesian in this codebase).
     */
-  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame =
-    constraints.map(violationCount(df, _))
-      .reduce((a, b) => a.crossJoin(b))
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val rowLevel = constraints.collect {
+      case NotNull(n, c0) => count(when(col(c0).isNull, lit(1))).as(n)
+      case Check(n, p) => count(when(!coalesce(p, lit(false)), lit(1))).as(n)
+    }
+    val heavy = constraints.filter {
+      case _: NotNull | _: Check => false
+      case _ => true
+    }
+    val frames =
+      (if (rowLevel.nonEmpty)
+        Seq(df.agg(rowLevel.head, rowLevel.tail: _*)) else Nil) ++
+        heavy.map(violationCount(df, _))
+    frames.reduce((a, b) => a.crossJoin(b))
+      .select(constraints.map(c => col(c.name)): _*)
+  }
 
   /** The violating rows for one constraint (for samples/quarantine). */
   def violations(df: DataFrame, c: Constraint): DataFrame = c match {
