@@ -214,7 +214,7 @@ object Dedup {
           .join(sh.select(col("doc").as("doc_b"),
             col("sh").as("sh_b")), "doc_b")
           .withColumn("inter",
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+            expr("intersect_count(sh_a, sh_b)"))
           .withColumn("jaccard", col("inter").cast("double") /
             (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
               - col("inter")).cast("double"))
@@ -293,7 +293,7 @@ object Dedup {
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        expr("intersect_count(sh_a, sh_b)"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -396,7 +396,7 @@ object Dedup {
           .join(cSh, "doc")
           .join(bSh, "bdoc")
           .withColumn("shared",
-            size(array_intersect(col("sh"), col("bsh"))).cast("long"))
+            expr("intersect_count(sh, bsh)"))
           .withColumn("overlap",
             col("shared").cast("double") / size(col("bsh")).cast("long"))
       }

@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        IntersectCount(children(0), children(1))))
     ext.injectOptimizerRule(_ => new DimBroadcastRule)
   }
 }
