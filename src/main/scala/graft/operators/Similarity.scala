@@ -38,15 +38,24 @@ object Similarity {
   /** Exact top-k neighbors for each row of `queries` over `corpus`.
     * Both inputs: (idCol, vecCol: array<float>). Output:
     * (q_id, rnk, n_id, cosine), deterministic ties broken by id.
+    *
+    * Norms are computed ONCE PER VECTOR before the pair fan-out (here
+    * and in every cosine operator below): cosine(a, b) evaluates three
+    * vec_dot folds, and two of them — the norms — depend only on one
+    * side. The precomputed product is bit-identical to the inline form
+    * (same ops on the same doubles), so the DuckDB oracles still
+    * hash-match; only the redundant per-pair work disappears.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm("cv"))
     val q = queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm("qv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cosine", cosine("qv", "cv"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -111,30 +120,34 @@ object Similarity {
               vecCol: String, k: Int, nCells: Int = 16,
               nProbe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm("cv"))
     val q = queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm("qv"))
     val centroids = c.orderBy(xxhash64(col("n_id")), col("n_id"))
       .limit(nCells)
-      .select(col("n_id").as("cell"), col("cv").as("centroid"))
-    // nearest cell per corpus vector: argmax cosine over the broadcast
-    // centroid set (cosine, since vectors aren't normalized)
-    def nearestCells(df: DataFrame, vec: String, out: String,
-                     take: Int): DataFrame = {
+      .select(col("n_id").as("cell"), col("cv").as("centroid"),
+        col("cn").as("centroid_nrm"))
+    // nearest cell per vector: argmax cosine over the broadcast centroid
+    // set (cosine, since vectors aren't normalized); norms precomputed
+    def nearestCells(df: DataFrame, vec: String, vecNrm: String,
+                     out: String, take: Int): DataFrame = {
       val scored = df.join(broadcast(centroids))
-        .withColumn("__sim", cosine(vec, "centroid"))
+        .withColumn("__sim",
+          dot(vec, "centroid") / (col(vecNrm) * col("centroid_nrm")))
       val w = Window.partitionBy(df.columns.head)
         .orderBy(col("__sim").desc, col("cell"))
       scored.withColumn("__r", row_number().over(w))
         .filter(col("__r") <= take)
-        .drop("centroid", "__sim", "__r")
+        .drop("centroid", "centroid_nrm", "__sim", "__r")
         .withColumnRenamed("cell", out)
     }
-    val assigned = nearestCells(c, "cv", "cell", 1)
-    val probed = nearestCells(q, "qv", "cell", nProbe)
+    val assigned = nearestCells(c, "cv", "cn", "cell", 1)
+    val probed = nearestCells(q, "qv", "qn", "cell", nProbe)
     val joined = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cosine", cosine("qv", "cv"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("n_id"))
     // each corpus vector lives in exactly one cell, so a (q, n) pair
@@ -173,15 +186,16 @@ object Similarity {
       lshBucket("v", nPlanes, dim, planeOffset = t * nPlanes)): _*)
     val c = corpus.select(col(idCol).as("doc"),
         col(vecCol).cast("array<double>").as("v"))
-      .select(col("doc"), col("v"),
+      .withColumn("nrm", norm("v")) // once per vector, before the fan-out
+      .select(col("doc"), col("v"), col("nrm"),
         posexplode(buckets).as(Seq("tbl", "bucket")))
     val a = c.select(col("tbl"), col("bucket"), col("doc").as("doc_a"),
-      col("v").as("va"))
+      col("v").as("va"), col("nrm").as("na"))
     val b = c.select(col("tbl"), col("bucket"), col("doc").as("doc_b"),
-      col("v").as("vb"))
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("tbl", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("cosine", cosine("va", "vb"))
+      .withColumn("cosine", dot("va", "vb") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("doc_a", "doc_b", "cosine")
       // a pair may collide in several tables; the distinct runs AFTER the
@@ -233,21 +247,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
               nPlanes: Int = 8, nTables: Int = 1): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String,
+                 nrm: String): DataFrame = {
       val buckets = array((0 until nTables).map(t =>
         lshBucket(vec, nPlanes, dim, planeOffset = t * nPlanes)): _*)
-      df.select(col(id), col(vec),
-        posexplode(buckets).as(Seq("tbl", "bucket")))
+      df.withColumn(nrm, norm(vec))
+        .select(col(id), col(vec), col(nrm),
+          posexplode(buckets).as(Seq("tbl", "bucket")))
     }
     val c = bucketed(corpus.select(col(idCol).as("n_id"),
-      col(vecCol).cast("array<double>").as("cv")), "n_id", "cv")
+      col(vecCol).cast("array<double>").as("cv")), "n_id", "cv", "cn")
     val q = bucketed(queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("qv")), "q_id", "qv")
+      col(vecCol).cast("array<double>").as("qv")), "q_id", "qv", "qn")
     val joined = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       // a pair can collide in several tables; score each candidate once
-      .select("q_id", "n_id", "qv", "cv").distinct()
-      .withColumn("cosine", cosine("qv", "cv"))
+      .select("q_id", "n_id", "qv", "cv", "qn", "cn").distinct()
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("n_id"))
     joined.withColumn("rnk", row_number().over(w).cast("long"))
