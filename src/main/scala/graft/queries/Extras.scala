@@ -349,7 +349,24 @@ object Extras {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority"""))
 
+  // X17 — ORC sink/scan round trip (sources/Formats): result is
+  // layout-independent (the oracle aggregates the plain parquet table),
+  // proving the ORC path is lossless end to end; FormatsSpec pins the
+  // scan-level pushdown/pruning.
+  private val x17 = QueryDef("x17_orc_roundtrip", (s, dir) => {
+    import graft.sources.Formats
+    val tmp = System.getProperty("java.io.tmpdir") + "/graft_orc_rt"
+    Formats.writeOrc(Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice"), tmp)
+    Formats.readOrc(s, tmp)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Exact.exactSum(col("o_totalprice"), 2).as("total"))
+  }, Some(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      ${Exact.exactSumSql("o_totalprice", 2)} AS total
+      FROM orders GROUP BY o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16)
+      x16, x17)
 }
