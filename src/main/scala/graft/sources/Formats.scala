@@ -27,4 +27,19 @@ object Formats {
   def readJsonl(s: SparkSession, path: String,
                 schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
+
+  /** JSON-lines ingest with QUARANTINE, the same contract as
+    * [[Csv.readQuarantining]]: PERMISSIVE mode keeps every line, and a
+    * line that fails the schema lands with its raw text in
+    * `_corrupt_record` so the caller splits (clean, quarantined) —
+    * crawled corpora ALWAYS contain malformed lines, and at 100 TB one
+    * of them must neither kill the job nor vanish silently.
+    */
+  def readJsonlQuarantining(s: SparkSession, path: String,
+                            schema: StructType): DataFrame =
+    s.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .json(path)
 }

@@ -29,6 +29,29 @@ class FormatsSpec extends AnyFunSuite {
       "o_totalprice:double>"), scan.take(800))
   }
 
+  test("quarantining JSON ingest: malformed lines survive with their " +
+    "raw text, clean lines parse — nothing crashes, nothing vanishes") {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_q")
+    val f = tmp.resolve("docs.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"id": 1, "text": "good line"}""",
+      """{"id": 2, "text": "also good"}""",
+      """{"id": 3, "text": "truncated""", // malformed
+      """not json at all"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val df = Formats.readJsonlQuarantining(s, f.toString, schema).cache()
+    val clean = df.filter(col("_corrupt_record").isNull)
+    val quarantined = df.filter(col("_corrupt_record").isNotNull)
+    assert(clean.count() == 2 && quarantined.count() == 2)
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    // the quarantined rows carry the original line for repair/audit
+    assert(quarantined.select("_corrupt_record").collect()
+      .map(_.getString(0)).exists(_.contains("not json at all")))
+  }
+
   test("JSON-lines round-trips with an explicit schema, one object per " +
     "line (splittable)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
