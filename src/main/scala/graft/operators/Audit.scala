@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
-  IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DateType,
+  DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+  TimestampType}
 
 /** Data-quality audit operators (SURVEY §2.10 Q1-Q4; reference:
   * BBT-ETL-DW scripts/audit_report.py).
@@ -327,6 +328,15 @@ object Audit {
           case LongType => _.toLong
           case ShortType => _.toShort
           case ByteType => _.toByte
+          // non-integral ids must also round-trip to native values so the
+          // report serializes them exactly as the pre-sampler limit-scan
+          // did (numbers unquoted, dates via java.sql toString)
+          case DoubleType => _.toDouble
+          case FloatType => _.toFloat
+          case _: DecimalType => new java.math.BigDecimal(_)
+          case BooleanType => _.toBoolean
+          case DateType => java.sql.Date.valueOf(_)
+          case TimestampType => java.sql.Timestamp.valueOf(_)
           case _ => identity
         }
         rules.zipWithIndex

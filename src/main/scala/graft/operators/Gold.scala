@@ -124,20 +124,27 @@ object Gold {
   /** Calendar anchor for the testdata fact (orders start 1995-01-01). */
   val calendarAnchor = "1995-01-01"
 
-  /** Memo of [[orderedId]]-keyed dim frames, per session (weak key: a
-    * stopped session's entries drop with the session) and dim+dir. Because
-    * orderedId runs its sampling/count jobs at CONSTRUCTION (see its
-    * caveat), every re-construction of factSales — plan inspection,
+  /** Memo of [[orderedId]]-keyed dim frames, per session and dim+dir.
+    * Because orderedId runs its sampling/count jobs at CONSTRUCTION (see
+    * its caveat), every re-construction of factSales — plan inspection,
     * repeated query runs, DimBroadcast stats access — would otherwise
     * re-pay ~2 jobs per dim; the memo makes dim keying once-per-session.
+    *
+    * A weak-key map cannot reclaim these entries: the DataFrame values
+    * strongly reference their SparkSession key, pinning each entry for
+    * the map's lifetime. Strong identity keys plus an eviction sweep of
+    * stopped sessions on every access keep long-lived multi-session JVMs
+    * from accumulating dead sessions' plans instead.
     */
   private val dimMemo =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.IdentityHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]()
 
   private def memoizedDim(s: SparkSession, key: String)
                          (build: => DataFrame): DataFrame =
     dimMemo.synchronized {
+      val it = dimMemo.keySet.iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var perSession = dimMemo.get(s)
       if (perSession == null) {
         perSession = scala.collection.mutable.Map.empty[String, DataFrame]

@@ -472,15 +472,19 @@ object ReferenceParity {
     // intent, sales_currency.py:77-100). Implemented as a DENSE rate
     // spine — every (country, calendar day) of the pipeline's date range
     // forward-filled from the exchange dim — rather than an as-of probe
-    // of the sales dates: the spine is bounded by construction
-    // (countries x 1097 days), derives from the exchange dim ALONE, and
-    // so builds concurrently with the sales chain instead of adding a
-    // distinct + window + join to its critical path. Ties on
-    // (country, date) resolve to the highest ExchangeID, matching the
-    // as-of operator's rightTieBreak.
-    val rateDays = s.sql(
-      """SELECT explode(sequence(to_date('2022-01-01'),
-           to_date('2025-01-01'), interval 1 day)) AS d""")
+    // of the sales dates: the spine is bounded by the DATA's span —
+    // countries x (min..max of exchange + order dates) — so exchange
+    // points before the window (e.g. a 2021 seed rate) and orders after
+    // the last exchange point both forward-fill instead of silently
+    // losing rates. The order-date bound reads the already-cached
+    // salesClean, so only a column-pruned cache scan joins the spine's
+    // critical path. Ties on (country, date) resolve to the highest
+    // ExchangeID, matching the as-of operator's rightTieBreak.
+    val rateDays = exchangeEnriched.select(to_date(col("date")).as("d"))
+      .union(salesClean.select(try_to_date(col("OrderDate")).as("d")))
+      .agg(min("d").as("lo"), max("d").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("d"))
       .select(date_format(col("d"), "yyyy-MM-dd").as("t"))
     val ratePoints = exchangeEnriched
       .groupBy(col("country").as("k"), col("date").as("t"))
@@ -490,7 +494,7 @@ object ReferenceParity {
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
     val lastRate = ratePoints.select("k").distinct()
-      .crossJoin(rateDays) // bounded: |countries| x 1097 days
+      .crossJoin(rateDays) // bounded: |countries| x data-span days
       .join(ratePoints, Seq("k", "t"), "left")
       .withColumn("last_rate", last("r", ignoreNulls = true).over(fillW))
       .filter(col("last_rate").isNotNull)

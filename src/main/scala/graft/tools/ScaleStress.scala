@@ -92,8 +92,12 @@ object ScaleStress {
         val secs = timeNoop(q.run(spark, sfDir))
         val (joins, rows) = joinCensus(q.run(spark, sfDir))
         (joins, rows, secs)
-      } finally
+      } finally {
+        // restore BOTH bounds even if a run throws — a leaked tight
+        // maxBytesConf would skew the later g5 join census
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+        spark.conf.unset(DimBroadcast.maxBytesConf)
+      }
     }
     val customerBytes = spark.read
       .parquet(s"$sfDir/customer.parquet")
@@ -103,7 +107,6 @@ object ScaleStress {
     // a bound the scaled customer dim EXCEEDS: half its estimated size
     val tightBound = (customerBytes / 2).toLong.max(1L)
     val (a8TightJoins, a8TightRows, a8TightSecs) = a8With(tightBound)
-    spark.conf.unset(DimBroadcast.maxBytesConf)
 
     // ---- g5: report what AQE picked at runtime for the RDD-backed dims
     spark.catalog.clearCache()

@@ -235,9 +235,12 @@ class StreamOpsSpec extends AnyFunSuite {
       var dropped = 0L
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (dropped == 0L && System.nanoTime() < deadline) {
+        // coalesce: sum() is null while the async listener bus hasn't
+        // delivered any metrics yet — the poll must retry, not NPE
         dropped = monitor.metrics
           .filter(col("query") === "late_counts")
-          .agg(sum("rows_dropped_late")).collect()(0).getLong(0)
+          .agg(coalesce(sum("rows_dropped_late"), lit(0L)))
+          .collect()(0).getLong(0)
         if (dropped == 0L) Thread.sleep(200)
       }
       assert(dropped == 2L,
