@@ -17,6 +17,11 @@ import graft.queries.Registry
   *   ~80 non-headline queries is visible, and "deltas_vs_prev" compares
   *   every shared query against the newest BENCH_r*.json in the repo
   *   (positive delta = slower than last round, seconds).
+  * - Headliners, ref_pipeline_e2e, and the 15 slowest breadth entries are
+  *   the MEDIAN of 3 runs with the max-min "spreads" alongside (n=1 noise
+  *   on this box is +/-15%, larger than most real deltas); the slowest
+  *   breadth entries also report their first, codegen-cold sample in
+  *   "cold_first" so cold-vs-cold deltas stay computable.
   */
 object Bench {
 
@@ -130,41 +135,81 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val allTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
-    def time(name: String, run: () => Unit,
-             into: scala.collection.mutable.LinkedHashMap[String, Double])
-        : Unit = {
-      // isolate queries: operator-internal cache() is part of a query's
+    // Single-run numbers on this box swing +/-15% run to run (see
+    // BENCH_HISTORY.jsonl: identical code, totals 11.6-14.7s), which
+    // drowns the round-over-round delta signal. Contract numbers are
+    // therefore the MEDIAN of `reps` runs, with the max-min spread
+    // reported alongside so a delta smaller than the spread reads as
+    // noise, not regression.
+    def timeOnce(run: () => Unit): Double = {
+      // isolate runs: operator-internal cache() is part of a query's
       // own cost, but Spark's CacheManager matches canonicalized plans
-      // ACROSS queries (and against the warmup runs), which would let one
-      // query silently serve another's work from memory
+      // ACROSS queries (and against the warmup runs), which would let
+      // one run silently serve another's work from memory
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    def time(name: String, run: () => Unit,
+             into: scala.collection.mutable.LinkedHashMap[String, Double],
+             reps: Int, prior: Seq[Double] = Nil): Unit =
       try {
-        run()
-        into(name) = (System.nanoTime() - t0) / 1e9
+        val samples = prior ++ (1 to reps).map(_ => timeOnce(run))
+        into(name) = median(samples)
+        if (samples.size > 1)
+          spreads(name) =
+            math.rint((samples.max - samples.min) * 1000) / 1000
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-    }
 
-    // headline set first (the round-over-round contract numbers)...
+    val headlineReps = 3
+    // headline set first (the round-over-round contract numbers):
+    // median-of-3, every sample steady-state (the sf0.001 warmup above
+    // already paid codegen compilation for these plans)
     Registry.headlines.foreach { q =>
       time(q.name, () => q.run(spark, sfDir)
-        .write.format("noop").mode(SaveMode.Overwrite).save(), timings)
+        .write.format("noop").mode(SaveMode.Overwrite).save(), timings,
+        headlineReps)
     }
     allTimings ++= timings
-    // ...then the rest of the registry, so all ~92 queries have a
+    // ...then the rest of the registry once, so all ~90 queries have a
     // regression signal (timed after the headlines to keep the headline
-    // numbers free of interference from the breadth sweep)
+    // numbers free of interference from the breadth sweep)...
     Registry.all.filterNot(_.headline).foreach { q =>
       time(q.name, () => q.run(spark, sfDir)
-        .write.format("noop").mode(SaveMode.Overwrite).save(), allTimings)
+        .write.format("noop").mode(SaveMode.Overwrite).save(), allTimings,
+        1)
     }
+    // ...and stabilize the slowest breadth entries the same way: their
+    // absolute numbers dominate all_total, so their n=1 noise is the
+    // bulk of the apparent round-over-round movement. Two more samples
+    // each; the median then spans cold+warm (the middle value discards
+    // whichever of codegen-cold or cache-luck was the outlier).
+    val slowestN = 15
+    val coldFirst = scala.collection.mutable.LinkedHashMap[String, Double]()
+    allTimings.toSeq.filterNot { case (k, _) => timings.contains(k) }
+      .sortBy(-_._2).take(slowestN).foreach { case (name, first) =>
+        val q = Registry.all.find(_.name == name).get
+        coldFirst(name) = first // cold-vs-cold delta stays computable
+        time(name, () => q.run(spark, sfDir)
+          .write.format("noop").mode(SaveMode.Overwrite).save(),
+          allTimings, 2, prior = Seq(first))
+      }
 
     // Reference-pipeline throughput: the full CSV->audit->clean->enrich->
     // conform->anomalies->star flow at the reference's own data scale, in
@@ -185,22 +230,15 @@ object Bench {
           w.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
           w.dimProducts.write.format("noop").mode(SaveMode.Overwrite).save()
         } catch { case _: Throwable => () }
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
+        time("ref_pipeline_e2e", () => {
           val out = graft.pipeline.ReferenceParity.run(spark, refRaw,
             "2024-11-24")
           out.factSales.write.format("noop").mode(SaveMode.Overwrite).save()
           out.dimProducts.write.format("noop").mode(SaveMode.Overwrite)
             .save()
-          timings("ref_pipeline_e2e") = (System.nanoTime() - t0) / 1e9
-          allTimings("ref_pipeline_e2e") = timings("ref_pipeline_e2e")
-        } catch {
-          case e: Throwable =>
-            errors("ref_pipeline_e2e") =
-              Option(e.getMessage).getOrElse(e.getClass.getName)
-                .linesIterator.take(1).mkString
-        }
+        }, timings, headlineReps)
+        timings.get("ref_pipeline_e2e")
+          .foreach(allTimings("ref_pipeline_e2e") = _)
       }
     }
 
@@ -221,8 +259,12 @@ object Bench {
       case (k, v) if prev.contains(k) =>
         s"${jstr(k)}:${math.rint((v - prev(k)) * 1000) / 1000}"
     }.mkString("{", ",", "}")
+    val sprds = spreads.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
+    val colds = coldFirst.map { case (k, v) => s"${jstr(k)}:$v" }
+      .mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"all_queries":$allQs,"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps","queries":$qs,"errors":$errs,"spreads":$sprds,"cold_first":$colds,"all_queries":$allQs,"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"sf":${jstr(sfDir)}}"""
     println(line)
     // append to the local history AFTER computing deltas, so the next
     // run (or round) can diff against this one even when the driver's

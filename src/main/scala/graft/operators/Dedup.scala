@@ -419,11 +419,17 @@ object Dedup {
     */
   def resolveKeepers(pairs: DataFrame, allIds: DataFrame, idCol: String,
                      maxIter: Int = 5): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
     // undirected edges, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     var labels = allIds.select(col(idCol).as("doc"), col(idCol).as("label"))
+    // RDD ids of the current generation's local-checkpoint blocks (empty
+    // for cached generations): Dataset.unpersist releases CacheManager
+    // entries but NOT checkpoint blocks, so those are tracked by id and
+    // unpersisted directly when the generation is superseded
+    var labelsCkptIds = Set.empty[Int]
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -433,18 +439,44 @@ object Dedup {
           col("label").as("n_label")), Seq("dst"))
         .groupBy(col("src").as("doc"))
         .agg(min("n_label").as("n_label"))
-      val next = labels.join(viaNeighbors, Seq("doc"), "left")
+      val nextPlan = labels.join(viaNeighbors, Seq("doc"), "left")
         .select(col("doc"),
           least(col("label"), coalesce(col("n_label"), col("label")))
             .as("label"))
-        .cache()
+      // Every generation is materialized by the convergence count below,
+      // so persist it and RELEASE the superseded one — without that,
+      // maxIter label generations stay pinned at once (memory pressure
+      // for free at 100 TB). Every 3rd round, localCheckpoint instead of
+      // cache to truncate lineage: the plan otherwise nests every prior
+      // round's join, and a partition recompute after executor loss
+      // would cascade back to round 0.
+      var nextCkptIds = Set.empty[Int]
+      val next =
+        if ((i + 1) % 3 == 0) {
+          // eager checkpoint: its blocks register during this call, so a
+          // before/after snapshot attributes them (ids, for the release
+          // above; concurrent jobs registering RDDs in this window would
+          // only widen the set — worst case an extra unpersist, never a
+          // correctness issue)
+          val before = sc.getPersistentRDDs.keySet
+          val ck = nextPlan.localCheckpoint()
+          nextCkptIds = (sc.getPersistentRDDs.keySet -- before).toSet
+          ck
+        } else nextPlan.cache()
       val changed = next.join(labels.withColumnRenamed("label", "old"),
           Seq("doc"))
         .filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false) // no-op for generation 0
+      labelsCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       labels = next
+      labelsCkptIds = nextCkptIds
       converged = changed == 0
       i += 1
     }
+    // the loop's counts materialized the final generation, so the edge
+    // cache has served its purpose whatever the caller does next
+    edges.unpersist(blocking = false)
     labels.select(col("doc"), col("label").as("keeper"))
   }
 

@@ -92,6 +92,22 @@ object Similarity {
   def planeSqlLiteral(plane: Int, dim: Int): String =
     planeArray(plane, dim).map(_.toString).mkString("[", ", ", "]")
 
+  /** Portable centroid rank for [[ivfTopK]]: Knuth's multiplicative hash
+    * `(id * 2654435761) mod 2^32` — exact BIGINT arithmetic any SQL
+    * engine reproduces verbatim (the l11p oracle writes the same
+    * formula), injective for ids < 2^32 (odd multiplier), and scrambled
+    * enough that the sample isn't just the lowest ids. xxhash64 stays
+    * the default; this exists so the IVF pipeline has a hash-matched
+    * cross-engine form.
+    */
+  val portableCentroidRank: Column => Column =
+    id => pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** SQL fragment computing [[portableCentroidRank]] on column `id` —
+    * keep in lockstep with the Column form above. */
+  def portableCentroidRankSql(id: String): String =
+    s"($id * 2654435761) % 4294967296"
+
   /** Sign-pattern LSH bucket of `vecCol` (array<double>, `dim` elements):
     * bit p of the bucket id is the sign of dot(vec, plane_{p + offset}).
     * `planeOffset` selects the plane family — the hook for multi-table
@@ -111,21 +127,27 @@ object Similarity {
     * vectors. One corpus shuffle on cell id; centroids broadcast.
     *
     * Centroids are a deterministic pseudo-random sample: the nCells
-    * corpus vectors with the smallest xxhash64(id) (a TakeOrdered, no
-    * corpus count and no job at operator-construction time — the whole
-    * operator stays one lazy plan). A k-means refinement would slot in
-    * here without changing the query path.
+    * corpus vectors with the smallest `centroidRank(id)` (a TakeOrdered,
+    * no corpus count and no job at operator-construction time — the
+    * whole operator stays one lazy plan). The default rank is
+    * xxhash64(id) (engine-internal, fine for production); pass
+    * [[portableCentroidRank]] to make the sample — and therefore the
+    * whole pipeline — reproducible in any SQL engine (l11p's DuckDB
+    * oracle). A k-means refinement would slot in here without changing
+    * the query path.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4,
+              centroidRank: Column => Column =
+                id => xxhash64(id)): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm("cv"))
     val q = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm("qv"))
-    val centroids = c.orderBy(xxhash64(col("n_id")), col("n_id"))
+    val centroids = c.orderBy(centroidRank(col("n_id")), col("n_id"))
       .limit(nCells)
       .select(col("n_id").as("cell"), col("cv").as("centroid"),
         col("cn").as("centroid_nrm"))

@@ -322,25 +322,54 @@ object Extras {
       SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
       FROM merged GROUP BY c_mktsegment"""))
 
-  // X16 — bucketed co-located join (sources/Bucketed): both join sides
-  // written bucketed+sorted on the join key, then joined through the
-  // catalog. The RESULT is layout-independent (the oracle joins the
-  // plain parquet), which is the point — bucketing changes the PLAN
+  // X16W/X16 — bucketed co-located join (sources/Bucketed), split into
+  // the two costs bucketing separates in production: x16w pays the
+  // ONE-TIME shuffle+write that registers both sides bucketed+sorted on
+  // the join key; x16 is every later read-join that the layout makes
+  // exchange-free. Timing them as one entry (as a single x16 did
+  // through round 5) made the bench number write-dominated and hid the
+  // join cost the entry exists to show. Table names carry a dir hash so
+  // a session that benched one SF can't serve another SF's layout.
+  // The RESULTS are layout-independent (both oracles use the plain
+  // parquet), which is the point — bucketing changes the PLAN
   // (exchange-free join, pinned in BucketedSpec), never the data. At
   // this SF the planner may still pick broadcast for the small side;
   // the bucketed layout is what survives when neither side broadcasts.
-  private val x16 = QueryDef("x16_bucketed_join", (s, dir) => {
+  private def bucketedNames(dir: String): (String, String, String) = {
+    val h = Integer.toHexString(dir.hashCode)
+    val tmp = System.getProperty("java.io.tmpdir") + s"/graft_bucketed_$h"
+    (s"graft_b_lineitem_$h", s"graft_b_orders_$h", tmp)
+  }
+
+  private def writeBucketedPair(s: org.apache.spark.sql.SparkSession,
+                                dir: String): Unit = {
     import graft.sources.Bucketed
-    val tmp = System.getProperty("java.io.tmpdir") + "/graft_bucketed"
+    val (lt, ot, tmp) = bucketedNames(dir)
     Bucketed.writeBucketed(
       Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
-      "graft_b_lineitem", "l_orderkey", 8, s"$tmp/lineitem")
+      lt, "l_orderkey", 8, s"$tmp/lineitem")
     Bucketed.writeBucketed(
       Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
-      "graft_b_orders", "o_orderkey", 8, s"$tmp/orders")
-    s.table("graft_b_lineitem")
-      .join(s.table("graft_b_orders"),
-        col("l_orderkey") === col("o_orderkey"))
+      ot, "o_orderkey", 8, s"$tmp/orders")
+  }
+
+  private val x16w = QueryDef("x16w_bucketed_write", (s, dir) => {
+    writeBucketedPair(s, dir)
+    val (lt, ot, _) = bucketedNames(dir)
+    s.table(lt).agg(count(lit(1)).as("n_lineitem"))
+      .crossJoin(s.table(ot).agg(count(lit(1)).as("n_orders")))
+  }, Some("""SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders"""))
+
+  private val x16 = QueryDef("x16_bucketed_join", (s, dir) => {
+    val (lt, ot, _) = bucketedNames(dir)
+    // registry order runs x16w first (same session); a standalone run
+    // self-provisions the fixture, paying the write outside no timer
+    if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(ot))
+      writeBucketedPair(s, dir)
+    s.table(lt)
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_lines"),
         Exact.exactSum(col("l_extendedprice"), 2).as("gross"))
@@ -368,5 +397,5 @@ object Extras {
 
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
-      x16, x17)
+      x16w, x16, x17)
 }

@@ -262,13 +262,58 @@ object LlmOps {
   })
 
   // L11 — IVF ANN (16 cells, 4 probes): the other standard bucketed-ANN
-  // shape. Cell assignment depends on the sampled centroids -> no SQL
-  // oracle; recall-vs-probes behavior pinned in SimilaritySpec.
+  // shape. Cell assignment depends on the xxhash64-sampled centroids ->
+  // no SQL oracle; recall-vs-probes behavior pinned in SimilaritySpec.
+  // The hash-matched cross-engine form is l11p below.
   private val l11 = QueryDef("l11_ann_ivf", (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
   }, None)
+
+  // L11P — the SAME IVF pipeline (centroid sample -> argmax-cosine cell
+  // assignment -> nProbe probing -> exact cosine top-k) with the one
+  // engine-internal piece swapped for a portable equivalent: centroid
+  // rank (id * 2654435761) % 2^32 instead of xxhash64 — exact BIGINT
+  // arithmetic both engines compute verbatim, so the DuckDB oracle
+  // mirrors every stage and the result hash-matches (same trick as l3p
+  // and l6p).
+  private val l11p = QueryDef("l11p_ann_ivf_portable", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
+      centroidRank = Similarity.portableCentroidRank)
+  }, Some {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, 65), i -> $a[i] * $b[i])),
+          (x, y) -> x + y)"""
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        en AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e),
+        cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en
+          ORDER BY ${Similarity.portableCentroidRankSql("vec_id")}, vec_id
+          LIMIT 16),
+        sims AS (SELECT en.vec_id, en.v, en.nrm, c.cell,
+            ${dot("en.v", "c.cv")} / (en.nrm * c.cnrm) AS sim
+          FROM en CROSS JOIN cent c),
+        asg AS (SELECT vec_id AS n_id, v AS nv, nrm AS nnrm, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cell) AS r FROM sims) WHERE r = 1),
+        prb AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cell) AS r FROM sims
+            WHERE vec_id < 10) WHERE r <= 4),
+        scored AS (SELECT p.q_id, a.n_id,
+            ${dot("p.qv", "a.nv")} / (p.qnrm * a.nnrm) AS cosine
+          FROM prb p JOIN asg a ON p.cell = a.cell
+          WHERE p.q_id <> a.n_id),
+        ranked AS (SELECT q_id, n_id, cosine,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT q_id, rnk, n_id, cosine FROM ranked WHERE rnk <= 5"""
+  })
 
   // L12 — embedding-cosine near-dup pairs, multi-table-LSH-blocked with
   // exact verification (rows-only: buckets are xxhash64-derived), run at
@@ -575,6 +620,7 @@ object LlmOps {
       FROM assigned GROUP BY lang, split"""))
 
   val defs: Seq[QueryDef] =
-    Seq(l1, l2, l2b, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10, l11, l12,
+    Seq(l1, l2, l2b, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10, l11, l11p,
+      l12,
       l13, l14, l15, l16, l17, l18, l19, m1)
 }

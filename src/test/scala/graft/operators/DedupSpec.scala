@@ -134,6 +134,26 @@ class DedupSpec extends AnyFunSuite {
     assert(keepers.count { case (d, k) => d == k } == 3)
   }
 
+  test("keeper resolution releases superseded caches: after a multi-" +
+    "round run only the final label generation stays persistent") {
+    // chain of 12 (diameter 11) with maxIter=7: seven label generations,
+    // two of them local-checkpointed (rounds 3 and 6). Before the
+    // hygiene fix every generation plus the edge cache stayed pinned
+    // (~9 persistent RDDs); now each round releases its predecessor, so
+    // at most the final generation (+1, occasionally its shuffle) may
+    // outlive the call.
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ids = (1L to 12L).toDF("doc_id")
+    val before = s.sparkContext.getPersistentRDDs.size
+    val keepers = Dedup.resolveKeepers(pairs, ids, "doc_id", maxIter = 7)
+    keepers.count() // consume the result as a caller would
+    val after = s.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"persistent RDDs grew $before -> $after; superseded label " +
+        "generations (or the edge cache) were not released")
+    s.catalog.clearCache()
+  }
+
   test("end-to-end dedup: MinHash pairs + keeper resolution shrink the " +
     "corpus by exactly the number of planted near-dups") {
     val docs = Tables.documents(s, sf)

@@ -165,6 +165,65 @@ class ReferenceParitySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-run-date SCD2 lifecycle: a day-2 customer change closes " +
+    "the old version, opens a new current one, and keeps every " +
+    "surrogate key stable") {
+    // day 2 = the same raw dir except ALFKI moves Berlin -> Potsdam (the
+    // reference scaffolds SCD2 columns, map_cols.py:89-91, but never
+    // merges across run dates — this is our declared §7.4 extension
+    // exercised through the BATCH pipeline, not just ScdMergeSpec's
+    // hand-built frames)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-day2")
+    val src = java.nio.file.Paths.get("/root/reference/data/raw")
+    ReferenceParity.sourceNames.foreach { n =>
+      java.nio.file.Files.copy(src.resolve(s"$n.csv"), dir.resolve(s"$n.csv"))
+    }
+    val cust = dir.resolve("customers.csv")
+    val text = new String(java.nio.file.Files.readAllBytes(cust), "UTF-8")
+    assert(text.contains("Obere Str. 57,Berlin,"))
+    java.nio.file.Files.write(cust,
+      text.replace("Obere Str. 57,Berlin,", "Obere Str. 57,Potsdam,")
+        .getBytes("UTF-8"))
+
+    val day2 = ReferenceParity.run(s, dir.toString, runDate = "2024-11-25")
+
+    // surrogate keys are deterministic in natural-key order, so a pure
+    // attribute change must not shift ANY key between runs
+    def keyMap(o: ReferenceParity.Outputs): Map[String, Any] =
+      o.dimCustomers.select("CustomerID", "CustomerKey").collect()
+        .map(r => r.getString(0) -> r.get(1)).toMap
+    assert(keyMap(out) == keyMap(day2))
+
+    val scdCols = Set("IsCurrent", "EffectiveStartDate", "EffectiveEndDate")
+    val compareCols = out.dimCustomers.columns.toSeq
+      .filterNot(c => c == "CustomerID" || scdCols(c))
+    val merged = graft.operators.ScdMerge.merge(
+      out.dimCustomers, day2.dimCustomers, "CustomerID", compareCols,
+      asOf = "2024-11-25")
+
+    // ALFKI: old version closed at day 2, new version open-ended
+    val alfki = merged.filter(col("CustomerID") === "ALFKI")
+      .select("City", "IsCurrent", "EffectiveStartDate", "EffectiveEndDate")
+      .collect().map(r => (r.getString(0), r.getBoolean(1),
+        String.valueOf(r.getDate(2)), String.valueOf(r.getDate(3)))).toSet
+    assert(alfki == Set(
+      ("Berlin", false, "2024-11-24", "2024-11-25"),
+      ("Potsdam", true, "2024-11-25", "null")))
+
+    // exactly one version churned; every customer still has one current row
+    val dimCount = out.dimCustomers.count()
+    assert(merged.count() == dimCount + 1)
+    assert(merged.filter(col("IsCurrent")).count() == dimCount)
+    assert(merged.filter(!col("IsCurrent")).count() == 1)
+
+    // fact keys stable: day-2 fact is row-for-row the same size and every
+    // CustomerKey it carries resolves to a current row of the merged dim
+    assert(day2.factSales.count() == out.factSales.count())
+    val curKeys = merged.filter(col("IsCurrent")).select("CustomerKey")
+    assert(day2.factSales.select("CustomerKey")
+      .join(curKeys, Seq("CustomerKey"), "left_anti").count() == 0)
+  }
+
   test("runResilient over an intact raw dir returns full outputs and " +
     "no failures") {
     val report = ReferenceParity.runResilient(s, "/root/reference/data/raw",
