@@ -145,6 +145,26 @@ object Audit {
                                rules: Seq[FormatRule],
                                idColumn: Option[String] = None)
 
+  /** Restore an error-id sampled as a string back to the id column's
+    * native type, so reports serialize ids exactly as the pre-sampler
+    * limit-scan did (numbers unquoted, dates via java.sql toString).
+    * Shared by [[report]] and [[reportAll]].
+    */
+  private def idRestore(
+      dt: org.apache.spark.sql.types.DataType): String => Any = dt match {
+    case IntegerType => _.toInt
+    case LongType => _.toLong
+    case ShortType => _.toShort
+    case ByteType => _.toByte
+    case DoubleType => _.toDouble
+    case FloatType => _.toFloat
+    case _: DecimalType => new java.math.BigDecimal(_)
+    case BooleanType => _.toBoolean
+    case DateType => java.sql.Date.valueOf(_)
+    case TimestampType => java.sql.Timestamp.valueOf(_)
+    case _ => identity
+  }
+
   /** Audit SEVERAL sources in TWO Spark actions total, however many
     * sources there are: every source's fused profile scan (null counts +
     * violation counts + bounded id samples, uniformly shaped as maps)
@@ -154,6 +174,10 @@ object Audit {
     * [[report]]s from k threads does NOT parallelize in practice — tiny
     * jobs serialize behind the driver's single-threaded scheduling, so
     * k sources cost k × one-source latency; this shape costs ~one.
+    * (Fusing the dup counts into the SAME collect — they union cleanly —
+    * was tried and is SLOWER: one 8-branch job serializes all stage
+    * submissions through the DAGScheduler event loop, while two
+    * concurrent actions overlap their scheduling rounds.)
     */
   def reportAll(sources: Seq[SourceAudit], maxErrorIds: Int = 10000,
                 jobTimeout: scala.concurrent.duration.Duration =
@@ -193,12 +217,18 @@ object Audit {
         sources.map(dupRow).reduce(_ unionByName _).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       }
-      val profiles = sources.map(profileRow).reduce(_ unionByName _)
-        .collect()
+      val t0 = System.nanoTime()
+      val profilePlan = sources.map(profileRow).reduce(_ unionByName _)
+      profilePlan.queryExecution.executedPlan
+      val t1 = System.nanoTime()
+      val profiles = profilePlan.collect()
         .map(r => r.getString(0) ->
           (r.getMap[String, Long](1),
             r.getMap[String, scala.collection.Seq[String]](2)))
         .toMap
+      if (sys.env.get("GRAFT_PARITY_TIMING").contains("1"))
+        println(f"[audit] reportAll analyze+plan ${(t1 - t0) / 1e9}%.2f s, " +
+          f"exec ${(System.nanoTime() - t1) / 1e9}%.2f s")
       val dups = Await.result(fDups, jobTimeout)
 
       sources.map { sa =>
@@ -208,13 +238,7 @@ object Audit {
         val vioMap = sa.rules.map(r => r.name -> counts(s"vio:${r.name}"))
           .toMap
         val issues = sa.idColumn.toSeq.flatMap { id =>
-          val restore: String => Any = sa.df.schema(id).dataType match {
-            case IntegerType => _.toInt
-            case LongType => _.toLong
-            case ShortType => _.toShort
-            case ByteType => _.toByte
-            case _ => identity
-          }
+          val restore = idRestore(sa.df.schema(id).dataType)
           sa.rules.filter(r => vioMap(r.name) > 0).map(r =>
             FormatIssue(r.name, vioMap(r.name), r.expectedType,
               samples(r.name).map(restore).toSeq))
@@ -323,22 +347,7 @@ object Audit {
         .map { case (r, i) => r.name -> profile.getLong(nCols + i) }.toMap
 
       val issues = idColumn.toSeq.flatMap { id =>
-        val restore: String => Any = df.schema(id).dataType match {
-          case IntegerType => _.toInt
-          case LongType => _.toLong
-          case ShortType => _.toShort
-          case ByteType => _.toByte
-          // non-integral ids must also round-trip to native values so the
-          // report serializes them exactly as the pre-sampler limit-scan
-          // did (numbers unquoted, dates via java.sql toString)
-          case DoubleType => _.toDouble
-          case FloatType => _.toFloat
-          case _: DecimalType => new java.math.BigDecimal(_)
-          case BooleanType => _.toBoolean
-          case DateType => java.sql.Date.valueOf(_)
-          case TimestampType => java.sql.Timestamp.valueOf(_)
-          case _ => identity
-        }
+        val restore = idRestore(df.schema(id).dataType)
         rules.zipWithIndex
           .filter { case (r, _) => vioMap(r.name) > 0 }
           .map { case (r, i) =>

@@ -43,24 +43,20 @@ object ReferenceParity {
       dimCalendar: DataFrame, dimTaxRate: DataFrame, dimExchange: DataFrame,
       factSales: DataFrame)
 
-  /** rule kind -> cleaning transform, the Q5 dispatcher's arms
-    * (data_cleaning.py:139-179).
+  /** rule kind -> cleaning expression, the Q5 dispatcher's arms
+    * (data_cleaning.py:139-179). Returns None for "date" — all *Date*
+    * columns are normalized together, below.
     */
-  private def applyKind(df: DataFrame, column: String, kind: String): DataFrame =
+  private def kindExpr(column: String, kind: String): Option[Column] =
     kind match {
-      case "posFloat" =>
-        df.withColumn(column, Cleaning.cleanPositiveFloat(col(column)))
-      case "posInt" =>
-        df.withColumn(column, Cleaning.cleanPositiveInt(col(column)))
-      case "phone" =>
-        df.withColumn(column,
-          when(col(column).rlike("^[0-9.\\-() ]+$"), col(column))
-            .otherwise("Unknown"))
-      case "nonEmpty" =>
-        df.withColumn(column, Cleaning.cleanNonEmptyString(col(column)))
-      case "alpha" =>
-        df.withColumn(column, Cleaning.cleanAlphaOnly(col(column)))
-      case "date" => df // all *Date* columns normalized together, below
+      case "posFloat" => Some(Cleaning.cleanPositiveFloat(col(column)))
+      case "posInt" => Some(Cleaning.cleanPositiveInt(col(column)))
+      case "phone" => Some(
+        when(col(column).rlike("^[0-9.\\-() ]+$"), col(column))
+          .otherwise("Unknown"))
+      case "nonEmpty" => Some(Cleaning.cleanNonEmptyString(col(column)))
+      case "alpha" => Some(Cleaning.cleanAlphaOnly(col(column)))
+      case "date" => None
     }
 
   /** The reference's expected-type strings per rule kind — what its
@@ -109,23 +105,30 @@ object ReferenceParity {
     if (report.duplicateRows > 0) out = out.dropDuplicates()
     // 3. duplicate columns (OrderID0/OrderID14 -> OrderID)
     out = Cleaning.dropDuplicateColumns(out, report)
-    // 4. type fixes for flagged columns only
+    // 4. type fixes for flagged columns only. Each rule touches its own
+    // column, so they batch into ONE withColumns — every withColumn call
+    // is a full eager analyzer pass over the growing plan, and the
+    // pipeline's driver latency at reference scale is analysis-bound,
+    // not data-bound.
     val flagged = report.formatViolations.filter(_._2 > 0).keySet
-    out = rules.foldLeft(out) { case (d, (column, kind, _)) =>
-      if (flagged(column) && d.columns.contains(column))
-        applyKind(d, column, kind)
-      else d
-    }
+    val typeFixes = rules.flatMap { case (column, kind, _) =>
+      if (flagged(column) && out.columns.contains(column))
+        kindExpr(column, kind).map(column -> _)
+      else None
+    }.toMap
+    if (typeFixes.nonEmpty) out = out.withColumns(typeFixes)
     // 5. dates last (data_cleaning.py:180-191), stored as yyyy-MM-dd
     // STRINGS like the reference does. The reference parses M/dd/yy under
     // the LEGACY (lenient SimpleDateFormat) policy; the modern parser's
     // M/d/yy is equivalent on every date in this data (2-digit years
     // 22-24; the policies only diverge for years 69-99) and doesn't
     // depend on a session conf that lazy evaluation could outlive.
-    out = out.columns.filter(_.contains("Date")).foldLeft(out)((d, c) =>
-      d.withColumn(c, date_format(
+    // Same batching: one analyzer pass for all date columns.
+    val dateFixes = out.columns.filter(_.contains("Date")).map(c =>
+      c -> date_format(
         Cleaning.normalizeDate(col(c).cast("string"), "M/d/yy"),
-        "yyyy-MM-dd")))
+        "yyyy-MM-dd")).toMap
+    if (dateFixes.nonEmpty) out = out.withColumns(dateFixes)
     out
   }
 
@@ -220,7 +223,7 @@ object ReferenceParity {
     try {
       val fs = sourceNames.map { name =>
         name -> Future(scala.util.Try {
-          Csv.readInferred(s, s"$rawDir/$name.csv").cache()
+          Csv.readInferredCached(s, s"$rawDir/$name.csv").cache()
         }.toEither.left.map(e =>
           s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
@@ -362,7 +365,15 @@ object ReferenceParity {
     // them as four concurrent report() futures does not actually
     // parallelize: tiny jobs serialize behind driver scheduling.)
     val auditNames = Seq("sales", "customers", "products", "suppliers")
-    val audits = phase("audit") {
+    // the audit ACTION runs on a side thread while the driver builds the
+    // audit-INDEPENDENT plans below (taxrate/exchange enrichment — the
+    // only downstream frames that don't consume audit results); plan
+    // analysis is driver-CPU-only, so it overlaps the audit's executor
+    // time for free
+    val auditPool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val auditEc =
+      scala.concurrent.ExecutionContext.fromExecutor(auditPool)
+    val fAudits = scala.concurrent.Future(phase("audit") {
       Audit.reportAll(auditNames.map { n =>
         val spec = sourceSpecs(n)
         Audit.SourceAudit(n, raw(n),
@@ -370,7 +381,27 @@ object ReferenceParity {
             Audit.FormatRule(c, bad, expectedTypeOf(kind)) },
           idColumn = Some(spec.idColumn))
       })
-    }
+    })(auditEc)
+    // taxrate: ISO + deterministic TaxRateID (W1, add_columns.py:170-173)
+    // — built (and analyzed) while the audit executes
+    val taxEnriched = Gold.orderedIdBounded(
+      CountryCodes.withIsoCode(taxrateRaw, "Country", "ISO")
+        .drop("Country").withColumnRenamed("ISO", "Country"),
+      Seq("Country", "Year"), "TaxRateID").cache()
+
+    // exchange: dedup, ISO, tolerant date parse, deterministic ExchangeID
+    val exchangeEnriched = Gold.orderedIdBounded(
+      CountryCodes.withIsoCode(
+          exchangeRaw.dropDuplicates(), "country", "ISO")
+        .drop("country").withColumnRenamed("ISO", "country")
+        .withColumn("date", date_format(coalesce(
+          try_to_date(col("date"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+          try_to_date(col("date"))), "yyyy-MM-dd")),
+      Seq("date", "country"), "ExchangeID").cache()
+
+    val audits = scala.concurrent.Await.result(fAudits,
+      scala.concurrent.duration.Duration(15, "min"))
+    auditPool.shutdown()
     def cleaned(n: String): DataFrame = {
       val spec = sourceSpecs(n)
       cleanFromReport(raw(n), audits(n), spec.rules, spec.fillStrings,
@@ -423,22 +454,6 @@ object ReferenceParity {
     // are safe here. Do NOT copy either pattern into an SF-scaling path —
     // those use Gold's parallel orderedId and DimBroadcast.hint's size
     // guard.
-
-    // taxrate: ISO + deterministic TaxRateID (W1, add_columns.py:170-173)
-    val taxEnriched = Gold.orderedIdBounded(
-      CountryCodes.withIsoCode(taxrateRaw, "Country", "ISO")
-        .drop("Country").withColumnRenamed("ISO", "Country"),
-      Seq("Country", "Year"), "TaxRateID").cache()
-
-    // exchange: dedup, ISO, tolerant date parse, deterministic ExchangeID
-    val exchangeEnriched = Gold.orderedIdBounded(
-      CountryCodes.withIsoCode(
-          exchangeRaw.dropDuplicates(), "country", "ISO")
-        .drop("country").withColumnRenamed("ISO", "country")
-        .withColumn("date", date_format(coalesce(
-          try_to_date(col("date"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
-          try_to_date(col("date"))), "yyyy-MM-dd")),
-      Seq("date", "country"), "ExchangeID").cache()
 
     // ---- tax conformance (J2, sales_tax.py:62-67) ----
     val salesIso = CountryCodes.withIsoCode(salesGeo, "ShipCountry",
@@ -540,13 +555,14 @@ object ReferenceParity {
       .select("ExchangeKey", "ExchangeID", "date", "country", "currency",
         "exchange_rate_to_euro")
     val dimCustomers = key(customersEnriched, "CustomerID", "CustomerKey")
-      .withColumn("ClientValue",
-        when(col("status_client") === "VIP", "High")
-          .when(col("status_client") === "Regular", "Medium")
-          .otherwise("Low"))
-      .withColumn("IsCurrent", lit(true))
-      .withColumn("EffectiveStartDate", runDateCol)
-      .withColumn("EffectiveEndDate", lit(null).cast("date"))
+      .withColumns(Map( // one analyzer pass, not four
+        "ClientValue" ->
+          when(col("status_client") === "VIP", "High")
+            .when(col("status_client") === "Regular", "Medium")
+            .otherwise("Low"),
+        "IsCurrent" -> lit(true),
+        "EffectiveStartDate" -> runDateCol,
+        "EffectiveEndDate" -> lit(null).cast("date")))
       .select("CustomerKey", "CustomerID", "CompanyName", "ContactName",
         "ContactTitle", "Address", "City", "Region", "PostalCode",
         "Country", "Phone", "Fax", "code_region", "ClientValue",
@@ -566,9 +582,10 @@ object ReferenceParity {
                 col("LastSoldDate").cast("date")) > 180, "End of Lifecycle")
             .otherwise("Active")),
       "ProductID", "ProductKey")
-      .withColumn("IsCurrent", lit(true))
-      .withColumn("EffectiveStartDate", lit("2024-01-01")) // string, as the
-      .withColumn("EffectiveEndDate", lit(null).cast("date")) // ref does
+      .withColumns(Map(
+        "IsCurrent" -> lit(true),
+        "EffectiveStartDate" -> lit("2024-01-01"), // string, as the ref does
+        "EffectiveEndDate" -> lit(null).cast("date")))
       .select("ProductKey", "ProductID", "ProductName", "SupplierID",
         "CategoryID", "QuantityPerUnit", "UnitPrice", "UnitsInStock",
         "UnitsOnOrder", "ReorderLevel", "Discontinued", "ProductStatus",

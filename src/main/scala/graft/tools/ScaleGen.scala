@@ -19,17 +19,35 @@ import graft.core.Sessions
   * replicated EXACTLY — the worst case for the dedup operators, which is
   * the point of a stress run.
   *
-  * Usage: runMain graft.tools.ScaleGen <baseDir> <outDir> <factor>
+  * Usage: runMain graft.tools.ScaleGen <baseDir> <outDir> <factor> [zipf]
   *   e.g. ScaleGen /root/testdata/sf0.1 testdata-scale/sf0.5 5
+  *
+  * Mode `zipf` additionally SKEWS the workload-bearing foreign keys after
+  * inflation — TPC-H-style data is uniformly keyed, so a uniform scale
+  * run never stresses the classic 100 TB killer (one hot key owning a
+  * shuffle partition). With probability 0.5 a row's key is remapped to
+  * one of the 64 hottest keys with rank probability ∝ 1/rank (Zipf(1),
+  * via the inverse-CDF approximation rank = floor(exp(u·ln H))), drawn
+  * deterministically from xxhash64 of the key itself:
+  *  - lineitem.l_orderkey  (the lineitem⋈orders sort-merge join — a8)
+  *  - orders.o_custkey     (fact⋈customer — g5/a8 dims)
+  *  - events.user_id       (sessionize window partitions — x1)
+  *  - documents.text       (hot duplicate texts — l1 exact dedup)
+  * Hot keys are drawn from copy 0's key range, so referential integrity
+  * holds (every remapped key exists in its dimension).
   */
 object ScaleGen {
 
   private def maxOf(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).collect()(0).getLong(0) + 1L
 
+  private val HotKeys = 64
+  private val HotShare = 0.5
+
   def main(args: Array[String]): Unit = {
     val Array(baseDir, outDir, factorStr) = args.take(3)
     val k = factorStr.toInt
+    val zipf = args.length > 3 && args(3) == "zipf"
     val spark = Sessions.build("graft-scalegen", Sessions.cpusFromEnv(32))
 
     def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
@@ -56,20 +74,58 @@ object ScaleGen {
         perCopy(shifted, i)
       }.reduce(_ unionByName _)
 
+    /** Zipf(1) remap of key column `c`: with prob [[HotShare]] the value
+      * becomes hot key `floor(exp(u·ln H)) - 1` ∈ [0, H-1] (P(rank r) ∝
+      * 1/r), else stays. u is a deterministic per-row uniform draw from
+      * the (already copy-shifted) key, so each copy draws independently.
+      */
+    def zipfRemap(c: String, salt: Int)(df: DataFrame): DataFrame =
+      if (!zipf) df
+      else {
+        val u = pmod(xxhash64(col(c), lit(salt)), lit(1000000L))
+          .cast("double") / 1000000.0
+        val hot = least(lit(HotKeys.toLong - 1),
+          floor(exp(u / HotShare * math.log(HotKeys))) - 1)
+        df.withColumn(c,
+          when(u < HotShare, hot.cast(df.schema(c).dataType))
+            .otherwise(col(c)))
+      }
+
+    /** Hot-duplicate texts: with prob [[HotShare]] a document's text is
+      * replaced by one of the [[HotKeys]] base texts (Zipf-ranked), the
+      * boilerplate-heavy corpus shape exact/near dedup meets in practice.
+      */
+    def zipfHotTexts(base: DataFrame)(df: DataFrame): DataFrame =
+      if (!zipf) df
+      else {
+        val u = pmod(xxhash64(col("doc_id"), lit(99)), lit(1000000L))
+          .cast("double") / 1000000.0
+        val hot = least(lit(HotKeys.toLong - 1),
+          floor(exp(u / HotShare * math.log(HotKeys))) - 1)
+        val hotTexts = broadcast(base.filter(col("doc_id") < HotKeys)
+          .select(col("doc_id").as("__hot_id"),
+            col("text").as("__hot_text")))
+        df.withColumn("__hot", when(u < HotShare, hot))
+          .join(hotTexts, col("__hot") === col("__hot_id"), "left")
+          .withColumn("text", coalesce(col("__hot_text"), col("text")))
+          .drop("__hot", "__hot_id", "__hot_text")
+      }
+
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> read("region"),
       "nation" -> read("nation"),
       "customer" -> inflate(read("customer"), Map("c_custkey" -> custBase)),
       "supplier" -> inflate(read("supplier"), Map("s_suppkey" -> suppBase)),
       "part" -> inflate(read("part"), Map("p_partkey" -> partBase)),
-      "orders" -> inflate(read("orders"),
-        Map("o_orderkey" -> orderBase, "o_custkey" -> custBase)),
-      "lineitem" -> inflate(read("lineitem"),
+      "orders" -> zipfRemap("o_custkey", 2)(inflate(read("orders"),
+        Map("o_orderkey" -> orderBase, "o_custkey" -> custBase))),
+      "lineitem" -> zipfRemap("l_orderkey", 1)(inflate(read("lineitem"),
         Map("l_orderkey" -> orderBase, "l_partkey" -> partBase,
-          "l_suppkey" -> suppBase)),
-      "events" -> inflate(read("events"),
-        Map("event_id" -> eventBase, "user_id" -> userBase)),
-      "documents" -> inflate(read("documents"), Map("doc_id" -> docBase)),
+          "l_suppkey" -> suppBase))),
+      "events" -> zipfRemap("user_id", 3)(inflate(read("events"),
+        Map("event_id" -> eventBase, "user_id" -> userBase))),
+      "documents" -> zipfHotTexts(read("documents"))(
+        inflate(read("documents"), Map("doc_id" -> docBase))),
       "embeddings" -> inflate(read("embeddings"), Map("vec_id" -> vecBase),
         perCopy = (d, i) =>
           if (i == 0) d
