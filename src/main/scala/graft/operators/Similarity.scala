@@ -74,14 +74,7 @@ object Similarity {
     * ~10x slower at sf0.1).
     */
   private def planeArray(plane: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { d =>
-      var z = plane.toLong * 0x9E3779B97F4A7C15L +
-        d.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^= z >>> 31
-      (java.lang.Math.floorMod(z, 1000000L).toDouble / 1000000.0) - 0.5
-    }
+    graft.plans.Planes.plane(plane, dim)
 
   /** Plane `plane`'s components as a SQL double-list literal (full
     * round-trip precision via Double.toString): an oracle engine parsing
@@ -120,6 +113,19 @@ object Similarity {
           lit(planeArray(planeOffset + p, dim))) > lit(0.0d),
         lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** All `nTables` bucket ids at once as array<long> — the fused native
+    * [[graft.plans.LshBuckets]] expression. Bit-identical to an
+    * `array(...)` of [[lshBucket]] columns (SimilaritySpec pins it), but
+    * one JIT-compiled loop instead of nTables x nPlanes inlined dot
+    * loops, which at the l12 design point overflow the JIT limits and
+    * drop the whole scan stage to interpreted evaluation — see the
+    * LshBuckets scaladoc for the measured cliff.
+    */
+  def lshBucketsAll(vecCol: String, nPlanes: Int, dim: Int,
+                    nTables: Int): Column =
+    call_function("lsh_buckets", col(vecCol), lit(nPlanes), lit(nTables),
+      lit(dim), lit(0))
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest of `nCells` centroid cells; a query probes its `nProbe`
@@ -201,11 +207,10 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, dim: Int, nPlanes: Int = 4,
                          nTables: Int = 8): DataFrame = {
-    // all nTables buckets are computed BEFORE the fan-out (one row per
-    // vector through the bucketing arithmetic), then posexplode emits
-    // the (table, bucket) pairs
-    val buckets = array((0 until nTables).map(t =>
-      lshBucket("v", nPlanes, dim, planeOffset = t * nPlanes)): _*)
+    // all nTables buckets are computed BEFORE the fan-out (one fused
+    // native pass per vector), then posexplode emits the (table, bucket)
+    // pairs
+    val buckets = lshBucketsAll("v", nPlanes, dim, nTables)
     val c = corpus.select(col(idCol).as("doc"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm("v")) // once per vector, before the fan-out
@@ -222,6 +227,89 @@ object Similarity {
       .select("doc_a", "doc_b", "cosine")
       // a pair may collide in several tables; the distinct runs AFTER the
       // exact filter so only above-threshold pairs are ever shuffled
+      .distinct()
+  }
+
+  /** [[cosineNearDupPairs]] with a HOT-BUCKET CAP — the 100 TB scale
+    * path. The uncapped form expands every (table, bucket) cell into
+    * all pairs: a cell of B members costs B²/2 join rows, and a corpus
+    * with a mega-cluster of near-identical vectors (re-crawled
+    * boilerplate, default-valued embeddings) puts its WHOLE cluster in
+    * the same cell of every table — measured at 50x bench scale
+    * (testdata replicated 50x, so every vector sits in a ≥50-strong
+    * cluster): 4.4 GB of spill and a 92 s straggler task inside the
+    * bucket self-join (SCALE_r06.md).
+    *
+    * Here a cell with more than `maxBucket` members switches from
+    * all-pairs to a STAR: each member is paired only with the cell's
+    * representative (min doc id), B-1 pairs instead of B²/2, computed
+    * map-side from a per-cell aggregate of O(1) state (count + min_by
+    * vector — no collect_list). Exact-cosine verification is
+    * unchanged, so precision stays exact; recall inside an over-cap
+    * cell narrows to rep-adjacency, which [[graft.operators.Dedup]]'s
+    * `resolveKeepers` closes back into one component when the cluster
+    * is transitively near-duplicate (a∼rep and b∼rep ⇒ a,b share a
+    * component) — the dedup use case the operator exists for. A true
+    * near-dup pair is lost only when EVERY table puts it in an over-cap
+    * cell whose representative matches neither side; under-cap cells
+    * (the overwhelming majority of a healthy corpus) are exhaustive
+    * all-pairs exactly as before.
+    *
+    * Sizing rule at scale: the structure has 2^nPlanes cells per table,
+    * so keep average occupancy O(1) — nPlanes ≈ log₂(corpus) − 2 — and
+    * let the cap absorb only the genuine mega-cluster TAIL (plus the
+    * anisotropy hot cells real embedding distributions produce: sign
+    * patterns concentrate when vectors share a mean direction). A
+    * SATURATED structure (a design point sized for a 10k corpus run
+    * against 500k vectors = avg 122 members/cell) degrades every
+    * within-cell strategy and is a configuration error, not something
+    * any cap can repair — measured in SCALE_r06.md §3.
+    */
+  def cosineNearDupPairsCapped(corpus: DataFrame, idCol: String,
+                               vecCol: String, threshold: Double, dim: Int,
+                               nPlanes: Int = 4, nTables: Int = 8,
+                               maxBucket: Int = 64): DataFrame = {
+    val buckets = lshBucketsAll("v", nPlanes, dim, nTables)
+    // Vectors travel WITH the cell stream and verification is MAP-SIDE,
+    // as in the uncapped form: the payload through the shuffles is then
+    // ∝ corpus x nTables — linear and bounded — and each emitted
+    // candidate verifies in place. (A join-back design — ids-only cells,
+    // distinct candidates, then two joins to fetch vectors — was built
+    // and measured at 50x scale: its per-PAIR vector payload re-spills
+    // exactly when clusters make the pair count large, i.e. in the very
+    // regime the cap exists for. Measured: 7.4 GB spill vs 0 here.)
+    val c = corpus.select(col(idCol).as("doc"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm("v")) // once per vector, before the fan-out
+      .select(col("doc"), col("v"), col("nrm"),
+        posexplode(buckets).as(Seq("tbl", "bucket")))
+    // one row per (tbl, bucket): member count + min-id representative
+    // WITH its vector — O(1) aggregation state, no collect_list
+    val stats = c.groupBy("tbl", "bucket").agg(
+      count(lit(1)).as("cnt"), min("doc").as("rep"),
+      min_by(col("v"), col("doc")).as("repv"),
+      min_by(col("nrm"), col("doc")).as("repn"))
+    val cs = c.join(stats, Seq("tbl", "bucket"))
+    val small = cs.filter(col("cnt") <= maxBucket)
+    val a = small.select(col("tbl"), col("bucket"), col("doc").as("doc_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = small.select(col("tbl"), col("bucket"), col("doc").as("doc_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val smallPairs = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (dot("va", "vb") / (col("na") * col("nb"))).as("cosine"))
+    // rep = min(doc) of the cell, so doc_a < doc_b holds by
+    // construction; the dot runs rep-side first, matching the
+    // small-pair fold order bit-for-bit when the same pair also
+    // survives an under-cap cell of another table (distinct() below
+    // must collapse them)
+    val starPairs = cs
+      .filter(col("cnt") > maxBucket && col("doc") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc").as("doc_b"),
+        (dot("repv", "v") / (col("repn") * col("nrm"))).as("cosine"))
+    smallPairs.unionByName(starPairs)
+      .filter(col("cosine") >= threshold)
       .distinct()
   }
 
@@ -271,8 +359,7 @@ object Similarity {
               nPlanes: Int = 8, nTables: Int = 1): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String,
                  nrm: String): DataFrame = {
-      val buckets = array((0 until nTables).map(t =>
-        lshBucket(vec, nPlanes, dim, planeOffset = t * nPlanes)): _*)
+      val buckets = lshBucketsAll(vec, nPlanes, dim, nTables)
       df.withColumn(nrm, norm(vec))
         .select(col(id), col(vec), col(nrm),
           posexplode(buckets).as(Seq("tbl", "bucket")))

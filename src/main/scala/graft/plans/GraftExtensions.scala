@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectCount].getName, "intersect_count"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshBuckets.build(children)))
     ext.injectOptimizerRule(_ => new DimBroadcastRule)
   }
 }

@@ -341,6 +341,26 @@ object LlmOps {
       nTables = 8)
   }, None)
 
+  // L12C — l12's hot-bucket-capped scale path (rows-only for the same
+  // reason as l12: buckets are xxhash64-derived). Same corpus, twins,
+  // and LSH design point; cells over 64 members switch from all-pairs
+  // to star-against-representative, which bounds the per-cell join
+  // fan-out that spills at mega-cluster corpora (measured at 50x:
+  // SCALE_r06.md). At this SF every cell is under the cap, so l12c's
+  // rows equal l12's; SimilaritySpec pins the over-cap behavior
+  // (linear star output, component recovery, twin recall) directly.
+  private val l12c = QueryDef("l12c_cosine_near_dup_capped", (s, dir) => {
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val twins = base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
+              (x, d) -> x + CAST(0.04 * sin(CAST(d AS DOUBLE)
+                + CAST(vec_id AS DOUBLE)) AS FLOAT))""").as("embedding"))
+    Similarity.cosineNearDupPairsCapped(base.unionByName(twins),
+      "vec_id", "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
+      nTables = 8, maxBucket = 64)
+  }, None)
+
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
       "zh" -> "window")
@@ -621,6 +641,6 @@ object LlmOps {
 
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10, l11, l11p,
-      l12,
+      l12, l12c,
       l13, l14, l15, l16, l17, l18, l19, m1)
 }

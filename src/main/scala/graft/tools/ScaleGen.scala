@@ -26,9 +26,14 @@ import graft.core.Sessions
   * inflation — TPC-H-style data is uniformly keyed, so a uniform scale
   * run never stresses the classic 100 TB killer (one hot key owning a
   * shuffle partition). With probability 0.5 a row's key is remapped to
-  * one of the 64 hottest keys with rank probability ∝ 1/rank (Zipf(1),
+  * one of the 8 hottest keys with rank probability ∝ 1/rank (Zipf(1),
   * via the inverse-CDF approximation rank = floor(exp(u·ln H))), drawn
-  * deterministically from xxhash64 of the key itself:
+  * deterministically from xxhash64 of the key itself. H=8 keys against
+  * 32 shuffle partitions means most partitions hold NO hot key — the
+  * hot partition stands out at >5x the median, the same shape a single
+  * dominant customer has at 100 TB (64 hot keys over 32 partitions
+  * would spread ~2 per partition and flatten the skew into uniform
+  * warmth no splitter can or should act on):
   *  - lineitem.l_orderkey  (the lineitem⋈orders sort-merge join — a8)
   *  - orders.o_custkey     (fact⋈customer — g5/a8 dims)
   *  - events.user_id       (sessionize window partitions — x1)
@@ -41,7 +46,7 @@ object ScaleGen {
   private def maxOf(df: DataFrame, c: String): Long =
     df.agg(max(col(c))).collect()(0).getLong(0) + 1L
 
-  private val HotKeys = 64
+  private val HotKeys = 8
   private val HotShare = 0.5
 
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import graft.core.Sessions
 import graft.queries.Registry
@@ -9,29 +9,56 @@ import graft.queries.Registry
 /** Skewed-key scale stress (the classic 100 TB killer a uniform TPC-H
   * inflation never exercises): run the skew-sensitive headline queries
   * against a ZIPF-skewed directory (see [[ScaleGen]]'s `zipf` mode) and
-  * its uniform twin, and show that AQE's skew-join split keeps wall time
-  * and stragglers bounded where the skew actually lands in a shuffle
-  * join.
+  * its uniform twin, in two separately-reported sections:
   *
-  * Threshold scaling, documented honestly: AQE only splits a partition
-  * that exceeds `skewedPartitionThresholdInBytes` (256 MB default) AND
-  * 5x the median. At 100 TB the hot key's partition exceeds that
-  * naturally; at bench scale (~50 MB hot partition at sf1) it does not,
-  * so this harness shrinks the byte thresholds proportionally — the
-  * MECHANISM under test (detect skewed partition, split it, keep the
-  * join correct) is identical, only the trigger scale moves.
+  *  1. TIMING, under production confs (exactly what `Sessions.build`
+  *     gives every entry point — no threshold manipulation): per
+  *     (query, dir) min-of-reps seconds, rows, spill, and the max
+  *     single-task wall time (the straggler). This answers "does the
+  *     same code survive the skewed twin of its data".
   *
-  * Per (query, dir, skew-join on/off): min-of-reps seconds, rows,
-  * spill bytes, max single-task time (the straggler), and whether the
-  * final adaptive plan contains a skew=true join.
+  *  2. MECHANISM, for the one class of skew AQE can act on — a hot key
+  *     in a SHUFFLE JOIN partition: g5/a8's lineitem⋈orders with the
+  *     skewed l_orderkey, run skew-split on vs off. TWO trigger
+  *     conditions separate bench scale from 100 TB and are compensated
+  *     here, explicitly:
+  *      - at bench scale AQE sees the pruned orders side at a few MB and
+  *        broadcasts it at runtime — a broadcast join is skew-IMMUNE (no
+  *        shuffle by the hot key), which is itself the first line of the
+  *        scale story and exactly what section 1 observes. At 100 TB
+  *        that side is far beyond any executor's memory, so this section
+  *        sets autoBroadcastJoinThreshold=-1 to model the
+  *        too-big-to-broadcast reality and force the shuffle join the
+  *        splitter exists for (DimBroadcast-hinted dims stay broadcast,
+  *        as their bounded size survives 100 TB);
+  *      - AQE only splits a partition exceeding
+  *        `skewedPartitionThresholdInBytes` (256 MB default) AND 5x the
+  *        median; the 100 TB hot partition clears both naturally, the
+  *        ~50 MB bench one only the 5x-median test, so the BYTE
+  *        threshold is shrunk proportionally.
+  *     The mechanism under test (detect the outlier partition, split
+  *     it, replicate the matching build rows, keep the join exact) is
+  *     scale-invariant; only the trigger conditions move. Evidence
+  *     reported: the skew=true join marker in the final adaptive plan,
+  *     the straggler time with the split on vs off, and identical row
+  *     counts.
+  *
+  * Skew the splitter can NOT act on — hot keys in aggregations (l1's
+  * duplicate texts) and window partitions (x1's hot users) — is covered
+  * by section 1's straggler numbers and `operators/Skew`'s salting,
+  * which ScaleShapeSpec pins; AQE splits join partitions only.
   *
   * Usage: runMain graft.tools.SkewStress <uniformDir> <skewDir> [reps]
   */
 object SkewStress {
 
-  private val queries =
+  private val timedQueries =
     Seq("a8_dashboard_revenue", "g5_fact_build", "l1_exact_dedup",
       "x1_sessionize")
+  private val mechanismQueries = Seq("g5_fact_build", "a8_dashboard_revenue")
+
+  final case class Cell(secs: Double, rows: Long, spillMb: Long,
+                        maxTaskSec: Double, skewJoin: Boolean)
 
   def main(args: Array[String]): Unit = {
     val uniformDir = args(0)
@@ -53,14 +80,9 @@ object SkewStress {
         }
     })
 
-    // shrink the AQE skew trigger to bench scale (see scaladoc)
-    spark.conf.set(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      queries.foreach { n =>
+      timedQueries.foreach { n =>
         Registry.all.find(_.name == n).foreach { q =>
           try q.run(spark, warmDir).write.format("noop")
             .mode(SaveMode.Overwrite).save()
@@ -68,38 +90,35 @@ object SkewStress {
         }
       }
 
-    def skewMarked(df: DataFrame): Boolean = {
+    /** Timed cell: one untimed warm run (parquet footers + OS cache for
+      * this dir, so cell order doesn't bias the comparison), then
+      * min-of-reps, then one inspected run for rows/plan/task metrics.
+      */
+    def run(name: String, dir: String): Cell = {
+      val q = Registry.all.find(_.name == name).get
+      spark.catalog.clearCache()
+      q.run(spark, dir).write.format("noop").mode(SaveMode.Overwrite).save()
+      val secs = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        q.run(spark, dir).write.format("noop")
+          .mode(SaveMode.Overwrite).save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      spark.catalog.clearCache()
+      spilled.set(0L); maxTaskMs.set(0L)
+      val df = q.run(spark, dir)
       // collect() through the SAME QueryExecution so the inspected plan
       // is the final adaptive one (foreach/count execute a clone)
-      df.collect()
-      df.queryExecution.executedPlan.toString.contains("skew=true")
+      val rows = df.collect().length.toLong
+      Thread.sleep(300) // listener bus drain
+      Cell(secs, rows, spilled.get() >> 20, maxTaskMs.get() / 1e3,
+        skewMarked(df))
     }
 
-    final case class Cell(secs: Double, rows: Long, spillMb: Long,
-                          maxTaskSec: Double, skewJoin: Boolean)
-
-    def run(name: String, dir: String, skewJoinOn: Boolean): Cell = {
-      val q = Registry.all.find(_.name == name).get
-      spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
-        skewJoinOn.toString)
-      try {
-        val secs = (1 to reps).map { _ =>
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          q.run(spark, dir).write.format("noop")
-            .mode(SaveMode.Overwrite).save()
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        // one inspected execution for rows / plan / task metrics
-        spark.catalog.clearCache()
-        spilled.set(0L); maxTaskMs.set(0L)
-        val df = q.run(spark, dir)
-        val rows = df.collect().length.toLong
-        Thread.sleep(300) // listener bus drain
-        Cell(secs, rows, spilled.get() >> 20, maxTaskMs.get() / 1e3,
-          df.queryExecution.executedPlan.toString.contains("skew=true"))
-      } finally
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    def skewMarked(df: DataFrame): Boolean = {
+      val p = df.queryExecution.executedPlan.toString
+      p.contains("skew=true") || p.contains("isSkewJoin=true")
     }
 
     def jcell(c: Cell): String =
@@ -108,16 +127,60 @@ object SkewStress {
         s""""max_task_sec":${math.rint(c.maxTaskSec * 1000) / 1000},""" +
         s""""skew_split":${c.skewJoin}}"""
 
-    val parts = queries.map { n =>
-      val uni = run(n, uniformDir, skewJoinOn = true)
-      val skewOn = run(n, skewDir, skewJoinOn = true)
-      val skewOff = run(n, skewDir, skewJoinOn = false)
-      s""""$n":{"uniform":${jcell(uni)},"skewed_aqe":${jcell(skewOn)},""" +
-        s""""skewed_noaqe":${jcell(skewOff)}}"""
+    // ---- section 1: production-conf timings, uniform vs skewed twin
+    val timingParts = timedQueries.map { n =>
+      val uni = run(n, uniformDir)
+      val skw = run(n, skewDir)
+      s""""$n":{"uniform":${jcell(uni)},"skewed":${jcell(skw)}}"""
     }
+
+    // ---- section 2: skew-join split mechanism at shrunk trigger bytes
+    def withConfs[A](kvs: (String, String)*)(body: => A): A = {
+      val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    val mechParts = mechanismQueries.map { n =>
+      val q = Registry.all.find(_.name == n).get
+      def cell(splitOn: Boolean): (Cell, String) = withConfs(
+        "spark.sql.adaptive.skewJoin.enabled" -> splitOn.toString,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4m") {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val df = q.run(spark, skewDir)
+        val rows = df.collect().length.toLong
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spilled.set(0L); maxTaskMs.set(0L)
+        val df2 = q.run(spark, skewDir)
+        val rows2 = df2.collect().length.toLong
+        require(rows2 == rows)
+        Thread.sleep(300)
+        val joinLines = df2.queryExecution.executedPlan.toString
+          .linesIterator.filter(_.contains("Join")).map(_.trim.take(120))
+          .mkString(" | ")
+        (Cell(secs, rows, spilled.get() >> 20, maxTaskMs.get() / 1e3,
+          skewMarked(df2)), joinLines)
+      }
+      val (on, onJoins) = cell(splitOn = true)
+      val (off, _) = cell(splitOn = false)
+      def j(s: String) = "\"" + s.replace("\\", "\\\\")
+        .replace("\"", "'") + "\""
+      s""""$n":{"split_on":${jcell(on)},"split_off":${jcell(off)},""" +
+        s""""join_nodes_on":${j(onJoins)}}"""
+    }
+
     println(s"""{"skew_stress":{"uniform_dir":"$uniformDir",""" +
       s""""skew_dir":"$skewDir","reps":$reps,""" +
-      s""""queries":{${parts.mkString(",")}}}}""")
+      s""""timings_production_confs":{${timingParts.mkString(",")}},""" +
+      s""""skew_join_mechanism_8m_threshold":{${mechParts.mkString(",")}}}}""")
     spark.stop()
   }
 }

@@ -132,6 +132,71 @@ class SimilaritySpec extends AnyFunSuite {
         s"(theoretical recall ~0.94), got $twinPairs")
   }
 
+  test("fused lsh_buckets equals the composed per-table lshBucket " +
+    "columns bit-for-bit at the l12 design point") {
+    val emb = Tables.embeddings(s, sf).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def collected(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = collected(emb.select(col("vec_id"),
+      array((0 until 8).map(t =>
+        Similarity.lshBucket("v", 12, 64, planeOffset = t * 12)): _*)
+        .as("b")))
+    val fused = collected(emb.select(col("vec_id"),
+      Similarity.lshBucketsAll("v", 12, 64, 8).as("b")))
+    assert(fused.size == 500)
+    assert(fused == composed)
+  }
+
+  test("capped cosine near-dup: under-cap corpora match the uncapped " +
+    "output bit-exactly; an over-cap mega-cluster emits LINEAR star " +
+    "pairs that keeper-resolution closes into one component") {
+    val dim = 32
+    // (1) healthy corpus — every cell under the cap: capped == uncapped,
+    // including the cosine doubles (same fold order on both paths)
+    val base = (0L until 100L).map(i => (i, fixtureVec(i.toInt, dim)))
+    val planted = (0 until 10).map(i =>
+      (100L + i, nearCopy(base(i)._2, seed = i)))
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    def rowset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("cosine"))).toSet
+    val uncapped = Similarity.cosineNearDupPairs(corpus, "vec_id",
+      "embedding", threshold = 0.9, dim = dim, nPlanes = 4, nTables = 8)
+    val capped = Similarity.cosineNearDupPairsCapped(corpus, "vec_id",
+      "embedding", threshold = 0.9, dim = dim, nPlanes = 4, nTables = 8,
+      maxBucket = 64)
+    assert(rowset(capped) == rowset(uncapped))
+    // (2) mega-cluster: 200 IDENTICAL vectors (the boilerplate shape that
+    // spills at 50x scale — SCALE_r06.md). Cluster ids 0..199 sit below
+    // every other id, so each cell containing the cluster has a cluster
+    // member as its min-id representative.
+    val mega = (0L until 200L).map(i => (i, fixtureVec(7, dim)))
+    val others = (0 until 90).map(i =>
+      (10000L + i, fixtureVec(1000 + i, dim)))
+    val clustered = (mega ++ others).toDF("vec_id", "embedding")
+    val starred = Similarity.cosineNearDupPairsCapped(clustered, "vec_id",
+      "embedding", threshold = 0.9, dim = dim, nPlanes = 4, nTables = 8,
+      maxBucket = 16)
+    assert(!starred.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    val rows = rowset(starred)
+    val clusterPairs = rows.filter { case (a, b, _) => a < 200L && b < 200L }
+    // linear star output: 199 (rep 0, member) pairs, not C(200,2) = 19900
+    assert(clusterPairs.map { case (a, b, _) => (a, b) } ==
+      (1L until 200L).map(i => (0L, i)).toSet)
+    clusterPairs.foreach { case (_, _, c) =>
+      assert(math.abs(c - 1.0) < 1e-9, s"identical vectors, cosine $c")
+    }
+    // keeper resolution recovers the full cluster from the star pairs
+    val ids = clustered.select(col("vec_id").as("doc_id"))
+    val keepers = graft.operators.Dedup.resolveKeepers(
+        starred.select("doc_a", "doc_b"), ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 200L).forall(keepers(_) == 0L),
+      "every cluster member must resolve to the representative")
+  }
+
   test("int8 quantization: values stay in [-127, 127] and reconstruction " +
     "error is bounded by half a quantization step") {
     val emb = Tables.embeddings(s, sf)
