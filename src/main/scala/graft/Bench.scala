@@ -17,11 +17,14 @@ import graft.queries.Registry
   *   ~80 non-headline queries is visible, and "deltas_vs_prev" compares
   *   every shared query against the newest BENCH_r*.json in the repo
   *   (positive delta = slower than last round, seconds).
-  * - Headliners, ref_pipeline_e2e, and the 15 slowest breadth entries are
-  *   the MEDIAN of 3 runs with the max-min "spreads" alongside (n=1 noise
-  *   on this box is +/-15%, larger than most real deltas); the slowest
-  *   breadth entries also report their first, codegen-cold sample in
-  *   "cold_first" so cold-vs-cold deltas stay computable.
+  * - Headliners and the 15 slowest breadth entries are the MEDIAN of 3
+  *   runs with the max-min "spreads" alongside (n=1 noise on this box is
+  *   +/-15%, larger than most real deltas); ref_pipeline_e2e gets 5
+  *   samples (its median sits at the job-scheduling floor, where one
+  *   descheduled sample shifts a median-of-3 by more than any real
+  *   round-to-round change); the slowest breadth entries also report
+  *   their first, codegen-cold sample in "cold_first" so cold-vs-cold
+  *   deltas stay computable.
   */
 object Bench {
 
@@ -89,18 +92,22 @@ object Bench {
     if (fromDriver._2.nonEmpty) fromDriver
     else {
       // the driver keeps only the last ~2KB of our stdout, which
-      // truncates the full-registry timing map — fall back to our own
-      // history sidecar (the driver's round-end bench run appends there
-      // too, so at round start the last line IS the previous round)
+      // truncates (or loses) the full-registry timing map — fall back to
+      // our own history sidecar. Walk BACKWARDS to the newest line with
+      // a full timing map: dev runs (GRAFT_BENCH_ONLY=e2e) append
+      // single-query lines that would otherwise shrink the delta
+      // comparison to one query.
       val hist = new java.io.File(historyFile)
       if (!hist.isFile) fromDriver
       else {
         val lines = scala.io.Source.fromFile(hist)
-        val last = try lines.getLines().foldLeft("")((_, l) => l)
-        finally lines.close()
-        if (last.isEmpty) fromDriver
-        else try historyFile -> timingsOf(mapper.readTree(last))
-        catch { case _: Throwable => fromDriver }
+        val all = try lines.getLines().toList finally lines.close()
+        all.reverseIterator.map { l =>
+          try timingsOf(mapper.readTree(l))
+          catch { case _: Throwable => Map.empty[String, Double] }
+        }.find(_.size > 1)
+          .map(historyFile -> _)
+          .getOrElse(fromDriver)
       }
     }
   }
@@ -243,6 +250,10 @@ object Bench {
               .save()
           }
         } catch { case _: Throwable => () }
+        // e2e gets extra samples even in the full bench: its ~3 s median
+        // sits at Spark's fixed job-scheduling floor for 23 small jobs,
+        // where one descheduled sample shifts a median-of-3 by ~0.5 s —
+        // larger than any real change this pipeline sees round to round
         time("ref_pipeline_e2e", () => {
           val out = graft.pipeline.ReferenceParity.run(spark, refRaw,
             "2024-11-24")
@@ -264,7 +275,7 @@ object Bench {
             scala.concurrent.Await.result(fDims,
               scala.concurrent.duration.Duration(15, "min"))
           } finally pool.shutdown()
-        }, timings, if (e2eOnly) 7 else headlineReps)
+        }, timings, if (e2eOnly) 7 else 5)
         timings.get("ref_pipeline_e2e")
           .foreach(allTimings("ref_pipeline_e2e") = _)
       }

@@ -24,6 +24,27 @@ object TextAnalysis {
     expr(s"size(regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
       .cast("long")
 
+  /** WITHIN-document repetition ratio over word `n`-grams (the
+    * Gopher-style "duplicate n-gram fraction" quality rule: ratio of
+    * n-gram positions occupied by a repeat of an earlier n-gram —
+    * crawled boilerplate and generation loops score high and get
+    * filtered before training; cf. Rae et al. 2021, arXiv:2112.11446
+    * §A1.1). 1 − distinct/total over the doc's n-gram positions;
+    * documents shorter than `n` tokens score 0.0 (nothing repeats).
+    * Map-only, one pass, token array bound once as a lambda variable
+    * (the transform-over-singleton trick — see [[graft.operators.Dedup
+    * .shingles]] for the measured O(len²) trap it avoids). Small-int
+    * division in IEEE double, so the value is bit-reproducible in any
+    * engine (l20's DuckDB oracle hash-matches it).
+    */
+  def repetitionRatio(textCol: String, n: Int): Column = expr(
+    s"""element_at(transform(array(${toksSql(textCol)}), ts ->
+          IF(size(ts) < $n, CAST(0.0 AS DOUBLE),
+            1.0D - CAST(size(array_distinct(
+                transform(sequence(1, size(ts) - ${n - 1}),
+                  i -> array_join(slice(ts, i, $n), ' ')))) AS DOUBLE)
+              / CAST(size(ts) - ${n - 1} AS DOUBLE))), 1)""")
+
   /** Quality-score feature columns (length/punct/stopword ratios — the
     * standard cheap filters applied before LLM training).
     */

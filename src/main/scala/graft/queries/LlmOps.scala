@@ -425,6 +425,29 @@ object LlmOps {
       CAST(count(*) AS BIGINT) AS n_docs
       FROM documents GROUP BY lang"""))
 
+  // L20 — within-doc trigram repetition ratio (the Gopher-style
+  // duplicate-n-gram-fraction quality rule): crawled boilerplate and
+  // generation loops score high; keep = ratio below 0.3. Small-int
+  // division in IEEE double hash-matches across engines.
+  private val l20 = QueryDef("l20_repetition_ratio", (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio("text", 3).as("rep_ratio"))
+      .withColumn("keep", (col("rep_ratio") < 0.3).cast("long"))
+  }, Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      r AS (SELECT doc_id,
+        CASE WHEN len(tk) < 3 THEN CAST(0.0 AS DOUBLE)
+          ELSE 1 - CAST(len(list_distinct(list_transform(
+              range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS DOUBLE)
+            / CAST(len(tk) - 2 AS DOUBLE) END AS rep_ratio
+        FROM toks)
+      SELECT doc_id, rep_ratio,
+        CAST(rep_ratio < CAST(0.3 AS DOUBLE) AS BIGINT) AS keep
+      FROM r"""))
+
   // L10 — order-sensitive rolling-hash fingerprint (portable fold).
   private val l10 = QueryDef("l10_fingerprint", (s, dir) => {
     Tables.documents(s, dir)
@@ -642,5 +665,5 @@ object LlmOps {
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10, l11, l11p,
       l12, l12c,
-      l13, l14, l15, l16, l17, l18, l19, m1)
+      l13, l14, l15, l16, l17, l18, l19, l20, m1)
 }

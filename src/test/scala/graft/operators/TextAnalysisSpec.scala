@@ -27,6 +27,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("repetitionRatio: fully-repetitive docs score high, unique docs " +
+    "0, short docs 0") {
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a a a"),          // 3 trigram slots, 1 distinct -> 2/3
+      (2L, "one two three four"), // 2 slots, 2 distinct -> 0.0
+      (3L, "x y"),                // shorter than n -> 0.0
+      (4L, ""),                   // empty -> 0.0
+      (5L, "p q p q p q p q"))    // 6 slots, 2 distinct -> 2/3
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.repetitionRatio("text", 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 2.0 / 3.0) < 1e-15)
+    assert(got(2L) == 0.0 && got(3L) == 0.0 && got(4L) == 0.0)
+    assert(math.abs(got(5L) - 2.0 / 3.0) < 1e-15)
+  }
+
   test("chunks: stride windows cover every token, overlap by " +
     "size - stride, and short docs yield one partial chunk") {
     import s.implicits._
