@@ -11,6 +11,9 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, Array.empty[String])
       case Array(s, o, f) => (s, o, f.split(','))
+      case _ => sys.error(
+        "usage: graft.Verify <sfDir> <outDir> [prefix1,prefix2,...] — " +
+          "prefixes are ONE comma-separated arg, not separate args")
     }
     def keep(name: String) =
       only.isEmpty || only.exists(name.startsWith)

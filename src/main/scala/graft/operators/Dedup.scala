@@ -403,6 +403,23 @@ object Dedup {
     overlaps.groupBy("doc").agg(max("overlap").as("max_overlap"))
   }
 
+  /** RDD ids backing a localCheckpoint'ed Dataset, read off its OWN
+    * analyzed plan (the LogicalRDD node — reflective access because the
+    * class is private[sql], but its shape is stable public API in
+    * behavior). Exact attribution: a before/after getPersistentRDDs
+    * snapshot would also capture RDDs that OTHER driver threads persist
+    * in the same window and later wrongly unpersist them — this repo
+    * itself runs concurrent driver threads (audit futures, concurrent
+    * sink writes) on shared sessions.
+    */
+  private def checkpointRddIds(ds: DataFrame): Set[Int] =
+    ds.queryExecution.analyzed.collect {
+      case p if p.getClass.getSimpleName == "LogicalRDD" =>
+        p.getClass.getMethod("rdd").invoke(p) match {
+          case r: org.apache.spark.rdd.RDD[_] => r.id
+        }
+    }.toSet
+
   /** Resolve near-dup PAIRS into keep/drop decisions: connected components
     * by iterative min-label propagation (each doc repeatedly adopts the
     * smallest id reachable over pair edges), then every component keeps
@@ -425,11 +442,14 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     var labels = allIds.select(col(idCol).as("doc"), col(idCol).as("label"))
-    // RDD ids of the current generation's local-checkpoint blocks (empty
-    // for cached generations): Dataset.unpersist releases CacheManager
-    // entries but NOT checkpoint blocks, so those are tracked by id and
-    // unpersisted directly when the generation is superseded
-    var labelsCkptIds = Set.empty[Int]
+    // RDD ids of the newest checkpoint generation — the lineage root the
+    // CURRENT generation recomputes from if a cached partition is lost.
+    // Dataset.unpersist releases CacheManager entries but NOT checkpoint
+    // blocks, so those are tracked by id; crucially a checkpoint is only
+    // released once a NEWER checkpoint has materialized (freeing it
+    // while a cached descendant still recomputes through it would turn
+    // the next evicted partition into "Checkpoint block not found").
+    var lastCkptIds = Set.empty[Int]
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -450,27 +470,23 @@ object Dedup {
       // cache to truncate lineage: the plan otherwise nests every prior
       // round's join, and a partition recompute after executor loss
       // would cascade back to round 0.
-      var nextCkptIds = Set.empty[Int]
       val next =
         if ((i + 1) % 3 == 0) {
-          // eager checkpoint: its blocks register during this call, so a
-          // before/after snapshot attributes them (ids, for the release
-          // above; concurrent jobs registering RDDs in this window would
-          // only widen the set — worst case an extra unpersist, never a
-          // correctness issue)
-          val before = sc.getPersistentRDDs.keySet
-          val ck = nextPlan.localCheckpoint()
-          nextCkptIds = (sc.getPersistentRDDs.keySet -- before).toSet
+          val ck = nextPlan.localCheckpoint() // eager: materializes here
+          // the new checkpoint is a self-contained recompute root, so
+          // the PREVIOUS checkpoint's blocks leave the reachable lineage
+          lastCkptIds.foreach(id => sc.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(blocking = false)))
+          lastCkptIds = checkpointRddIds(ck)
           ck
         } else nextPlan.cache()
       val changed = next.join(labels.withColumnRenamed("label", "old"),
           Seq("doc"))
         .filter(col("label") =!= col("old")).count()
+      // cached generations release their DATA only — their lineage
+      // (back to the retained checkpoint) stays recomputable
       labels.unpersist(blocking = false) // no-op for generation 0
-      labelsCkptIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       labels = next
-      labelsCkptIds = nextCkptIds
       converged = changed == 0
       i += 1
     }

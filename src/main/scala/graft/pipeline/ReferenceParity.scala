@@ -399,9 +399,13 @@ object ReferenceParity {
           try_to_date(col("date"))), "yyyy-MM-dd")),
       Seq("date", "country"), "ExchangeID").cache()
 
-    val audits = scala.concurrent.Await.result(fAudits,
-      scala.concurrent.duration.Duration(15, "min"))
-    auditPool.shutdown()
+    // shutdown in finally: the pool's thread is non-daemon, so an audit
+    // failure (or timeout) rethrowing past a bare shutdown() would leave
+    // an idle thread pinning the JVM after the driver main returns
+    val audits =
+      try scala.concurrent.Await.result(fAudits,
+        scala.concurrent.duration.Duration(15, "min"))
+      finally auditPool.shutdown()
     def cleaned(n: String): DataFrame = {
       val spec = sourceSpecs(n)
       cleanFromReport(raw(n), audits(n), spec.rules, spec.fillStrings,

@@ -12,6 +12,24 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object LlmOps {
 
+  /** The l12-family fixture corpus: embeddings unioned with a
+    * deterministic slightly-perturbed twin of each vector (cosine ~0.97
+    * to its original — the standard dedup scenario of re-crawled /
+    * re-encoded documents). ONE definition consumed by l12, l12c, and
+    * tools/ProbeL12C: l12c's contract that its under-cap rows equal
+    * l12's only holds while all consumers build the identical corpus.
+    */
+  def twinnedEmbeddings(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val twins = base.select(
+      (col("vec_id") + lit(1000000L)).as("vec_id"),
+      expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
+              (x, d) -> x + CAST(0.04 * sin(CAST(d AS DOUBLE)
+                + CAST(vec_id AS DOUBLE)) AS FLOAT))""").as("embedding"))
+    base.unionByName(twins)
+  }
+
   // L1 — exact dedup: content digest -> keep-min-id. One hash shuffle;
   // the shape that holds at 100 TB.
   private val l1 = QueryDef("l1_exact_dedup", (s, dir) => {
@@ -330,13 +348,7 @@ object LlmOps {
   // (2T/2^p >= 1), and hyperplane LSH is the wrong tool at that
   // similarity scale.
   private val l12 = QueryDef("l12_cosine_near_dup", (s, dir) => {
-    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val twins = base.select(
-      (col("vec_id") + lit(1000000L)).as("vec_id"),
-      expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
-              (x, d) -> x + CAST(0.04 * sin(CAST(d AS DOUBLE)
-                + CAST(vec_id AS DOUBLE)) AS FLOAT))""").as("embedding"))
-    Similarity.cosineNearDupPairs(base.unionByName(twins),
+    Similarity.cosineNearDupPairs(twinnedEmbeddings(s, dir),
       "vec_id", "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
       nTables = 8)
   }, None)
@@ -350,13 +362,7 @@ object LlmOps {
   // rows equal l12's; SimilaritySpec pins the over-cap behavior
   // (linear star output, component recovery, twin recall) directly.
   private val l12c = QueryDef("l12c_cosine_near_dup_capped", (s, dir) => {
-    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val twins = base.select(
-      (col("vec_id") + lit(1000000L)).as("vec_id"),
-      expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
-              (x, d) -> x + CAST(0.04 * sin(CAST(d AS DOUBLE)
-                + CAST(vec_id AS DOUBLE)) AS FLOAT))""").as("embedding"))
-    Similarity.cosineNearDupPairsCapped(base.unionByName(twins),
+    Similarity.cosineNearDupPairsCapped(twinnedEmbeddings(s, dir),
       "vec_id", "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
       nTables = 8, maxBucket = 64)
   }, None)

@@ -1,11 +1,11 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SaveMode
-import org.apache.spark.sql.functions._
 
-import graft.core.{Sessions, Tables}
+import graft.core.Sessions
 import graft.operators.Similarity
+import graft.queries.LlmOps
 
 /** Dev-only: the LSH-sizing evidence run behind SCALE_r06.md §3.
   *
@@ -13,15 +13,16 @@ import graft.operators.Similarity
   * corpus far above ~a-few x 2^nPlanes SATURATES it (sf5's 500k vectors
   * on the sf0.1 design point of 12 planes = avg 122 members/cell), and
   * then NO within-cell strategy wins: the uncapped form spills on the
-  * quadratic cell joins, the capped form floods the verify joins with
-  * nTables x corpus star candidates. The 100 TB rule is to size nPlanes
-  * with the corpus (avg cell O(1)) and let the cap absorb the genuine
-  * mega-cluster TAIL. This probe times uncapped vs capped at a chosen
-  * nPlanes on an inflated dir, with spill/straggler from task metrics.
+  * quadratic cell joins, a capped form floods its candidate stage. The
+  * 100 TB rule is to size nPlanes with the corpus (avg cell O(1)) and
+  * let the cap absorb the genuine mega-cluster TAIL. This probe times
+  * uncapped vs capped at a chosen nPlanes on an inflated dir, with
+  * spill/straggler from task metrics and a per-stage straggler
+  * breakdown (the diagnostic that exposed the composed-bucketing
+  * interpreted-fallback cliff — see plans/LshBuckets).
   *
   * Usage: runMain graft.tools.ProbeL12C <sfDir> <nPlanes> [cap] [mode]
-  *   mode: both (default) | capped | uncapped. Per-stage straggler
-  *   breakdown (stage name, tasks, max task sec) prints for every run.
+  *   mode: both (default) | capped | uncapped.
   */
 object ProbeL12C {
   def main(args: Array[String]): Unit = {
@@ -30,28 +31,20 @@ object ProbeL12C {
     val cap = if (args.length > 2) args(2).toInt else 64
     val mode = if (args.length > 3) args(3) else "both"
     val spark = Sessions.build("graft-probe-l12c", Sessions.cpusFromEnv(32))
+    val metrics = TaskMetricsListener.installed(spark)
 
-    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
-    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // per-stage straggler attribution, beyond the shared task totals
     val stageMax =
       new scala.collection.concurrent.TrieMap[Int, (String, Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        Option(te.taskMetrics).foreach { m =>
-          spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-          val ms = te.taskInfo.duration
-          var cur = maxTaskMs.get()
-          while (ms > cur && !maxTaskMs.compareAndSet(cur, ms))
-            cur = maxTaskMs.get()
-          val sid = te.stageId
-          val name = te.taskType
-          stageMax.updateWith(sid) {
-            case Some((n, c, mx)) => Some((n, c + 1, math.max(mx, ms)))
-            case None => Some((name, 1, ms))
-          }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val ms = te.taskInfo.duration
+        stageMax.updateWith(te.stageId) {
+          case Some((n, c, mx)) => Some((n, c + 1, math.max(mx, ms)))
+          case None => Some((te.taskType, 1, ms))
         }
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted)
           : Unit = {
         val si = sc.stageInfo
         stageMax.updateWith(si.stageId) {
@@ -61,24 +54,16 @@ object ProbeL12C {
       }
     })
 
-    def corpus = {
-      val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-      val twins = base.select(
-        (col("vec_id") + lit(1000000L)).as("vec_id"),
-        expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
-                (x, d) -> x + CAST(0.04 * sin(CAST(d AS DOUBLE)
-                  + CAST(vec_id AS DOUBLE)) AS FLOAT))""").as("embedding"))
-      base.unionByName(twins)
-    }
+    def corpus = LlmOps.twinnedEmbeddings(spark, sfDir)
 
     def run(name: String, df: org.apache.spark.sql.DataFrame): String = {
       spark.catalog.clearCache()
-      spilled.set(0L); maxTaskMs.set(0L); stageMax.clear()
+      metrics.reset(); stageMax.clear()
       val t0 = System.nanoTime()
       df.write.format("noop").mode(SaveMode.Overwrite).save()
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      val (sp, mx) = (spilled.get() >> 20, maxTaskMs.get() / 1e3)
+      metrics.drain()
+      val (sp, mx) = (metrics.spillMb, metrics.maxTaskSec)
       stageMax.toSeq.sortBy(-_._2._3).take(6).foreach {
         case (sid, (n, c, ms)) =>
           println(f"[stage] $name s$sid%-5d ${ms / 1e3}%7.1fs max " +

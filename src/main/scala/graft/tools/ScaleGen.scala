@@ -27,7 +27,9 @@ import graft.core.Sessions
   * run never stresses the classic 100 TB killer (one hot key owning a
   * shuffle partition). With probability 0.5 a row's key is remapped to
   * one of the 8 hottest keys with rank probability ∝ 1/rank (Zipf(1),
-  * via the inverse-CDF approximation rank = floor(exp(u·ln H))), drawn
+  * via the inverse-CDF approximation rank = floor(exp(u·ln(H+1))) ∈
+  * [1, H] — ln(H) would top out at rank H−1 and give the coldest hot
+  * key probability zero), drawn
   * deterministically from xxhash64 of the key itself. H=8 keys against
   * 32 shuffle partitions means most partitions hold NO hot key — the
   * hot partition stands out at >5x the median, the same shape a single
@@ -80,9 +82,10 @@ object ScaleGen {
       }.reduce(_ unionByName _)
 
     /** Zipf(1) remap of key column `c`: with prob [[HotShare]] the value
-      * becomes hot key `floor(exp(u·ln H)) - 1` ∈ [0, H-1] (P(rank r) ∝
-      * 1/r), else stays. u is a deterministic per-row uniform draw from
-      * the (already copy-shifted) key, so each copy draws independently.
+      * becomes hot key `floor(exp(u·ln(H+1))) - 1` ∈ [0, H-1] (P(rank
+      * r) ∝ ~1/r), else stays. u is a deterministic per-row uniform draw
+      * from the (already copy-shifted) key, so each copy draws
+      * independently.
       */
     def zipfRemap(c: String, salt: Int)(df: DataFrame): DataFrame =
       if (!zipf) df
@@ -90,7 +93,7 @@ object ScaleGen {
         val u = pmod(xxhash64(col(c), lit(salt)), lit(1000000L))
           .cast("double") / 1000000.0
         val hot = least(lit(HotKeys.toLong - 1),
-          floor(exp(u / HotShare * math.log(HotKeys))) - 1)
+          floor(exp(u / HotShare * math.log(HotKeys + 1.0))) - 1)
         df.withColumn(c,
           when(u < HotShare, hot.cast(df.schema(c).dataType))
             .otherwise(col(c)))
@@ -106,7 +109,7 @@ object ScaleGen {
         val u = pmod(xxhash64(col("doc_id"), lit(99)), lit(1000000L))
           .cast("double") / 1000000.0
         val hot = least(lit(HotKeys.toLong - 1),
-          floor(exp(u / HotShare * math.log(HotKeys))) - 1)
+          floor(exp(u / HotShare * math.log(HotKeys + 1.0))) - 1)
         val hotTexts = broadcast(base.filter(col("doc_id") < HotKeys)
           .select(col("doc_id").as("__hot_id"),
             col("text").as("__hot_text")))

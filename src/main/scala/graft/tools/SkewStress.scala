@@ -1,7 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode}
 
 import graft.core.Sessions
 import graft.queries.Registry
@@ -48,6 +47,12 @@ import graft.queries.Registry
   * by section 1's straggler numbers and `operators/Skew`'s salting,
   * which ScaleShapeSpec pins; AQE splits join partitions only.
   *
+  * Row counts come from `queryExecution.toRdd.count()`: it executes the
+  * SAME QueryExecution (so the inspected plan is the final adaptive
+  * one) without collecting the result — a full collect() of g5's
+  * multi-million-row fact at stress scale would be driver-heap russian
+  * roulette.
+  *
   * Usage: runMain graft.tools.SkewStress <uniformDir> <skewDir> [reps]
   */
 object SkewStress {
@@ -65,30 +70,18 @@ object SkewStress {
     val skewDir = args(1)
     val reps = if (args.length > 2) args(2).toInt else 2
     val spark = Sessions.build("graft-skew-stress", Sessions.cpusFromEnv(32))
+    val metrics = TaskMetricsListener.installed(spark)
+    TaskMetricsListener.warmUp(spark, timedQueries)
 
-    // task-level skew evidence: spills and the slowest single task
-    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
-    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        Option(te.taskMetrics).foreach { m =>
-          spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-          val ms = te.taskInfo.duration
-          var cur = maxTaskMs.get()
-          while (ms > cur && !maxTaskMs.compareAndSet(cur, ms))
-            cur = maxTaskMs.get()
-        }
-    })
+    def skewMarked(df: DataFrame): Boolean = {
+      val p = df.queryExecution.executedPlan.toString
+      p.contains("skew=true") || p.contains("isSkewJoin=true")
+    }
 
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      timedQueries.foreach { n =>
-        Registry.all.find(_.name == n).foreach { q =>
-          try q.run(spark, warmDir).write.format("noop")
-            .mode(SaveMode.Overwrite).save()
-          catch { case _: Throwable => () }
-        }
-      }
+    /** Execute df's OWN QueryExecution (final adaptive plan) and count
+      * rows without shipping them to the driver.
+      */
+    def rowsOf(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
     /** Timed cell: one untimed warm run (parquet footers + OS cache for
       * this dir, so cell order doesn't bias the comparison), then
@@ -106,19 +99,11 @@ object SkewStress {
         (System.nanoTime() - t0) / 1e9
       }.min
       spark.catalog.clearCache()
-      spilled.set(0L); maxTaskMs.set(0L)
+      metrics.reset()
       val df = q.run(spark, dir)
-      // collect() through the SAME QueryExecution so the inspected plan
-      // is the final adaptive one (foreach/count execute a clone)
-      val rows = df.collect().length.toLong
-      Thread.sleep(300) // listener bus drain
-      Cell(secs, rows, spilled.get() >> 20, maxTaskMs.get() / 1e3,
-        skewMarked(df))
-    }
-
-    def skewMarked(df: DataFrame): Boolean = {
-      val p = df.queryExecution.executedPlan.toString
-      p.contains("skew=true") || p.contains("isSkewJoin=true")
+      val rows = rowsOf(df)
+      metrics.drain()
+      Cell(secs, rows, metrics.spillMb, metrics.maxTaskSec, skewMarked(df))
     }
 
     def jcell(c: Cell): String =
@@ -155,18 +140,18 @@ object SkewStress {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val df = q.run(spark, skewDir)
-        val rows = df.collect().length.toLong
+        val rows = rowsOf(df)
         val secs = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        spilled.set(0L); maxTaskMs.set(0L)
+        metrics.reset()
         val df2 = q.run(spark, skewDir)
-        val rows2 = df2.collect().length.toLong
+        val rows2 = rowsOf(df2)
         require(rows2 == rows)
-        Thread.sleep(300)
+        metrics.drain()
         val joinLines = df2.queryExecution.executedPlan.toString
           .linesIterator.filter(_.contains("Join")).map(_.trim.take(120))
           .mkString(" | ")
-        (Cell(secs, rows, spilled.get() >> 20, maxTaskMs.get() / 1e3,
+        (Cell(secs, rows, metrics.spillMb, metrics.maxTaskSec,
           skewMarked(df2)), joinLines)
       }
       val (on, onJoins) = cell(splitOn = true)

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SaveMode
 
 import graft.core.Sessions
@@ -32,35 +31,8 @@ object SpillStress {
     val names =
       if (args.length > 2) args(2).split(",").toSeq else defaultQueries
     val spark = Sessions.build("graft-spill-stress", Sessions.cpusFromEnv(32))
-
-    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
-    val peakExecMem = new java.util.concurrent.atomic.AtomicLong(0L)
-    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0L)
-    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
-    def raiseTo(a: java.util.concurrent.atomic.AtomicLong, v: Long): Unit = {
-      var cur = a.get()
-      while (v > cur && !a.compareAndSet(cur, v)) cur = a.get()
-    }
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        Option(te.taskMetrics).foreach { m =>
-          spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          raiseTo(peakExecMem, m.peakExecutionMemory)
-          raiseTo(maxTaskMs, te.taskInfo.duration)
-        }
-    })
-
-    // codegen warm-up at the smallest SF (same rationale as Bench)
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      names.foreach { n =>
-        Registry.all.find(_.name == n).foreach { q =>
-          try q.run(spark, warmDir).write.format("noop")
-            .mode(SaveMode.Overwrite).save()
-          catch { case _: Throwable => () }
-        }
-      }
+    val metrics = TaskMetricsListener.installed(spark)
+    TaskMetricsListener.warmUp(spark, names)
 
     val parts = names.map { n =>
       val q = Registry.all.find(_.name == n)
@@ -77,21 +49,19 @@ object SpillStress {
         // materialization; a count() would let Catalyst prune the
         // computed columns and understate the memory story)
         spark.catalog.clearCache()
-        spilled.set(0L); peakExecMem.set(0L)
-        maxTaskMs.set(0L); shuffleWrite.set(0L)
+        metrics.reset()
         q.run(spark, sfDir).write.format("noop")
           .mode(SaveMode.Overwrite).save()
-        Thread.sleep(300) // listener bus drain
-        val (sp, pk, mx, sw) =
-          (spilled.get(), peakExecMem.get(), maxTaskMs.get(),
-            shuffleWrite.get())
+        metrics.drain()
+        val (sp, pk, mx, sw) = (metrics.spillMb, metrics.peakExecMemMb,
+          metrics.maxTaskSec, metrics.shuffleWriteMb)
         spark.catalog.clearCache()
         val rows = q.run(spark, sfDir).count()
         s""""$n":{"secs":${math.rint(secs * 1000) / 1000},"rows":$rows,""" +
-          s""""spill_mb":${sp >> 20},""" +
-          s""""peak_task_exec_mem_mb":${pk >> 20},""" +
-          s""""max_task_sec":${mx / 1e3},""" +
-          s""""shuffle_write_mb":${sw >> 20}}"""
+          s""""spill_mb":$sp,""" +
+          s""""peak_task_exec_mem_mb":$pk,""" +
+          s""""max_task_sec":$mx,""" +
+          s""""shuffle_write_mb":$sw}"""
       } catch {
         case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
