@@ -454,6 +454,36 @@ object LlmOps {
         CAST(rep_ratio < CAST(0.3 AS DOUBLE) AS BIGINT) AS keep
       FROM r"""))
 
+  // L21 — per-source rate sampling (data mixing): each language keeps a
+  // target share of its documents, decided per doc by a deterministic
+  // portable hash of the id (Knuth multiplicative, the same rank l11p's
+  // centroid sample uses) against the rate — the map-only, shuffle-free
+  // form of source reweighting that holds at any scale (a top-K-per-
+  // group quota via window would funnel 100 TB through one partition
+  // per source). Integer threshold arithmetic end to end, so the kept
+  // set — not just its size — is engine-reproducible.
+  private val l21 = QueryDef("l21_rate_sample", (s, dir) => {
+    val rates = Seq("en" -> 1000000L, "de" -> 600000L, "es" -> 500000L,
+      "fr" -> 400000L, "zh" -> 250000L)
+    val rate = rates.tail.foldLeft(
+      when(col("lang") === rates.head._1, lit(rates.head._2))) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, lit(r))
+    }.otherwise(lit(1000000L))
+    val draw = pmod(
+      pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)),
+      lit(1000000L))
+    Tables.documents(s, dir)
+      .withColumn("kept", (draw < rate).cast("long"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum("kept").cast("long").as("n_kept"))
+  }, Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000000 <
+        CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 600000
+          WHEN 'es' THEN 500000 WHEN 'fr' THEN 400000
+          WHEN 'zh' THEN 250000 ELSE 1000000 END
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents GROUP BY lang"""))
+
   // L10 — order-sensitive rolling-hash fingerprint (portable fold).
   private val l10 = QueryDef("l10_fingerprint", (s, dir) => {
     Tables.documents(s, dir)
@@ -671,5 +701,5 @@ object LlmOps {
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10, l11, l11p,
       l12, l12c,
-      l13, l14, l15, l16, l17, l18, l19, l20, m1)
+      l13, l14, l15, l16, l17, l18, l19, l20, l21, m1)
 }
