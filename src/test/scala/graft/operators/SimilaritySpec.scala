@@ -197,6 +197,18 @@ class SimilaritySpec extends AnyFunSuite {
       "every cluster member must resolve to the representative")
   }
 
+  test("l12c gate query equals l12 bit-for-bit at the gate SF (the " +
+    "under-cap regime its registry comment claims)") {
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(s, sf).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("cosine"))).toSet
+    val uncapped = rows("l12_cosine_near_dup")
+    val capped = rows("l12c_cosine_near_dup_capped")
+    assert(uncapped.nonEmpty)
+    assert(capped == uncapped)
+  }
+
   test("int8 quantization: values stay in [-127, 127] and reconstruction " +
     "error is bounded by half a quantization step") {
     val emb = Tables.embeddings(s, sf)
