@@ -36,6 +36,26 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental (cross-snapshot) dedup: flag each NEW-batch document
+    * whose normalized content hash already exists in the standing
+    * corpus — the daily-ingest path of a production crawler, where
+    * dedup runs new-vs-existing instead of all-vs-all. One hash shuffle
+    * join on the digest (the l1 shape); the existing side reduces to
+    * DISTINCT hashes before the join, so the probe carries corpus
+    * CARDINALITY, not corpus volume, and at 100 TB the standing side is
+    * the precomputed hash index a snapshot pipeline would keep anyway.
+    */
+  def incrementalDupFlags(existing: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    def hashed(df: DataFrame) = df.select(col(idCol),
+      sha2(normalizeText(col(textCol)), 256).as("content_hash"))
+    val known = hashed(existing).select("content_hash").distinct()
+      .withColumn("__known", lit(1L))
+    hashed(batch).join(known, Seq("content_hash"), "left")
+      .select(col(idCol),
+        coalesce(col("__known"), lit(0L)).as("dup_of_existing"))
+  }
+
   /** Non-empty whitespace tokens, as a SQL fragment over column `textCol`. */
   private def toksSql(textCol: String): String =
     s"filter(split($textCol, ' '), t -> length(t) > 0)"

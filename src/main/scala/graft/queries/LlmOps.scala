@@ -39,6 +39,38 @@ object LlmOps {
       CAST(count(*) AS BIGINT) AS n_copies
       FROM documents GROUP BY 1"""), headline = true)
 
+  // L22 — incremental (cross-snapshot) exact dedup: the daily-ingest
+  // path, distinct from l1's within-corpus grouping and l15's
+  // cross-corpus n-gram decontamination. The "new batch" is a
+  // deterministic re-ingest scenario over the standing corpus: every
+  // 5th document re-crawled verbatim under a new id (must flag
+  // dup_of_existing = 1) and every 7th re-ingested with revised content
+  // (must flag 0) — both flag values non-vacuous on the driver's data,
+  // which carries no natural exact duplicates.
+  private val l22 = QueryDef("l22_incremental_dedup", (s, dir) => {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val recrawled = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val revised = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(col("text"), lit(" rev2")).as("text"))
+    Dedup.incrementalDupFlags(docs, recrawled.unionByName(revised),
+      "doc_id", "text")
+  }, Some("""WITH ex AS (SELECT DISTINCT
+        sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+        FROM documents),
+      b AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' rev2' AS text
+          FROM documents WHERE doc_id % 7 = 0),
+      bh AS (SELECT doc_id,
+        sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+        FROM b)
+      SELECT bh.doc_id,
+        CAST(ex.ch IS NOT NULL AS BIGINT) AS dup_of_existing
+      FROM bh LEFT JOIN ex ON ex.ch = bh.ch"""))
+
   // L2 — exact 3-gram-Jaccard near-dup pairs, inverted-index blocked
   // (complete: J>0 requires a shared shingle), threshold 0.2.
   private val l2 = QueryDef("l2_ngram_jaccard", (s, dir) => {
@@ -701,5 +733,5 @@ object LlmOps {
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10, l11, l11p,
       l12, l12c,
-      l13, l14, l15, l16, l17, l18, l19, l20, l21, m1)
+      l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, m1)
 }
