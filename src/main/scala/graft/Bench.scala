@@ -145,6 +145,27 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // Contention attribution: the round-6 driver bench ran while another
+    // process owned most of the box's 32 CPUs (every CPU-heavy query
+    // 3-10x its local-run time, spreads to 142s on identical code). A
+    // fixed CPU-bound probe — 32 partitions of pure xxhash64 over
+    // range(20M), no I/O, no shuffle — timed at bench start / after the
+    // breadth sweep / at the end, plus the OS load average, makes that
+    // failure mode VISIBLE in the output: if calib_sec swings well above
+    // its idle-box ~0.1-0.3s, the query numbers of that window are
+    // contended, not regressed.
+    val calib = scala.collection.mutable.ArrayBuffer[Double]()
+    val loads = scala.collection.mutable.ArrayBuffer[Double]()
+    def probe(): Unit = try {
+      loads += java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      // bit_xor, not sum: ANSI mode makes a sum of full-range hashes an
+      // ARITHMETIC_OVERFLOW; xor keeps the same pure-CPU profile
+      calib += timeOnce(() => spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS h")
+        .write.format("noop").mode(SaveMode.Overwrite).save())
+    } catch { case _: Throwable => () } // a broken probe must not kill the bench
+
     // Single-run numbers on this box swing +/-15% run to run (see
     // BENCH_HISTORY.jsonl: identical code, totals 11.6-14.7s), which
     // drowns the round-over-round delta signal. Contract numbers are
@@ -192,7 +213,17 @@ object Bench {
     val e2eOnly = sys.env.get("GRAFT_BENCH_ONLY").contains("e2e")
     // headline set first (the round-over-round contract numbers):
     // median-of-3, every sample steady-state (the sf0.001 warmup above
-    // already paid codegen compilation for these plans)
+    // already paid codegen compilation for these plans).
+    // If the opening probe shows the box is contended (idle-box calib
+    // is ~0.1-0.3s; the round-6 driver run would have shown >1s), wait
+    // it out in 30s steps, bounded at 3 min — transient co-located work
+    // (e.g. the correctness oracle finishing) passes, and the wait is
+    // visible in the output as extra calib samples + waited_sec.
+    probe()
+    var waitedSec = 0
+    while (calib.lastOption.exists(_ > 1.0) && waitedSec < 180) {
+      Thread.sleep(30000); waitedSec += 30; probe()
+    }
     if (!e2eOnly) Registry.headlines.foreach { q =>
       time(q.name, () => q.run(spark, sfDir)
         .write.format("noop").mode(SaveMode.Overwrite).save(), timings,
@@ -222,6 +253,7 @@ object Bench {
           .write.format("noop").mode(SaveMode.Overwrite).save(),
           allTimings, 2, prior = Seq(first))
       }
+    if (!e2eOnly) probe()
 
     // Reference-pipeline throughput: the full CSV->audit->clean->enrich->
     // conform->anomalies->star flow at the reference's own data scale, in
@@ -281,35 +313,47 @@ object Bench {
       }
     }
 
+    probe()
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }
-      .mkString("{", ",", "}")
-    val allQs = allTimings.map { case (k, v) => s"${jstr(k)}:$v" }
-      .mkString("{", ",", "}")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def jmap(m: Iterable[(String, Double)], round: Boolean): String =
+      m.map { case (k, v) => s"${jstr(k)}:${if (round) r3(v) else v}" }
+        .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val (prevFile, prev) = previousBench()
     val deltas = allTimings.collect {
-      case (k, v) if prev.contains(k) =>
-        s"${jstr(k)}:${math.rint((v - prev(k)) * 1000) / 1000}"
+      case (k, v) if prev.contains(k) => s"${jstr(k)}:${r3(v - prev(k))}"
     }.mkString("{", ",", "}")
-    val sprds = spreads.map { case (k, v) => s"${jstr(k)}:$v" }
-      .mkString("{", ",", "}")
-    val colds = coldFirst.map { case (k, v) => s"${jstr(k)}:$v" }
-      .mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps","queries":$qs,"errors":$errs,"spreads":$sprds,"cold_first":$colds,"all_queries":$allQs,"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"sf":${jstr(sfDir)}}"""
-    println(line)
-    // append to the local history AFTER computing deltas, so the next
-    // run (or round) can diff against this one even when the driver's
-    // stdout capture truncates the line
+    val calibJson = calib.map(r3).mkString("[", ",", "]")
+    val loadJson = loads.map(r3).mkString("[", ",", "]")
+    // Two outputs with distinct jobs:
+    // - BENCH_DETAIL.json + BENCH_HISTORY.jsonl carry the FULL record
+    //   (per-query breadth timings, spreads, cold-first samples, deltas
+    //   vs the prior round) for the judge and for next round's diffing.
+    // - stdout gets ONE COMPACT line, printed last. The driver keeps
+    //   only the final ~2000 chars of stdout (and sbt appends its own
+    //   "[success] Total time" footer after us); the old full line was
+    //   ~4KB, so every BENCH_r*.json since r2 ended up "parsed": null
+    //   with the numbers only recoverable from the truncated tail text.
+    //   The compact line (headline medians rounded to ms + errors +
+    //   calibration evidence) stays well under the window.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps","queries":${jmap(timings, round = false)},"errors":$errs,"spreads":${jmap(spreads, round = false)},"cold_first":${jmap(coldFirst, round = false)},"all_queries":${jmap(allTimings, round = false)},"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"sf":${jstr(sfDir)}}"""
+    // history append BEFORE the detail overwrite: a crash between the
+    // two can lose the overwrite, never the append-only log
     val w = new java.io.FileWriter(historyFile, true)
-    try w.write(line + "\n") finally w.close()
+    try w.write(detail + "\n") finally w.close()
+    val dw = new java.io.FileWriter("BENCH_DETAIL.json", false)
+    try dw.write(detail + "\n") finally dw.close()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps","queries":${jmap(timings, round = true)},"errors":$errs,"all_total":${r3(allTimings.values.sum)},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"detail":"BENCH_DETAIL.json","sf":${jstr(sfDir)}}"""
+    println(line)
     spark.stop()
   }
 }

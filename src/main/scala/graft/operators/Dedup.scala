@@ -470,6 +470,13 @@ object Dedup {
     // while a cached descendant still recomputes through it would turn
     // the next evicted partition into "Checkpoint block not found").
     var lastCkptIds = Set.empty[Int]
+    // blocks of the checkpoint superseded THIS iteration — still
+    // reachable from the cached `labels` generation until `labels` is
+    // replaced below, so their release waits for the end of the
+    // iteration (freeing them while the `changed` count can still
+    // recompute an evicted `labels` partition through them would throw
+    // "Checkpoint block not found" on a cluster)
+    var pendingRelease = Set.empty[Int]
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -493,10 +500,11 @@ object Dedup {
       val next =
         if ((i + 1) % 3 == 0) {
           val ck = nextPlan.localCheckpoint() // eager: materializes here
-          // the new checkpoint is a self-contained recompute root, so
-          // the PREVIOUS checkpoint's blocks leave the reachable lineage
-          lastCkptIds.foreach(id => sc.getPersistentRDDs.get(id)
-            .foreach(_.unpersist(blocking = false)))
+          // the new checkpoint is a self-contained recompute root — but
+          // the CURRENT `labels` cache still recomputes through the old
+          // one, and the `changed` count below consumes `labels`, so
+          // the old blocks are only queued for release here
+          pendingRelease = lastCkptIds
           lastCkptIds = checkpointRddIds(ck)
           ck
         } else nextPlan.cache()
@@ -507,6 +515,12 @@ object Dedup {
       // (back to the retained checkpoint) stays recomputable
       labels.unpersist(blocking = false) // no-op for generation 0
       labels = next
+      // `labels` is now the new self-contained checkpoint (on ckpt
+      // iterations), so nothing live recomputes through the superseded
+      // blocks any more — release them
+      pendingRelease.foreach(id => sc.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = false)))
+      pendingRelease = Set.empty
       converged = changed == 0
       i += 1
     }

@@ -149,9 +149,20 @@ case class LshBuckets(child: Expression, nPlanes: Int, nTables: Int,
 
 object LshBuckets {
   /** Function-registry builder: the four shape arguments must be
-    * foldable int literals (they parameterize generated code).
+    * foldable int literals (they parameterize generated code). The
+    * expression is SQL-visible (registered via SparkSessionExtensions),
+    * so a wrong-arity user call must fail analysis with the expected
+    * signature, not an IndexOutOfBoundsException from children(4).
     */
   def build(children: Seq[Expression]): LshBuckets = {
+    if (children.length != 5)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`lsh_buckets`",
+          "expectedNum" -> "5",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
     def intOf(e: Expression): Int = {
       require(e.foldable, s"lsh_buckets shape args must be literals, got $e")
       e.eval(InternalRow.empty).asInstanceOf[Number].intValue

@@ -148,6 +148,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fused == composed)
   }
 
+  test("lsh_buckets with wrong arity fails analysis with the expected " +
+    "signature, not an IndexOutOfBoundsException") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT lsh_buckets(array(1.0D, 2.0D))").collect()
+    }
+    assert(e.getMessage.contains("lsh_buckets"))
+    assert(e.getMessage.contains("5"))
+  }
+
   test("capped cosine near-dup: under-cap corpora match the uncapped " +
     "output bit-exactly; an over-cap mega-cluster emits LINEAR star " +
     "pairs that keeper-resolution closes into one component") {
