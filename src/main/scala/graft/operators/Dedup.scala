@@ -530,6 +530,76 @@ object Dedup {
     labels.select(col("doc"), col("label").as("keeper"))
   }
 
+  /** Cross-document duplicated-SPAN removal — exact substring dedup in
+    * the sense of Lee et al. 2021 (arXiv:2107.06499, "Deduplicating
+    * Training Data Makes Language Models Better"): any window of `n`
+    * tokens that occurs verbatim in MORE THAN ONE document is flagged,
+    * and every token position covered by a flagged window is dropped
+    * from the document. For duplicated regions of length >= n tokens
+    * this marks exactly the positions a suffix-array pass would (every
+    * length-n window inside such a region is itself cross-duplicated),
+    * without building the suffix array: the distributed shape is the l2
+    * inverted-index pattern — one explode of the n-token windows, one
+    * groupBy(gram) with a distinct-doc count, one join back; per-doc
+    * array work is bounded by document length. No pairwise comparison
+    * anywhere.
+    *
+    * At 100 TB the gram strings become 64-bit hashes (xxhash64) to cut
+    * shuffle bytes — kept as strings here so the DuckDB oracle mirrors
+    * the whole pipeline; unlike l2's Jaccard verify, a hot boilerplate
+    * gram costs O(1) aggregation state (the reduction is a count, not a
+    * pair list), so no l2b-style cap is needed on this operator.
+    *
+    * Reference scope: the reference's dedup is row-identity
+    * (`etl_transform.py`); this is a training-data-pipeline extension
+    * in the l2/l3 family.
+    *
+    * @return per input doc: `n_tokens`, `n_dup_positions` (token
+    *         positions covered by a cross-doc duplicated window),
+    *         `dup_ratio`, and `clean_text` (whitespace-normalized text
+    *         with covered positions removed).
+    */
+  def dupSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      expr(s"filter(split($textCol, ' '), t -> length(t) > 0)").as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+    val grams = toks.filter(col("n_tokens") >= n)
+      .select(col("doc"), posexplode(expr(
+        s"""transform(sequence(1, size(tk) - ${n - 1}),
+              i -> array_join(slice(tk, i, $n), ' '))"""))
+        .as(Seq("p0", "gram")))
+      .select(col("doc"), (col("p0") + 1).as("pos"), col("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val flagged = grams.join(dupGrams, Seq("gram"))
+      .groupBy("doc")
+      .agg(sort_array(array_distinct(collect_list(col("pos"))))
+        .as("starts"))
+    toks.join(flagged, Seq("doc"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), expr("CAST(array() AS array<int>)")))
+      .withColumn("covered", expr(
+        s"""array_sort(array_distinct(flatten(
+              transform(starts, p -> sequence(p, p + ${n - 1})))))"""))
+      .select(
+        col("doc").as(idCol),
+        col("n_tokens"),
+        size(col("covered")).cast("long").as("n_dup_positions"),
+        when(col("n_tokens") === 0, lit(0.0d))
+          .otherwise(size(col("covered")).cast("double") /
+            col("n_tokens")).as("dup_ratio"),
+        // n_tokens=0 guard: Spark's sequence(1, 0) is the DESCENDING
+        // [1, 0] (not empty like DuckDB's range), and element_at would
+        // then throw under ANSI — an empty doc must clean to ''
+        when(col("n_tokens") === 0, lit(""))
+          .otherwise(expr("""array_join(transform(
+            filter(sequence(1, CAST(n_tokens AS INT)),
+                   i -> NOT array_contains(covered, i)),
+            i -> element_at(tk, i)), ' ')""")).as("clean_text"))
+  }
+
   /** Portable 31-polynomial hash of lambda-var token `t`, mod a prime —
     * deliberately NOT xxhash64: the DuckDB oracle reproduces it with
     * list_reduce, so SimHash/portable-MinHash results are cross-engine

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: token counting, quality
@@ -163,5 +163,54 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc"), col("rnk"), col("term"), col("score"))
+  }
+
+  /** Corpus-trained unigram surprisal, in INTEGER log2 bits: a token
+    * with corpus count `c` against corpus total `T` contributes
+    * `bitlen(T) - bitlen(c)` bits, where bitlen = length of the minimal
+    * binary string (= floor(log2)+1, via `bin()` which both Spark and
+    * DuckDB render without leading zeros). That is the true unigram
+    * surprisal -log2(c/T) to within 1 bit, in exact integer arithmetic
+    * — deliberately NOT ln(): libm last-ulp rounding is
+    * engine-specific, while bin()+length is bit-identical everywhere,
+    * so the DuckDB oracle hash-matches the full output (the final
+    * double division of exact integers is exactly rounded by IEEE).
+    * Gibberish/rare-token documents score high — the cheap unigram
+    * stand-in for the KenLM perplexity filter of CCNet (Wenzek et al.
+    * 2019, arXiv:1911.00359); `keep` flags documents under
+    * `keepBelowBits`.
+    *
+    * Shape at 100 TB: token explode -> vocab groupBy (integer counts,
+    * map-side partial agg) -> BROADCAST the vocab back (a BPE-scale
+    * vocab is ~100k rows; that broadcast is the point — the scoring
+    * pass stays shuffle-free) -> per-doc integer sum, order-free, so
+    * no ordered-fold machinery is needed for determinism.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                       keepBelowBits: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      explode(expr(toksSql(textCol))).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum("c").cast("long").as("tt"))
+    val scored = toks
+      .join(broadcast(vocab), Seq("t"))
+      .crossJoin(broadcast(total))
+      .select(col("doc"),
+        (length(expr("bin(tt)")) - length(expr("bin(c)")))
+          .cast("long").as("bits"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("total_bits"))
+    docs.select(col(idCol).as("doc"))
+      .join(scored, Seq("doc"), "left")
+      .select(
+        col("doc").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0d))
+          .otherwise(col("total_bits").cast("double") / col("n_tokens"))
+          .as("avg_bits"))
+      .withColumn("keep",
+        (col("n_tokens") > 0 && col("avg_bits") < keepBelowBits)
+          .cast("long"))
   }
 }

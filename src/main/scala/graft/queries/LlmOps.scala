@@ -730,8 +730,66 @@ object LlmOps {
         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM assigned GROUP BY lang, split"""))
 
+  // L23 — cross-document duplicated-SPAN removal (exact substring dedup
+  // à la Lee et al. 2021, arXiv:2107.06499): 8-token windows occurring
+  // verbatim in >1 document mark their covered positions, which are cut
+  // from the text. Inverted-index shape (the l2 pattern), O(1) per-gram
+  // aggregation state, no pairwise comparison — see Dedup.dupSpanRemoval.
+  private val l23 = QueryDef("l23_dup_span_removal", (s, dir) => {
+    Dedup.dupSpanRemoval(Tables.documents(s, dir), "doc_id", "text", n = 8)
+  }, Some("""WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      t2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) n_tokens FROM toks),
+      g AS (SELECT doc_id, u['pos'] pos, u['gram'] gram
+            FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+                   i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')})) u
+                  FROM toks WHERE len(tk) >= 8)),
+      dup AS (SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+      fl AS (SELECT doc_id, list_sort(list_distinct(list(pos))) starts
+             FROM g JOIN dup USING (gram) GROUP BY doc_id),
+      c AS (SELECT t2.doc_id, tk, n_tokens,
+              list_sort(list_distinct(flatten(list_transform(
+                coalesce(starts, []), p -> range(p, p + 8))))) covered
+            FROM t2 LEFT JOIN fl USING (doc_id))
+      SELECT doc_id, n_tokens,
+        CAST(len(covered) AS BIGINT) AS n_dup_positions,
+        CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(len(covered) AS DOUBLE) / n_tokens END AS dup_ratio,
+        coalesce(array_to_string(list_transform(
+          list_filter(range(1, CAST(n_tokens AS INTEGER) + 1),
+            i -> NOT list_contains(covered, i)), i -> tk[i]), ' '), '')
+          AS clean_text
+      FROM c"""))
+
+  // L24 — corpus-trained unigram surprisal in integer log2 bits (the
+  // portable perplexity-filter stand-in; ln() would not hash-match
+  // across libms). keep threshold 5.05 sits inside the testdata's
+  // avg_bits distribution (range ~5.0-5.42) so both outcomes occur.
+  private val l24 = QueryDef("l24_unigram_surprisal", (s, dir) => {
+    TextAnalysis.unigramSurprisal(Tables.documents(s, dir), "doc_id",
+      "text", keepBelowBits = 5.05)
+  }, Some("""WITH toks AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) t
+        FROM documents),
+      v AS (SELECT t, CAST(count(*) AS BIGINT) c FROM toks GROUP BY t),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) tt FROM v),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+              CAST(sum(length(bin(tt)) - length(bin(c))) AS BIGINT)
+                total_bits
+             FROM toks JOIN v USING (t) CROSS JOIN tot GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        coalesce(total_bits, CAST(0 AS BIGINT)) AS total_bits,
+        CASE WHEN coalesce(n_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(total_bits AS DOUBLE) / n_tokens END AS avg_bits,
+        CAST(CASE WHEN coalesce(n_tokens, 0) > 0 AND
+             CAST(total_bits AS DOUBLE) / n_tokens < 5.05 THEN 1 ELSE 0
+             END AS BIGINT) AS keep
+      FROM documents d LEFT JOIN sc USING (doc_id)"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10, l11, l11p,
       l12, l12c,
-      l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, m1)
+      l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, m1)
 }

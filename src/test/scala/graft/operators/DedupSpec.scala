@@ -181,4 +181,36 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("dup-span removal cuts exactly the cross-doc duplicated window " +
+    "positions and leaves unique docs untouched") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $shared b1 b2"),     // span at positions 3..12 of 14
+      (2L, s"c1 $shared d1 d2 d3"),     // span at positions 2..11 of 14
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"), // unique: untouched
+      (4L, "v1 v2 v3"),                 // shorter than n: no grams
+      (5L, "")).toDF("doc_id", "text")  // empty: Spark sequence(1,0) trap
+    val out = Dedup.dupSpanRemoval(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_positions"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((14L, 10L, "a1 a2 b1 b2")))
+    assert(out(2L) == ((14L, 10L, "c1 d1 d2 d3")))
+    assert(out(3L) == ((10L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")))
+    assert(out(4L) == ((3L, 0L, "v1 v2 v3")))
+    assert(out(5L) == ((0L, 0L, "")))
+    // ratio is the exact IEEE quotient
+    val r1 = Dedup.dupSpanRemoval(docs, "doc_id", "text", n = 8)
+      .filter(col("doc_id") === 1L).collect().head
+      .getAs[Double]("dup_ratio")
+    assert(r1 == 10.0 / 14.0)
+  }
+
+  test("dup-span removal plan has no cartesian product") {
+    val docs = Tables.documents(s, sf)
+    val plan = Dedup.dupSpanRemoval(docs, "doc_id", "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

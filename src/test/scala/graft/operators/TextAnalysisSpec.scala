@@ -110,4 +110,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(top == Map(1L -> "alpha1", 2L -> "beta22", 3L -> "gamma3",
       4L -> "delta4"))
   }
+
+  test("unigramSurprisal: integer bit arithmetic matches hand " +
+    "computation, empty docs survive with zero score") {
+    import s.implicits._
+    // corpus counts: x->3, y->1, T=4; bitlen(4)=3, bitlen(3)=2,
+    // bitlen(1)=1 => bits(x)=1, bits(y)=2
+    val docs = Seq((1L, "x x x"), (2L, "y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(docs, "doc_id", "text",
+        keepBelowBits = 1.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+          r.getAs[Double]("avg_bits"), r.getAs[Long]("keep")))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0, 1L)))
+    assert(out(2L) == ((1L, 2L, 2.0, 0L)))
+    assert(out(3L) == ((0L, 0L, 0.0, 0L)))
+  }
 }
