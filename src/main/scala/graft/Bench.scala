@@ -78,6 +78,15 @@ object Bench {
       }
     }
 
+    // BENCH_DETAIL.json is the committed full record of the newest run
+    // (the compact stdout line the driver captures carries only the
+    // headline set since round 7) — prefer it for breadth deltas
+    val detailFile = new java.io.File("BENCH_DETAIL.json")
+    if (detailFile.isFile) {
+      val m = try fromFile(detailFile)
+      catch { case _: Throwable => Map.empty[String, Double] }
+      if (m.size > 1) return "BENCH_DETAIL.json" -> m
+    }
     // numeric round sort — lexicographic would rank r9 above r10
     val prior = Option(new java.io.File(".").listFiles()).toSeq.flatten
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))

@@ -264,10 +264,11 @@ object ReferenceParity {
     * whole run-plus-consume block. Callers on a shared session should
     * not run unrelated large queries concurrently inside the scope.
     */
-  def smallDataTuned[T](s: SparkSession, partitions: Int = 4)(body: => T): T = {
+  def smallDataTuned[T](s: SparkSession, partitions: Int = 1)(body: => T): T = {
     val aqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     val parts = s.conf.get("spark.sql.shuffle.partitions", "200")
     val wscg = s.conf.get("spark.sql.codegen.wholeStage", "true")
+    val autoB = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     // whole-stage codegen trades ~100-300ms of Janino compilation per
@@ -275,13 +276,49 @@ object ReferenceParity {
     // millions of rows, the wrong one on thousands (the audit queries'
     // compile time exceeds their entire interpreted runtime)
     s.conf.set("spark.sql.codegen.wholeStage", "false")
+    // ...and broadcast joins trade a shuffle for an ASYNC job per
+    // exchange (~100-300ms of scheduling each, ~18 of them across the
+    // fact build) — also the wrong trade on thousands of rows, where a
+    // 4-partition shuffle join chains its stages inside the action's
+    // one job. The flag is read by dimSide at PLAN-BUILD time; the
+    // threshold at physical-planning (action) time — both inside this
+    // scope for the bounded pipeline's callers.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("graft.parity.inJobJoins", "true")
+    // ...and those in-job shuffle joins should HASH, not sort-merge: at
+    // thousands of rows the build map is trivially small and the two
+    // per-join sort operators are pure serial latency in the stage chain
+    val smj = s.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     try body
     finally {
       s.conf.set("spark.sql.adaptive.enabled", aqe)
       s.conf.set("spark.sql.shuffle.partitions", parts)
       s.conf.set("spark.sql.codegen.wholeStage", wscg)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", autoB)
+      s.conf.set("graft.parity.inJobJoins", "false")
+      s.conf.set("spark.sql.join.preferSortMergeJoin", smj)
     }
   }
+
+  /** Dim-side wrapper for the bounded pipeline's joins: a broadcast()
+    * hint normally (all dims are sub-MB), or the bare frame under
+    * `graft.parity.inJobJoins` (set by [[smallDataTuned]]) — read HERE
+    * at plan-build time by our own code, not a Spark
+    * conf-at-action-time trap. With AQE off and auto-broadcast
+    * disabled, the un-hinted joins plan as small shuffle joins whose
+    * stages chain inside each action's single job, eliminating the
+    * per-exchange async broadcast jobs that dominate e2e wall time at
+    * reference scale.
+    */
+  private def dimSide(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.conf.get("graft.parity.inJobJoins", "false") == "true")
+      // shuffle_hash, not bare: with auto-broadcast at -1 the planner's
+      // own SHJ path (canBuildLocalHashMap) is disabled too, and a bare
+      // frame would sort-merge — two serial sort operators per join in
+      // the stage chain for thousands of rows
+      df.hint("shuffle_hash")
+    else broadcast(df)
 
   /** FAIL-FAST orchestration: any extract failure aborts the run with an
     * exception (a driver main exits non-zero). For the reference's
@@ -454,7 +491,7 @@ object ReferenceParity {
     // Northwind-bounded by construction (the largest source is sales at
     // 11,371 raw rows — fixed parity data, NOT SF-scaling), which is why
     // (a) id assignment uses Gold.orderedIdBounded (lazy single-partition
-    // row_number; zero construction jobs) and (b) bare broadcast() hints
+    // row_number; zero construction jobs) and (b) bare dimSide(s, ) hints
     // are safe here. Do NOT copy either pattern into an SF-scaling path —
     // those use Gold's parallel orderedId and DimBroadcast.hint's size
     // guard.
@@ -464,7 +501,7 @@ object ReferenceParity {
         "ISO_ShipCountry")
       .withColumn("OrderYear", year(col("OrderDate").cast("date")))
     val salesWithTax = salesIso.join(
-        broadcast(taxEnriched.select(col("Country").as("ISO_Country"),
+        dimSide(s, taxEnriched.select(col("Country").as("ISO_Country"),
           col("Year").as("TaxYear"), col("TaxRateID"))),
         col("ISO_ShipCountry") === col("ISO_Country") &&
           col("OrderYear") === col("TaxYear"), "left")
@@ -472,18 +509,18 @@ object ReferenceParity {
 
     // ---- currency conformance (J3-J5, W2, sales_currency.py) ----
     val productCountry = productsClean
-      .join(broadcast(suppliersClean.select(col("SupplierID"),
+      .join(dimSide(s, suppliersClean.select(col("SupplierID"),
         col("Country").as("ProductCountry"))), Seq("SupplierID"))
       .select("ProductID", "ProductCountry")
     val salesWithCountry = salesWithTax
-      .join(broadcast(productCountry), Seq("ProductID"), "left")
+      .join(dimSide(s, productCountry), Seq("ProductID"), "left")
     val salesProdIso = CountryCodes.withIsoCode(salesWithCountry,
       "ProductCountry", "ISO_ProdCountry")
     // exact-date join carries the ExchangeID (reference J5 semantics)...
     val exRates = exchangeEnriched.select(
       col("country").as("ex_country"), col("date").as("ex_date"),
       col("ExchangeID"), col("exchange_rate_to_euro"))
-    val salesWithEx = salesProdIso.join(broadcast(exRates),
+    val salesWithEx = salesProdIso.join(dimSide(s, exRates),
         col("ISO_ProdCountry") === col("ex_country") &&
           col("OrderDate") === col("ex_date"), "left")
     // ...and the rate falls back as-of style: last known rate at-or-before
@@ -519,7 +556,7 @@ object ReferenceParity {
       .filter(col("last_rate").isNotNull)
       .select("k", "t", "last_rate")
     val salesConformed = salesWithEx
-      .join(broadcast(lastRate),
+      .join(dimSide(s, lastRate),
         col("ISO_ProdCountry") === col("k") && col("OrderDate") === col("t"),
         "left")
       .withColumn("exchange_rate_to_euro",
@@ -542,7 +579,7 @@ object ReferenceParity {
       .select("ProductID").distinct()
       .withColumnRenamed("ProductID", "SalesProductID")
     val productsFlagged = productsEnriched
-      .join(broadcast(recentProducts),
+      .join(dimSide(s, recentProducts),
         col("ProductID") === col("SalesProductID"), "left")
       .withColumn("anomaly_type",
         when(col("product_status") === "Active" &&
@@ -596,7 +633,7 @@ object ReferenceParity {
         "IsCurrent", "EffectiveStartDate", "EffectiveEndDate")
 
     val dimStore = key(
-      productsClean.join(broadcast(suppliersClean), Seq("SupplierID"))
+      productsClean.join(dimSide(s, suppliersClean), Seq("SupplierID"))
         .select(col("SupplierID").as("StoreID"),
           col("CompanyName").as("StoreName"), col("Address"), col("City"),
           col("PostalCode"), col("Country"))
@@ -615,22 +652,22 @@ object ReferenceParity {
       "CalendarDate", "CalendarKey")
 
     val productsWithStore = dimProducts
-      .join(broadcast(dimStore.select(col("StoreID"), col("StoreKey"))),
+      .join(dimSide(s, dimStore.select(col("StoreID"), col("StoreKey"))),
         col("SupplierID") === col("StoreID"), "left")
       .select("ProductID", "ProductKey", "StoreKey")
 
     val fact = salesConformed
-      .join(broadcast(dimCustomers.select("CustomerID", "CustomerKey")),
+      .join(dimSide(s, dimCustomers.select("CustomerID", "CustomerKey")),
         Seq("CustomerID"), "inner")
-      .join(broadcast(dimCalendar.select("CalendarDate", "CalendarKey")),
+      .join(dimSide(s, dimCalendar.select("CalendarDate", "CalendarKey")),
         col("OrderDate") === col("CalendarDate"), "inner")
-      .join(broadcast(dimTaxRate.select(col("TaxRateKey"),
+      .join(dimSide(s, dimTaxRate.select(col("TaxRateKey"),
         col("TaxRateID").as("t_id"))), col("TaxRateID") === col("t_id"),
         "inner")
-      .join(broadcast(dimExchange.select(col("ExchangeKey"),
+      .join(dimSide(s, dimExchange.select(col("ExchangeKey"),
         col("ExchangeID").as("e_id"))), col("ExchangeID") === col("e_id"),
         "inner")
-      .join(broadcast(productsWithStore), Seq("ProductID"), "left")
+      .join(dimSide(s, productsWithStore), Seq("ProductID"), "left")
       .filter(col("StoreKey").isNotNull)
     val factSales = Gold.orderedIdBounded(fact,
         Seq("OrderID", "ProductID", "Quantity", "Discount", "OrderDate"),
