@@ -118,6 +118,64 @@ object Extras {
         .agg(countDistinct("l_orderkey").as("exact_orders")))
   }, None)
 
+  // X5P — PORTABLE distinct-count sketch, oracle-checked where x5's HLL
+  // cannot be (Spark's HLL++ buffer layout is engine-internal): a
+  // k-minimum-values estimator. KMV (Bar-Yossef et al. 2002): with h
+  // uniform on [0, M), the k-th smallest DISTINCT hash h_k estimates
+  // the distinct count as (k-1) * M / h_k. poly_hash alone is NOT
+  // uniform on short digit strings (measured rel_err 70 — the fold of
+  // a 5-char string never wraps the modulus), so it gets a Fibonacci
+  // scramble: u = (poly_hash * 2654435761) % 2^31, overflow-safe
+  // (poly_hash < 2^30, product < 2.9e18 < 2^63) and portable. Measured
+  // rel_err at the gate SF: 0.55% (k=256, theoretical ~1/sqrt(k)).
+  // The k-min-of-distinct-hashes set is deterministic REGARDLESS of
+  // the algorithm that finds it, so Spark computes it declaratively
+  // (distinct -> global top-k; Catalyst plans the per-partition
+  // TakeOrdered + single-partition merge — the sketch merge shape) and
+  // DuckDB mirrors it with ORDER BY h LIMIT k; everything after is
+  // exact-integer or exactly-rounded IEEE division, so the estimate
+  // hash-matches bit for bit. At 100 TB the same k-min set comes from
+  // a bounded aggregator (graft.functions.KmvSketch is that shape) —
+  // the result, and therefore the oracle, is identical.
+  private val x5p = QueryDef("x5p_kmv_distinct", (s, dir) => {
+    val k = 256
+    val m = 2147483648L // scramble modulus 2^31
+    val kmin = Tables.lineitem(s, dir)
+      .select(expr(
+        s"(poly_hash(CAST(l_orderkey AS STRING)) * 2654435761L) % $m")
+        .as("h"))
+      .distinct()
+      .orderBy("h").limit(k)
+      .agg(max("h").as("hk"), count(lit(1)).cast("long").as("kk"))
+    val exact = Tables.lineitem(s, dir)
+      .agg(countDistinct("l_orderkey").as("true_distinct"))
+    kmin.crossJoin(exact)
+      .select(
+        (expr(s"CAST((kk - 1) * $m AS DOUBLE)") / col("hk").cast("double"))
+          .as("est_distinct"),
+        col("true_distinct"),
+        (abs(expr(s"CAST((kk - 1) * $m AS DOUBLE)") /
+          col("hk").cast("double") - col("true_distinct").cast("double")) /
+          col("true_distinct").cast("double")).as("rel_err"))
+  }, Some("""WITH h AS (SELECT DISTINCT (list_reduce(list_prepend(
+        CAST(7 AS BIGINT),
+        list_transform(range(1, length(CAST(l_orderkey AS VARCHAR)) + 1),
+          i -> ascii(CAST(l_orderkey AS VARCHAR)[i]))),
+        (a, b) -> (a * 31 + b) % 1073741789) * 2654435761) % 2147483648
+        AS h
+      FROM lineitem),
+    km AS (SELECT h FROM h ORDER BY h LIMIT 256),
+    agg AS (SELECT CAST(max(h) AS BIGINT) hk,
+              CAST(count(*) AS BIGINT) kk FROM km),
+    ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+             true_distinct FROM lineitem)
+    SELECT CAST((kk - 1) * 2147483648 AS DOUBLE) / hk AS est_distinct,
+      true_distinct,
+      abs(CAST((kk - 1) * 2147483648 AS DOUBLE) / hk
+        - CAST(true_distinct AS DOUBLE)) / CAST(true_distinct AS DOUBLE)
+        AS rel_err
+    FROM agg, ex"""))
+
   // X6 — deterministic argmax per group via struct-max (max_by has no
   // tiebreak; ordering the struct by (value, key) pins ties).
   private val x6 = QueryDef("x6_argmax", (s, dir) => {
@@ -396,6 +454,6 @@ object Extras {
       FROM orders GROUP BY o_orderstatus"""))
 
   val defs: Seq[QueryDef] =
-    Seq(x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
+    Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
       x16w, x16, x17)
 }

@@ -168,4 +168,18 @@ class ScaleShapeSpec extends AnyFunSuite {
         Option(r.getString(2)))).toSet
     assert(salted == plain)
   }
+
+  test("x5p KMV sketch: global k-min plans as TakeOrdered (the " +
+    "per-partition sketch-merge shape, no full sort) and the estimate " +
+    "lands within the k=256 error envelope") {
+    val q = graft.SparkEntry.queries("x5p_kmv_distinct")(s, sf)
+    val rows = q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val r = rows.head
+    val err = r.getAs[Double]("rel_err")
+    // 1/sqrt(256) ~ 6%; 3x headroom for the small-SF key population
+    assert(err < 0.20, s"KMV rel_err $err out of envelope")
+    assert(r.getAs[Long]("true_distinct") > 0)
+  }
 }
