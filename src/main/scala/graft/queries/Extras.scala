@@ -312,6 +312,46 @@ object Extras {
       CAST(count(*) AS BIGINT) AS n
       FROM orders GROUP BY o_orderpriority"""))
 
+  // X12P — MERGEABLE quantile sketch, oracle-checked: a fixed-width
+  // histogram (x7's shape) whose counts merge by ADDITION across
+  // partitions, streams, or days — the scale path for percentiles,
+  // where x12's exact percentile() must materialize the full value
+  // multiset per group. The quantile pick (smallest bucket whose
+  // cumulative count reaches q*N) runs on the <=1000-row bucket table,
+  // so the single-partition window there is the right plan, not a
+  // bottleneck; estimates are bucket lower bounds, error bounded by
+  // the bucket width. Integer counts + exactly-rounded IEEE
+  // multiplication end to end -> bit-exact against DuckDB.
+  private val x12p = QueryDef("x12p_histogram_quantiles", (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.orders(s, dir)
+      .withColumn("b",
+        floor(col("o_totalprice") / lit(6000.0)).cast("long"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum("n").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val total = hist.agg(sum("n").cast("long").as("nt"))
+    cum.crossJoin(total)
+      .select(col("b"), col("cum"), col("nt"),
+        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      .filter(col("cum").cast("double") >= col("q") * col("nt"))
+      .groupBy("q")
+      .agg(min("b").cast("long").as("bucket"),
+        max("nt").as("n_total"))
+      .select(col("q"), col("bucket"),
+        (col("bucket").cast("double") * lit(6000.0)).as("est_lo"),
+        col("n_total"))
+  }, Some("""WITH h AS (SELECT CAST(floor(o_totalprice / 6000.0) AS BIGINT)
+        b, CAST(count(*) AS BIGINT) n FROM orders GROUP BY 1),
+      c AS (SELECT b, CAST(sum(n) OVER (ORDER BY b) AS BIGINT) cum FROM h),
+      t AS (SELECT CAST(sum(n) AS BIGINT) nt FROM h),
+      qs AS (SELECT unnest([0.5, 0.9, 0.99]) q)
+      SELECT q, CAST(min(b) AS BIGINT) AS bucket,
+        CAST(min(b) AS DOUBLE) * 6000.0 AS est_lo,
+        CAST(max(nt) AS BIGINT) AS n_total
+      FROM c, t, qs WHERE CAST(cum AS DOUBLE) >= q * nt GROUP BY q"""))
+
   // X13 — full cube with grouping_id: every subtotal combination in one
   // pass (the dashboard's grand total, per-flag, per-status, and matrix
   // tiles; completes §2.13's grouping-sets family next to x3's rollup).
@@ -454,6 +494,7 @@ object Extras {
       FROM orders GROUP BY o_orderstatus"""))
 
   val defs: Seq[QueryDef] =
-    Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x13, x14, x15,
+    Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
+      x14, x15,
       x16w, x16, x17)
 }

@@ -35,6 +35,22 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("x12p histogram-quantile sketch: each estimate's bucket brackets " +
+    "the exact global percentile within one bucket width") {
+    import org.apache.spark.sql.functions._
+    val est = Registry.queries("x12p_histogram_quantiles")(s, sf).collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est_lo")).toMap
+    assert(est.keySet == Set(0.5, 0.9, 0.99))
+    val exact = graft.core.Tables.orders(s, sf)
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))"))
+      .collect()(0).getSeq[Double](0)
+    Seq(0.5, 0.9, 0.99).zip(exact).foreach { case (q, ex) =>
+      val lo = est(q)
+      assert(lo <= ex && ex < lo + 2 * 6000.0,
+        s"q=$q est_lo=$lo exact=$ex outside bucket envelope")
+    }
+  }
+
   test("sessionization: session counts are positive and bounded by events") {
     val rows = Registry.queries("x1_sessionize")(s, sf).collect()
     assert(rows.nonEmpty)
