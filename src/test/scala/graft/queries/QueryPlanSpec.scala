@@ -68,4 +68,20 @@ class QueryPlanSpec extends AnyFunSuite {
       "GreaterThanOrEqual(o_orderdate") ||
       p.contains("GreaterThanOrEqual(o_orderdate"), p.take(1200))
   }
+
+  test("round-7 sketch/text ops prune their scans: x5p reads only " +
+    "l_orderkey, l24's documents scan skips the unused columns") {
+    val x5pScan = plan("x5p_kmv_distinct").linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("l_orderkey"))
+      .getOrElse(fail("no lineitem scan in x5p"))
+    assert(!x5pScan.contains("l_comment") &&
+      !x5pScan.contains("l_extendedprice"), x5pScan)
+    val l24Scans = plan("l24_unigram_surprisal").linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(l24Scans.nonEmpty)
+    l24Scans.foreach { sc =>
+      assert(!sc.contains("n_chars") && !sc.contains("source"),
+        s"l24 scan reads unused columns: $sc")
+    }
+  }
 }
