@@ -200,4 +200,57 @@ object Multimodal {
       }
     }
   }
+
+  /** A resized media item: the thumbnailing stage of a multimodal
+    * ingest. Original dimensions are kept alongside so downstream
+    * training filters (min-resolution gates, aspect outlier drops) need
+    * no second decode.
+    */
+  final case class ResizedImage(id: Long, origWidth: Int, origHeight: Int,
+                                width: Int, height: Int, png: Array[Byte])
+
+  /** REAL image resize via the JDK (Graphics2D bilinear scale):
+    * aspect-preserving, longest side clamped to `maxDim`, re-encoded
+    * PNG. Never upscales. Same distributed shape as
+    * [[extractFeatures]]: pixel work happens where the data lives —
+    * mapPartitions, no shuffle, parallelism = input partitions; a 100
+    * TB image corpus thumbnails in one embarrassingly-parallel pass.
+    * Undecodable or non-image payloads are DROPPED (flatMap), the
+    * filter-and-transform contract of a real ingest stage — the items
+    * kept are exactly those a training pipeline can consume.
+    */
+  def resizeImages(items: Dataset[MediaItem], maxDim: Int)
+      : Dataset[ResizedImage] = {
+    import items.sparkSession.implicits._
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    items.mapPartitions { rows =>
+      rows.flatMap { item =>
+        if (!item.mediaType.startsWith("image/")) Iterator.empty
+        else {
+          val img = try {
+            javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(item.payload))
+          } catch { case scala.util.control.NonFatal(_) => null }
+          Option(img).iterator.map { i =>
+            val (w, h) = (i.getWidth, i.getHeight)
+            val scale = maxDim.toDouble / math.max(w, h)
+            val (nw, nh) =
+              if (scale >= 1.0) (w, h) // never upscale
+              else (math.max(1, math.round(w * scale).toInt),
+                math.max(1, math.round(h * scale).toInt))
+            val out = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(i, 0, 0, nw, nh, null)
+            } finally g.dispose()
+            ResizedImage(item.id, w, h, nw, nh, GifDemux.toPng(out))
+          }
+        }
+      }
+    }
+  }
 }

@@ -142,4 +142,26 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.extractFeatures(items).collect().sortBy(_.id)
     assert(out(0).copy(id = 0L) == out(1).copy(id = 0L))
   }
+
+  test("resize: aspect preserved, longest side clamped, no upscale, " +
+    "output PNG re-decodes at the new dimensions; non-images dropped") {
+    import s.implicits._
+    val items = Seq(
+      MediaItem(1L, pngBytes(64, 32), "image/png", 0L), // downscale 2:1
+      MediaItem(2L, pngBytes(8, 6), "image/png", 0L),   // under maxDim
+      MediaItem(3L, "not an image".getBytes("UTF-8"), "text/plain", 12L),
+      MediaItem(4L, "corrupt".getBytes("UTF-8"), "image/png", 7L))
+      .toDS()
+    val out = Multimodal.resizeImages(items, maxDim = 16)
+      .collect().map(r => r.id -> r).toMap
+    assert(out.keySet == Set(1L, 2L)) // text + corrupt image dropped
+    val r1 = out(1L)
+    assert((r1.origWidth, r1.origHeight) == ((64, 32)))
+    assert((r1.width, r1.height) == ((16, 8)), s"${r1.width}x${r1.height}")
+    val redecoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r1.png))
+    assert(redecoded.getWidth == 16 && redecoded.getHeight == 8)
+    val r2 = out(2L)
+    assert((r2.width, r2.height) == ((8, 6)), "small image must not upscale")
+  }
 }
