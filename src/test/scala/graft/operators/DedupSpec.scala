@@ -213,4 +213,54 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("dup-span removal matches a brute-force reference on random " +
+    "corpora with planted shared spans") {
+    val n = 3
+    // O(docs * len) in-memory reference: a position is covered iff some
+    // n-window starting in [pos-n+1, pos] occurs in >= 2 distinct docs
+    def brute(docs: Seq[(Long, String)])
+        : Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toVector }
+      val gramDocs = scala.collection.mutable.Map[String, Set[Long]]()
+      for ((id, tk) <- toks; i <- 0 to tk.length - n) {
+        val g = tk.slice(i, i + n).mkString(" ")
+        gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+      }
+      toks.map { case (id, tk) =>
+        val covered = (0 to tk.length - n).flatMap { i =>
+          val g = tk.slice(i, i + n).mkString(" ")
+          if (gramDocs(g).size >= 2) i until i + n else Seq.empty
+        }.toSet
+        val clean = tk.zipWithIndex.collect {
+          case (t, i) if !covered(i) => t }.mkString(" ")
+        id -> ((tk.length.toLong, covered.size.toLong, clean))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    (1 to 5).foreach { trial =>
+      val base = (0L until 18L).map { id =>
+        id -> Vector.fill(rnd.nextInt(26))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      // plant a copied slice so at least one long shared span exists
+      val donor = base(rnd.nextInt(base.size))._2.split(" ")
+        .filter(_.nonEmpty)
+      val planted =
+        if (donor.length >= n + 2) {
+          val from = rnd.nextInt(donor.length - n - 1)
+          val span = donor.slice(from, from + n + 2).mkString(" ")
+          base :+ (100L + trial) -> s"${vocab(rnd.nextInt(8))} $span"
+        } else base
+      val expected = brute(planted)
+      val got = Dedup.dupSpanRemoval(
+          planted.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_positions"),
+            r.getAs[String]("clean_text")))).toMap
+      assert(got == expected, s"trial $trial diverged from brute force")
+    }
+  }
 }
