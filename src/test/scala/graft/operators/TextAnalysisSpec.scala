@@ -127,4 +127,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 2L, 2.0, 0L)))
     assert(out(3L) == ((0L, 0L, 0.0, 0L)))
   }
+
+  test("unigramSurprisal matches a brute-force reference on random " +
+    "corpora (zipf-ish token draws, empty docs included)") {
+    import s.implicits._
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5")
+    (1 to 3).foreach { trial =>
+      // skewed draw: low indexes much more likely (rare-token docs exist)
+      val docs = (0L until 15L).map { id =>
+        id -> Vector.fill(rnd.nextInt(20))(
+          vocab(math.min(rnd.nextInt(vocab.size), rnd.nextInt(vocab.size))))
+          .mkString(" ")
+      }
+      val allToks = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val counts = allToks.groupBy(identity).map { case (t, xs) =>
+        t -> xs.size.toLong }
+      val total = allToks.size.toLong
+      val expected = docs.map { case (id, t) =>
+        val tk = t.split(" ").filter(_.nonEmpty)
+        val bits = tk.map(w => bitlen(total) - bitlen(counts(w))).sum
+        val avg = if (tk.isEmpty) 0.0 else bits.toDouble / tk.length
+        id -> ((tk.length.toLong, bits, avg))
+      }.toMap
+      val got = TextAnalysis.unigramSurprisal(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          keepBelowBits = 2.0)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+            r.getAs[Double]("avg_bits")))).toMap
+      assert(got == expected, s"trial $trial diverged from brute force")
+    }
+  }
 }
