@@ -51,6 +51,29 @@ class ExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("x12p bucket pick matches a brute-force cumulative scan " +
+    "(including the exact cum == q*N boundary rule)") {
+    val vals = graft.core.Tables.orders(s, sf)
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val hist = vals.groupBy(v => math.floor(v / 6000.0).toLong)
+      .map { case (b, xs) => b -> xs.length.toLong }.toSeq.sortBy(_._1)
+    val n = vals.length.toLong
+    def pick(q: Double): Long = {
+      var cum = 0L
+      hist.foreach { case (b, c) =>
+        cum += c
+        if (cum.toDouble >= q * n) return b
+      }
+      hist.last._1
+    }
+    val got = Registry.queries("x12p_histogram_quantiles")(s, sf)
+      .collect().map(r => r.getAs[Double]("q") ->
+        (r.getAs[Long]("bucket"), r.getAs[Long]("n_total"))).toMap
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      assert(got(q) == ((pick(q), n)), s"q=$q")
+    }
+  }
+
   test("sessionization: session counts are positive and bounded by events") {
     val rows = Registry.queries("x1_sessionize")(s, sf).collect()
     assert(rows.nonEmpty)
