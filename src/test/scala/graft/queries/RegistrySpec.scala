@@ -46,4 +46,25 @@ class RegistrySpec extends AnyFunSuite {
     val first = fact.head()
     assert(first.Quantity > 0 && first.CustomerKey > 0)
   }
+
+  test("concurrent query construction + execution matches sequential " +
+    "results (session-level memos and lookups are thread-safe)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // g5 exercises Gold's synchronized dim memo from many threads at
+    // once; the others mix broadcast lookups and dedup
+    val names = Seq("g5_fact_build", "a8_dashboard_revenue",
+      "l1_exact_dedup", "u2_iso_lookup")
+    def counts(): Map[String, Long] =
+      names.map(n => n -> Registry.queries(n)(s, sf).count()).toMap
+    val sequential = counts()
+    val concurrent = Await.result(
+      Future.sequence((1 to 3).flatMap(_ => names).map(n =>
+        Future(n -> Registry.queries(n)(s, sf).count()))),
+      Duration(5, "min"))
+    concurrent.foreach { case (n, c) =>
+      assert(c == sequential(n), s"$n: concurrent $c vs ${sequential(n)}")
+    }
+  }
 }
