@@ -126,6 +126,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.build("graft-bench", Sessions.cpusFromEnv(32))
+    // The bounded-window sites (orderedIdBounded, w1) are boundedness-
+    // spec-pinned; WindowExec's per-execution "No Partition Defined"
+    // WARN repeats 8+ times per bench run and was ~half of the driver's
+    // ~2KB stdout-tail budget — silence that one package in the bench
+    // session only (correctness runs keep the warning).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Warmup: touch every input once (parquet footers, broadcast
     // machinery) so the first timed query doesn't absorb session-startup
@@ -279,8 +287,10 @@ object Bench {
       graft.pipeline.ReferenceParity.smallDataTuned(spark) {
         // (e2e-only mode skips the ~90-query sweep that normally deep-
         // warms the JVM before this point, so it pays extra warm runs to
-        // keep its numbers comparable to the full bench's)
-        val warmRuns = if (e2eOnly) 4 else 1
+        // keep its numbers comparable to the full bench's; the full
+        // bench matches the e2e-only instrument's warm-up depth so the
+        // two modes measure the same steady state)
+        val warmRuns = 4
         try {
           (1 to warmRuns).foreach { _ =>
             spark.catalog.clearCache()
@@ -291,10 +301,12 @@ object Bench {
               .save()
           }
         } catch { case _: Throwable => () }
-        // e2e gets extra samples even in the full bench: its ~3 s median
-        // sits at Spark's fixed job-scheduling floor for 23 small jobs,
-        // where one descheduled sample shifts a median-of-3 by ~0.5 s —
-        // larger than any real change this pipeline sees round to round
+        // e2e is median-of-7 in BOTH modes: its ~3 s median sits at
+        // Spark's fixed job-scheduling floor, where one descheduled
+        // sample shifts a median-of-3 by ~0.5 s — larger than any real
+        // change this pipeline sees round to round. With warm-up depth
+        // matched above, the full bench now IS the instrument that
+        // adjudicates the <3.0 s target (emitted as "e2e_med7").
         time("ref_pipeline_e2e", () => {
           val out = graft.pipeline.ReferenceParity.run(spark, refRaw,
             "2024-11-24")
@@ -316,7 +328,7 @@ object Bench {
             scala.concurrent.Await.result(fDims,
               scala.concurrent.duration.Duration(15, "min"))
           } finally pool.shutdown()
-        }, timings, if (e2eOnly) 7 else 5)
+        }, timings, 7)
         timings.get("ref_pipeline_e2e")
           .foreach(allTimings("ref_pipeline_e2e") = _)
       }
@@ -341,6 +353,14 @@ object Bench {
       case (k, v) if prev.contains(k) => s"${jstr(k)}:${r3(v - prev(k))}"
     }.mkString("{", ",", "}")
     val total = timings.values.sum
+    // first-class e2e gate number: the median-of-7 steady-state sample
+    // (same instrument in full and e2e-only modes), with its spread —
+    // the "<3.0 s" target is adjudicated by THIS field, not by eyeballing
+    // the queries map
+    val e2eJson = timings.get("ref_pipeline_e2e").map { v =>
+      s""","e2e_med7":${r3(v)},"e2e_spread":${
+        r3(spreads.getOrElse("ref_pipeline_e2e", 0.0))}"""
+    }.getOrElse("")
     val calibJson = calib.map(r3).mkString("[", ",", "]")
     val loadJson = loads.map(r3).mkString("[", ",", "]")
     // Two outputs with distinct jobs:
@@ -354,14 +374,18 @@ object Bench {
     //   with the numbers only recoverable from the truncated tail text.
     //   The compact line (headline medians rounded to ms + errors +
     //   calibration evidence) stays well under the window.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps","queries":${jmap(timings, round = false)},"errors":$errs,"spreads":${jmap(spreads, round = false)},"cold_first":${jmap(coldFirst, round = false)},"all_queries":${jmap(allTimings, round = false)},"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = false)},"errors":$errs,"spreads":${jmap(spreads, round = false)},"cold_first":${jmap(coldFirst, round = false)},"all_queries":${jmap(allTimings, round = false)},"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"sf":${jstr(sfDir)}}"""
     // history append BEFORE the detail overwrite: a crash between the
     // two can lose the overwrite, never the append-only log
     val w = new java.io.FileWriter(historyFile, true)
     try w.write(detail + "\n") finally w.close()
-    val dw = new java.io.FileWriter("BENCH_DETAIL.json", false)
+    // an e2e-only dev run must NOT clobber the committed full-breadth
+    // record that next round's delta diffing reads — it gets its own file
+    val detailFileOut =
+      if (e2eOnly) "BENCH_E2E_ONLY.json" else "BENCH_DETAIL.json"
+    val dw = new java.io.FileWriter(detailFileOut, false)
     try dw.write(detail + "\n") finally dw.close()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps","queries":${jmap(timings, round = true)},"errors":$errs,"all_total":${r3(allTimings.values.sum)},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"detail":"BENCH_DETAIL.json","sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = true)},"errors":$errs,"all_total":${r3(allTimings.values.sum)},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"detail":${jstr(detailFileOut)},"sf":${jstr(sfDir)}}"""
     println(line)
     spark.stop()
   }

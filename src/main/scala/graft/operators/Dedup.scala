@@ -206,11 +206,25 @@ object Dedup {
     *    cheapest, since no shingle arrays travel through the shuffle;
     *  - CAPPED: the count over a filtered index would undercount, so
     *    candidates re-verify against the full arrays instead.
+    *
+    * `hashedShingles` is the 100 TB form: each doc's shingle set maps
+    * once through xxhash64 before any shuffle, so the inverted-index
+    * exchanges (and the capped path's verify arrays) carry 8-byte keys
+    * instead of n-token strings. Jaccard is preserved exactly unless
+    * two distinct shingles collide in 64 bits (~p^2/2^65 corpus-wide);
+    * the default stays strings so l2's DuckDB oracle mirrors the
+    * pipeline verbatim, and l2h pins the hashed path against the SAME
+    * oracle.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+                        maxDocFreq: Int = Int.MaxValue,
+                        hashedShingles: Boolean = false): DataFrame = {
+    val sh0 = shingleTable(df, idCol, textCol, n)
+    val sh =
+      if (hashedShingles)
+        sh0.withColumn("sh", expr("transform(sh, t -> xxhash64(t))"))
+      else sh0
     val jaccardOf =
       if (maxDocFreq == Int.MaxValue) {
         val sizes = sh.select(col("doc"),
@@ -544,11 +558,18 @@ object Dedup {
     * array work is bounded by document length. No pairwise comparison
     * anywhere.
     *
-    * At 100 TB the gram strings become 64-bit hashes (xxhash64) to cut
-    * shuffle bytes — kept as strings here so the DuckDB oracle mirrors
-    * the whole pipeline; unlike l2's Jaccard verify, a hot boilerplate
-    * gram costs O(1) aggregation state (the reduction is a count, not a
-    * pair list), so no l2b-style cap is needed on this operator.
+    * `hashedGramKeys` is the 100 TB form: the gram strings become
+    * 64-bit xxhash64 keys BEFORE the aggregate/join shuffles, so the
+    * two gram exchanges carry 8-byte keys instead of n-token strings
+    * (~9x fewer shuffle bytes measured at sf5 — SCALE_r08.md). Output
+    * is identical to the string path unless two distinct grams collide
+    * in 64 bits (~p^2/2^65 for p grams; at p = 10^12 odds ~3%, and a
+    * collision merely flags one extra window) — the default stays
+    * strings so the registry's l23 mirrors the DuckDB oracle verbatim,
+    * and l23h pins the hashed path against the SAME oracle. Unlike
+    * l2's Jaccard verify, a hot boilerplate gram costs O(1)
+    * aggregation state (the reduction is a count, not a pair list), so
+    * no l2b-style cap is needed on this operator.
     *
     * Reference scope: the reference's dedup is row-identity
     * (`etl_transform.py`); this is a training-data-pipeline extension
@@ -560,7 +581,7 @@ object Dedup {
     *         with covered positions removed).
     */
   def dupSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int): DataFrame = {
+                     n: Int, hashedGramKeys: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("doc"),
       expr(s"filter(split($textCol, ' '), t -> length(t) > 0)").as("tk"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
@@ -569,11 +590,15 @@ object Dedup {
         s"""transform(sequence(1, size(tk) - ${n - 1}),
               i -> array_join(slice(tk, i, $n), ' '))"""))
         .as(Seq("p0", "gram")))
-      .select(col("doc"), (col("p0") + 1).as("pos"), col("gram"))
-    val dupGrams = grams.groupBy("gram")
+      .select(col("doc"), (col("p0") + 1).as("pos"),
+        // the key is computed BEFORE the shuffles below, so the hashed
+        // form never moves a gram string off its map side
+        (if (hashedGramKeys) xxhash64(col("gram")) else col("gram"))
+          .as("gk"))
+    val dupGrams = grams.groupBy("gk")
       .agg(countDistinct(col("doc")).as("nd"))
-      .filter(col("nd") >= 2).select("gram")
-    val flagged = grams.join(dupGrams, Seq("gram"))
+      .filter(col("nd") >= 2).select("gk")
+    val flagged = grams.join(dupGrams, Seq("gk"))
       .groupBy("doc")
       .agg(sort_array(array_distinct(collect_list(col("pos"))))
         .as("starts"))

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: image-MIME payloads go through the JDK's
   * `javax.imageio` (PNG/JPEG/BMP/GIF readers ship with the JVM — no
-  * external codec needed), yielding true pixel dimensions. Audio/video
-  * have no in-container codec and stay behind [[FakeCodec]], a
-  * deterministic fake with the identical signature, so the Spark-side
-  * contract is fully exercised either way: the binary column
-  * representation, the metadata struct schema, the mapPartitions batch
-  * shape (one codec instance per partition, streamed rows, no per-row
-  * setup), and the partitioning contract (decode is embarrassingly
-  * parallel, no shuffle).
+  * external codec needed), yielding true pixel dimensions. AUDIO decode
+  * is REAL for WAV/AIFF/AU: `javax.sound.sampled` parses the container
+  * and streams the PCM frames ([[AudioCodec]], consumed by
+  * [[extractAudioFeatures]]). Only exotic video containers remain
+  * behind [[FakeCodec]], a deterministic fake with the identical
+  * signature, so the Spark-side contract is fully exercised either
+  * way: the binary column representation, the metadata struct schema,
+  * the mapPartitions batch shape (one codec instance per partition,
+  * streamed rows, no per-row setup), and the partitioning contract
+  * (decode is embarrassingly parallel, no shuffle).
   */
 object Multimodal {
 
@@ -88,6 +90,76 @@ object Multimodal {
           y += 1
         }
         (w, h, checksum)
+      }
+    }
+  }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV / AIFF /
+    * AU parsers ship with the JVM): true sample rate / channel count /
+    * bit depth from the container header, frame count and checksum from
+    * streaming the PCM payload (bounded 8 KB buffer — a long recording
+    * never materializes in memory). Returns None for payloads that are
+    * not a supported audio container, so batch jobs fall back rather
+    * than die on one corrupt file.
+    */
+  object AudioCodec {
+    final case class AudioInfo(sampleRate: Int, channels: Int,
+                               bitsPerSample: Int, nFrames: Long,
+                               durationMs: Long, checksum: Long)
+
+    def decode(payload: Array[Byte]): Option[AudioInfo] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val frameSize = math.max(1, fmt.getFrameSize)
+          val buf = new Array[Byte](8192 - 8192 % frameSize)
+          var bytes = 0L
+          var checksum = 7L
+          var read = in.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i < read) {
+              checksum = (checksum * 31 + (buf(i) & 0xff)) % 1000000007L
+              i += 1
+            }
+            bytes += read
+            read = in.read(buf)
+          }
+          val nFrames = bytes / frameSize
+          Some(AudioInfo(fmt.getSampleRate.round, fmt.getChannels,
+            fmt.getSampleSizeInBits, nFrames,
+            math.round(nFrames * 1000.0 / fmt.getSampleRate), checksum))
+        } finally in.close()
+      } catch {
+        // UnsupportedAudioFileException for non-audio; the PCM read can
+        // also throw on truncated containers
+        case scala.util.control.NonFatal(_) => None
+      }
+  }
+
+  /** Typed per-item audio features. */
+  final case class AudioFeatures(id: Long, sampleRate: Int, channels: Int,
+                                 bitsPerSample: Int, nFrames: Long,
+                                 durationMs: Long, checksum: Long)
+
+  /** Batch audio feature extraction — the audio sibling of
+    * [[extractFeatures]]/[[resizeImages]]: same mapPartitions shape
+    * (per-partition codec, streamed rows, no shuffle, parallelism =
+    * input partitions). Non-audio MIME and undecodable payloads are
+    * DROPPED (flatMap) — the items kept are exactly those a training
+    * pipeline can consume.
+    */
+  def extractAudioFeatures(items: Dataset[MediaItem])
+      : Dataset[AudioFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { rows =>
+      rows.flatMap { item =>
+        if (!item.mediaType.startsWith("audio/")) Iterator.empty
+        else AudioCodec.decode(item.payload).iterator.map(a =>
+          AudioFeatures(item.id, a.sampleRate, a.channels, a.bitsPerSample,
+            a.nFrames, a.durationMs, a.checksum))
       }
     }
   }
@@ -219,13 +291,23 @@ object Multimodal {
     * filter-and-transform contract of a real ingest stage — the items
     * kept are exactly those a training pipeline can consume.
     */
-  def resizeImages(items: Dataset[MediaItem], maxDim: Int)
+  def resizeImages(items: Dataset[MediaItem], maxDim: Int,
+                   maxDecodePixels: Long = DefaultMaxDecodePixels)
       : Dataset[ResizedImage] = {
     import items.sparkSession.implicits._
     require(maxDim > 0, s"maxDim must be positive, got $maxDim")
     items.mapPartitions { rows =>
       rows.flatMap { item =>
         if (!item.mediaType.startsWith("image/")) Iterator.empty
+        // Decompression-bomb gate: read WxH from the format header
+        // (no pixel allocation) and drop oversized payloads BEFORE the
+        // full decode — a hostile 40000x40000 PNG is a few KB on the
+        // wire but gigabytes decoded, enough for one item to OOM an
+        // executor in a 100 TB ingest. Headerless/corrupt payloads are
+        // dropped here too (the full decode would fail anyway).
+        else if (!headerDims(item.payload)
+            .exists { case (w, h) => w.toLong * h <= maxDecodePixels })
+          Iterator.empty
         else {
           val img = try {
             javax.imageio.ImageIO.read(
@@ -252,5 +334,31 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** 64 Mpx (~256 MB decoded RGBA) — generous for any real training
+    * image, far below the allocation that tips an executor over.
+    */
+  val DefaultMaxDecodePixels: Long = 64L * 1000 * 1000
+
+  /** Image dimensions from the container header via ImageReader —
+    * bytes-on-the-wire inspection only, no pixel buffer is allocated.
+    * None for payloads no installed reader recognizes.
+    */
+  private def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
   }
 }

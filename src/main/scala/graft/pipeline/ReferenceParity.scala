@@ -279,8 +279,9 @@ object ReferenceParity {
     // ...and broadcast joins trade a shuffle for an ASYNC job per
     // exchange (~100-300ms of scheduling each, ~18 of them across the
     // fact build) — also the wrong trade on thousands of rows, where a
-    // 4-partition shuffle join chains its stages inside the action's
-    // one job. The flag is read by dimSide at PLAN-BUILD time; the
+    // single-partition shuffle join (the default `partitions = 1` here)
+    // chains its stages inside the action's one job with no reducer
+    // fan-out to schedule. The flag is read by dimSide at PLAN-BUILD time; the
     // threshold at physical-planning (action) time — both inside this
     // scope for the bounded pipeline's callers.
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

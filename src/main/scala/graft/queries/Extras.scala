@@ -149,13 +149,18 @@ object Extras {
       .agg(max("h").as("hk"), count(lit(1)).cast("long").as("kk"))
     val exact = Tables.lineitem(s, dir)
       .agg(countDistinct("l_orderkey").as("true_distinct"))
+    // Small-population regime: with fewer than k distinct hashes the
+    // k-min set IS the population, so KMV reports the exact count kk
+    // (the estimator's error is unbounded there — kk=1 divides by a
+    // possibly tiny hk). Mirrored branch in the DuckDB oracle.
+    val est = when(col("kk") < lit(k.toLong), col("kk").cast("double"))
+      .otherwise(
+        expr(s"CAST((kk - 1) * $m AS DOUBLE)") / col("hk").cast("double"))
     kmin.crossJoin(exact)
       .select(
-        (expr(s"CAST((kk - 1) * $m AS DOUBLE)") / col("hk").cast("double"))
-          .as("est_distinct"),
+        est.as("est_distinct"),
         col("true_distinct"),
-        (abs(expr(s"CAST((kk - 1) * $m AS DOUBLE)") /
-          col("hk").cast("double") - col("true_distinct").cast("double")) /
+        (abs(est - col("true_distinct").cast("double")) /
           col("true_distinct").cast("double")).as("rel_err"))
   }, Some("""WITH h AS (SELECT DISTINCT (list_reduce(list_prepend(
         CAST(7 AS BIGINT),
@@ -168,13 +173,15 @@ object Extras {
     agg AS (SELECT CAST(max(h) AS BIGINT) hk,
               CAST(count(*) AS BIGINT) kk FROM km),
     ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
-             true_distinct FROM lineitem)
-    SELECT CAST((kk - 1) * 2147483648 AS DOUBLE) / hk AS est_distinct,
-      true_distinct,
-      abs(CAST((kk - 1) * 2147483648 AS DOUBLE) / hk
-        - CAST(true_distinct AS DOUBLE)) / CAST(true_distinct AS DOUBLE)
-        AS rel_err
-    FROM agg, ex"""))
+             true_distinct FROM lineitem),
+    e AS (SELECT CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+            ELSE CAST((kk - 1) * 2147483648 AS DOUBLE) / hk END AS est,
+            true_distinct
+          FROM agg, ex)
+    SELECT est AS est_distinct, true_distinct,
+      abs(est - CAST(true_distinct AS DOUBLE))
+        / CAST(true_distinct AS DOUBLE) AS rel_err
+    FROM e"""))
 
   // X6 — deterministic argmax per group via struct-max (max_by has no
   // tiebreak; ordering the struct by (value, key) pins ties).
@@ -346,7 +353,8 @@ object Extras {
         b, CAST(count(*) AS BIGINT) n FROM orders GROUP BY 1),
       c AS (SELECT b, CAST(sum(n) OVER (ORDER BY b) AS BIGINT) cum FROM h),
       t AS (SELECT CAST(sum(n) AS BIGINT) nt FROM h),
-      qs AS (SELECT unnest([0.5, 0.9, 0.99]) q)
+      qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+        CAST(0.99 AS DOUBLE)]) q)
       SELECT q, CAST(min(b) AS BIGINT) AS bucket,
         CAST(min(b) AS DOUBLE) * 6000.0 AS est_lo,
         CAST(max(nt) AS BIGINT) AS n_total

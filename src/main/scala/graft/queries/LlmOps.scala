@@ -15,20 +15,49 @@ object LlmOps {
   /** The l12-family fixture corpus: embeddings unioned with a
     * deterministic slightly-perturbed twin of each vector (cosine ~0.97
     * to its original — the standard dedup scenario of re-crawled /
-    * re-encoded documents). ONE definition consumed by l12, l12c, and
-    * tools/ProbeL12C: l12c's contract that its under-cap rows equal
-    * l12's only holds while all consumers build the identical corpus.
+    * re-encoded documents). ONE definition consumed by l12, l12c,
+    * l12p/l12cp's DuckDB oracle mirror, and tools/ProbeL12C: l12c's
+    * contract that its under-cap rows equal l12's only holds while all
+    * consumers build the identical corpus.
+    *
+    * The per-element jitter is a Knuth multiplicative hash folded to
+    * [-0.04, 0.04) — NOT sin(): every step is exact-integer arithmetic
+    * or an exactly-rounded IEEE double op (/, *, -), so any SQL engine
+    * reproduces the twin floats bit for bit (libm sin differs in the
+    * last ulp across engines, which the downstream cast-to-float would
+    * occasionally fail to absorb — the same class of trap as ln/log in
+    * oracle-matched output).
     */
   def twinnedEmbeddings(s: org.apache.spark.sql.SparkSession,
                         dir: String): org.apache.spark.sql.DataFrame = {
     val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val twins = base.select(
       (col("vec_id") + lit(1000000L)).as("vec_id"),
-      expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
-              (x, d) -> x + CAST(0.04 * sin(CAST(d AS DOUBLE)
-                + CAST(vec_id AS DOUBLE)) AS FLOAT))""").as("embedding"))
+      expr(s"""zip_with(embedding, sequence(0, size(embedding) - 1),
+              (x, d) -> x + CAST(0.04D * (CAST(pmod(
+                (CAST(d AS BIGINT) + vec_id + 1L) * 2654435761L, 4096L)
+                AS DOUBLE) / 2048.0D - 1.0D) AS FLOAT))""")
+        .as("embedding"))
     base.unionByName(twins)
   }
+
+  /** The twin corpus as a DuckDB CTE fragment (table alias `tw`):
+    * the exact mirror of [[twinnedEmbeddings]], consumed by the l12p /
+    * l12cp oracles. embedding[i] is FLOAT in both engines; the sum of
+    * two floats is exactly representable in double, so DuckDB's
+    * promote-add-then-cast equals Spark's native float add bit for bit.
+    */
+  private def twinnedSql: String =
+    """tw AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+          list_transform(range(1, len(embedding) + 1),
+            i -> CAST(embedding[i] + CAST(0.04 * (
+              CAST(((CAST(i - 1 AS BIGINT) + vec_id + 1) * 2654435761)
+                % 4096 AS DOUBLE) / 2048.0 - 1.0) AS FLOAT) AS FLOAT))
+            AS embedding
+        FROM embeddings)"""
 
   // L1 — exact dedup: content digest -> keep-min-id. One hash shuffle;
   // the shape that holds at 100 TB.
@@ -73,10 +102,10 @@ object LlmOps {
 
   // L2 — exact 3-gram-Jaccard near-dup pairs, inverted-index blocked
   // (complete: J>0 requires a shared shingle), threshold 0.2.
-  private val l2 = QueryDef("l2_ngram_jaccard", (s, dir) => {
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.2)
-  }, Some("""WITH toks AS (SELECT doc_id,
+  // ONE oracle definition for l2 (string shingles, mirrored verbatim)
+  // AND l2h (xxhash64 shingle keys): the hashed path's contract is
+  // value-identical output, so it must hash-match the same SQL.
+  private val l2OracleSql = """WITH toks AS (SELECT doc_id,
         list_filter(string_split(text, ' '), t -> length(t) > 0) tk
         FROM documents),
       sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -96,11 +125,28 @@ object LlmOps {
       FROM cand JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
-        >= 0.2"""))
+        >= 0.2"""
+
+  private val l2 = QueryDef("l2_ngram_jaccard", (s, dir) => {
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.2)
+  }, Some(l2OracleSql))
   // (l2 is deliberately NOT a bench headline: it is the exact quadratic
   // baseline that LSH exists to avoid — on this tiny-vocab synthetic
   // corpus common shingles make the inverted index pathologically dense.
   // The scale path is l3.)
+
+  // L2H — l2's hashed-shingle-key scale form: shingle strings map once
+  // through xxhash64 before any shuffle, cutting the inverted-index
+  // exchange to 8-byte keys. Registered against the SAME DuckDB oracle
+  // as l2: the contract is value-identical output (a 64-bit collision
+  // is the only divergence, ~p^2/2^65), so the hash-match IS the
+  // collision-freeness check at the gate SF. Shuffle-byte deltas at
+  // sf5: SCALE_r08.md.
+  private val l2h = QueryDef("l2h_ngram_jaccard_hashed", (s, dir) => {
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.2, hashedShingles = true)
+  }, Some(l2OracleSql))
 
   // L2B — the capped form of L2: candidate generation ignores shingles
   // shared by more than 10 documents (one bounded-collector shuffle, see
@@ -398,6 +444,100 @@ object LlmOps {
       "vec_id", "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
       nTables = 8, maxBucket = 64)
   }, None)
+
+  /** Shared DuckDB fragments for the l12p/l12cp oracles: the twin
+    * corpus, the 96 hyperplanes as exact double literals (12 planes x 8
+    * tables — the same splitmix64-derived components the native
+    * lsh_buckets expression uses; Double.toString round-trips), and the
+    * per-(table, bucket) sign-pattern bucketing, mirrored stage by
+    * stage from [[Similarity.lshBucketsAll]].
+    */
+  private def l12OracleDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65), i -> $a[i] * $b[i])),
+        (x, y) -> x + y)"""
+  private def l12OracleBucketing: String = {
+    val planeRows = (0 until 96).map(g =>
+      s"($g, ${Similarity.planeSqlLiteral(g, 64)})").mkString(",\n        ")
+    s"""$twinnedSql,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM tw),
+      en AS (SELECT vec_id, v,
+          sqrt(${l12OracleDot("v", "v")}) AS nrm FROM e),
+      planes AS (SELECT * FROM (VALUES $planeRows) t(g, pl)),
+      bits AS (SELECT vec_id, g // 12 AS tbl,
+          CASE WHEN ${l12OracleDot("v", "pl")} > 0
+            THEN CAST(power(2, g % 12) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS bit
+        FROM e CROSS JOIN planes),
+      buck AS (SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+        FROM bits GROUP BY 1, 2),
+      cells AS (SELECT b.vec_id AS doc, en.v, en.nrm, b.tbl, b.bucket
+        FROM buck b JOIN en ON en.vec_id = b.vec_id)"""
+  }
+
+  // L12P — the SAME cosineNearDupPairs call as l12, with a full DuckDB
+  // oracle (closing the one operator family that had no hash-matched
+  // sibling): the twin jitter is integer-hash arithmetic and the
+  // hyperplanes are driver-side literals, so every bucket bit, candidate
+  // pair, and verified cosine is recomputed bit-identically by the
+  // oracle — the l6p pattern at l12's design point. l12 itself stays
+  // rows-only purely to keep one registry entry timing the production
+  // form.
+  private val l12p = QueryDef("l12p_cosine_near_dup_portable", (s, dir) => {
+    Similarity.cosineNearDupPairs(twinnedEmbeddings(s, dir),
+      "vec_id", "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
+      nTables = 8)
+  }, Some {
+    // a pair colliding in several tables yields the SAME cosine bits
+    // (same vectors, same fold), so distinct-pairs-then-score equals
+    // Spark's score-then-distinct
+    s"""WITH ${l12OracleBucketing},
+      pr AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM cells a JOIN cells b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.doc < b.doc),
+      scored AS (SELECT doc_a, doc_b,
+          ${l12OracleDot("ea.v", "eb.v")} / (ea.nrm * eb.nrm) AS cosine
+        FROM pr JOIN en ea ON ea.vec_id = doc_a
+        JOIN en eb ON eb.vec_id = doc_b)
+      SELECT doc_a, doc_b, cosine FROM scored
+      WHERE cosine >= CAST(0.9 AS DOUBLE)"""
+  })
+
+  // L12CP — l12c's hot-bucket-cap SEMANTICS oracle-checked: same
+  // pipeline as l12c but with the cap at 2, small enough that real
+  // cells exceed it at the gate SF (every twin shares all 8 cells with
+  // its original, plus Poisson collisions) — so BOTH branches of the
+  // capped operator (under-cap all-pairs, over-cap star-against-
+  // representative) fire and are verified against a DuckDB mirror of
+  // the cap logic (arg_min = min_by). l12c keeps the production cap
+  // (64) and its under-cap-equals-l12 spec.
+  private val l12cp = QueryDef("l12cp_cosine_near_dup_capped_portable",
+    (s, dir) => {
+      Similarity.cosineNearDupPairsCapped(twinnedEmbeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
+        nTables = 8, maxBucket = 2)
+    }, Some {
+      s"""WITH ${l12OracleBucketing},
+        stats AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) cnt,
+            min(doc) rep, arg_min(v, doc) repv, arg_min(nrm, doc) repn
+          FROM cells GROUP BY tbl, bucket),
+        cs AS (SELECT c.doc, c.v, c.nrm, c.tbl, c.bucket,
+            s.cnt, s.rep, s.repv, s.repn
+          FROM cells c JOIN stats s
+            ON s.tbl = c.tbl AND s.bucket = c.bucket),
+        small AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+            ${l12OracleDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+          FROM cs a JOIN cs b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket
+          WHERE a.cnt <= 2 AND a.doc < b.doc),
+        star AS (SELECT rep AS doc_a, doc AS doc_b,
+            ${l12OracleDot("repv", "v")} / (repn * nrm) AS cosine
+          FROM cs WHERE cnt > 2 AND doc <> rep),
+        uni AS (SELECT * FROM small UNION ALL SELECT * FROM star)
+        SELECT DISTINCT doc_a, doc_b, cosine FROM uni
+        WHERE cosine >= CAST(0.9 AS DOUBLE)"""
+    })
 
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
@@ -735,9 +875,9 @@ object LlmOps {
   // verbatim in >1 document mark their covered positions, which are cut
   // from the text. Inverted-index shape (the l2 pattern), O(1) per-gram
   // aggregation state, no pairwise comparison — see Dedup.dupSpanRemoval.
-  private val l23 = QueryDef("l23_dup_span_removal", (s, dir) => {
-    Dedup.dupSpanRemoval(Tables.documents(s, dir), "doc_id", "text", n = 8)
-  }, Some("""WITH toks AS (SELECT doc_id,
+  // ONE oracle for l23 (string grams, mirrored verbatim) and l23h
+  // (xxhash64 gram keys, value-identical by contract).
+  private val l23OracleSql = """WITH toks AS (SELECT doc_id,
         list_filter(string_split(text, ' '), t -> length(t) > 0) tk
         FROM documents),
       t2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) n_tokens FROM toks),
@@ -761,7 +901,20 @@ object LlmOps {
           list_filter(range(1, CAST(n_tokens AS INTEGER) + 1),
             i -> NOT list_contains(covered, i)), i -> tk[i]), ' '), '')
           AS clean_text
-      FROM c"""))
+      FROM c"""
+
+  private val l23 = QueryDef("l23_dup_span_removal", (s, dir) => {
+    Dedup.dupSpanRemoval(Tables.documents(s, dir), "doc_id", "text", n = 8)
+  }, Some(l23OracleSql))
+
+  // L23H — l23's hashed-gram-key scale form (the refinement SCALE_r07
+  // promised in prose): gram strings become xxhash64 keys before the
+  // two gram shuffles. Same oracle as l23 — value-identical output is
+  // the contract, so the hash-match doubles as the collision check.
+  private val l23h = QueryDef("l23h_dup_span_removal_hashed", (s, dir) => {
+    Dedup.dupSpanRemoval(Tables.documents(s, dir), "doc_id", "text", n = 8,
+      hashedGramKeys = true)
+  }, Some(l23OracleSql))
 
   // L24 — corpus-trained unigram surprisal in integer log2 bits (the
   // portable perplexity-filter stand-in; ln() would not hash-match
@@ -789,7 +942,8 @@ object LlmOps {
       FROM documents d LEFT JOIN sc USING (doc_id)"""))
 
   val defs: Seq[QueryDef] =
-    Seq(l1, l2, l2b, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10, l11, l11p,
-      l12, l12c,
-      l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l24, m1)
+    Seq(l1, l2, l2b, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
+      l11, l11p, l12, l12c, l12p, l12cp,
+      l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
+      m1)
 }

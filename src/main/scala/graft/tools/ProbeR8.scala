@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Registry
+
+/** Dev-only: the round-8 scale-evidence runs behind SCALE_r08.md.
+  *
+  * Modes (arg 1), sfDir (arg 2):
+  *  - `hashed`: l23 vs l23h (and l2 vs l2h) — wall time AND shuffle
+  *    write bytes via [[TaskMetricsListener]], plus an output-identity
+  *    check (the hashed path must produce value-identical rows).
+  *  - `sketch`: x5p / x12p timings (the mergeable-sketch operators) at
+  *    an inflated SF — their scale story is "one pass, O(k)/O(buckets)
+  *    state"; the numbers back it.
+  *  - `annskew`: l6 (hyperplane LSH) and l11 (IVF) ANN under an
+  *    8-hot-key embedding distribution (30% of vectors replaced by one
+  *    of the 8 hottest base vectors, rank probability ∝ 1/rank — the
+  *    embedding analogue of ScaleGen's zipf key remap): reports
+  *    (table, bucket) / cell occupancy and the query-time impact vs the
+  *    unskewed corpus.
+  */
+object ProbeR8 {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Sessions.build("graft-probe-r8", Sessions.cpusFromEnv(32))
+    val metrics = TaskMetricsListener.installed(spark)
+
+    def timed(name: String, df: => DataFrame, reps: Int = 3): Unit = {
+      var out = Seq.empty[String]
+      for (i <- 1 to reps) {
+        spark.catalog.clearCache()
+        metrics.reset()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode(SaveMode.Overwrite).save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        metrics.drain()
+        out :+= f"rep$i ${secs}%.2f s shuffle=${metrics.shuffleWriteMb} MB" +
+          f" spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s"
+      }
+      println(s"PROBE8 $name ${out.mkString(" | ")}")
+    }
+
+    mode match {
+      case "hashed" =>
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        timed("l23_string", Dedup.dupSpanRemoval(docs, "doc_id", "text", 8))
+        timed("l23_hashed", Dedup.dupSpanRemoval(docs, "doc_id", "text", 8,
+          hashedGramKeys = true))
+        // value identity at this SF (both directions)
+        val a = Dedup.dupSpanRemoval(docs, "doc_id", "text", 8)
+        val b = Dedup.dupSpanRemoval(docs, "doc_id", "text", 8,
+          hashedGramKeys = true)
+        val d1 = a.except(b).count(); val d2 = b.except(a).count()
+        println(s"PROBE8 l23_identity except_counts=$d1/$d2")
+        timed("l2_string", Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          3, 0.2))
+        timed("l2_hashed", Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          3, 0.2, hashedShingles = true))
+
+      case "sketch" =>
+        Seq("x5p_kmv_distinct", "x12p_histogram_quantiles").foreach { n =>
+          val q = Registry.all.find(_.name == n).get
+          timed(n, q.run(spark, sfDir))
+        }
+
+      case "annskew" =>
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+          .select("vec_id", "embedding")
+        // 8-hot-vector zipf overlay: u uniform from a salted hash; with
+        // probability 0.3 the vector is REPLACED by hot vector rank
+        // floor(exp(u ln 9)) - 1 (P(rank r) ∝ 1/r) — re-crawled /
+        // default-valued embeddings at corpus scale
+        val u = (pmod(xxhash64(col("vec_id"), lit(97)), lit(1000000L))
+          .cast("double") / lit(1000000.0d))
+        val rank = least(lit(7L),
+          floor(exp(u / lit(0.3d) * lit(math.log(9.0)))) - 1)
+        val hotIds = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("__hid"),
+            col("embedding").as("__hvec"))
+        val skewed = emb
+          .withColumn("__h", when(u < 0.3, rank))
+          .join(broadcast(hotIds), col("__h") === col("__hid"), "left")
+          .select(col("vec_id"),
+            coalesce(col("__hvec"), col("embedding")).as("embedding"))
+        def queries(c: DataFrame) = c.filter(col("vec_id") < 10)
+        for ((label, corpus) <- Seq("uniform" -> emb, "zipf8" -> skewed)) {
+          // bucket occupancy under l6's design point (8 planes x 4 tables)
+          val occ = corpus
+            .select(col("vec_id"), posexplode(Similarity.lshBucketsAll(
+              "embedding", nPlanes = 8, dim = 64, nTables = 4))
+              .as(Seq("tbl", "bucket")))
+            .groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
+          val st = occ.agg(max("n"), expr("approx_percentile(n, 0.5)"),
+            count(lit(1))).collect()(0)
+          val top = occ.orderBy(col("n").desc).limit(5)
+            .collect().map(_.getLong(2)).mkString(",")
+          println(s"PROBE8 l6_occupancy_$label max=${st.get(0)} " +
+            s"median=${st.get(1)} cells=${st.get(2)} top5=$top")
+          timed(s"l6_ann_$label", Similarity.lshTopK(corpus, queries(emb),
+            "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8,
+            nTables = 4))
+          // IVF cell occupancy at l11's design point (16 cells, 4 probes)
+          timed(s"l11_ivf_$label", Similarity.ivfTopK(corpus, queries(emb),
+            "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4))
+        }
+    }
+    spark.stop()
+  }
+}

@@ -207,6 +207,24 @@ class DedupSpec extends AnyFunSuite {
     assert(r1 == 10.0 / 14.0)
   }
 
+  test("hashed gram keys: dup-span removal and ngram Jaccard outputs " +
+    "are value-identical to the string-key paths on testdata") {
+    val docs = Tables.documents(s, sf)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(canon(Dedup.dupSpanRemoval(docs, "doc_id", "text", n = 8,
+        hashedGramKeys = true)) ==
+      canon(Dedup.dupSpanRemoval(docs, "doc_id", "text", n = 8)))
+    assert(canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2,
+        hashedShingles = true)) ==
+      canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)))
+    // ...and through the CAPPED verify path (array<long> intersect_count)
+    assert(canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2,
+        maxDocFreq = 10, hashedShingles = true)) ==
+      canon(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2,
+        maxDocFreq = 10)))
+  }
+
   test("dup-span removal plan has no cartesian product") {
     val docs = Tables.documents(s, sf)
     val plan = Dedup.dupSpanRemoval(docs, "doc_id", "text", n = 8)

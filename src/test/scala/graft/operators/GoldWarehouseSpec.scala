@@ -153,6 +153,59 @@ class GoldWarehouseSpec extends AnyFunSuite {
     assert(readTable("fact_sales").count() == 2 * factRows)
   }
 
+  test("SQL Server dialect: the dw_bbt star's emitted DDL column types " +
+    "are pinned through Spark's MsSqlServerDialect (etl_load.py:12-15 " +
+    "URL; no server needed — the dialect maps types at plan time)") {
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    // the reference's exact URL shape selects the dialect
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(
+      "jdbc:sqlserver://localhost:1433;databaseName=dw_bbt")
+    def ddl(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      df.schema.fields.map(f => f.name ->
+        dialect.getJDBCType(f.dataType)
+          .orElse(JdbcUtils.getCommonJDBCType(f.dataType))
+          .getOrElse(fail(s"no SQL Server type for ${f.name}: " +
+            s"${f.dataType}")).databaseTypeDefinition).toMap
+    // schema-only: building the plans never runs the pipeline
+    val out = graft.pipeline.ReferenceParity.run(s,
+      "/root/reference/data/raw", "2024-11-24")
+    val fact = ddl(out.factSales)
+    assert(fact == Map(
+      "SalesID" -> "BIGINT", "CustomerKey" -> "BIGINT",
+      "ProductKey" -> "BIGINT", "StoreKey" -> "BIGINT",
+      "CalendarKey" -> "BIGINT", "OrderID" -> "INTEGER",
+      "OrderDate" -> "NVARCHAR(MAX)", "ShippedDate" -> "NVARCHAR(MAX)",
+      "Region" -> "NVARCHAR(MAX)", "Quantity" -> "BIGINT",
+      "Discount" -> "DOUBLE PRECISION", "TaxRateKey" -> "BIGINT",
+      "ExchangeKey" -> "BIGINT"), s"factSales drifted: $fact")
+    // SCD2 columns: BIT flag, DATE bounds — except dimProducts'
+    // EffectiveStartDate, which the reference populates as a STRING
+    // literal (map_cols.py keeps '2024-01-01' unparsed; faithfully
+    // NVARCHAR here, a real user's first surprise on SQL Server)
+    val cust = ddl(out.dimCustomers)
+    assert(cust("IsCurrent") == "BIT" &&
+      cust("EffectiveStartDate") == "DATE" &&
+      cust("EffectiveEndDate") == "DATE", s"dimCustomers drifted: $cust")
+    val prod = ddl(out.dimProducts)
+    assert(prod("IsCurrent") == "BIT" &&
+      prod("EffectiveStartDate") == "NVARCHAR(MAX)" &&
+      prod("EffectiveEndDate") == "DATE" &&
+      prod("UnitPrice") == "DOUBLE PRECISION" &&
+      prod("ProductID") == "INTEGER", s"dimProducts drifted: $prod")
+    // every column of every dim resolves to a SQL Server type — the
+    // load cannot throw on type mapping
+    Seq(out.dimStore, out.dimCalendar, out.dimTaxRate, out.dimExchange)
+      .foreach(d => ddl(d))
+    // and the dialect is genuinely SQL Server's, not the generic
+    // fallback: its NVARCHAR/BIT/VARBINARY signatures
+    assert(dialect.getJDBCType(org.apache.spark.sql.types.StringType)
+      .map(_.databaseTypeDefinition).contains("NVARCHAR(MAX)"))
+    assert(dialect.getJDBCType(org.apache.spark.sql.types.BooleanType)
+      .map(_.databaseTypeDefinition).contains("BIT"))
+    assert(dialect.getJDBCType(org.apache.spark.sql.types.BinaryType)
+      .map(_.databaseTypeDefinition).contains("VARBINARY(MAX)"))
+  }
+
   test("anomaly rules: first-match-wins priority order " +
     "(anomalies.py:62-68)") {
     import s.implicits._

@@ -164,4 +164,87 @@ class MultimodalSpec extends AnyFunSuite {
     val r2 = out(2L)
     assert((r2.width, r2.height) == ((8, 6)), "small image must not upscale")
   }
+
+  test("resize: decompression-bomb gate drops oversized headers " +
+    "before any pixel allocation") {
+    import s.implicits._
+    // forge a PNG whose IHDR claims 40000x40000 (a few hundred bytes on
+    // the wire, gigabytes decoded): patch the dims into a real 1x1
+    // PNG's IHDR and fix the chunk CRC so the header parses cleanly
+    val bomb = {
+      val b = pngBytes(1, 1).clone()
+      def put(off: Int, v: Int): Unit = {
+        b(off) = ((v >>> 24) & 0xff).toByte
+        b(off + 1) = ((v >>> 16) & 0xff).toByte
+        b(off + 2) = ((v >>> 8) & 0xff).toByte
+        b(off + 3) = (v & 0xff).toByte
+      }
+      put(16, 40000) // IHDR width
+      put(20, 40000) // IHDR height
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 17) // 'IHDR' type + 13 data bytes
+      put(29, crc.getValue.toInt)
+      b
+    }
+    val items = Seq(
+      MediaItem(1L, bomb, "image/png", bomb.length.toLong),
+      MediaItem(2L, pngBytes(64, 32), "image/png", 0L)).toDS()
+    val out = Multimodal.resizeImages(items, maxDim = 16).collect()
+    assert(out.map(_.id).toSet == Set(2L),
+      "bomb must be dropped, real image kept")
+    // the cap gates on true header dims, not payload size
+    val strict = Multimodal.resizeImages(items, maxDim = 16,
+      maxDecodePixels = 1000L).collect()
+    assert(strict.isEmpty, "64x32 = 2048 px exceeds a 1000 px cap")
+  }
+
+  test("audio: real WAV decode pins sample rate, channels, frame count " +
+    "and duration through the batch pipeline; corrupt/non-audio dropped") {
+    import s.implicits._
+    def wav(sampleRate: Float, nFrames: Int, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16,
+        channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      var i = 0
+      while (i < nFrames) {
+        val v = (math.sin(2 * math.Pi * 440.0 * i / sampleRate) * 12000).toInt
+        var c = 0
+        while (c < channels) {
+          val off = (i * channels + c) * 2
+          pcm(off) = (v & 0xff).toByte
+          pcm(off + 1) = ((v >> 8) & 0xff).toByte
+          c += 1
+        }
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val items = Seq(
+      MediaItem(1L, wav(8000f, 4000, 1), "audio/wav", 0L),   // 0.5 s mono
+      MediaItem(2L, wav(44100f, 44100, 2), "audio/wav", 0L), // 1 s stereo
+      MediaItem(3L, "not audio".getBytes("UTF-8"), "audio/wav", 9L),
+      MediaItem(4L, wav(8000f, 100, 1), "text/plain", 0L)) // wrong MIME
+      .toDS()
+    val out = Multimodal.extractAudioFeatures(items)
+      .collect().map(a => a.id -> a).toMap
+    assert(out.keySet == Set(1L, 2L),
+      "corrupt payload and non-audio MIME must be dropped")
+    val a1 = out(1L)
+    assert(a1.sampleRate == 8000 && a1.channels == 1 &&
+      a1.bitsPerSample == 16)
+    assert(a1.nFrames == 4000 && a1.durationMs == 500)
+    val a2 = out(2L)
+    assert(a2.sampleRate == 44100 && a2.channels == 2 &&
+      a2.nFrames == 44100 && a2.durationMs == 1000)
+    // determinism: identical payloads checksum identically
+    val again = Multimodal.extractAudioFeatures(
+      Seq(MediaItem(9L, wav(8000f, 4000, 1), "audio/wav", 0L)).toDS())
+      .collect().head
+    assert(again.checksum == a1.checksum)
+  }
 }
