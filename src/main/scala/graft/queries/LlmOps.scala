@@ -163,10 +163,8 @@ object LlmOps {
   // pairs while the capped form is unaffected — DedupSpec's boilerplate-
   // corpus test shows the ~100x candidate cut the moment hot shingles
   // actually exist.
-  private val l2b = QueryDef("l2b_ngram_jaccard_capped", (s, dir) => {
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-      n = 3, threshold = 0.2, maxDocFreq = 10)
-  }, Some("""WITH toks AS (SELECT doc_id,
+  // ONE oracle for l2b AND l2bh (same value-identity contract as l2/l2h).
+  private val l2bOracleSql = """WITH toks AS (SELECT doc_id,
         list_filter(string_split(text, ' '), t -> length(t) > 0) tk
         FROM documents),
       sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -191,7 +189,25 @@ object LlmOps {
       FROM inter JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
-        >= 0.2"""))
+        >= 0.2"""
+
+  private val l2b = QueryDef("l2b_ngram_jaccard_capped", (s, dir) => {
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.2, maxDocFreq = 10)
+  }, Some(l2bOracleSql))
+
+  // L2BH — capped AND hashed: the combination that actually ships at
+  // 100 TB. The cap bounds the candidate-pair volume (l2b's job) and
+  // the xxhash64 shingle keys shrink what the cap's single shuffle and
+  // the per-candidate verify arrays CARRY — unlike uncapped l2, where
+  // pair-row volume dwarfs key width and hashing buys nothing
+  // (measured, SCALE_r08.md §1). Same oracle as l2b: value-identical
+  // output is the contract.
+  private val l2bh = QueryDef("l2bh_ngram_jaccard_capped_hashed",
+    (s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.2, maxDocFreq = 10, hashedShingles = true)
+    }, Some(l2bOracleSql))
 
   // L3 — MinHash-LSH near-dup (64 perms, 16x4 bands, exact verification).
   // Signatures use xxhash64, which DuckDB can't reproduce -> no SQL
@@ -942,7 +958,7 @@ object LlmOps {
       FROM documents d LEFT JOIN sc USING (doc_id)"""))
 
   val defs: Seq[QueryDef] =
-    Seq(l1, l2, l2b, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
+    Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
       m1)

@@ -113,22 +113,87 @@ object StreamOps {
       val merged = graft.operators.ScdMerge.merge(
           current, batch, naturalKey, compareCols,
           asOf = asOfForBatch(batchId), closeMissing = false)
-      val live = new org.apache.hadoop.fs.Path(dimPath)
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val staging = new org.apache.hadoop.fs.Path(dimPath + "__staging")
-      val prev = new org.apache.hadoop.fs.Path(dimPath + "__prev")
-      merged.write.mode("overwrite").parquet(staging.toString)
-      fs.delete(prev, true)
-      if (!fs.rename(live, prev))
-        throw new java.io.IOException(
-          s"scd2ForeachBatch: cannot park $live at $prev")
-      if (!fs.rename(staging, live)) {
-        fs.rename(prev, live) // roll back: restore the prior version
-        throw new java.io.IOException(
-          s"scd2ForeachBatch: cannot publish $staging to $live")
-      }
-      fs.delete(prev, true)
+      publishAtomic(spark, dimPath, merged)
     }
+  }
+
+  /** Stage-then-rename publish of a rewritten parquet state dir (shared
+    * by the foreachBatch sinks). Leaves either the prior version live or
+    * parked at `__prev` on any failure — never a half-written state. A
+    * missing live dir (first batch of a fresh state) publishes directly.
+    */
+  private def publishAtomic(spark: org.apache.spark.sql.SparkSession,
+                            livePath: String, merged: DataFrame): Unit = {
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(livePath + "__staging")
+    val prev = new org.apache.hadoop.fs.Path(livePath + "__prev")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(prev, true)
+    if (fs.exists(live) && !fs.rename(live, prev))
+      throw new java.io.IOException(
+        s"publishAtomic: cannot park $live at $prev")
+    if (!fs.rename(staging, live)) {
+      fs.rename(prev, live) // roll back: restore the prior version
+      throw new java.io.IOException(
+        s"publishAtomic: cannot publish $staging to $live")
+    }
+    fs.delete(prev, true)
+  }
+
+  /** Streaming percentiles via the x12p mergeable histogram sketch
+    * (queries/Extras.scala x12p): each micro-batch reduces to fixed-width
+    * bucket counts `(b, n)` and merges into the persistent histogram by
+    * ADDITION — the property that makes the sketch the 100 TB/streaming
+    * percentile path (state is O(buckets) regardless of rows streamed,
+    * where exact percentile() would need every value ever seen). The
+    * merged state is published with the same crash-safe staging rename
+    * as the SCD2 sink.
+    */
+  def histogramForeachBatch(histPath: String, valueCol: String,
+                            bucketWidth: Double)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val part = batch
+        .select(floor(col(valueCol) / lit(bucketWidth)).cast("long")
+          .as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+      val live = new org.apache.hadoop.fs.Path(histPath)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (fs.exists(live))
+          spark.read.parquet(histPath).unionByName(part)
+            .groupBy("b").agg(sum("n").as("n"))
+        else part
+      publishAtomic(spark, histPath, merged)
+    }
+  }
+
+  /** Quantile estimates from a merged histogram state: x12p's bucket
+    * pick (smallest bucket whose cumulative count reaches q*N) over the
+    * tiny bucket table — same estimate the batch query would produce
+    * over the concatenation of everything streamed so far.
+    */
+  def histogramQuantiles(spark: org.apache.spark.sql.SparkSession,
+                         histPath: String, bucketWidth: Double,
+                         quantiles: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = spark.read.parquet(histPath)
+    val cum = hist.withColumn("cum",
+      sum("n").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val total = hist.agg(sum("n").cast("long").as("nt"))
+    cum.crossJoin(total)
+      .select(col("b"), col("cum"), col("nt"),
+        explode(array(quantiles.map(lit(_)): _*)).as("q"))
+      .filter(col("cum").cast("double") >= col("q") * col("nt"))
+      .groupBy("q")
+      .agg(min("b").cast("long").as("bucket"),
+        max("nt").as("n_total"))
+      .select(col("q"), col("bucket"),
+        (col("bucket").cast("double") * lit(bucketWidth)).as("est_lo"),
+        col("n_total"))
   }
 
   /** Late-data accounting, as DATA (the audit philosophy applied to

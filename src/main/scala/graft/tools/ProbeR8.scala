@@ -47,30 +47,60 @@ object ProbeR8 {
 
     mode match {
       case "hashed" =>
+        // optional arg 3: comma list of ops ("l23,l2"); l2's uncapped
+        // pair materialization is kept off the biggest SFs (l2b is the
+        // documented scale form — SCALE_r06)
+        val ops = (if (args.length > 2) args(2) else "l23,l2")
+          .split(",").toSet
         val docs = graft.core.Tables.documents(spark, sfDir)
-        timed("l23_string", Dedup.dupSpanRemoval(docs, "doc_id", "text", 8))
-        timed("l23_hashed", Dedup.dupSpanRemoval(docs, "doc_id", "text", 8,
-          hashedGramKeys = true))
-        // value identity at this SF (both directions)
-        val a = Dedup.dupSpanRemoval(docs, "doc_id", "text", 8)
-        val b = Dedup.dupSpanRemoval(docs, "doc_id", "text", 8,
-          hashedGramKeys = true)
-        val d1 = a.except(b).count(); val d2 = b.except(a).count()
-        println(s"PROBE8 l23_identity except_counts=$d1/$d2")
-        timed("l2_string", Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          3, 0.2))
-        timed("l2_hashed", Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          3, 0.2, hashedShingles = true))
+        if (ops("l23")) {
+          timed("l23_string",
+            Dedup.dupSpanRemoval(docs, "doc_id", "text", 8))
+          timed("l23_hashed", Dedup.dupSpanRemoval(docs, "doc_id", "text",
+            8, hashedGramKeys = true))
+          // value identity at this SF (both directions)
+          val a = Dedup.dupSpanRemoval(docs, "doc_id", "text", 8)
+          val b = Dedup.dupSpanRemoval(docs, "doc_id", "text", 8,
+            hashedGramKeys = true)
+          val d1 = a.except(b).count(); val d2 = b.except(a).count()
+          println(s"PROBE8 l23_identity except_counts=$d1/$d2")
+        }
+        if (ops("l2")) {
+          timed("l2_string", Dedup.ngramJaccardPairs(docs, "doc_id",
+            "text", 3, 0.2))
+          timed("l2_hashed", Dedup.ngramJaccardPairs(docs, "doc_id",
+            "text", 3, 0.2, hashedShingles = true))
+        }
+        if (ops("l2b")) {
+          timed("l2b_string", Dedup.ngramJaccardPairs(docs, "doc_id",
+            "text", 3, 0.2, maxDocFreq = 10))
+          timed("l2b_hashed", Dedup.ngramJaccardPairs(docs, "doc_id",
+            "text", 3, 0.2, maxDocFreq = 10, hashedShingles = true))
+        }
 
       case "sketch" =>
         Seq("x5p_kmv_distinct", "x12p_histogram_quantiles").foreach { n =>
           val q = Registry.all.find(_.name == n).get
           timed(n, q.run(spark, sfDir))
         }
+        // the 100 TB form of x5p: the bounded KMV Aggregator (buffer =
+        // k longs per partition, merged k-way) instead of the oracle
+        // form's distinct -> top-k (which shuffles every distinct hash
+        // plus an exact countDistinct cross-check)
+        locally {
+          import spark.implicits._
+          val sketch = new graft.functions.KmvSketch(256).toColumn
+          timed("x5agg_kmv_aggregator",
+            graft.core.Tables.lineitem(spark, sfDir)
+              .select(col("l_orderkey")).as[Long]
+              .select(sketch.name("est_distinct")).toDF())
+        }
 
       case "annskew" =>
         val emb = graft.core.Tables.embeddings(spark, sfDir)
-          .select("vec_id", "embedding")
+          .select(col("vec_id"),
+            // parquet stores array<float>; lsh_buckets is array<double>
+            col("embedding").cast("array<double>").as("embedding"))
         // 8-hot-vector zipf overlay: u uniform from a salted hash; with
         // probability 0.3 the vector is REPLACED by hot vector rank
         // floor(exp(u ln 9)) - 1 (P(rank r) ∝ 1/r) — re-crawled /

@@ -248,6 +248,54 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop(); monitor.detach() }
   }
 
+  test("x12p histogram sketch merges by ADDITION across foreachBatch " +
+    "micro-batches: streamed quantiles equal the one-shot batch sketch") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val histPath = java.nio.file.Files
+      .createTempDirectory("graft_hist_stream").toString + "/hist"
+    val width = 10.0
+    val batches = Seq(
+      Seq(5.0, 7.0, 12.0),
+      Seq(15.0, 22.0, 25.0, 31.0),
+      Seq(44.0, 58.0, 5.5))
+    def ev(v: Double) =
+      Ev(Timestamp.valueOf("2024-01-01 00:00:01"), "x", v)
+
+    val input = MemoryStream[Ev]
+    val q = input.toDF().writeStream
+      .foreachBatch(StreamOps.histogramForeachBatch(histPath, "value",
+        width))
+      .start()
+    try batches.foreach { vs =>
+      input.addData(vs.map(ev): _*)
+      q.processAllAvailable() // force one micro-batch per group
+    } finally q.stop()
+
+    // merged state == the one-shot histogram over ALL values (addition
+    // across micro-batch partials loses nothing)
+    val all = batches.flatten
+    val merged = s.read.parquet(histPath).collect()
+      .map(r => r.getAs[Long]("b") -> r.getAs[Long]("n")).toMap
+    val oneShot = all.groupBy(v => math.floor(v / width).toLong)
+      .map { case (b, vs) => b -> vs.size.toLong }
+    assert(merged == oneShot)
+
+    // streamed quantile picks == brute cumulative scan over the same
+    // histogram (x12p's definition: smallest bucket with cum >= q*N)
+    val qs = Seq(0.5, 0.9, 0.99)
+    def brute(qq: Double): Long = {
+      var cum = 0L
+      oneShot.toSeq.sortBy(_._1).collectFirst {
+        case (b, n) if { cum += n; cum.toDouble >= qq * all.size } => b
+      }.get
+    }
+    val got = StreamOps.histogramQuantiles(s, histPath, width, qs)
+      .collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Long]("bucket")).toMap
+    assert(got == qs.map(qq => qq -> brute(qq)).toMap)
+  }
+
   test("windowed counts with watermark aggregate per minute") {
     import s.implicits._
     implicit val sq = s.sqlContext
