@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusAssembly, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -957,9 +957,73 @@ object LlmOps {
              END AS BIGINT) AS keep
       FROM documents d LEFT JOIN sc USING (doc_id)"""))
 
+  // L25 — sequence packing (concat-and-chunk): the token stream in
+  // doc_id order cut into 2048-token bins, reported per bin. The global
+  // cumsum runs through CorpusAssembly.prefixSum (range partition +
+  // per-partition windows + broadcast offsets — NO single-partition
+  // window), and every quantity is exact-integer, so the per-bin rows
+  // hash-match DuckDB's straightforward windowed SQL.
+  private val l25 = QueryDef("l25_sequence_packing", (s, dir) => {
+    CorpusAssembly.sequencePack(Tables.documents(s, dir), "doc_id",
+        "text", budget = 2048L)
+      .groupBy("bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("bin_tokens"),
+        sum(col("straddles_next").cast("long")).cast("long")
+          .as("n_straddlers"))
+  }, Some("""WITH t AS (SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '),
+          s -> length(s) > 0)) AS BIGINT) n
+        FROM documents),
+      c AS (SELECT doc_id, n,
+        CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) cum FROM t),
+      b AS (SELECT doc_id, n, cum, (cum - n) // 2048 AS bin,
+        CASE WHEN n > 0 AND (cum - 1) // 2048 > (cum - n) // 2048
+             THEN 1 ELSE 0 END AS straddle
+        FROM c)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS bin_tokens,
+        CAST(sum(straddle) AS BIGINT) AS n_straddlers
+      FROM b GROUP BY bin"""))
+
+  // L26 — per-source quality-quota selection (greedy quality-first data
+  // mixing under per-domain token budgets). Quality = distinct-token
+  // count (integer; descending, doc_id tiebreak), budget 800 tokens per
+  // source — inside every source's 1.1-1.6k total at the gate SF, so
+  // both kept and dropped docs occur in every source.
+  private val l26 = QueryDef("l26_quality_quota", (s, dir) => {
+    CorpusAssembly.qualityQuotaSelect(Tables.documents(s, dir), "source",
+        "doc_id", "text", budgetPerSource = 800L)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_candidates"),
+        sum(col("kept").cast("long")).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(lit(0L)))
+          .cast("long").as("tokens_kept"),
+        min(when(col("kept"), col("quality"))).cast("long")
+          .as("min_quality_kept"))
+  }, Some("""WITH t AS (SELECT source, doc_id,
+        CAST(len(list_filter(string_split(text, ' '),
+          s -> length(s) > 0)) AS BIGINT) n_tokens,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '),
+          s -> length(s) > 0))) AS BIGINT) quality
+        FROM documents),
+      r AS (SELECT source, doc_id, n_tokens, quality,
+        CAST(sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        FROM t),
+      k AS (SELECT source, n_tokens, quality, cum <= 800 AS kept FROM r)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+          AS tokens_kept,
+        CAST(min(CASE WHEN kept THEN quality END) AS BIGINT)
+          AS min_quality_kept
+      FROM k GROUP BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      m1)
+      l25, l26, m1)
 }

@@ -96,6 +96,36 @@ object ProbeR8 {
               .select(sketch.name("est_distinct")).toDF())
         }
 
+      case "pack" =>
+        // l25's distributed prefix sum vs the naive global window form
+        // (identical output — CorpusAssemblySpec; this measures the
+        // single-partition collapse the design avoids). Parquet corpora
+        // at test SFs are small enough that ONE task absorbs them, so
+        // arg 3 `synth:<rows>` swaps in a spark.range token table at a
+        // row count where the collapse is visible.
+        import org.apache.spark.sql.expressions.Window
+        val toks =
+          if (args.length > 2 && args(2).startsWith("synth:")) {
+            val n = args(2).stripPrefix("synth:").toLong
+            spark.range(n).select(col("id").as("doc_id"),
+              pmod(xxhash64(col("id")), lit(200L)).as("n_tokens"))
+          } else {
+            graft.core.Tables.documents(spark, sfDir)
+              .select(col("doc_id"), graft.operators.TextAnalysis
+                .tokenCount("text").as("n_tokens"))
+          }
+        def binned(cum: DataFrame): DataFrame = cum
+          .withColumn("bin", expr("(cum_tokens - n_tokens) div 2048L"))
+          .groupBy("bin").agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("bin_tokens"))
+        timed("pack_prefix_sum",
+          binned(graft.operators.CorpusAssembly
+            .prefixSum(toks, "doc_id", "n_tokens", "cum_tokens")))
+        timed("pack_global_window",
+          binned(toks.withColumn("cum_tokens",
+            sum("n_tokens").over(Window.orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, 0)))))
+
       case "annskew" =>
         val emb = graft.core.Tables.embeddings(spark, sfDir)
           .select(col("vec_id"),
