@@ -84,27 +84,29 @@ object CorpusAssembly {
           expr(s"(cum_tokens - 1) div ${budget}L") > col("bin"))
   }
 
-  /** Per-source quality-quota selection: within each source, rank
-    * documents by a quality score (lexical diversity: distinct
-    * whitespace tokens, descending; `idCol` breaks ties) and keep the
-    * ranked prefix whose cumulative token count fits `budgetPerSource` —
-    * greedy quality-first data mixing under per-domain token quotas.
-    *
-    * The window partitions by source, so every source ranks in
-    * parallel; the scale risk is a single giant source, and the scale
-    * path there is the x12p histogram trick — build a per-source
-    * quality histogram (mergeable, O(buckets) state), find the quality
-    * threshold where the cumulative token count crosses the budget, and
-    * FILTER on it (one map-side pass, no ordered window) — the exact
-    * windowed form below stays the oracle for that rewrite.
+  /** Quality scoring shared by both quota forms: `n_tokens` =
+    * whitespace token count, `quality` = distinct-token count (lexical
+    * diversity) — both exact integers, so every downstream decision is
+    * cross-engine reproducible. Public so scale probes can feed
+    * synthetic pre-scored frames straight to [[quotaExact]] /
+    * [[quotaHistogram]] without measuring the scorer.
     */
-  def qualityQuotaSelect(df: DataFrame, sourceCol: String, idCol: String,
-                         textCol: String,
-                         budgetPerSource: Long): DataFrame = {
-    val scored = df.select(col(sourceCol), col(idCol),
+  def scoreDocs(df: DataFrame, sourceCol: String, idCol: String,
+                textCol: String): DataFrame =
+    df.select(col(sourceCol), col(idCol),
       TextAnalysis.tokenCount(textCol).as("n_tokens"),
       expr("size(array_distinct(filter(split(" + textCol +
         ", ' '), t -> length(t) > 0)))").cast("long").as("quality"))
+
+  /** Exact quota form over a pre-scored frame: rank documents within
+    * each source by (`quality` desc, `idCol`) and keep the ranked
+    * prefix whose cumulative token count fits `budgetPerSource`. The
+    * window partitions by source, so every source ranks in parallel;
+    * a single giant source collapses into one window task — that case
+    * is [[quotaHistogram]]'s job, with this form as its oracle.
+    */
+  def quotaExact(scored: DataFrame, sourceCol: String, idCol: String,
+                 budgetPerSource: Long): DataFrame = {
     val w = Window.partitionBy(sourceCol)
       .orderBy(col("quality").desc, col(idCol))
     scored
@@ -113,4 +115,80 @@ object CorpusAssembly {
         sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("kept", col("cum_tokens") <= budgetPerSource)
   }
+
+  /** Per-source quality-quota selection: within each source, rank
+    * documents by a quality score (lexical diversity: distinct
+    * whitespace tokens, descending; `idCol` breaks ties) and keep the
+    * ranked prefix whose cumulative token count fits `budgetPerSource` —
+    * greedy quality-first data mixing under per-domain token quotas.
+    * Exact windowed form; [[qualityQuotaSelectHistogram]] makes the
+    * same decisions without a per-source global sort.
+    */
+  def qualityQuotaSelect(df: DataFrame, sourceCol: String, idCol: String,
+                         textCol: String,
+                         budgetPerSource: Long): DataFrame =
+    quotaExact(scoreDocs(df, sourceCol, idCol, textCol), sourceCol,
+      idCol, budgetPerSource)
+
+  /** Scale form of [[quotaExact]]: identical `kept` decisions computed
+    * through a per-(source, quality) token histogram instead of a
+    * per-source global ordered window — the x12p histogram trick the
+    * exact form's scaladoc promises. Shape:
+    *
+    *  1. histogram: one map-side-combinable `groupBy(source, quality)`
+    *     over the scored docs (quality is an exact integer, so buckets
+    *     need no binning and the histogram is lossless);
+    *  2. per-source exclusive cumulative tokens by descending quality —
+    *     a window over the HISTOGRAM, whose per-source row count is
+    *     bounded by the distinct quality values, not the corpus;
+    *  3. classify each bucket: fully under budget → every doc kept;
+    *     cumulative-before strictly over budget → every doc dropped
+    *     (both decided WITHOUT any ordered window over docs);
+    *  4. only the straddling edge bucket (≤1 per source, plus the
+    *     zero-token boundary case) pays an ordered window — and that
+    *     window partitions by (source, quality), so even a pathological
+    *     single-source corpus never collapses into one task the way the
+    *     exact form's per-source window does.
+    *
+    * Returns (sourceCol, idCol, n_tokens, quality, kept) — no global
+    * rank/cum columns, which is exactly why it scales. Equality of the
+    * `kept` flags with the exact form (ties, zero-token docs, all three
+    * bucket classes) is pinned by CorpusAssemblySpec.
+    */
+  def quotaHistogram(scored: DataFrame, sourceCol: String, idCol: String,
+                     budgetPerSource: Long): DataFrame = {
+    val hist = scored.groupBy(sourceCol, "quality")
+      .agg(sum("n_tokens").as("__bucket_tokens"))
+    val wq = Window.partitionBy(sourceCol).orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = hist
+      .withColumn("__cum_before",
+        coalesce(sum("__bucket_tokens").over(wq), lit(0L)))
+      .withColumn("__cls",
+        when(col("__cum_before") + col("__bucket_tokens") <=
+          budgetPerSource, lit("keep"))
+        .when(col("__cum_before") > budgetPerSource, lit("drop"))
+        .otherwise(lit("edge")))
+      .select(col(sourceCol), col("quality"), col("__cum_before"),
+        col("__cls"))
+    val joined = scored.join(buckets, Seq(sourceCol, "quality"))
+    val decided = joined.filter(col("__cls") =!= "edge")
+      .withColumn("kept", col("__cls") === "keep")
+    val wEdge = Window.partitionBy(sourceCol, "quality").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val edge = joined.filter(col("__cls") === "edge")
+      .withColumn("kept", col("__cum_before") +
+        sum("n_tokens").over(wEdge) <= budgetPerSource)
+    decided.unionByName(edge)
+      .select(col(sourceCol), col(idCol), col("n_tokens"), col("quality"),
+        col("kept"))
+  }
+
+  /** [[qualityQuotaSelect]]'s decisions through [[quotaHistogram]] —
+    * the form that survives a single giant source. */
+  def qualityQuotaSelectHistogram(df: DataFrame, sourceCol: String,
+                                  idCol: String, textCol: String,
+                                  budgetPerSource: Long): DataFrame =
+    quotaHistogram(scoreDocs(df, sourceCol, idCol, textCol), sourceCol,
+      idCol, budgetPerSource)
 }

@@ -1021,9 +1021,47 @@ object LlmOps {
           AS min_quality_kept
       FROM k GROUP BY source"""))
 
+  // L26H — histogram-threshold form of l26 (same aggregated output,
+  // same oracle SQL: the value-identity contract, like l2bh -> l2b).
+  // CorpusAssembly.qualityQuotaSelectHistogram classifies whole
+  // (source, quality) histogram buckets against the budget; only the
+  // single straddling bucket per source pays an ordered window — and
+  // that window partitions by (source, quality), so a single giant
+  // source never collapses into one task the way l26's per-source
+  // window does.
+  private val l26h = QueryDef("l26h_quality_quota_hist", (s, dir) => {
+    CorpusAssembly.qualityQuotaSelectHistogram(Tables.documents(s, dir),
+        "source", "doc_id", "text", budgetPerSource = 800L)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_candidates"),
+        sum(col("kept").cast("long")).cast("long").as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(lit(0L)))
+          .cast("long").as("tokens_kept"),
+        min(when(col("kept"), col("quality"))).cast("long")
+          .as("min_quality_kept"))
+  }, Some("""WITH t AS (SELECT source, doc_id,
+        CAST(len(list_filter(string_split(text, ' '),
+          s -> length(s) > 0)) AS BIGINT) n_tokens,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '),
+          s -> length(s) > 0))) AS BIGINT) quality
+        FROM documents),
+      r AS (SELECT source, doc_id, n_tokens, quality,
+        CAST(sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        FROM t),
+      k AS (SELECT source, n_tokens, quality, cum <= 800 AS kept FROM r)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+          AS tokens_kept,
+        CAST(min(CASE WHEN kept THEN quality END) AS BIGINT)
+          AS min_quality_kept
+      FROM k GROUP BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      l25, l26, m1)
+      l25, l26, l26h, m1)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.core.Sessions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{CorpusAssembly, Dedup, Similarity}
 import graft.queries.Registry
 
 /** Dev-only: the round-8 scale-evidence runs behind SCALE_r08.md.
@@ -16,6 +16,11 @@ import graft.queries.Registry
   *  - `sketch`: x5p / x12p timings (the mergeable-sketch operators) at
   *    an inflated SF — their scale story is "one pass, O(k)/O(buckets)
   *    state"; the numbers back it.
+  *  - `pack`: l25's distributed prefix sum vs the naive global-window
+  *    cumsum on a synthetic token table where the single-partition
+  *    collapse is visible (`synth:<rows>` as arg 3).
+  *  - `quota`: l26 exact window vs l26h histogram on one giant source
+  *    (arg 3 = row count), plus an aggregate-identity check.
   *  - `annskew`: l6 (hyperplane LSH) and l11 (IVF) ANN under an
   *    8-hot-key embedding distribution (30% of vectors replaced by one
   *    of the 8 hottest base vectors, rank probability ∝ 1/rank — the
@@ -125,6 +130,37 @@ object ProbeR8 {
           binned(toks.withColumn("cum_tokens",
             sum("n_tokens").over(Window.orderBy("doc_id")
               .rowsBetween(Window.unboundedPreceding, 0)))))
+
+      case "quota" =>
+        // l26's exact per-source window vs l26h's histogram form on ONE
+        // giant source — the exact form's worst case (the whole corpus
+        // lands in a single window task). Synthetic PRE-SCORED frame
+        // (per the scoreDocs/quotaExact split): generating text and
+        // scoring it would pay interpreted HOF lambdas and measure the
+        // scorer, not the quota machinery. quality in [0,200) mirrors
+        // a distinct-token score's cardinality; n_tokens in [1,100].
+        val n = if (args.length > 2) args(2).toLong else 20000000L
+        val scored = spark.range(n).select(
+          col("id").as("doc_id"), lit("s0").as("source"),
+          pmod(xxhash64(col("id")), lit(200L)).as("quality"),
+          (pmod(xxhash64(col("id") + 7), lit(100L)) + lit(1L))
+            .as("n_tokens"))
+        // ~1/3 of the expected token mass: the edge bucket fires
+        // mid-distribution, so all three bucket classes are populated
+        val budget = n * 50L / 3L
+        def keptAgg(df: DataFrame): DataFrame = df.groupBy("source").agg(
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(lit(0L)))
+            .as("tokens_kept"))
+        timed("quota_exact", keptAgg(CorpusAssembly.quotaExact(
+          scored, "source", "doc_id", budget)))
+        timed("quota_hist", keptAgg(CorpusAssembly.quotaHistogram(
+          scored, "source", "doc_id", budget)))
+        val d = keptAgg(CorpusAssembly.quotaExact(
+            scored, "source", "doc_id", budget))
+          .except(keptAgg(CorpusAssembly.quotaHistogram(
+            scored, "source", "doc_id", budget))).count()
+        println(s"PROBE8 quota_identity except_count=$d")
 
       case "annskew" =>
         val emb = graft.core.Tables.embeddings(spark, sfDir)

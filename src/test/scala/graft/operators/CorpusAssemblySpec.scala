@@ -104,6 +104,90 @@ class CorpusAssemblySpec extends AnyFunSuite {
       (21L, 2L, 4L, true)))
   }
 
+  test("quotaHistogram kept flags == quotaExact on a random corpus " +
+    "across all-drop / edge / all-keep budgets") {
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    // 8-word vocab so qualities collide heavily (ties exercise the
+    // in-bucket id ordering); ~8% blank docs; one dominating source
+    val docs = (1L to 400L).map { i =>
+      val src = if (i % 5 < 3) "big" else if (i % 5 == 3) "mid" else "small"
+      val n = rnd.nextInt(12)
+      val text = if (n == 0) "  "
+        else Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+      (i, src, text)
+    }.toDF("doc_id", "source", "text")
+    val scored = CorpusAssembly.scoreDocs(docs, "source", "doc_id", "text")
+    for (budget <- Seq(0L, 40L, 1000000L)) {
+      val exact = CorpusAssembly
+        .quotaExact(scored, "source", "doc_id", budget)
+        .select(col("doc_id"), col("kept").as("kept_e"))
+      val hist = CorpusAssembly
+        .quotaHistogram(scored, "source", "doc_id", budget)
+        .select(col("doc_id"), col("kept").as("kept_h"))
+      assert(hist.count() == 400L, s"budget=$budget")
+      val diff = exact.join(hist, "doc_id")
+        .filter(col("kept_e") =!= col("kept_h")).count()
+      assert(diff == 0L, s"budget=$budget")
+    }
+  }
+
+  test("quotaHistogram boundary cases: keep/edge/drop buckets and " +
+    "zero-token docs at the exact budget line") {
+    import s.implicits._
+    // budget 8: bucket q4 (id 0, 4 tokens) -> keep class (0+4 <= 8);
+    // bucket q3 (ids 1-2, 6 tokens) -> edge (4 <= 8 < 10): id 1 kept
+    // (4+3 <= 8), id 2 dropped; bucket q0 (blank id 3) -> drop class
+    // (cum_before 10 > 8)
+    val docs = Seq(
+      (0L, "A", "a b c d"),
+      (1L, "A", "p q r"),
+      (2L, "A", "s t u"),
+      (3L, "A", "   ")
+    ).toDF("doc_id", "source", "text")
+    val scored = CorpusAssembly.scoreDocs(docs, "source", "doc_id", "text")
+    val got = CorpusAssembly.quotaHistogram(scored, "source", "doc_id", 8L)
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+    // zero-token doc EXACTLY at the budget line stays kept: cum_before
+    // == budget and bucket_tokens == 0 must classify keep, not drop
+    val boundary = Seq((1L, "B", "a b c d e"), (2L, "B", "   "))
+      .toDF("doc_id", "source", "text")
+    val got2 = CorpusAssembly.quotaHistogram(
+        CorpusAssembly.scoreDocs(boundary, "source", "doc_id", "text"),
+        "source", "doc_id", 5L)
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got2 == Map(1L -> true, 2L -> true))
+  }
+
+  test("quotaHistogram plan: per-source windows sit on the bounded " +
+    "histogram aggregate; doc-level windows partition by (source, " +
+    "quality)") {
+    import s.implicits._
+    val docs = Seq((1L, "A", "a b"), (2L, "A", "c"), (3L, "B", "d e f"))
+      .toDF("doc_id", "source", "text")
+    val plan = CorpusAssembly.qualityQuotaSelectHistogram(docs, "source",
+        "doc_id", "text", 3L).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, s"no global windows allowed:\n$w")
+      if (w.partitionSpec.size == 1) {
+        val onAgg = w.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isDefined
+        assert(onAgg, s"source-only window must sit on the histogram:\n$w")
+      } else assert(w.partitionSpec.size == 2,
+        s"doc window must partition by (source, quality):\n$w")
+    }
+  }
+
   test("sequencePack conserves tokens: bin totals sum to the corpus " +
     "total and every bin except the last is full up to straddle") {
     import s.implicits._
