@@ -213,4 +213,83 @@ object TextAnalysis {
         (col("n_tokens") > 0 && col("avg_bits") < keepBelowBits)
           .cast("long"))
   }
+
+  /** Bigram stupid-backoff surprisal in integer log2 bits — the bigram
+    * upgrade of [[unigramSurprisal]], with the model TRAINED on the
+    * deterministic `train` split ([[splitAssign]] 80/10) and scored
+    * over EVERY document, so the backoff path genuinely fires (CCNet's
+    * train-on-one-corpus / score-everything shape, Wenzek et al. 2019,
+    * arXiv:1911.00359). Per-token bits, all exact integers via
+    * bitlen = length(bin(x)):
+    *
+    *  - model bigram (prev, cur): bitlen(c1[prev]) - bitlen(c2[prev,cur])
+    *    (-log2 of the conditional probability to within a bit);
+    *  - unseen bigram, model unigram: 1 + bitlen(T) - bitlen(c1[cur])
+    *    (stupid backoff, Brants et al. 2007 "Large Language Models in
+    *    Machine Translation" — the 0.4 factor as an integer 1-bit
+    *    penalty);
+    *  - OOV: 1 + bitlen(T);
+    *  - doc-initial tokens take the unigram paths without the backoff
+    *    penalty (no context was discarded).
+    *
+    * `minCount` prunes the bigram table to counts >= minCount — the
+    * model-size knob that bounds the broadcast at corpus scale (real
+    * LM filters ship heavily pruned models; pruning only moves mass
+    * onto the backoff path, never breaks totality).
+    *
+    * Scale shape: tokenization + a `lag` window PARTITIONED by doc
+    * (state bounded per doc) feed the two training aggregations and
+    * the scoring join; the model — pruned bigrams, unigrams, 1-row
+    * total — broadcasts back, so scoring adds no shuffle, and the
+    * final per-doc sum reuses the window's hash(doc) partitioning.
+    */
+  def bigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, keepBelowBits: Double,
+                      minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy("pos")
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        posexplode(expr(toksSql(textCol))).as(Seq("pos", "t")))
+      .withColumn("prev", lag("t", 1).over(w))
+      .withColumn("is_train", splitAssign("doc", 80, 10) === "train")
+    val c1 = toks.filter(col("is_train"))
+      .groupBy(col("t").as("u_t")).agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum("c1").cast("long").as("tt"))
+    val c2 = toks.filter(col("is_train") && col("prev").isNotNull)
+      .groupBy(col("prev").as("b_prev"), col("t").as("b_cur"))
+      .agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val c1prev = c1.select(col("u_t").as("p_t"), col("c1").as("c1p"))
+    val scored = toks
+      .join(broadcast(c2),
+        col("prev") === col("b_prev") && col("t") === col("b_cur"), "left")
+      .join(broadcast(c1), col("t") === col("u_t"), "left")
+      .join(broadcast(c1prev), col("prev") === col("p_t"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc"),
+        when(col("c2").isNotNull,
+            length(expr("bin(c1p)")) - length(expr("bin(c2)")))
+        .when(col("prev").isNull && col("c1").isNotNull,
+            length(expr("bin(tt)")) - length(expr("bin(c1)")))
+        .when(col("prev").isNull, length(expr("bin(tt)")))
+        .when(col("c1").isNotNull,
+            lit(1) + length(expr("bin(tt)")) - length(expr("bin(c1)")))
+        .otherwise(lit(1) + length(expr("bin(tt)")))
+        .cast("long").as("bits"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("total_bits"))
+    docs.select(col(idCol).as("doc"))
+      .join(scored, Seq("doc"), "left")
+      .select(
+        col("doc").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0d))
+          .otherwise(col("total_bits").cast("double") / col("n_tokens"))
+          .as("avg_bits"))
+      .withColumn("keep",
+        (col("n_tokens") > 0 && col("avg_bits") < keepBelowBits)
+          .cast("long"))
+  }
 }

@@ -957,6 +957,62 @@ object LlmOps {
              END AS BIGINT) AS keep
       FROM documents d LEFT JOIN sc USING (doc_id)"""))
 
+  // L24B — bigram stupid-backoff surprisal in integer bits (the bigram
+  // upgrade of l24): model trained on the deterministic l19 train
+  // split, scored over every document, so pruned-bigram backoff and
+  // OOV paths genuinely fire. bitlen arithmetic keeps it hash-exact
+  // cross-engine; keep threshold sits inside the sf0.01 avg_bits
+  // distribution so both outcomes occur.
+  private val l24b = QueryDef("l24b_bigram_surprisal", (s, dir) => {
+    TextAnalysis.bigramSurprisal(Tables.documents(s, dir), "doc_id",
+      "text", keepBelowBits = 4.93, minCount = 2L)
+  }, Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), s -> length(s) > 0) tk
+        FROM documents),
+      tok AS (SELECT doc_id, u['pos'] pos, u['t'] t
+              FROM (SELECT doc_id, unnest(list_transform(
+                     range(1, len(tk) + 1),
+                     i -> {'pos': i, 't': tk[i]})) u
+                    FROM t WHERE len(tk) > 0)),
+      lg AS (SELECT doc_id, pos, t,
+              lag(t) OVER (PARTITION BY doc_id ORDER BY pos) prev,
+              CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
+                * 1103515245 + 12345) % 100 < 80 THEN 1 ELSE 0 END
+                is_train
+             FROM tok),
+      c1 AS (SELECT t u_t, CAST(count(*) AS BIGINT) c1 FROM lg
+             WHERE is_train = 1 GROUP BY t),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) tt FROM c1),
+      c2 AS (SELECT prev b_prev, t b_cur, CAST(count(*) AS BIGINT) c2
+             FROM lg WHERE is_train = 1 AND prev IS NOT NULL
+             GROUP BY prev, t HAVING count(*) >= 2),
+      sc AS (SELECT lg.doc_id,
+              CASE WHEN c2.c2 IS NOT NULL
+                     THEN length(bin(p.c1)) - length(bin(c2.c2))
+                   WHEN lg.prev IS NULL AND c1.c1 IS NOT NULL
+                     THEN length(bin(tot.tt)) - length(bin(c1.c1))
+                   WHEN lg.prev IS NULL THEN length(bin(tot.tt))
+                   WHEN c1.c1 IS NOT NULL
+                     THEN 1 + length(bin(tot.tt)) - length(bin(c1.c1))
+                   ELSE 1 + length(bin(tot.tt)) END AS bits
+             FROM lg
+             LEFT JOIN c2 ON lg.prev = c2.b_prev AND lg.t = c2.b_cur
+             LEFT JOIN c1 ON lg.t = c1.u_t
+             LEFT JOIN c1 p ON lg.prev = p.u_t
+             CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+               CAST(sum(bits) AS BIGINT) total_bits
+              FROM sc GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        coalesce(total_bits, CAST(0 AS BIGINT)) AS total_bits,
+        CASE WHEN coalesce(n_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(total_bits AS DOUBLE) / n_tokens END AS avg_bits,
+        CAST(CASE WHEN coalesce(n_tokens, 0) > 0 AND
+             CAST(total_bits AS DOUBLE) / n_tokens < 4.93 THEN 1 ELSE 0
+             END AS BIGINT) AS keep
+      FROM documents d LEFT JOIN agg USING (doc_id)"""))
+
   // L25 — sequence packing (concat-and-chunk): the token stream in
   // doc_id order cut into 2048-token bins, reported per bin. The global
   // cumsum runs through CorpusAssembly.prefixSum (range partition +
@@ -1063,5 +1119,5 @@ object LlmOps {
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      l25, l26, l26h, m1)
+      l24b, l25, l26, l26h, m1)
 }

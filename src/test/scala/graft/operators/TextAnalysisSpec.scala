@@ -160,4 +160,74 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial diverged from brute force")
     }
   }
+
+  test("bigramSurprisal: every scoring path hand-computed (model " +
+    "bigram, pruned->backoff, doc-initial, OOV, empty doc)") {
+    import s.implicits._
+    // split buckets: ids 2,4,6 -> train; 1 -> test. Train corpus
+    // "a b a b" + "a b c": c1 a=3,b=3,c=1, T=7; bigrams (a,b)=3,
+    // (b,a)=1, (b,c)=1 -> minCount=2 keeps only (a,b).
+    // bitlen: 7->3, 3->2, 1->1.
+    val docs = Seq((1L, "a b z"), (2L, "a b a b"), (4L, "a b c"),
+      (6L, "  ")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(docs, "doc_id", "text",
+        keepBelowBits = 1.0, minCount = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+          r.getAs[Long]("keep")))).toMap
+    // doc1 (test): a initial-unigram 3-2=1; b model-bigram 2-2=0;
+    // z OOV 1+3=4 -> 5 bits
+    assert(out(1L) == ((3L, 5L, 0L)))
+    // doc2: 1 + 0 + backoff(a: 1+3-2=2) + 0 -> 3 bits, avg 0.75 -> keep
+    assert(out(2L) == ((4L, 3L, 1L)))
+    // doc4: 1 + 0 + backoff(c: 1+3-1=3) -> 4 bits
+    assert(out(4L) == ((3L, 4L, 0L)))
+    assert(out(6L) == ((0L, 0L, 0L)))
+  }
+
+  test("bigramSurprisal matches a brute-force reference on random " +
+    "corpora (train-split model, pruning, OOV paths all exercised)") {
+    import s.implicits._
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    def isTrain(id: Long): Boolean =
+      ((id % 100000007L) * 1103515245L + 12345L) % 100L < 80L
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7")
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 20L).map { id =>
+        id -> Vector.fill(rnd.nextInt(15))(
+          vocab(math.min(rnd.nextInt(vocab.size), rnd.nextInt(vocab.size))))
+          .mkString(" ")
+      }
+      val trainToks = docs.filter(d => isTrain(d._1))
+        .map(_._2.split(" ").filter(_.nonEmpty).toVector)
+      val c1 = trainToks.flatten.groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val total = trainToks.map(_.size.toLong).sum
+      val c2 = trainToks.flatMap(tk => tk.zip(tk.drop(1)))
+        .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+        .filter(_._2 >= 2L)
+      val expected = docs.map { case (id, t) =>
+        val tk = t.split(" ").filter(_.nonEmpty).toVector
+        val bits = tk.zipWithIndex.map { case (cur, i) =>
+          val prev = if (i == 0) None else Some(tk(i - 1))
+          prev.flatMap(p => c2.get((p, cur))) match {
+            case Some(cb) => bitlen(c1(prev.get)) - bitlen(cb)
+            case None => (if (prev.isEmpty) 0L else 1L) +
+              (c1.get(cur) match {
+                case Some(cu) => bitlen(total) - bitlen(cu)
+                case None => bitlen(total)
+              })
+          }
+        }.sum
+        id -> ((tk.length.toLong, bits))
+      }.toMap
+      val got = TextAnalysis.bigramSurprisal(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          keepBelowBits = 2.0, minCount = 2L)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits")))).toMap
+      assert(got == expected, s"trial $trial diverged from brute force")
+    }
+  }
 }
