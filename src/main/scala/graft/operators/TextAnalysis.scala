@@ -237,21 +237,28 @@ object TextAnalysis {
     * LM filters ship heavily pruned models; pruning only moves mass
     * onto the backoff path, never breaks totality).
     *
-    * Scale shape: tokenization + a `lag` window PARTITIONED by doc
-    * (state bounded per doc) feed the two training aggregations and
-    * the scoring join; the model — pruned bigrams, unigrams, 1-row
-    * total — broadcasts back, so scoring adds no shuffle, and the
-    * final per-doc sum reuses the window's hash(doc) partitioning.
+    * Scale shape: the bigram context comes straight from the token
+    * ARRAY (`prev = arr[pos-1]` via 0-based `get`, null at pos 0) — a
+    * doc's tokens never leave the scan partition, so scoring is
+    * map-only exactly like [[unigramSurprisal]]'s. The only shuffles
+    * are the two training aggregations (map-side combinable by
+    * construction) and the final per-doc sum, whose partial aggregate
+    * is already one row per doc (a doc's exploded tokens are
+    * partition-contiguous). An earlier form computed `prev` with a
+    * `lag` window partitioned by doc; that repartitioned the entire
+    * token stream — 267 MB of shuffle at sf5 vs the training aggs'
+    * ~5 MB — for ordering the array explode already provides
+    * (SCALE_r08.md §6).
     */
   def bigramSurprisal(docs: org.apache.spark.sql.DataFrame, idCol: String,
                       textCol: String, keepBelowBits: Double,
                       minCount: Long = 2L): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc").orderBy("pos")
     val toks = docs
-      .select(col(idCol).as("doc"),
-        posexplode(expr(toksSql(textCol))).as(Seq("pos", "t")))
-      .withColumn("prev", lag("t", 1).over(w))
+      .select(col(idCol).as("doc"), expr(toksSql(textCol)).as("arr"))
+      .select(col("doc"), col("arr"),
+        posexplode(col("arr")).as(Seq("pos", "t")))
+      .withColumn("prev", get(col("arr"), col("pos") - 1))
+      .drop("arr", "pos")
       .withColumn("is_train", splitAssign("doc", 80, 10) === "train")
     val c1 = toks.filter(col("is_train"))
       .groupBy(col("t").as("u_t")).agg(count(lit(1)).as("c1"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.core.Sessions
-import graft.operators.{CorpusAssembly, Dedup, Similarity}
+import graft.operators.{CorpusAssembly, Dedup, Similarity, TextAnalysis}
 import graft.queries.Registry
 
 /** Dev-only: the round-8 scale-evidence runs behind SCALE_r08.md.
@@ -21,6 +21,9 @@ import graft.queries.Registry
   *    collapse is visible (`synth:<rows>` as arg 3).
   *  - `quota`: l26 exact window vs l26h histogram on one giant source
   *    (arg 3 = row count), plus an aggregate-identity check.
+  *  - `surprisal`: l24 unigram vs l24b bigram scoring cost across SFs
+  *    (the claim: the model stays broadcast-bounded and the scoring
+  *    pass adds no shuffle beyond the per-doc lag window).
   *  - `annskew`: l6 (hyperplane LSH) and l11 (IVF) ANN under an
   *    8-hot-key embedding distribution (30% of vectors replaced by one
   *    of the 8 hottest base vectors, rank probability ∝ 1/rank — the
@@ -161,6 +164,13 @@ object ProbeR8 {
           .except(keptAgg(CorpusAssembly.quotaHistogram(
             scored, "source", "doc_id", budget))).count()
         println(s"PROBE8 quota_identity except_count=$d")
+
+      case "surprisal" =>
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        timed("l24_unigram", TextAnalysis.unigramSurprisal(
+          docs, "doc_id", "text", keepBelowBits = 4.93))
+        timed("l24b_bigram", TextAnalysis.bigramSurprisal(
+          docs, "doc_id", "text", keepBelowBits = 4.93))
 
       case "annskew" =>
         val emb = graft.core.Tables.embeddings(spark, sfDir)
