@@ -299,4 +299,124 @@ object TextAnalysis {
         (col("n_tokens") > 0 && col("avg_bits") < keepBelowBits)
           .cast("long"))
   }
+
+  /** BM25 top-k retrieval over the corpus for a FIXED set of query
+    * terms (Robertson et al., TREC-3 Okapi weighting) — the lexical
+    * side of the similarity-search family (l5/l6/l11 are the dense
+    * side). Per matching doc:
+    *
+    *   score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+    *
+    * with idf in integer log2 bits (the [[unigramSurprisal]]
+    * convention): idf(t) = 1 + bitlen(N) - bitlen(df_t), shifted +1 so
+    * ubiquitous terms keep a positive weight (the BM25+ flavor of the
+    * lower bound; exact-log idf would need libm ln, which is banned
+    * from oracle-matched output — last-ulp skew across engines).
+    *
+    * Cross-engine determinism: per-term tf comes from the token array
+    * (map-only, no explode/shuffle); every float op is exactly-rounded
+    * IEEE arithmetic mirrored operation-for-operation in the DuckDB
+    * oracle, and the per-doc sum folds over terms in SORTED term order
+    * on both engines, so scores are bit-identical and the (score desc,
+    * doc) ranking agrees.
+    *
+    * Scale shape: one map pass computes dl + per-term tfs (the term
+    * list is the bounded query, not the vocabulary — no per-token
+    * state); a single 1-row aggregate (N, total dl, per-term df)
+    * broadcasts back; scoring is map-only; top-k is orderBy+limit
+    * (TakeOrdered — per-partition heaps, no global sort). The final
+    * rank window runs over ≤ k rows, bounded by construction.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val terms = queryTerms.distinct.sorted
+    val base = docs
+      .select(col(idCol).as("doc"), expr(toksSql(textCol)).as("arr"))
+      .withColumn("dl", size(col("arr")).cast("long"))
+    val wtf = terms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"tf_$i",
+        size(filter(col("arr"), x => x === lit(t))).cast("long"))
+    }.drop("arr")
+    val statCols: Seq[Column] =
+      count(lit(1)).cast("long").as("n") +:
+      sum("dl").cast("double").as("tot") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .cast("long").as(s"df_$i"))
+    val stats = wtf.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("tot") / col("n").cast("double")
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf_$i").cast("double")
+      val idf = (lit(1) + length(expr("bin(n)"))
+        - length(expr(s"bin(df_$i)"))).cast("double")
+      when(col(s"tf_$i") > 0,
+        idf * ((tf * (lit(k1) + lit(1.0))) /
+          (tf + lit(k1) * ((lit(1.0) - lit(b))
+            + lit(b) * (col("dl").cast("double") / avgdl)))))
+        .otherwise(lit(0.0))
+    }
+    val scored = wtf.crossJoin(broadcast(stats))
+      .withColumn("score",
+        terms.indices.foldLeft(lit(0.0))((acc, i) => acc + contrib(i)))
+      .withColumn("n_matched",
+        terms.indices.map(i =>
+          when(col(s"tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .filter(col("n_matched") > 0)
+      .select(col("doc"), col("dl"), col("n_matched"), col("score"))
+    scored.orderBy(col("score").desc, col("doc")).limit(k)
+      .withColumn("rnk", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc"))).cast("long"))
+      .select(col("doc").as(idCol), col("rnk"), col("score"),
+        col("dl"), col("n_matched"))
+  }
+
+  /** Heavy hitters over the corpus vocabulary: every token whose
+    * frequency exceeds phi * total_tokens, with its EXACT count —
+    * computed without ever shuffling the full vocabulary.
+    *
+    * Pass 1 runs a [[graft.functions.MisraGries]] summary (bounded
+    * state: `capacity` counters per partial aggregate) whose guarantee
+    * — no false negatives above n/(capacity+1) — makes its <= capacity
+    * surviving terms a SUPERSET of the answer whenever
+    * phi >= 1/(capacity+1) (enforced). Pass 2 re-counts just those
+    * candidates exactly (an isin filter pushed to the scan + a
+    * <= capacity-key aggregation) and applies the exact threshold.
+    *
+    * The sketch pass's counter values are arrival-order dependent, but
+    * the candidate SET the recount starts from is a superset of the
+    * answer under any order, so the final output is deterministic —
+    * a plain GROUP BY / HAVING oracle checks it (x18). The driver
+    * materializes only the bounded summary row (<= capacity entries —
+    * the IVF lazy-centroid convention).
+    *
+    * At 100 TB this replaces l18's full-vocabulary shuffle with two
+    * scans and O(capacity) state/bytes per partition: the mergeable-
+    * summaries pattern (Agarwal et al. 2013).
+    */
+  def heavyHitters(docs: DataFrame, textCol: String, phi: Double,
+                   capacity: Int): DataFrame = {
+    require(phi * (capacity + 1).toDouble >= 1.0,
+      s"phi=$phi must be >= 1/(capacity+1) or the sketch may drop a " +
+        "true heavy hitter")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(expr(toksSql(textCol))).as("t"))
+    val summary = toks.as[String]
+      .select(new graft.functions.MisraGries(capacity).toColumn.name("s"))
+      .head()
+    val candidates = summary.counts.keys.toSeq.sorted
+    if (candidates.isEmpty) {
+      toks.limit(0).groupBy(col("t").as("term"))
+        .agg(count(lit(1)).cast("long").as("freq"))
+    } else {
+      toks.filter(col("t").isin(candidates: _*))
+        .groupBy(col("t").as("term"))
+        .agg(count(lit(1)).cast("long").as("freq"))
+        .filter(col("freq").cast("double") >
+          lit(phi) * lit(summary.n).cast("double"))
+    }
+  }
 }

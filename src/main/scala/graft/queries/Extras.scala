@@ -501,8 +501,28 @@ object Extras {
       ${Exact.exactSumSql("o_totalprice", 2)} AS total
       FROM orders GROUP BY o_orderstatus"""))
 
+  // X18 — vocabulary heavy hitters WITHOUT a full-vocab shuffle: a
+  // Misra–Gries candidate sketch (bounded state per partition, merge-
+  // order-independent superset guarantee) followed by an exact recount
+  // of the <= capacity candidates. phi=0.02 >= 1/(capacity+1), so the
+  // candidate set provably contains every answer and the output is
+  // deterministic — checked by a plain GROUP BY / HAVING oracle that
+  // never sees the sketch. The sketch's trim paths are exercised under
+  // zipf pressure in MisraGriesSpec (the gate corpus's vocabulary is
+  // smaller than the capacity, so here the sketch passes through).
+  private val x18 = QueryDef("x18_heavy_hitters", (s, dir) => {
+    graft.operators.TextAnalysis.heavyHitters(Tables.documents(s, dir),
+      "text", phi = 0.02, capacity = 99)
+  }, Some("""WITH toks AS (SELECT unnest(list_filter(
+        string_split(text, ' '), t -> length(t) > 0)) t FROM documents),
+      n AS (SELECT CAST(count(*) AS BIGINT) tt FROM toks),
+      c AS (SELECT t AS term, CAST(count(*) AS BIGINT) freq
+        FROM toks GROUP BY t)
+      SELECT term, freq FROM c CROSS JOIN n
+      WHERE CAST(freq AS DOUBLE) > 0.02 * CAST(tt AS DOUBLE)"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17)
+      x16w, x16, x17, x18)
 }

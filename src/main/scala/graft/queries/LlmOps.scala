@@ -1115,9 +1115,74 @@ object LlmOps {
           AS min_quality_kept
       FROM k GROUP BY source"""))
 
+  // L27 — BM25 top-k retrieval (Okapi weighting, TREC-3): the lexical
+  // side of the similarity-search family. Query mixes a rare term
+  // ('dup', ~5% df), common terms ('spark'/'vector', near-ubiquitous),
+  // and an absent one ('flink', df=0 — exercises the no-match guard).
+  // idf is integer log2 bits (the l24 convention, +1 shift for
+  // positivity); all float ops are exactly-rounded IEEE mirrored
+  // operation-for-operation in the oracle, summed in sorted term
+  // order -> bit-identical scores, identical (score desc, doc) rank.
+  private val l27 = QueryDef("l27_bm25_topk", (s, dir) => {
+    TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      Seq("dup", "spark", "vector", "flink"), k = 25)
+  }, Some("""WITH base AS (SELECT doc_id doc,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      wtf AS (SELECT doc, CAST(len(tk) AS BIGINT) dl,
+        CAST(len(list_filter(tk, x -> x = 'dup')) AS BIGINT) tf_0,
+        CAST(len(list_filter(tk, x -> x = 'flink')) AS BIGINT) tf_1,
+        CAST(len(list_filter(tk, x -> x = 'spark')) AS BIGINT) tf_2,
+        CAST(len(list_filter(tk, x -> x = 'vector')) AS BIGINT) tf_3
+        FROM base),
+      st AS (SELECT CAST(count(*) AS BIGINT) n,
+        CAST(sum(dl) AS DOUBLE) tot,
+        CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) df_0,
+        CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) df_1,
+        CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) df_2,
+        CAST(sum(CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) AS BIGINT) df_3
+        FROM wtf),
+      sc AS (SELECT doc, dl,
+        (CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END
+         + CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END
+         + CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END
+         + CASE WHEN tf_3 > 0 THEN 1 ELSE 0 END) n_matched,
+        ((((0.0
+          + CASE WHEN tf_0 > 0 THEN
+              CAST(1 + length(bin(n)) - length(bin(df_0)) AS DOUBLE)
+              * ((CAST(tf_0 AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tf_0 AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                  + 0.75 * (CAST(dl AS DOUBLE) / (tot / CAST(n AS DOUBLE))))))
+            ELSE 0.0 END)
+          + CASE WHEN tf_1 > 0 THEN
+              CAST(1 + length(bin(n)) - length(bin(df_1)) AS DOUBLE)
+              * ((CAST(tf_1 AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tf_1 AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                  + 0.75 * (CAST(dl AS DOUBLE) / (tot / CAST(n AS DOUBLE))))))
+            ELSE 0.0 END)
+          + CASE WHEN tf_2 > 0 THEN
+              CAST(1 + length(bin(n)) - length(bin(df_2)) AS DOUBLE)
+              * ((CAST(tf_2 AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tf_2 AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                  + 0.75 * (CAST(dl AS DOUBLE) / (tot / CAST(n AS DOUBLE))))))
+            ELSE 0.0 END)
+          + CASE WHEN tf_3 > 0 THEN
+              CAST(1 + length(bin(n)) - length(bin(df_3)) AS DOUBLE)
+              * ((CAST(tf_3 AS DOUBLE) * (1.2 + 1.0))
+                / (CAST(tf_3 AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+                  + 0.75 * (CAST(dl AS DOUBLE) / (tot / CAST(n AS DOUBLE))))))
+            ELSE 0.0 END) AS score
+        FROM wtf CROSS JOIN st),
+      ranked AS (SELECT doc, dl, n_matched, score,
+          CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) rnk
+        FROM sc WHERE n_matched > 0)
+      SELECT doc AS doc_id, rnk, score, dl,
+        CAST(n_matched AS BIGINT) AS n_matched
+      FROM ranked WHERE rnk <= 25"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      l24b, l25, l26, l26h, m1)
+      l24b, l25, l26, l26h, l27, m1)
 }

@@ -230,4 +230,63 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial diverged from brute force")
     }
   }
+
+  test("bm25TopK matches a bit-exact brute-force reference on random " +
+    "corpora (idf bits, dl normalization, sorted-term sum, tie-break)") {
+    import s.implicits._
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val k1 = 1.2; val b = 0.75
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5")
+    val query = Seq("t1", "t4", "zz") // zz is absent: df = 0 path
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 30L).map { id =>
+        id -> Vector.fill(rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toVector }.toMap
+      val n = docs.size.toLong
+      val tot = toks.valuesIterator.map(_.size.toLong).sum.toDouble
+      val avgdl = tot / n.toDouble
+      val terms = query.distinct.sorted
+      val df = terms.map(t =>
+        t -> toks.valuesIterator.count(_.contains(t)).toLong).toMap
+      val expected = docs.flatMap { case (id, _) =>
+        val tk = toks(id)
+        val dl = tk.size.toLong
+        val score = terms.foldLeft(0.0) { (acc, t) =>
+          val tf = tk.count(_ == t).toLong
+          if (tf == 0L) acc
+          else acc + (1L + bitlen(n) - bitlen(df(t))).toDouble *
+            ((tf.toDouble * (k1 + 1.0)) /
+              (tf.toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl))))
+        }
+        val matched = terms.count(t => tk.contains(t)).toLong
+        if (matched > 0) Some((id, score, dl, matched)) else None
+      }
+      val ranked = expected.sortBy { case (id, sc, _, _) => (-sc, id) }
+      val got = TextAnalysis.bm25TopK(docs.toDF("doc_id", "text"),
+          "doc_id", "text", query, k = 12, k1 = k1, b = b)
+        .collect().map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("score"), r.getAs[Long]("dl"),
+          r.getAs[Long]("n_matched")))
+      assert(got.length == math.min(12, ranked.length))
+      got.foreach { case (rnk, id, sc, dl, m) =>
+        val (eid, esc, edl, em) = ranked((rnk - 1).toInt)
+        assert(id == eid && dl == edl && m == em,
+          s"trial $trial rank $rnk: got doc $id, brute force says $eid")
+        assert(sc == esc, // bit-exact, no tolerance — the oracle contract
+          s"trial $trial doc $id: score $sc != brute $esc")
+      }
+    }
+  }
+
+  test("bm25TopK: no matching doc yields an empty result; absent-only " +
+    "query never divides by a zero df") {
+    import s.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "c d")).toDF("doc_id", "text")
+    assert(TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq("zz", "yy"), k = 5).count() == 0L)
+  }
 }
