@@ -12,6 +12,12 @@ object TextAnalysis {
   private def toksSql(textCol: String): String =
     s"filter(split($textCol, ' '), t -> length(t) > 0)"
 
+  /** The whitespace token array every operator here tokenizes with —
+    * public so stream-side ops (StreamOps.heavyHittersForeachBatch)
+    * reduce EXACTLY the same token stream the batch forms do.
+    */
+  def tokens(textCol: String): Column = expr(toksSql(textCol))
+
   /** Whitespace token count. */
   def tokenCount(textCol: String): Column =
     expr(s"size(${toksSql(textCol)})").cast("long")
@@ -373,6 +379,70 @@ object TextAnalysis {
         col("dl"), col("n_matched"))
   }
 
+  /** Batch BM25: top-k per query for a whole TABLE of (query_id, term)
+    * rows at once — the inverted-index join form of [[bm25TopK]], for
+    * retrieval at "mine the corpus for 10k queries" scale where one
+    * pass per query would be absurd. Same scoring formula and integer-
+    * bit idf as [[bm25TopK]]; a doc matching query terms gets
+    * bit-identical per-term contributions, and the per-(query, doc)
+    * sum folds over collected contributions in sorted term order —
+    * deterministic, so the single-query form and the DuckDB oracle
+    * agree exactly.
+    *
+    * Scale shape: tokens explode once, semi-filter against the
+    * broadcast distinct query-term set (tiny vs vocabulary) BEFORE the
+    * only corpus-sized shuffle — the (doc, term) tf aggregation, whose
+    * key space is bounded by matched terms, not the vocabulary. df and
+    * the query table broadcast back; top-k is a window partitioned by
+    * query (state = k rows per query). Ordered-fold sums are
+    * interpreted per element, but only over the <= |query terms|
+    * matched contributions per doc — never over the corpus.
+    */
+  def bm25BatchTopK(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc"), expr(toksSql(textCol)).as("arr"))
+      .withColumn("dl", size(col("arr")).cast("long"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n"),
+      sum("dl").cast("double").as("tot"))
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val termSet = qterms.select(col("term").as("t")).distinct()
+    val tf = base
+      .select(col("doc"), col("dl"), explode(col("arr")).as("t"))
+      .join(broadcast(termSet), Seq("t"))
+      .groupBy("doc", "dl", "t")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy("t")
+      .agg(count(lit(1)).cast("long").as("df"))
+    val avgdl = col("tot") / col("n").cast("double")
+    val tfd = col("tf").cast("double")
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("t"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms.withColumnRenamed("term", "t")), Seq("t"))
+      .withColumn("c",
+        (lit(1) + length(expr("bin(n)")) - length(expr("bin(df)")))
+          .cast("double") *
+        ((tfd * (lit(k1) + lit(1.0))) /
+          (tfd + lit(k1) * ((lit(1.0) - lit(b))
+            + lit(b) * (col("dl").cast("double") / avgdl)))))
+    val perDoc = contrib.groupBy("query_id", "doc", "dl").agg(
+      count(lit(1)).cast("long").as("n_matched"),
+      aggregate(
+        sort_array(collect_list(struct(col("t").as("term"),
+          col("c").as("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+    perDoc
+      .withColumn("rnk", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc").as(idCol), col("rnk"),
+        col("score"), col("dl"), col("n_matched"))
+  }
+
   /** Heavy hitters over the corpus vocabulary: every token whose
     * frequency exceeds phi * total_tokens, with its EXACT count —
     * computed without ever shuffling the full vocabulary.
@@ -403,20 +473,31 @@ object TextAnalysis {
         "true heavy hitter")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(explode(expr(toksSql(textCol))).as("t"))
-    val summary = toks.as[String]
+    val summary = docs.select(explode(tokens(textCol)).as("t")).as[String]
       .select(new graft.functions.MisraGries(capacity).toColumn.name("s"))
       .head()
-    val candidates = summary.counts.keys.toSeq.sorted
-    if (candidates.isEmpty) {
+    recountHeavy(docs, textCol, summary.counts.keys.toSeq.sorted,
+      summary.n, phi)
+  }
+
+  /** Pass 2 of [[heavyHitters]], shared with the streaming form
+    * (StreamOps.heavyHittersFromState): exact recount of a BOUNDED
+    * candidate term set over the corpus, thresholded at phi * n. The
+    * isin filter over <= capacity strings reaches the scan; the
+    * aggregation carries <= capacity keys.
+    */
+  def recountHeavy(docs: DataFrame, textCol: String,
+                   candidates: Seq[String], n: Long,
+                   phi: Double): DataFrame = {
+    val toks = docs.select(explode(tokens(textCol)).as("t"))
+    if (candidates.isEmpty)
       toks.limit(0).groupBy(col("t").as("term"))
         .agg(count(lit(1)).cast("long").as("freq"))
-    } else {
+    else
       toks.filter(col("t").isin(candidates: _*))
         .groupBy(col("t").as("term"))
         .agg(count(lit(1)).cast("long").as("freq"))
         .filter(col("freq").cast("double") >
-          lit(phi) * lit(summary.n).cast("double"))
-    }
+          lit(phi) * lit(n).cast("double"))
   }
 }

@@ -1180,9 +1180,58 @@ object LlmOps {
         CAST(n_matched AS BIGINT) AS n_matched
       FROM ranked WHERE rnk <= 25"""))
 
+  // L27B — batch BM25: one pass scores a whole query TABLE (the
+  // inverted-index join form of l27 — retrieval for many queries at
+  // once). Query 3 ('flink') matches nothing and must vanish; queries
+  // 1 and 2 share a term with l27 so per-term contributions exercise
+  // the same arithmetic through the join path. The per-(query, doc)
+  // sum folds collected contributions in sorted term order on both
+  // engines -> bit-identical scores.
+  private val l27b = QueryDef("l27b_bm25_batch", (s, dir) => {
+    import s.implicits._
+    val queries = Seq((1L, "dup"), (1L, "spark"), (2L, "vector"),
+      (2L, "the"), (2L, "batch"), (3L, "flink"))
+      .toDF("query_id", "term")
+    TextAnalysis.bm25BatchTopK(Tables.documents(s, dir), "doc_id",
+      "text", queries, k = 10)
+  }, Some("""WITH q(query_id, term) AS (VALUES
+        (1, 'dup'), (1, 'spark'), (2, 'vector'), (2, 'the'),
+        (2, 'batch'), (3, 'flink')),
+      base AS (SELECT doc_id doc,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      wdl AS (SELECT doc, CAST(len(tk) AS BIGINT) dl, tk FROM base),
+      st AS (SELECT CAST(count(*) AS BIGINT) n,
+        CAST(sum(dl) AS DOUBLE) tot FROM wdl),
+      tf AS (SELECT doc, dl, t, CAST(count(*) AS BIGINT) tf
+        FROM (SELECT doc, dl, unnest(tk) t FROM wdl)
+        WHERE t IN (SELECT DISTINCT term FROM q)
+        GROUP BY doc, dl, t),
+      dfq AS (SELECT t, CAST(count(*) AS BIGINT) df FROM tf GROUP BY t),
+      contrib AS (SELECT q.query_id, tf.doc, tf.dl, tf.t,
+          CAST(1 + length(bin(n)) - length(bin(df)) AS DOUBLE)
+          * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+              + 0.75 * (CAST(dl AS DOUBLE) / (tot / CAST(n AS DOUBLE))))))
+          AS c
+        FROM tf JOIN dfq USING (t) JOIN q ON q.term = tf.t
+        CROSS JOIN st),
+      perdoc AS (SELECT query_id, doc, dl,
+          CAST(count(*) AS BIGINT) n_matched,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(c ORDER BY t)), (x, y) -> x + y) score
+        FROM contrib GROUP BY query_id, doc, dl),
+      ranked AS (SELECT query_id, doc, dl, n_matched, score,
+          CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc) AS BIGINT) rnk
+        FROM perdoc)
+      SELECT CAST(query_id AS BIGINT) query_id, doc AS doc_id, rnk,
+        score, dl, n_matched
+      FROM ranked WHERE rnk <= 10"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      l24b, l25, l26, l26h, l27, m1)
+      l24b, l25, l26, l26h, l27, l27b, m1)
 }

@@ -170,6 +170,69 @@ object StreamOps {
     }
   }
 
+  /** Streaming vocabulary heavy hitters via the mergeable Misra–Gries
+    * summary (x18's sketch, graft.functions.MisraGries): each
+    * micro-batch reduces to its own <= capacity summary, which merges
+    * into the persisted one with the PODS merge rule — state stays
+    * O(capacity) rows however much text streams through, and the
+    * merged summary keeps MG's no-false-negative guarantee over the
+    * WHOLE stream (the merge is order-independent in what it
+    * guarantees, so batch boundaries don't matter). State rows are
+    * (term, c) plus one (null, n) total row, published with the same
+    * crash-safe staging rename as the SCD2/histogram sinks.
+    */
+  def heavyHittersForeachBatch(statePath: String, textCol: String,
+                               capacity: Int)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val mg = new graft.functions.MisraGries(capacity)
+      val part = batch
+        .select(explode(graft.operators.TextAnalysis.tokens(textCol))
+          .as("t"))
+        .as[String].select(mg.toColumn.name("s")).head()
+      val live = new org.apache.hadoop.fs.Path(statePath)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (fs.exists(live)) mg.merge(readMgState(spark, statePath), part)
+        else part
+      val rows = merged.counts.toSeq
+        .map { case (t, c) => (Option(t), c) } :+
+        ((Option.empty[String], merged.n))
+      publishAtomic(spark, statePath, rows.toDF("term", "c"))
+    }
+  }
+
+  private def readMgState(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String): graft.functions.MisraGries.Buf = {
+    val rows = spark.read.parquet(statePath).collect()
+    graft.functions.MisraGries.Buf(
+      rows.filter(!_.isNullAt(0))
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L))
+  }
+
+  /** The merged stream summary, for inspection/tests. */
+  def heavyHittersState(spark: org.apache.spark.sql.SparkSession,
+                        statePath: String): graft.functions.MisraGries.Buf =
+    readMgState(spark, statePath)
+
+  /** The exact heavy-hitter answer for everything streamed so far:
+    * recounts the state's <= capacity candidates over `corpus` (the
+    * materialized stream — e.g. the sink the stream also writes) with
+    * x18's exact pass. Equals the one-shot batch
+    * [[graft.operators.TextAnalysis.heavyHitters]] on the same corpus
+    * whenever phi >= 1/(capacity+1), by the superset guarantee.
+    */
+  def heavyHittersFromState(spark: org.apache.spark.sql.SparkSession,
+                            statePath: String, corpus: DataFrame,
+                            textCol: String, phi: Double): DataFrame = {
+    val buf = readMgState(spark, statePath)
+    graft.operators.TextAnalysis.recountHeavy(corpus, textCol,
+      buf.counts.keys.toSeq.sorted, buf.n, phi)
+  }
+
   /** Quantile estimates from a merged histogram state: x12p's bucket
     * pick (smallest bucket whose cumulative count reaches q*N) over the
     * tiny bucket table — same estimate the batch query would produce

@@ -172,6 +172,18 @@ object ProbeR8 {
         timed("l24b_bigram", TextAnalysis.bigramSurprisal(
           docs, "doc_id", "text", keepBelowBits = 4.93))
 
+      case "retrieval" =>
+        // l27 BM25 + x18 heavy hitters across SFs. Both rebuild from
+        // scratch per rep (the by-name df re-runs x18's candidate
+        // sketch job too, so its wall time is the honest two-pass
+        // cost). On the zipf corpora the hot duplicated texts skew the
+        // token distribution — x18's trim pressure at scale.
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        timed("l27_bm25", TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          Seq("dup", "spark", "vector", "flink"), k = 25))
+        timed("x18_heavy", TextAnalysis.heavyHitters(
+          docs, "text", phi = 0.02, capacity = 99))
+
       case "annskew" =>
         val emb = graft.core.Tables.embeddings(spark, sfDir)
           .select(col("vec_id"),

@@ -282,6 +282,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25BatchTopK equals the single-query form per query, " +
+    "bit-exact; a query matching nothing vanishes") {
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5")
+    val docs = (0L until 40L).map { id =>
+      id -> Vector.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }.toDF("doc_id", "text")
+    val queries = Seq((10L, "t1"), (10L, "t3"), (20L, "t0"),
+      (20L, "t4"), (20L, "zz"), (30L, "zz")).toDF("query_id", "term")
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("dl"),
+        r.getAs[Long]("n_matched"))
+    val batch = TextAnalysis.bm25BatchTopK(docs, "doc_id", "text",
+        queries, k = 7)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    assert(!batch.contains(30L), "no-match query must vanish")
+    Seq(10L -> Seq("t1", "t3"), 20L -> Seq("t0", "t4", "zz"))
+      .foreach { case (qid, terms) =>
+        val single = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+            terms, k = 7).collect().map(row).sortBy(_._1).toSeq
+        val got = batch(qid).map(row).sortBy(_._1).toSeq
+        assert(got == single, s"query $qid diverged from single form")
+      }
+  }
+
   test("bm25TopK: no matching doc yields an empty result; absent-only " +
     "query never divides by a zero df") {
     import s.implicits._

@@ -296,6 +296,60 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == qs.map(qq => qq -> brute(qq)).toMap)
   }
 
+  test("Misra-Gries summary merges across foreachBatch micro-batches: " +
+    "stream candidates keep the no-false-negative guarantee and the " +
+    "state recount equals the one-shot batch x18 answer") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_mg_stream").toString + "/mg"
+    // zipf-ish vocabulary (w_i appears ~600/i times), packed into docs
+    // and split across 3 micro-batches; capacity far below the 30
+    // distinct terms so per-batch eviction AND cross-batch merge trim
+    // both fire
+    val rnd = new scala.util.Random(31)
+    val tokens = (1 to 30).flatMap(i => Seq.fill(600 / i)(s"w$i"))
+    val docs = rnd.shuffle(tokens).grouped(20).zipWithIndex
+      .map { case (tk, i) => (i.toLong, tk.mkString(" ")) }.toSeq
+    val batches = docs.grouped((docs.size + 2) / 3).toSeq
+    def doc(d: (Long, String)) =
+      Doc(d._1, Timestamp.valueOf("2024-01-01 00:00:01"), d._2)
+    val cap = 9
+    val input = MemoryStream[Doc]
+    val q = input.toDF().writeStream
+      .foreachBatch(StreamOps.heavyHittersForeachBatch(statePath,
+        "text", cap))
+      .start()
+    try batches.foreach { b =>
+      input.addData(b.map(doc): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val truth = tokens.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val n = tokens.size.toLong
+    val buf = StreamOps.heavyHittersState(s, statePath)
+    assert(buf.n == n, "total token count must be exact across batches")
+    assert(buf.counts.size <= cap)
+    val bound = n / (cap + 1)
+    truth.filter(_._2 > bound).foreach { case (t, c) =>
+      assert(buf.counts.contains(t),
+        s"stream summary dropped heavy term $t (freq $c > $bound)")
+    }
+    val phi = 0.1
+    val corpus = docs.toDF("doc_id", "text")
+    val streamed = StreamOps.heavyHittersFromState(s, statePath, corpus,
+        "text", phi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchAnswer = graft.operators.TextAnalysis.heavyHitters(corpus,
+        "text", phi, cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brute = truth.filter { case (_, c) =>
+      c.toDouble > phi * n.toDouble }
+    assert(streamed == brute, "state recount diverged from brute force")
+    assert(batchAnswer == brute, "batch x18 diverged from brute force")
+  }
+
   test("windowed counts with watermark aggregate per minute") {
     import s.implicits._
     implicit val sq = s.sqlContext
