@@ -84,4 +84,28 @@ class QueryPlanSpec extends AnyFunSuite {
         s"l24 scan reads unused columns: $sc")
     }
   }
+
+  test("round-8 retrieval ops keep their scale shapes: l27 prunes to " +
+    "(doc_id, text) and top-ks via TakeOrdered, l27b broadcasts the " +
+    "query side, x18's scans read only text") {
+    val p27 = plan("l27_bm25_topk")
+    assert(p27.contains("TakeOrderedAndProject"),
+      "l27's top-k must be TakeOrdered (per-partition heaps), not a " +
+        "global sort")
+    val scan27 = p27.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no scan in l27"))
+    assert(scan27.contains("doc_id") && scan27.contains("text") &&
+      !scan27.contains("lang") && !scan27.contains("source"), scan27)
+    val p27b = plan("l27b_bm25_batch")
+    assert(p27b.contains("BroadcastHashJoin"),
+      "l27b lost its broadcast term/df/query joins")
+    assert(!p27b.contains("CartesianProduct"))
+    val p18 = plan("x18_heavy_hitters")
+    val scans18 = p18.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans18.nonEmpty)
+    scans18.foreach { sc =>
+      assert(sc.contains("text") && !sc.contains("doc_id") &&
+        !sc.contains("lang"), s"x18 scan reads unused columns: $sc")
+    }
+  }
 }
