@@ -7,9 +7,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Confs that change query *results* (and therefore must match the DuckDB
   * oracle the driver compares against):
-  *  - session time zone UTC: timestamp<->date casts are zone-sensitive.
-  *  - nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which Spark has no
-  *    type for; we read it as epoch-nano BIGINT (DuckDB mirror: epoch_ns(ts)).
+  *  - session time zone UTC: timestamp<->date casts are zone-sensitive, and
+  *    [[Tables.eventTsUs]]'s NTZ->TIMESTAMP cast only matches DuckDB's
+  *    epoch_us under UTC.
+  *  - nanosAsLong: inert for the current TIMESTAMP(MICROS) testdata, kept so
+  *    a TIMESTAMP(NANOS) events regeneration (seen in earlier testdata drops,
+  *    which Spark has no type for) reads as epoch-nano BIGINT instead of
+  *    failing the scan.
   */
 object Sessions {
 

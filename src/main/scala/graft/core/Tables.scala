@@ -1,6 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -26,6 +27,17 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `events.ts` as epoch-MICROseconds. The generated parquet carries
+    * `ts` as TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads
+    * as TIMESTAMP_NTZ; casting NTZ -> TIMESTAMP interprets the wall
+    * clock in the session time zone ([[Sessions.build]] pins UTC), so
+    * `unix_micros` lands on the same integers as DuckDB's `epoch_us(ts)`
+    * (which also treats a naive timestamp's wall clock as UTC). Keeping
+    * event time as an integer keeps the as-of join / sessionization math
+    * zone-free and engine-portable.
+    */
+  def eventTsUs: Column = expr("unix_micros(CAST(ts AS TIMESTAMP))")
 
   /** Session factory used by tests and ad-hoc mains. Delegates to
     * [[Sessions.build]] so semantic confs can't drift across entry points.

@@ -393,10 +393,15 @@ object TextAnalysis {
     * broadcast distinct query-term set (tiny vs vocabulary) BEFORE the
     * only corpus-sized shuffle — the (doc, term) tf aggregation, whose
     * key space is bounded by matched terms, not the vocabulary. df and
-    * the query table broadcast back; top-k is a window partitioned by
-    * query (state = k rows per query). Ordered-fold sums are
-    * interpreted per element, but only over the <= |query terms|
-    * matched contributions per doc — never over the corpus.
+    * the query table broadcast back; the per-query top-k runs through
+    * [[graft.functions.BoundedTopK]] — a mergeable O(k)-state partial
+    * aggregation, NOT a `Window.partitionBy(query_id)` over the scored
+    * stream (which would funnel a common-term query's entire
+    * matched-doc set — billions of rows at 100 TB — into one task;
+    * only partitions * k rows per query reach the final shuffle here,
+    * plan-pinned by QueryPlanSpec). Ordered-fold sums are interpreted
+    * per element, but only over the <= |query terms| matched
+    * contributions per doc — never over the corpus.
     */
   def bm25BatchTopK(docs: DataFrame, idCol: String, textCol: String,
                     queries: DataFrame, k: Int,
@@ -433,14 +438,38 @@ object TextAnalysis {
         sort_array(collect_list(struct(col("t").as("term"),
           col("c").as("c")))),
         lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
-    perDoc
-      .withColumn("rnk", row_number()
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc"))).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("doc").as(idCol), col("rnk"),
-        col("score"), col("dl"), col("n_matched"))
+    base.schema("doc").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rankTopK[Long](perDoc, idCol, k)
+      case org.apache.spark.sql.types.IntegerType =>
+        rankTopK[Int](perDoc, idCol, k)
+      case org.apache.spark.sql.types.StringType =>
+        rankTopK[String](perDoc, idCol, k)
+      case dt => throw new IllegalArgumentException(
+        s"bm25BatchTopK: unsupported doc-id type $dt (need long/int/string)")
+    }
+  }
+
+  /** Per-query bounded top-k over the scored (query_id, doc) stream:
+    * groupBy(query_id) + [[graft.functions.BoundedTopK]] — partial
+    * aggregates keep O(k) state per (partition, query) and merge, so no
+    * single task ever sees one query's full matched-doc set. Emits the
+    * same (rnk, score, dl, n_matched) rows as
+    * `row_number() OVER (PARTITION BY query_id ORDER BY score DESC,
+    * doc) <= k` — bit-identically, since scores compare exactly and
+    * ties break on doc.
+    */
+  private def rankTopK[D: Ordering: _root_.scala.reflect.runtime.universe.TypeTag](
+      perDoc: DataFrame, idCol: String, k: Int): DataFrame = {
+    val top = udaf(new graft.functions.BoundedTopK[D](k))
+    perDoc.groupBy("query_id")
+      .agg(top(col("score"), col("doc"), col("dl"), col("n_matched"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(col("query_id"), col("r.doc").as(idCol),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("r.score").as("score"), col("r.dl").as("dl"),
+        col("r.nMatched").as("n_matched"))
   }
 
   /** Heavy hitters over the corpus vocabulary: every token whose

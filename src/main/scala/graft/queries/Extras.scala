@@ -22,7 +22,7 @@ object Extras {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val gapUs = 30L * 60 * 1000 * 1000
     val sessions = Tables.events(s, dir)
-      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_us", Tables.eventTsUs)
       .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
       .withColumn("is_new",
         (col("prev_ts").isNull ||

@@ -98,13 +98,13 @@ object JoinsAggs {
 
   // J5 — as-of join: latest signup at-or-before each purchase, per user
   // (general form of the exchange-rate lookup, sales_currency.py:89-100).
-  // Event times cross the engines as epoch-MICROseconds: Spark reads the
-  // parquet TIMESTAMP(NANOS) as an epoch-nano long, DuckDB truncates the
-  // same column to its us-resolution TIMESTAMP — `ts DIV 1000` vs
-  // `epoch_us(ts)` meet at identical integers.
+  // Event times cross the engines as epoch-MICROseconds via
+  // Tables.eventTsUs (UTC session) vs DuckDB's `epoch_us(ts)` — both
+  // read the naive parquet timestamp's wall clock as UTC, so the two
+  // engines meet at identical integers.
   private val j5 = QueryDef("j5_asof_join", (s, dir) => {
     val ev = Tables.events(s, dir)
-      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_us", Tables.eventTsUs)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts_us", "value")
     val signups = ev.filter(col("event_type") === "signup")
@@ -318,7 +318,7 @@ object JoinsAggs {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
-      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_us", Tables.eventTsUs)
       .withColumn("purchase_value",
         when(col("event_type") === "purchase", col("value")))
       .withColumn("last_purchase",
