@@ -36,8 +36,32 @@ object Tables {
     * (which also treats a naive timestamp's wall clock as UTC). Keeping
     * event time as an integer keeps the as-of join / sessionization math
     * zone-free and engine-portable.
+    *
+    * Dispatches on the actual `ts` dtype so a driver-side testdata
+    * regeneration can't silently change semantics: if `ts` ever arrives
+    * as a raw integer (e.g. TIMESTAMP(NANOS) read under
+    * `nanosAsLong=true`), the NTZ cast path would reinterpret the long
+    * as epoch SECONDS and return garbage — so that shape converts
+    * explicitly (nanos -> micros), and any other dtype fails fast.
     */
-  def eventTsUs: Column = expr("unix_micros(CAST(ts AS TIMESTAMP))")
+  def eventTsUs(events: DataFrame): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    events.schema("ts").dataType match {
+      case TimestampNTZType => expr("unix_micros(CAST(ts AS TIMESTAMP))")
+      case TimestampType    => expr("unix_micros(ts)")
+      case LongType         => expr("ts DIV 1000") // TIMESTAMP(NANOS) via nanosAsLong
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected dtype $other; extend Tables.eventTsUs")
+    }
+  }
+
+  /** [[events]] with `ts_us` (epoch micros, see [[eventTsUs]]) appended —
+    * the shape every event-time query starts from.
+    */
+  def eventsWithTsUs(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    ev.withColumn("ts_us", eventTsUs(ev))
+  }
 
   /** Session factory used by tests and ad-hoc mains. Delegates to
     * [[Sessions.build]] so semantic confs can't drift across entry points.

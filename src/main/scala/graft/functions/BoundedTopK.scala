@@ -41,11 +41,25 @@ class BoundedTopK[D: Ordering: TypeTag](k: Int)
 
   // compaction slack: sort-and-trim amortizes to O(log k) per row
   private val slack = math.max(4 * k, 64)
-  private val ordD = implicitly[Ordering[D]]
+  // String doc ids tie-break in UTF-8 byte (== code point) order, matching
+  // Spark's ORDER BY over StringType and DuckDB's VARCHAR collation;
+  // Ordering[String] would compare UTF-16 code units, which diverges for
+  // supplementary-plane ids. Other id types keep their natural ordering.
+  private val ordD: Ordering[D] = {
+    import scala.reflect.runtime.universe.typeOf
+    if (typeOf[D] =:= typeOf[String])
+      BoundedTopK.codePointOrdering.asInstanceOf[Ordering[D]]
+    else implicitly[Ordering[D]]
+  }
 
-  private def better(a: TopDoc[D], b: TopDoc[D]): Boolean =
-    a.score > b.score ||
-      (a.score == b.score && ordD.lt(a.doc, b.doc))
+  // Double.compare gives a total order (explicit NaN-greatest, -0.0 < 0.0),
+  // so sortWith can't hit "comparison violates its general contract" even
+  // on scores BM25 never produces. For the finite positive scores the BM25
+  // fold emits it coincides with bit-for-bit > / == comparison.
+  private def better(a: TopDoc[D], b: TopDoc[D]): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    if (c != 0) c > 0 else ordD.lt(a.doc, b.doc)
+  }
 
   private def compact(b: ArrayBuffer[TopDoc[D]]): ArrayBuffer[TopDoc[D]] =
     if (b.size <= k) b
@@ -77,4 +91,28 @@ class BoundedTopK[D: Ordering: TypeTag](k: Int)
 
   override def outputEncoder: Encoder[Seq[TopDoc[D]]] =
     ExpressionEncoder[Seq[TopDoc[D]]]()
+}
+
+object BoundedTopK {
+  /** Unicode code-point order — identical to comparing the strings'
+    * UTF-8 encodings byte-by-byte (UTF-8 preserves code-point order),
+    * which is how Spark's `UTF8String.compareTo` and DuckDB's default
+    * VARCHAR collation sort. Differs from `Ordering[String]` (UTF-16
+    * code-unit order) only when one side contains supplementary-plane
+    * characters (surrogate pairs sort below U+E000..U+FFFF in UTF-16).
+    */
+  val codePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      var i = 0
+      val lx = x.length
+      val ly = y.length
+      while (i < lx && i < ly) {
+        val cx = x.codePointAt(i)
+        val cy = y.codePointAt(i)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx)
+      }
+      Integer.compare(lx - i, ly - i)
+    }
+  }
 }

@@ -21,8 +21,7 @@ object Extras {
   private val x1 = QueryDef("x1_sessionize", (s, dir) => {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val gapUs = 30L * 60 * 1000 * 1000
-    val sessions = Tables.events(s, dir)
-      .withColumn("ts_us", Tables.eventTsUs)
+    val sessions = Tables.eventsWithTsUs(s, dir)
       .withColumn("prev_ts", lag("ts_us", 1).over(byUser))
       .withColumn("is_new",
         (col("prev_ts").isNull ||

@@ -103,8 +103,7 @@ object JoinsAggs {
   // read the naive parquet timestamp's wall clock as UTC, so the two
   // engines meet at identical integers.
   private val j5 = QueryDef("j5_asof_join", (s, dir) => {
-    val ev = Tables.events(s, dir)
-      .withColumn("ts_us", Tables.eventTsUs)
+    val ev = Tables.eventsWithTsUs(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts_us", "value")
     val signups = ev.filter(col("event_type") === "signup")
@@ -317,8 +316,7 @@ object JoinsAggs {
   private val w2 = QueryDef("w2_forward_fill", (s, dir) => {
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .withColumn("ts_us", Tables.eventTsUs)
+    Tables.eventsWithTsUs(s, dir)
       .withColumn("purchase_value",
         when(col("event_type") === "purchase", col("value")))
       .withColumn("last_purchase",

@@ -100,6 +100,14 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(p27b.contains("BroadcastHashJoin"),
       "l27b lost its broadcast term/df/query joins")
     assert(!p27b.contains("CartesianProduct"))
+    // The round-9 fix's whole point: per-query ranking must run through
+    // the bounded mergeable top-k aggregation (ObjectHashAggregate over
+    // BoundedTopK), never a window ranking the scored stream — a window
+    // funnels each query's ENTIRE matched-doc set into one task at scale.
+    assert(!p27b.contains("Window"),
+      "l27b regressed to a window over the scored stream")
+    assert(p27b.contains("ObjectHashAggregate"),
+      "l27b's BoundedTopK aggregation path is gone")
     val p18 = plan("x18_heavy_hitters")
     val scans18 = p18.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(scans18.nonEmpty)
