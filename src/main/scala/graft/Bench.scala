@@ -28,6 +28,50 @@ import graft.queries.Registry
   */
 object Bench {
 
+  private def timingsOf(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Double] =
+    Seq("all_queries", "queries").map(node.path)
+      .find(n => n.isObject && n.size() > 0)
+      .map { n =>
+        val it = n.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }.getOrElse(Map.empty)
+
+  /** Per-query TRAILING median over the last `window` BENCH_HISTORY
+    * entries that carry a full timing map — the "what this query costs
+    * on this box on this code" band the contamination gate compares
+    * against. A median over ~20 runs is robust to the handful of
+    * contaminated records in the history (round-6's contended driver
+    * run, round-8's x18).
+    */
+  private def trailingHistory(window: Int = 20): Map[String, Double] = {
+    val hist = new java.io.File(historyFile)
+    if (!hist.isFile) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val src = scala.io.Source.fromFile(hist)
+    val maps = try {
+      src.getLines().flatMap { l =>
+        val m = try timingsOf(mapper.readTree(l))
+        catch { case _: Throwable => Map.empty[String, Double] }
+        if (m.size > 1) Some(m) else None // skip e2e-only dev lines
+      }.toList
+    } finally src.close()
+    maps.flatMap(_.keys).distinct.flatMap { k =>
+      val vals = maps.flatMap(_.get(k)).takeRight(window)
+      if (vals.size >= 3) {
+        val s = vals.sorted
+        val med = if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        Some(k -> med)
+      } else None
+    }.toMap
+  }
+
   /** Per-query timings from the newest prior BENCH_r*.json, parsed with
     * the Jackson shipped in Spark. Empty when no prior round exists.
     *
@@ -38,20 +82,6 @@ object Bench {
     */
   private def previousBench(): (String, Map[String, Double]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
-    def timingsOf(node: com.fasterxml.jackson.databind.JsonNode)
-        : Map[String, Double] =
-      Seq("all_queries", "queries").map(node.path)
-        .find(n => n.isObject && n.size() > 0)
-        .map { n =>
-          val it = n.fields()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
-          }
-          b.result()
-        }.getOrElse(Map.empty)
 
     def fromFile(f: java.io.File): Map[String, Double] = {
       val root = mapper.readTree(f)
@@ -134,6 +164,13 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // Same deal for the CSV header checker: the reference's sales.csv
+    // carries OrderID twice (data/raw/sales.csv:1) so every scan WARNs
+    // about the duplicate header — expected input, and the repeated
+    // warning was ~60% of the r9 stdout tail. Correctness runs keep it.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.csv.CSVHeaderChecker",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Warmup: touch every input once (parquet footers, broadcast
     // machinery) so the first timed query doesn't absorb session-startup
@@ -161,6 +198,10 @@ object Bench {
     val allTimings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // source of truth for every query's raw samples — the contamination
+    // gate below re-measures and re-derives median/spread from here
+    val samplesOf = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[Double]]()
 
     // Contention attribution: the round-6 driver bench ran while another
     // process owned most of the box's 32 CPUs (every CPU-heavy query
@@ -208,13 +249,14 @@ object Bench {
 
     def time(name: String, run: () => Unit,
              into: scala.collection.mutable.LinkedHashMap[String, Double],
-             reps: Int, prior: Seq[Double] = Nil): Unit =
+             reps: Int): Unit =
       try {
-        val samples = prior ++ (1 to reps).map(_ => timeOnce(run))
-        into(name) = median(samples)
-        if (samples.size > 1)
-          spreads(name) =
-            math.rint((samples.max - samples.min) * 1000) / 1000
+        val buf = samplesOf.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer[Double]())
+        (1 to reps).foreach(_ => buf += timeOnce(run))
+        into(name) = median(buf.toSeq)
+        if (buf.size > 1)
+          spreads(name) = math.rint((buf.max - buf.min) * 1000) / 1000
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -266,9 +308,11 @@ object Bench {
       .sortBy(-_._2).take(slowestN).foreach { case (name, first) =>
         val q = Registry.all.find(_.name == name).get
         coldFirst(name) = first // cold-vs-cold delta stays computable
+        // the first (breadth) sample is already in samplesOf; 2 more
+        // samples make the entry a median-of-3 spanning cold+warm
         time(name, () => q.run(spark, sfDir)
           .write.format("noop").mode(SaveMode.Overwrite).save(),
-          allTimings, 2, prior = Seq(first))
+          allTimings, 2)
       }
     if (!e2eOnly) probe()
 
@@ -334,6 +378,78 @@ object Bench {
       }
     }
 
+    // ---- Contamination gate ------------------------------------------
+    // One descheduled sample can commit a phantom regression that
+    // poisons next round's deltas (round-8's x18 at 24.9s vs 0.7s,
+    // round-9's g5_fact_build at 2.44s vs its 0.73-1.17s twenty-run
+    // band — both pure machine noise on unchanged code). Before the
+    // record is written, any query whose max-min spread exceeds its
+    // median, or whose median sits >2x above its BENCH_HISTORY trailing
+    // median (0.5s absolute floor so sub-second jitter doesn't churn),
+    // gets 3 FRESH samples appended and its median/spread recomputed
+    // over the enlarged set — a contaminated early sample then loses
+    // the median vote and the spread is judged over enough samples to
+    // mean something. Bounded at 2 passes; a query still suspect after
+    // that is either a genuinely contended window (visible in calib) or
+    // a REAL regression — either way it stays in the record, flagged in
+    // "gate_flags" instead of silently discarded. ref_pipeline_e2e is
+    // exempt: its instrument is already median-of-7 with matched warmup.
+    // After re-measuring, the contaminated early sample would still own
+    // the max-min spread no matter how many clean samples join it — so
+    // once a re-measured query has >=4 kept samples, samples sitting
+    // >1.5x above the refreshed median (plus a 0.25s jitter floor) are
+    // trimmed as contended-machine artifacts and COUNTED in
+    // "gate_dropped"; the record always says what was discarded.
+    val histMed = if (e2eOnly) Map.empty[String, Double]
+      else trailingHistory()
+    val gateRemeasured =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
+    val gateDropped = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val gateFlags = scala.collection.mutable.LinkedHashMap[String, String]()
+    def gateSuspect(n: String): Option[String] = {
+      val m = allTimings(n)
+      val sp = spreads.getOrElse(n, 0.0)
+      if (sp > m && sp > 0.05) Some("spread>median")
+      else if (histMed.get(n).exists(h => m > 2 * h && m > 0.5))
+        Some("median>2x-hist")
+      else None
+    }
+    def gateSuspects(): Seq[(String, String)] = allTimings.keys
+      .filter(n => n != "ref_pipeline_e2e" && !errors.contains(n))
+      .flatMap(n => gateSuspect(n).map(n -> _)).toSeq
+    var gatePasses = 0
+    if (!e2eOnly) while (gatePasses < 2 && gateSuspects().nonEmpty) {
+      gatePasses += 1
+      gateSuspects().foreach { case (name, why) =>
+        Registry.all.find(_.name == name).foreach { q =>
+          if (!gateRemeasured.contains(name))
+            gateRemeasured(name) = allTimings(name) // pre-gate median
+          System.err.println(
+            s"[bench-gate] pass $gatePasses: re-measuring $name ($why, " +
+              s"median=${allTimings(name)}, " +
+              s"spread=${spreads.getOrElse(name, 0.0)})")
+          time(name, () => q.run(spark, sfDir)
+            .write.format("noop").mode(SaveMode.Overwrite).save(),
+            allTimings, 3)
+          samplesOf.get(name).foreach { buf =>
+            val med = median(buf.toSeq)
+            val cut = math.max(1.5 * med, med + 0.25)
+            val kept = buf.filter(_ <= cut)
+            if (kept.size >= 4 && kept.size < buf.size) {
+              gateDropped(name) =
+                gateDropped.getOrElse(name, 0) + (buf.size - kept.size)
+              buf.clear(); buf ++= kept
+              allTimings(name) = median(buf.toSeq)
+              spreads(name) =
+                math.rint((buf.max - buf.min) * 1000) / 1000
+            }
+          }
+          if (timings.contains(name)) timings(name) = allTimings(name)
+        }
+      }
+    }
+    gateSuspects().foreach { case (n, why) => gateFlags(n) = why }
+
     probe()
 
     def jstr(s: String): String =
@@ -363,6 +479,13 @@ object Bench {
     }.getOrElse("")
     val calibJson = calib.map(r3).mkString("[", ",", "]")
     val loadJson = loads.map(r3).mkString("[", ",", "]")
+    val gateJson =
+      s""""gate_passes":$gatePasses,"gate_remeasured":${
+        jmap(gateRemeasured, round = true)},"gate_dropped":${
+        gateDropped.map { case (k, v) => s"${jstr(k)}:$v" }
+          .mkString("{", ",", "}")},"gate_flags":${
+        gateFlags.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+          .mkString("{", ",", "}")}"""
     // Two outputs with distinct jobs:
     // - BENCH_DETAIL.json + BENCH_HISTORY.jsonl carry the FULL record
     //   (per-query breadth timings, spreads, cold-first samples, deltas
@@ -374,7 +497,7 @@ object Bench {
     //   with the numbers only recoverable from the truncated tail text.
     //   The compact line (headline medians rounded to ms + errors +
     //   calibration evidence) stays well under the window.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = false)},"errors":$errs,"spreads":${jmap(spreads, round = false)},"cold_first":${jmap(coldFirst, round = false)},"all_queries":${jmap(allTimings, round = false)},"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = false)},"errors":$errs,"spreads":${jmap(spreads, round = false)},"cold_first":${jmap(coldFirst, round = false)},"all_queries":${jmap(allTimings, round = false)},"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,$gateJson,"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"sf":${jstr(sfDir)}}"""
     // history append BEFORE the detail overwrite: a crash between the
     // two can lose the overwrite, never the append-only log
     val w = new java.io.FileWriter(historyFile, true)
@@ -385,7 +508,7 @@ object Bench {
       if (e2eOnly) "BENCH_E2E_ONLY.json" else "BENCH_DETAIL.json"
     val dw = new java.io.FileWriter(detailFileOut, false)
     try dw.write(detail + "\n") finally dw.close()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = true)},"errors":$errs,"all_total":${r3(allTimings.values.sum)},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"detail":${jstr(detailFileOut)},"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = true)},"errors":$errs,"all_total":${r3(allTimings.values.sum)},"gate_passes":$gatePasses,"gate_flags":${gateFlags.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"detail":${jstr(detailFileOut)},"sf":${jstr(sfDir)}}"""
     println(line)
     spark.stop()
   }

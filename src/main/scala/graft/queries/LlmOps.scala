@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{CorpusAssembly, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusAssembly, Dedup, IngestPipeline, Multimodal, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -1229,9 +1229,109 @@ object LlmOps {
         score, dl, n_matched
       FROM ranked WHERE rnk <= 10"""))
 
+  // L28 — the composed daily-ingest pipeline (IngestPipeline.run):
+  // l22's incremental dedup -> l23h's span removal -> l26h's histogram
+  // quota -> l19's deterministic splits, as ONE dataflow with ONE DuckDB
+  // mirror (the l16 pattern). The individually-verified stages don't
+  // certify their COMPOSITION — column collisions, order sensitivity,
+  // and survivor-set scoping only break end to end. Fixture: a
+  // two-snapshot scenario over the standing corpus — every 5th doc
+  // re-crawled verbatim under a new id (must drop at stage 1), every
+  // 7th re-ingested with appended content (survives stage 1, gets its
+  // duplicated prefix cut at stage 2), every 11th token-REVERSED (a
+  // "genuinely new" doc: survives both, mostly intact — reversed
+  // 8-grams don't appear in the standing corpus). All three id ranges
+  // disjoint from the corpus and each other.
+  private val l28 = QueryDef("l28_ingest_pipeline", (s, dir) => {
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val recrawled = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("source"),
+        col("text"))
+    val revised = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("source"),
+        concat(col("text"), lit(" rev2")).as("text"))
+    val fresh = docs.filter(pmod(col("doc_id"), lit(11L)) === 0L)
+      .select((col("doc_id") + lit(3000000L)).as("doc_id"), col("source"),
+        expr("""array_join(reverse(filter(split(text, ' '),
+               t -> length(t) > 0)), ' ')""").as("text"))
+    IngestPipeline.run(
+      standing = docs.select("doc_id", "text"),
+      batch = recrawled.unionByName(revised).unionByName(fresh),
+      idCol = "doc_id", textCol = "text", sourceCol = "source",
+      spanN = 8, budgetPerSource = 100L, trainPct = 80, valPct = 10)
+  }, Some("""WITH b AS (
+        SELECT doc_id + 1000000 AS doc_id, source, text
+          FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, source, text || ' rev2' AS text
+          FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, source,
+          array_to_string(list_reverse(list_filter(string_split(text, ' '),
+            t -> length(t) > 0)), ' ') AS text
+          FROM documents WHERE doc_id % 11 = 0),
+      ex AS (SELECT DISTINCT
+          sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) ch
+        FROM documents),
+      surv AS (SELECT b.doc_id, b.source, b.text
+        FROM b LEFT JOIN ex ON ex.ch =
+          sha256(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))
+        WHERE ex.ch IS NULL),
+      uni AS (SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id, text FROM surv),
+      toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          t -> length(t) > 0) tk FROM uni),
+      t2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) n_tokens
+        FROM toks),
+      g AS (SELECT doc_id, u['pos'] pos, u['gram'] gram
+        FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+               i -> {'pos': i, 'gram': array_to_string(tk[i:i+7], ' ')})) u
+              FROM toks WHERE len(tk) >= 8)),
+      dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+      fl AS (SELECT doc_id, list_sort(list_distinct(list(pos))) starts
+        FROM g JOIN dup USING (gram) GROUP BY doc_id),
+      c AS (SELECT t2.doc_id, tk, n_tokens,
+          list_sort(list_distinct(flatten(list_transform(
+            coalesce(starts, []), p -> range(p, p + 8))))) covered
+        FROM t2 LEFT JOIN fl USING (doc_id)),
+      cleanedall AS (SELECT doc_id,
+          CAST(len(covered) AS BIGINT) AS n_dup_positions,
+          coalesce(array_to_string(list_transform(
+            list_filter(range(1, CAST(n_tokens AS INTEGER) + 1),
+              i -> NOT list_contains(covered, i)), i -> tk[i]), ' '), '')
+            AS clean_text
+        FROM c),
+      cleaned AS (SELECT s.doc_id, s.source, cl.n_dup_positions,
+          cl.clean_text
+        FROM surv s JOIN cleanedall cl USING (doc_id)),
+      scored AS (SELECT source, doc_id, n_dup_positions,
+          CAST(len(list_filter(string_split(clean_text, ' '),
+            s -> length(s) > 0)) AS BIGINT) n_tokens,
+          CAST(len(list_distinct(list_filter(string_split(clean_text, ' '),
+            s -> length(s) > 0))) AS BIGINT) quality
+        FROM cleaned),
+      r AS (SELECT source, doc_id, n_dup_positions, n_tokens, quality,
+          CAST(sum(n_tokens) OVER (PARTITION BY source
+            ORDER BY quality DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        FROM scored),
+      k AS (SELECT *, cum <= 100 AS kept FROM r),
+      sp AS (SELECT source, n_tokens, n_dup_positions,
+          CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
+                 * 1103515245 + 12345) % 100 < 80 THEN 'train'
+               WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
+                 * 1103515245 + 12345) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM k WHERE kept)
+      SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+        CAST(sum(n_dup_positions) AS BIGINT) AS dup_positions_removed
+      FROM sp GROUP BY source, split"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      l24b, l25, l26, l26h, l27, l27b, m1)
+      l24b, l25, l26, l26h, l27, l27b, l28, m1)
 }
