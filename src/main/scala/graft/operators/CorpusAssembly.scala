@@ -156,9 +156,24 @@ object CorpusAssembly {
     * bucket classes) is pinned by CorpusAssemblySpec.
     */
   def quotaHistogram(scored: DataFrame, sourceCol: String, idCol: String,
-                     budgetPerSource: Long): DataFrame = {
-    val hist = scored.groupBy(sourceCol, "quality")
-      .agg(sum("n_tokens").as("__bucket_tokens"))
+                     budgetPerSource: Long): DataFrame =
+    quotaFromHistogram(scored,
+      scored.groupBy(sourceCol, "quality")
+        .agg(sum("n_tokens").as("__bucket_tokens")),
+      sourceCol, idCol, budgetPerSource)
+
+  /** [[quotaHistogram]] with the (source, quality) token histogram
+    * supplied by the CALLER instead of recomputed from `scored` — the
+    * entry point for a histogram maintained incrementally (the
+    * streaming sink merges per-batch histograms by addition; the
+    * decision pass then only consults the corpus for doc-level
+    * columns). `hist` must carry (sourceCol, quality, __bucket_tokens)
+    * and must be the exact histogram OF `scored` for the kept flags to
+    * equal the one-shot form.
+    */
+  def quotaFromHistogram(scored: DataFrame, hist: DataFrame,
+                         sourceCol: String, idCol: String,
+                         budgetPerSource: Long): DataFrame = {
     val wq = Window.partitionBy(sourceCol).orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val buckets = hist

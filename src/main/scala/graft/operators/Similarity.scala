@@ -356,7 +356,10 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
-              nPlanes: Int = 8, nTables: Int = 1): DataFrame = {
+              nPlanes: Int = 8, nTables: Int = 1,
+              multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= 2,
+      "multiProbe is a Hamming probe radius: 0, 1 or 2")
     def bucketed(df: DataFrame, id: String, vec: String,
                  nrm: String): DataFrame = {
       val buckets = lshBucketsAll(vec, nPlanes, dim, nTables)
@@ -366,8 +369,35 @@ object Similarity {
     }
     val c = bucketed(corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("cv")), "n_id", "cv", "cn")
-    val q = bucketed(queries.select(col(idCol).as("q_id"),
+    val q0 = bucketed(queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("qv")), "q_id", "qv", "qn")
+    // Multi-probe (Lv et al., VLDB 2007, applied to sign-LSH): the
+    // QUERY side also probes every bucket within Hamming distance
+    // `multiProbe` of its own — a near neighbor that disagrees on one
+    // or two plane signs still meets the query. The corpus index is
+    // untouched (each vector stays in exactly nTables buckets), so this
+    // buys recall at query-side cost only: choose(nPlanes, <=radius)
+    // extra bucket lookups per (query, table), independent of corpus
+    // size. At the l6 design point (8 planes x 4 tables, cosine~0.5
+    // neighbors) measured recall@5 on the 5k-vector corpus goes
+    // 0.06 -> 0.46 (radius 1) -> 0.80 (radius 2) — SCALE_r10.md.
+    // (The interpreted-HOF rule is satisfied: the flip lambdas run over
+    // the QUERY rows only, never the corpus.)
+    val one = "CAST(1 AS BIGINT)"
+    val r1 =
+      s"""transform(sequence(0, ${nPlanes - 1}),
+            i -> bucket ^ shiftleft($one, i))"""
+    val r2 =
+      s"""flatten(transform(sequence(0, ${nPlanes - 2}),
+            i -> transform(sequence(i + 1, ${nPlanes - 1}),
+              j -> bucket ^ shiftleft($one, i) ^ shiftleft($one, j))))"""
+    val probeSql = multiProbe match {
+      case 0 => "array(bucket)"
+      case 1 => s"concat(array(bucket), $r1)"
+      case _ => s"concat(array(bucket), $r1, $r2)"
+    }
+    val q = q0.select(col("q_id"), col("qv"), col("qn"), col("tbl"),
+      explode(expr(probeSql)).as("bucket"))
     val joined = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       // a pair can collide in several tables; score each candidate once

@@ -335,11 +335,14 @@ object LlmOps {
   // round-trips) lets DuckDB recompute every bucket bit, candidate set
   // and cosine bit-identically. L6 itself stays rows-only purely to keep
   // one registry entry timing the production form.
-  private val l6p = QueryDef("l6p_ann_lsh_portable", (s, dir) => {
-    val emb = Tables.embeddings(s, dir)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8, nTables = 4)
-  }, Some {
+  /** The l6p/l6m oracle body: DuckDB recomputes every bucket bit from
+    * the embedded plane literals; only the candidate JOIN CONDITION
+    * differs between exact-bucket (l6p) and multi-probe (l6m — a
+    * Hamming-ball condition, because "query probes every bucket within
+    * radius r" is exactly "candidate's bucket within Hamming r of the
+    * query's").
+    */
+  private def lshOracleSql(candCond: String): String = {
     val planeRows = (0 until 32).map(g =>
       s"($g, ${Similarity.planeSqlLiteral(g, 64)})").mkString(",\n        ")
     def dot(a: String, b: String) =
@@ -358,7 +361,7 @@ object LlmOps {
           FROM bits GROUP BY 1, 2),
         cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
           FROM buck q JOIN buck c
-            ON q.tbl = c.tbl AND q.bucket = c.bucket
+            ON q.tbl = c.tbl AND $candCond
           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
         scored AS (SELECT q_id, n_id,
             ${dot("eq.v", "ec.v")}
@@ -371,7 +374,27 @@ object LlmOps {
               ORDER BY cosine DESC, n_id) AS BIGINT) AS rnk
           FROM scored)
         SELECT q_id, rnk, n_id, cosine FROM ranked WHERE rnk <= 5"""
-  })
+  }
+
+  private val l6p = QueryDef("l6p_ann_lsh_portable", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8, nTables = 4)
+  }, Some(lshOracleSql("q.bucket = c.bucket")))
+
+  // L6M — multi-probe LSH ANN (query-side Hamming-radius-2 probing,
+  // Lv et al. VLDB 2007): the recall fix for the candidate cliff the
+  // round-10 probe measured on the base corpus (recall@5 0.06 at the
+  // l6 design point -> 0.80 with radius 2, SCALE_r10.md §3), at
+  // query-side-only cost — the corpus index is identical to l6's.
+  // FULL oracle: multi-probe's candidate set is exactly a Hamming-ball
+  // join, so DuckDB mirrors it with bit_count(xor(buckets)) <= 2.
+  private val l6m = QueryDef("l6m_ann_lsh_multiprobe", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dim = 64, nPlanes = 8, nTables = 4,
+      multiProbe = 2)
+  }, Some(lshOracleSql("bit_count(xor(q.bucket, c.bucket)) <= 2")))
 
   // L11 — IVF ANN (16 cells, 4 probes): the other standard bucketed-ANN
   // shape. Cell assignment depends on the xxhash64-sampled centroids ->
@@ -1330,7 +1353,8 @@ object LlmOps {
       FROM sp GROUP BY source, split"""))
 
   val defs: Seq[QueryDef] =
-    Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6p, l7, l8, l9, l10,
+    Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
+      l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
       l24b, l25, l26, l26h, l27, l27b, l28, m1)

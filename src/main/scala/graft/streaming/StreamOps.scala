@@ -109,11 +109,13 @@ object StreamOps {
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      val current = spark.read.parquet(dimPath)
-      val merged = graft.operators.ScdMerge.merge(
-          current, batch, naturalKey, compareCols,
-          asOf = asOfForBatch(batchId), closeMissing = false)
-      publishAtomic(spark, dimPath, merged)
+      if (!appliedBatch(spark, dimPath).contains(batchId)) {
+        val current = spark.read.parquet(dimPath)
+        val merged = graft.operators.ScdMerge.merge(
+            current, batch, naturalKey, compareCols,
+            asOf = asOfForBatch(batchId), closeMissing = false)
+        publishAtomic(spark, dimPath, merged, Some(batchId))
+      }
     }
   }
 
@@ -121,14 +123,29 @@ object StreamOps {
     * by the foreachBatch sinks). Leaves either the prior version live or
     * parked at `__prev` on any failure — never a half-written state. A
     * missing live dir (first batch of a fresh state) publishes directly.
+    *
+    * `batchId` makes a RETRIED micro-batch idempotent: the id is
+    * written as a `_GRAFT_BATCH` marker file inside the staged dir (so
+    * marker and data publish in the same atomic rename; Spark's parquet
+    * reader ignores underscore-prefixed files), and
+    * [[appliedBatch]] lets a sink skip a batch the live state already
+    * absorbed. Without it, a foreachBatch retry after a sink failure
+    * re-MERGES the same rows — fine for the overwrite-style SCD2 state,
+    * silently double-counting for the additive histogram/MG states.
     */
   private def publishAtomic(spark: org.apache.spark.sql.SparkSession,
-                            livePath: String, merged: DataFrame): Unit = {
+                            livePath: String, merged: DataFrame,
+                            batchId: Option[Long] = None): Unit = {
     val live = new org.apache.hadoop.fs.Path(livePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(livePath + "__staging")
     val prev = new org.apache.hadoop.fs.Path(livePath + "__prev")
     merged.write.mode("overwrite").parquet(staging.toString)
+    batchId.foreach { id =>
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, "_GRAFT_BATCH"), true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    }
     fs.delete(prev, true)
     if (fs.exists(live) && !fs.rename(live, prev))
       throw new java.io.IOException(
@@ -139,6 +156,25 @@ object StreamOps {
         s"publishAtomic: cannot publish $staging to $live")
     }
     fs.delete(prev, true)
+  }
+
+  /** The micro-batch id the live state last absorbed, if the state
+    * exists and was published with one. */
+  private def appliedBatch(spark: org.apache.spark.sql.SparkSession,
+                           livePath: String): Option[Long] = {
+    val marker = new org.apache.hadoop.fs.Path(livePath, "_GRAFT_BATCH")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](64)
+        var n = in.read(tmp)
+        while (n > 0) { bos.write(tmp, 0, n); n = in.read(tmp) }
+        new String(bos.toByteArray, "UTF-8").trim.toLongOption
+      } finally in.close()
+    }
   }
 
   /** Streaming percentiles via the x12p mergeable histogram sketch
@@ -152,21 +188,23 @@ object StreamOps {
     */
   def histogramForeachBatch(histPath: String, valueCol: String,
                             bucketWidth: Double)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
-      val part = batch
-        .select(floor(col(valueCol) / lit(bucketWidth)).cast("long")
-          .as("b"))
-        .groupBy("b").agg(count(lit(1)).as("n"))
-      val live = new org.apache.hadoop.fs.Path(histPath)
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val merged =
-        if (fs.exists(live))
-          spark.read.parquet(histPath).unionByName(part)
-            .groupBy("b").agg(sum("n").as("n"))
-        else part
-      publishAtomic(spark, histPath, merged)
+      if (!appliedBatch(spark, histPath).contains(batchId)) {
+        val part = batch
+          .select(floor(col(valueCol) / lit(bucketWidth)).cast("long")
+            .as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n"))
+        val live = new org.apache.hadoop.fs.Path(histPath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(live))
+            spark.read.parquet(histPath).unionByName(part)
+              .groupBy("b").agg(sum("n").as("n"))
+          else part
+        publishAtomic(spark, histPath, merged, Some(batchId))
+      }
     }
   }
 
@@ -183,25 +221,85 @@ object StreamOps {
     */
   def heavyHittersForeachBatch(statePath: String, textCol: String,
                                capacity: Int)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
       import spark.implicits._
-      val mg = new graft.functions.MisraGries(capacity)
-      val part = batch
-        .select(explode(graft.operators.TextAnalysis.tokens(textCol))
-          .as("t"))
-        .as[String].select(mg.toColumn.name("s")).head()
-      val live = new org.apache.hadoop.fs.Path(statePath)
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val merged =
-        if (fs.exists(live)) mg.merge(readMgState(spark, statePath), part)
-        else part
-      val rows = merged.counts.toSeq
-        .map { case (t, c) => (Option(t), c) } :+
-        ((Option.empty[String], merged.n))
-      publishAtomic(spark, statePath, rows.toDF("term", "c"))
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        val mg = new graft.functions.MisraGries(capacity)
+        val part = batch
+          .select(explode(graft.operators.TextAnalysis.tokens(textCol))
+            .as("t"))
+          .as[String].select(mg.toColumn.name("s")).head()
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(live)) mg.merge(readMgState(spark, statePath), part)
+          else part
+        val rows = merged.counts.toSeq
+          .map { case (t, c) => (Option(t), c) } :+
+          ((Option.empty[String], merged.n))
+        publishAtomic(spark, statePath, rows.toDF("term", "c"),
+          Some(batchId))
+      }
     }
+  }
+
+  /** Streaming per-source quality quota: the l26h histogram, maintained
+    * incrementally. Each micro-batch reduces to its own (source,
+    * quality) token histogram — O(distinct qualities) rows, however
+    * many documents stream through — and merges into the persisted one
+    * by ADDITION (the x12p property), published with the crash-safe
+    * staged rename and idempotent under foreachBatch retries via the
+    * batch marker. The state is budget-INDEPENDENT: the budget applies
+    * at decision time ([[quotaFromState]]), so one stream serves any
+    * number of quota policies.
+    */
+  def quotaForeachBatch(histPath: String, sourceCol: String, idCol: String,
+                        textCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, histPath).contains(batchId)) {
+        val part = graft.operators.CorpusAssembly
+          .scoreDocs(batch, sourceCol, idCol, textCol)
+          .groupBy(sourceCol, "quality")
+          .agg(sum("n_tokens").as("tokens"))
+        val live = new org.apache.hadoop.fs.Path(histPath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(live))
+            spark.read.parquet(histPath).unionByName(part)
+              .groupBy(sourceCol, "quality").agg(sum("tokens").as("tokens"))
+          else part
+        publishAtomic(spark, histPath, merged, Some(batchId))
+      }
+    }
+  }
+
+  /** The quota decision for everything streamed so far: classifies the
+    * merged (source, quality) histogram state against `budgetPerSource`
+    * and resolves the per-doc kept flags over `corpus` (the
+    * materialized stream — e.g. the sink the stream also writes), only
+    * consulting doc-level columns where the bucket class alone can't
+    * decide (the straddling edge bucket). Equals the one-shot batch
+    * [[graft.operators.CorpusAssembly.qualityQuotaSelectHistogram]] on
+    * the same corpus — the x18 state+recount split applied to data
+    * mixing. (A kept flag is NOT stable batch-to-batch by nature: a
+    * later high-quality arrival can push earlier docs over budget —
+    * which is why the decision is a view over the state, not an event.)
+    */
+  def quotaFromState(spark: org.apache.spark.sql.SparkSession,
+                     histPath: String, corpus: DataFrame,
+                     sourceCol: String, idCol: String, textCol: String,
+                     budgetPerSource: Long): DataFrame = {
+    val hist = spark.read.parquet(histPath)
+      .select(col(sourceCol), col("quality"),
+        col("tokens").as("__bucket_tokens"))
+    graft.operators.CorpusAssembly.quotaFromHistogram(
+      graft.operators.CorpusAssembly
+        .scoreDocs(corpus, sourceCol, idCol, textCol),
+      hist, sourceCol, idCol, budgetPerSource)
   }
 
   private def readMgState(spark: org.apache.spark.sql.SparkSession,

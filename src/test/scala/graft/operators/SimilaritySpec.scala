@@ -51,6 +51,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r4 >= 0.3, s"recall@4tables $r4")
   }
 
+  test("multi-probe LSH: widening the Hamming probe radius only ADDS " +
+    "candidates, so recall is monotone in the radius and radius 2 " +
+    "clears the floor the exact-bucket form misses") {
+    val emb = Tables.embeddings(s, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(radius: Int): Double = {
+      val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          k = 5, dim = 64, nPlanes = 8, nTables = 4, multiProbe = radius)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ann & brute).size.toDouble / brute.size
+    }
+    val r0 = recallAt(0)
+    val r1 = recallAt(1)
+    val r2 = recallAt(2)
+    assert(r1 >= r0 && r2 >= r1,
+      s"recall must be monotone in probe radius ($r0 -> $r1 -> $r2)")
+    assert(r2 >= 0.6, s"radius-2 recall floor: $r2 " +
+      "(sf0.1 probe measured 0.80 — SCALE_r10.md)")
+  }
+
   test("IVF ANN: probing more cells raises recall; single-cell assignment " +
     "keeps candidates bounded") {
     val emb = Tables.embeddings(s, sf)

@@ -11,6 +11,7 @@ import graft.operators.Anomalies.AnomalyRule
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
+case class SrcDoc(doc_id: Long, source: String, text: String)
 case class FullEv(event_id: Long, user_id: Long, ts: Timestamp,
                   event_type: String, value: Double)
 case class DimRow(k: Long, v: String)
@@ -348,6 +349,61 @@ class StreamOpsSpec extends AnyFunSuite {
       c.toDouble > phi * n.toDouble }
     assert(streamed == brute, "state recount diverged from brute force")
     assert(batchAnswer == brute, "batch x18 diverged from brute force")
+  }
+
+  test("streaming quality quota: the (source, quality) histogram merges " +
+    "by addition across micro-batches, the state decision equals the " +
+    "one-shot l26h form, and a retried batch id is a no-op") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val histPath = java.nio.file.Files
+      .createTempDirectory("graft_quota_stream").toString + "/qhist"
+    // source sa exercises keep (q6 fits), edge-drop (q5 straddles), and
+    // drop (q3 past budget); source sb's edge bucket holds two equal-
+    // quality docs from DIFFERENT micro-batches, so the decision needs
+    // the merged histogram plus the per-doc id tiebreak
+    val batches = Seq(
+      Seq(SrcDoc(1L, "sa", "a b c d e f"), SrcDoc(10L, "sb", "p q r s")),
+      Seq(SrcDoc(2L, "sa", "a b c d e"), SrcDoc(11L, "sb", "t u v w")),
+      Seq(SrcDoc(3L, "sa", "a b c"), SrcDoc(12L, "sb", "x y")))
+    val input = MemoryStream[SrcDoc]
+    val q = input.toDF().writeStream
+      .foreachBatch(StreamOps.quotaForeachBatch(histPath, "source",
+        "doc_id", "text"))
+      .start()
+    try batches.foreach { b =>
+      input.addData(b: _*)
+      q.processAllAvailable() // one micro-batch per group
+    } finally q.stop()
+
+    val corpus = batches.flatten
+      .map(d => (d.doc_id, d.source, d.text))
+      .toDF("doc_id", "source", "text")
+    def keptSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("kept")).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val streamed = StreamOps.quotaFromState(s, histPath, corpus,
+      "source", "doc_id", "text", budgetPerSource = 6L)
+    val oneShot = graft.operators.CorpusAssembly
+      .qualityQuotaSelectHistogram(corpus, "source", "doc_id", "text", 6L)
+    val exact = graft.operators.CorpusAssembly
+      .qualityQuotaSelect(corpus, "source", "doc_id", "text", 6L)
+    assert(keptSet(streamed) == Set(1L, 10L),
+      s"sa keeps its q6 doc, sb keeps the lower-id edge doc: " +
+        s"${keptSet(streamed)}")
+    assert(keptSet(streamed) == keptSet(oneShot))
+    assert(keptSet(streamed) == keptSet(exact))
+
+    // a RETRIED micro-batch (same id, after a sink failure) must not
+    // double-merge: the live state's batch marker short-circuits it
+    val before = s.read.parquet(histPath).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    StreamOps.quotaForeachBatch(histPath, "source", "doc_id", "text")(
+      Seq((99L, "sa", "zz yy xx ww")).toDF("doc_id", "source", "text"),
+      2L)
+    val after = s.read.parquet(histPath).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before, "retried batch id 2 must be a no-op")
   }
 
   test("windowed counts with watermark aggregate per minute") {
