@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * external codec needed), yielding true pixel dimensions. AUDIO decode
   * is REAL for WAV/AIFF/AU: `javax.sound.sampled` parses the container
   * and streams the PCM frames ([[AudioCodec]], consumed by
-  * [[extractAudioFeatures]]). Only exotic video containers remain
-  * behind [[FakeCodec]], a deterministic fake with the identical
-  * signature, so the Spark-side contract is fully exercised either
-  * way: the binary column representation, the metadata struct schema,
-  * the mapPartitions batch shape (one codec instance per partition,
-  * streamed rows, no per-row setup), and the partitioning contract
-  * (decode is embarrassingly parallel, no shuffle).
+  * [[extractAudioFeatures]]). VIDEO demux is REAL for AVI/MJPEG
+  * ([[AviDemux]]: structural RIFF chunk walk, true container dims,
+  * frames that are self-contained JPEGs). Only containers with no
+  * JVM-parsable structure remain behind [[FakeCodec]], a deterministic
+  * fake with the identical signature, so the Spark-side contract is
+  * fully exercised either way: the binary column representation, the
+  * metadata struct schema, the mapPartitions batch shape (one codec
+  * instance per partition, streamed rows, no per-row setup), and the
+  * partitioning contract (decode is embarrassingly parallel, no
+  * shuffle).
   */
 object Multimodal {
 
@@ -218,6 +221,66 @@ object Multimodal {
     }
   }
 
+  /** REAL video container demux: AVI (RIFF) parsed structurally —
+    * chunk walk over the LIST tree, true container dimensions from the
+    * `avih` main header, and the `##dc`/`##db` stream chunks of the
+    * `movi` list as frames. For the MJPEG flavor every `00dc` chunk IS
+    * a self-contained JPEG, so sampled frames decode downstream through
+    * the ordinary [[ImageCodec]] with no re-encoding. Pure-JVM byte
+    * parsing (RIFF is a public spec; no external codec), bounded by the
+    * payload: offsets advance monotonically, sizes are clamped to the
+    * buffer, so a malformed file ends the walk instead of looping.
+    * Returns None for non-AVI payloads — batch jobs degrade to the
+    * byte-chunk path rather than dying on one bad file.
+    */
+  object AviDemux {
+    final case class AviInfo(width: Int, height: Int,
+                             frames: Vector[Array[Byte]])
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def fourCC(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def frames(payload: Array[Byte]): Option[AviInfo] =
+      try {
+        if (payload.length < 12 || fourCC(payload, 0) != "RIFF" ||
+            fourCC(payload, 8) != "AVI ") None
+        else {
+          var width = 0
+          var height = 0
+          val fb = Vector.newBuilder[Array[Byte]]
+          def walk(start: Int, end: Int): Unit = {
+            var off = start
+            while (off + 8 <= end) {
+              val id = fourCC(payload, off)
+              val sz = u32(payload, off + 4).toInt
+              val dataStart = off + 8
+              val dataEnd = math.min(dataStart.toLong + sz, end.toLong)
+                .toInt
+              if (id == "LIST" && dataEnd - dataStart >= 4)
+                walk(dataStart + 4, dataEnd) // hdrl / strl / movi
+              else if (id == "avih" && dataEnd - dataStart >= 40) {
+                width = u32(payload, dataStart + 32).toInt
+                height = u32(payload, dataStart + 36).toInt
+              } else if ((id.endsWith("dc") || id.endsWith("db")) &&
+                  id.take(2).forall(_.isDigit))
+                fb += java.util.Arrays.copyOfRange(payload, dataStart,
+                  dataEnd)
+              // chunks pad to even byte boundaries
+              off = dataStart + sz + (sz & 1)
+            }
+          }
+          walk(12, payload.length)
+          val fs = fb.result()
+          if (fs.isEmpty && width == 0) None else Some(AviInfo(width,
+            height, fs))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Frame sampling: every `stride`-th frame of each item. GIF payloads
     * demux for REAL (per-frame decode via [[GifDemux]], true per-frame
     * dimensions, frames re-encoded as standalone PNGs); payloads without
@@ -246,6 +309,17 @@ object Multimodal {
                 Frame(item.id, i, i.toLong, GifDemux.toPng(fs(i))))
             case None => chunked(item) // corrupt container: degrade
           }
+        else if (item.mediaType == "video/avi" ||
+            item.mediaType == "video/x-msvideo")
+          AviDemux.frames(item.payload) match {
+            case Some(info) =>
+              // MJPEG stream chunks are already self-contained JPEGs —
+              // no re-encode; offset carries the frame ordinal (the
+              // movi list's byte offsets are container-internal)
+              (0 until info.frames.length by stride).iterator.map(i =>
+                Frame(item.id, i, i.toLong, info.frames(i)))
+            case None => chunked(item) // corrupt container: degrade
+          }
         else chunked(item)
       }
     }
@@ -254,19 +328,33 @@ object Multimodal {
   /** Batch feature extraction: one codec per partition, rows streamed
     * through it. This is the Scala-native equivalent of a Pandas-UDF
     * mapInPandas decode stage — no shuffle, parallelism = input
-    * partitions. Image-MIME items decode for real (ImageIO); everything
-    * else — and any undecodable image — takes the deterministic fake.
+    * partitions. Image-MIME items decode for real (ImageIO), AVI video
+    * items demux for real ([[AviDemux]]: container dims from the avih
+    * header, checksum folded over the stream-chunk frame bytes);
+    * everything else — and any undecodable payload — takes the
+    * deterministic fake.
     */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { rows =>
       // per-partition setup (a real codec's init/handle lives here)
       val codec = FakeCodec
+      def avi(item: MediaItem): Option[(Int, Int, Long)] =
+        AviDemux.frames(item.payload).map { info =>
+          var checksum = 7L
+          info.frames.foreach(_.foreach { b =>
+            checksum = (checksum * 31 + (b & 0xff)) % 1000000007L
+          })
+          (info.width, info.height, checksum)
+        }
       rows.map { item =>
         val (w, h, c) =
           if (item.mediaType.startsWith("image/"))
             ImageCodec.decode(item.payload)
               .getOrElse(codec.decode(item.payload))
+          else if (item.mediaType == "video/avi" ||
+              item.mediaType == "video/x-msvideo")
+            avi(item).getOrElse(codec.decode(item.payload))
           else codec.decode(item.payload)
         MediaFeatures(item.id, item.mediaType, item.sizeBytes, w, h, c)
       }

@@ -247,4 +247,80 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(again.checksum == a1.checksum)
   }
+
+  test("video: a REAL MJPEG AVI demuxes to true container dims and " +
+    "per-frame JPEGs that decode to their true pixel dimensions; " +
+    "corrupt containers degrade to byte chunks") {
+    import s.implicits._
+    def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte)
+         else Array.empty[Byte])
+    def list(tp: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", tp.getBytes("US-ASCII") ++ children)
+    // minimal-but-valid MJPEG AVI: RIFF('AVI ') > LIST(hdrl > avih
+    // with dwWidth/dwHeight at data offsets 32/36) + LIST(movi >
+    // one 00dc chunk per JPEG frame)
+    def avi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val avih = new Array[Byte](56)
+      le32(w).copyToArray(avih, 32)
+      le32(h).copyToArray(avih, 36)
+      val body = "AVI ".getBytes("US-ASCII") ++
+        list("hdrl", chunk("avih", avih)) ++
+        list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val f1 = jpeg(32, 20, 0xff0000)
+    val f2 = jpeg(32, 20, 0x00ff00)
+    val f3 = jpeg(32, 20, 0x0000ff)
+    val video = avi(32, 20, Seq(f1, f2, f3))
+
+    // direct demux: true frame count + container dims
+    val info = Multimodal.AviDemux.frames(video).get
+    assert(info.width == 32 && info.height == 20)
+    assert(info.frames.length == 3)
+
+    // through the batch pipeline: extractFeatures reports the avih dims
+    val items = Seq(
+      MediaItem(1L, video, "video/avi", video.length.toLong),
+      MediaItem(2L, "not a riff container at all".getBytes("UTF-8"),
+        "video/avi", 27L)).toDS()
+    val feats = Multimodal.extractFeatures(items).collect()
+      .map(f => f.id -> f).toMap
+    assert(feats(1L).width == 32 && feats(1L).height == 20,
+      s"container dims must come from avih: ${feats(1L)}")
+    // the corrupt container falls back to the deterministic fake
+    assert(feats(2L) == Multimodal.extractFeatures(Seq(
+      MediaItem(2L, "not a riff container at all".getBytes("UTF-8"),
+        "text/plain", 27L)).toDS()).collect().head
+      .copy(mediaType = "video/avi"))
+
+    // frame sampling: stride 2 keeps frames 0 and 2, and every sampled
+    // frame is a SELF-CONTAINED JPEG with true pixel dims
+    val sampled = Multimodal.sampleFrames(items, frameSize = 64,
+        stride = 2).collect().filter(_.id == 1L).sortBy(_.frameIndex)
+    assert(sampled.map(_.frameIndex).toSeq == Seq(0, 2))
+    sampled.foreach { fr =>
+      val (w, h, _) = Multimodal.ImageCodec.decode(fr.frameBytes).get
+      assert(w == 32 && h == 20,
+        s"sampled frame ${fr.frameIndex} must decode to true dims")
+    }
+    // determinism across runs
+    val again = Multimodal.extractFeatures(items).collect()
+      .map(f => f.id -> f).toMap
+    assert(again == feats)
+  }
 }
