@@ -47,16 +47,25 @@ object IngestPipeline {
           textCol: String, sourceCol: String, spanN: Int,
           budgetPerSource: Long, trainPct: Int, valPct: Int): DataFrame = {
     val flags = Dedup.incrementalDupFlags(standing, batch, idCol, textCol)
+    // cached: feeds BOTH the span-removal union and the source re-attach
+    // join below — without it Spark re-executes the dedup join per
+    // consumer. Bounded: survivors is at most the BATCH (the daily
+    // increment), never the standing corpus.
     val survivors = batch.join(
       flags.filter(col("dup_of_existing") === 0L).select(idCol), Seq(idCol))
+      .cache()
     val union = standing.select(col(idCol), col(textCol))
       .unionByName(survivors.select(col(idCol), col(textCol)))
     // span stats computed over the union, emitted for batch rows only;
-    // the join also re-attaches the batch's source column
+    // the join also re-attaches the batch's source column. Cached for
+    // the same reason (quota scoring + the n_dup_positions join both
+    // consume it; recomputing would run the corpus-sized gram shuffles
+    // twice) and bounded the same way — batch rows only.
     val cleaned = Dedup
       .dupSpanRemoval(union, idCol, textCol, n = spanN,
         hashedGramKeys = true)
       .join(survivors.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .cache()
     val quota = CorpusAssembly.qualityQuotaSelectHistogram(
       cleaned.select(col(sourceCol), col(idCol), col("clean_text")),
       sourceCol, idCol, "clean_text", budgetPerSource)
