@@ -500,6 +500,30 @@ object Extras {
       ${Exact.exactSumSql("o_totalprice", 2)} AS total
       FROM orders GROUP BY o_orderstatus"""))
 
+  // X19 — JSON-lines sink/scan round trip (sources/Formats), the x17
+  // pattern for the interchange format ingest pipelines actually
+  // exchange: write a column slice as .jsonl, read it back under the
+  // EXPLICIT schema (schema-on-read inference is banned on the ingest
+  // path — a type flip on one file would poison a 100 TB union), and
+  // aggregate. The oracle aggregates the plain parquet table, so the
+  // hash-match proves the jsonl path is lossless end to end (longs,
+  // strings, and doubles all round-trip exactly — Spark writes doubles
+  // via Jackson's shortest-round-trip repr). FormatsSpec pins the
+  // quarantine variant for malformed lines.
+  private val x19 = QueryDef("x19_jsonl_roundtrip", (s, dir) => {
+    import graft.sources.Formats
+    val tmp = System.getProperty("java.io.tmpdir") + "/graft_jsonl_rt"
+    val slice = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Formats.writeJsonl(slice, tmp)
+    Formats.readJsonl(s, tmp, slice.schema)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Exact.exactSum(col("o_totalprice"), 2).as("total"))
+  }, Some(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      ${Exact.exactSumSql("o_totalprice", 2)} AS total
+      FROM orders GROUP BY o_orderstatus"""))
+
   // X18 — vocabulary heavy hitters WITHOUT a full-vocab shuffle: a
   // Misra–Gries candidate sketch (bounded state per partition, merge-
   // order-independent superset guarantee) followed by an exact recount
@@ -523,5 +547,5 @@ object Extras {
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18)
+      x16w, x16, x17, x18, x19)
 }
