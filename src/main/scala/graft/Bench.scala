@@ -33,7 +33,7 @@ object Bench {
     Seq("all_queries", "queries").map(node.path)
       .find(n => n.isObject && n.size() > 0)
       .map { n =>
-        val it = n.fields()
+        val it = n.properties().iterator()
         val b = Map.newBuilder[String, Double]
         while (it.hasNext) {
           val e = it.next()

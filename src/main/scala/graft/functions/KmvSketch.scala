@@ -20,9 +20,15 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
 
   private def hash(x: Long): Long = {
     // 64-bit mix of MurmurHash3 over the two halves — deterministic,
-    // well-spread, no RNG state
-    val h1 = MurmurHash3.productHash((x, 0x9e3779b9L))
-    val h2 = MurmurHash3.productHash((x, 0x85ebca6bL))
+    // well-spread, no RNG state. productHash is deprecated in favor of
+    // caseClassHash, but the two produce DIFFERENT values — swapping
+    // would silently change every estimate this sketch has ever pinned
+    // (KmvSketchSpec tolerances, probe records), so the deprecated
+    // spelling stays deliberately: the hash VALUES are the contract.
+    val h1 = MurmurHash3.productHash((x, 0x9e3779b9L)): @annotation.nowarn(
+      "cat=deprecation")
+    val h2 = MurmurHash3.productHash((x, 0x85ebca6bL)): @annotation.nowarn(
+      "cat=deprecation")
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 

@@ -33,7 +33,7 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * The WORKING buffer ([[MisraGries.MBuf]]) is mutable — reduce runs
   * once per TOKEN of the scan, and the previous immutable-Map form
-  * paid a persistent-map rebuild per token. AnyRefMap gives an
+  * paid a persistent-map rebuild per token. mutable.HashMap gives an
   * allocation-free hit path for the dominant already-present-term
   * case; measured ~10-12% off the WHOLE sf5 scan pass (which is
   * scan/tokenize-dominated — the reduce-local saving is larger), both
@@ -47,13 +47,14 @@ class MisraGries(capacity: Int)
 
   override def zero: MisraGries.MBuf =
     new MisraGries.MBuf(
-      new scala.collection.mutable.AnyRefMap[String, Long](capacity * 2),
+      new scala.collection.mutable.HashMap[String, Long](capacity * 2,
+        scala.collection.mutable.HashMap.defaultLoadFactor),
       0L)
 
   override def reduce(b: MisraGries.MBuf, t: String): MisraGries.MBuf = {
     val c = b.counts
     b.n += 1L
-    val v = c.getOrElse(t, 0L) // AnyRefMap: no Option on the hit path
+    val v = c.getOrElse(t, 0L) // HashMap overrides getOrElse: no Option
     if (v > 0L) c.update(t, v + 1L)
     else if (c.size < capacity) c.update(t, 1L)
     else {
@@ -102,13 +103,11 @@ object MisraGries {
   case class Buf(counts: Map[String, Long], n: Long)
 
   /** Mutable working buffer: in-place counters + running total. */
-  final class MBuf(val counts: scala.collection.mutable.AnyRefMap[String, Long],
+  final class MBuf(val counts: scala.collection.mutable.HashMap[String, Long],
                    var n: Long)
 
   private def toMutable(b: Buf): MBuf = {
-    val m = new scala.collection.mutable.AnyRefMap[String, Long](
-      b.counts.size * 2 + 1)
-    b.counts.foreach { case (k, v) => m.update(k, v) }
+    val m = scala.collection.mutable.HashMap.from(b.counts)
     new MBuf(m, b.n)
   }
 }

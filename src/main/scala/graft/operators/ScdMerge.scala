@@ -50,14 +50,14 @@ object ScdMerge {
     val unchanged = joined
       .filter(col(naturalKey).isNotNull && col("__new_key").isNotNull &&
         !changed)
-      .select(live.columns.map(col): _*)
+      .select(live.columns.toIndexedSeq.map(col): _*)
 
     // live rows that changed, or vanished from the snapshot -> closed
     val closed = joined
       .filter(col(naturalKey).isNotNull &&
         ((col("__new_key").isNotNull && changed) ||
           (col("__new_key").isNull && lit(closeMissing))))
-      .select(live.columns.map(col): _*)
+      .select(live.columns.toIndexedSeq.map(col): _*)
       .withColumn("IsCurrent", lit(false))
       .withColumn("EffectiveEndDate", asOfDate)
 
@@ -71,13 +71,13 @@ object ScdMerge {
       .withColumn("IsCurrent", lit(true))
       .withColumn("EffectiveStartDate", asOfDate)
       .withColumn("EffectiveEndDate", lit(null).cast("date"))
-      .select(live.columns.map(col): _*)
+      .select(live.columns.toIndexedSeq.map(col): _*)
 
     // vanished keys with closeMissing=false pass through untouched
     val untouchedMissing =
       if (closeMissing) live.limit(0)
       else joined.filter(col(naturalKey).isNotNull && col("__new_key").isNull)
-        .select(live.columns.map(col): _*)
+        .select(live.columns.toIndexedSeq.map(col): _*)
 
     history.unionByName(unchanged).unionByName(closed)
       .unionByName(opened).unionByName(untouchedMissing)
