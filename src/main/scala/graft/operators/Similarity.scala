@@ -146,21 +146,19 @@ object Similarity {
               vecCol: String, k: Int, nCells: Int = 16,
               nProbe: Int = 4,
               centroidRank: Column => Column =
-                id => xxhash64(id)): DataFrame = {
+                id => xxhash64(id),
+              refineIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", norm("cv"))
     val q = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm("qv"))
-    val centroids = c.orderBy(centroidRank(col("n_id")), col("n_id"))
-      .limit(nCells)
-      .select(col("n_id").as("cell"), col("cv").as("centroid"),
-        col("cn").as("centroid_nrm"))
-    // nearest cell per vector: argmax cosine over the broadcast centroid
-    // set (cosine, since vectors aren't normalized); norms precomputed
-    def nearestCells(df: DataFrame, vec: String, vecNrm: String,
-                     out: String, take: Int): DataFrame = {
+    // nearest cell(s) per vector against a GIVEN centroid table: argmax
+    // cosine over the broadcast set (cosine, since vectors aren't
+    // normalized); norms precomputed
+    def nearestCells(centroids: DataFrame)(df: DataFrame, vec: String,
+                     vecNrm: String, out: String, take: Int): DataFrame = {
       val scored = df.join(broadcast(centroids))
         .withColumn("__sim",
           dot(vec, "centroid") / (col(vecNrm) * col("centroid_nrm")))
@@ -171,8 +169,35 @@ object Similarity {
         .drop("centroid", "centroid_nrm", "__sim", "__r")
         .withColumnRenamed("cell", out)
     }
-    val assigned = nearestCells(c, "cv", "cn", "cell", 1)
-    val probed = nearestCells(q, "qv", "qn", "cell", nProbe)
+    val sampled = c.orderBy(centroidRank(col("n_id")), col("n_id"))
+      .limit(nCells)
+      .select(col("n_id").as("cell"), col("cv").as("centroid"),
+        col("cn").as("centroid_nrm"))
+    // Optional Lloyd refinement of the sampled centroids: assign every
+    // corpus vector to its nearest centroid, replace each centroid with
+    // the element-wise MEAN of its cell, repeat. Each iteration is one
+    // broadcast-join assign pass plus one map-side-combinable
+    // (cell, dim) average shuffle (n x dim rows — 64 doubles per vector,
+    // not pairs), so the cost is `refineIters` extra corpus passes; the
+    // tiny per-iteration centroid table is cached so iterations chain in
+    // O(iters), not O(iters^2). Cells that attract no vectors drop out
+    // (standard Lloyd behavior). Cell ids stay the sample's vector ids.
+    // Float-mean partial-order nondeterminism makes refined centroids
+    // ulp-unstable across layouts — fine for the rows-only/recall-gated
+    // forms; the hash-matched l11p stays on the UNREFINED deterministic
+    // sample. Measured recall impact: SCALE_r10.md §3b.
+    val centroids = (1 to refineIters).foldLeft(sampled) { (cur, _) =>
+      nearestCells(cur)(c, "cv", "cn", "cell", 1)
+        .select(col("cell"), posexplode(col("cv")).as(Seq("__pos", "__v")))
+        .groupBy("cell", "__pos").agg(avg("__v").as("__m"))
+        .groupBy("cell")
+        .agg(expr("""transform(array_sort(collect_list(
+              struct(__pos, __m))), s -> s.__m)""").as("centroid"))
+        .withColumn("centroid_nrm", norm("centroid"))
+        .cache()
+    }
+    val assigned = nearestCells(centroids)(c, "cv", "cn", "cell", 1)
+    val probed = nearestCells(centroids)(q, "qv", "qn", "cell", nProbe)
     val joined = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))

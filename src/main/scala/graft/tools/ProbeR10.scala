@@ -140,6 +140,9 @@ object ProbeR10 {
             "embedding", k = k, nCells = 16, nProbe = 4))
           val ivf8 = pairs(Similarity.ivfTopK(corpus, queries, "vec_id",
             "embedding", k = k, nCells = 16, nProbe = 8))
+          val ivfKm = pairs(Similarity.ivfTopK(corpus, queries, "vec_id",
+            "embedding", k = k, nCells = 16, nProbe = 4,
+            refineIters = 2))
           def recall(ann: Set[(Long, Long)]): Double =
             if (exact.isEmpty) 1.0
             else ann.intersect(exact).size.toDouble / exact.size
@@ -148,7 +151,8 @@ object ProbeR10 {
             f"lsh_mp1=${recall(lshMp1)}%.3f " +
             f"lsh_mp2=${recall(lshMp2)}%.3f " +
             f"ivf_recall=${recall(ivf)}%.3f " +
-            f"ivf_probe8=${recall(ivf8)}%.3f")
+            f"ivf_probe8=${recall(ivf8)}%.3f " +
+            f"ivf_kmeans2=${recall(ivfKm)}%.3f")
         }
 
       case "mg" =>
