@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,4 +206,107 @@ object CorpusAssembly {
                                   budgetPerSource: Long): DataFrame =
     quotaHistogram(scoreDocs(df, sourceCol, idCol, textCol), sourceCol,
       idCol, budgetPerSource)
+
+  /** The portable LCG doc hash shared by the mixing forms: the
+    * [[TextAnalysis.splitAssign]] arithmetic folded into [0, 1e9+7) —
+    * exact integers, so any engine reproduces the per-doc sampling
+    * order (and therefore the selection) bit-for-bit.
+    */
+  private def mixHash(idCol: String): Column = expr(
+    s"pmod(pmod($idCol, 100000007) * 1103515245 + 12345, 1000000007)")
+  private val MixHashMod = 1000000007L
+
+  /** Per-group doc targets for temperature-based source mixing (the
+    * sqrt-count reweighting of the Pile / LLaMA data recipes, alpha =
+    * 0.5): group g gets floor(totalTarget * sqrt(n_g) / sum_h
+    * sqrt(n_h)) docs — down-weighting giant sources and up-weighting
+    * small ones relative to proportional sampling. sqrt is
+    * exactly-rounded IEEE (unlike pow, which is why alpha is fixed at
+    * 0.5 — an arbitrary-alpha pow() would diverge in the last ulp
+    * across libms and break the cross-engine hash contract), and the
+    * weight SUM folds over the groups in sorted order (the l27b trick:
+    * a parallel float sum's partial order is nondeterministic, and one
+    * ulp can flip a floor), so targets are bit-deterministic on any
+    * engine or layout. Returns (groupCol, n_docs, target).
+    */
+  def temperatureMixTargets(df: DataFrame, groupCol: String,
+                            totalTarget: Long): DataFrame = {
+    val counts = df.groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .withColumn("w", sqrt(col("n_docs").cast("double")))
+    val sw = counts
+      .agg(expr(s"""aggregate(array_sort(collect_list(
+          struct($groupCol, w))), CAST(0.0 AS DOUBLE),
+          (a, s) -> a + s.w)""").as("sw"))
+    counts.crossJoin(broadcast(sw))
+      .withColumn("target",
+        floor(lit(totalTarget.toDouble) * col("w") / col("sw"))
+          .cast("long"))
+      .select(col(groupCol), col("n_docs"), col("target"))
+  }
+
+  /** Temperature-mixed selection, exact windowed form: within each
+    * group, keep the `target` docs with the smallest portable hash
+    * (ties broken by id) — a deterministic without-replacement sample
+    * honoring [[temperatureMixTargets]]. The per-group global window is
+    * the l26-exact caveat; [[temperatureMixSelectHistogram]] is the
+    * giant-source form. Returns (groupCol, idCol, h, kept).
+    */
+  def temperatureMixSelect(df: DataFrame, groupCol: String, idCol: String,
+                           totalTarget: Long): DataFrame = {
+    val scored = df.select(col(groupCol), col(idCol))
+      .withColumn("h", mixHash(idCol))
+    val targets = temperatureMixTargets(df, groupCol, totalTarget)
+    val w = Window.partitionBy(groupCol).orderBy(col("h"), col(idCol))
+    scored.join(broadcast(targets), Seq(groupCol))
+      .withColumn("__rnk", row_number().over(w).cast("long"))
+      .withColumn("kept", col("__rnk") <= col("target"))
+      .select(col(groupCol), col(idCol), col("h"), col("kept"))
+  }
+
+  /** [[temperatureMixSelect]]'s decisions WITHOUT a per-group global
+    * sort — the histogram-threshold trick applied to hash-rank
+    * selection: hash space splits into `nBuckets` equal ranges, one
+    * map-side-combinable (group, bucket) count classifies whole
+    * buckets against the target (fully-under -> keep all, past ->
+    * drop all), and only the ONE straddling bucket per group pays an
+    * ordered window — partitioned by (group, bucket), so a single
+    * giant source costs 1/nBuckets of itself in that window, not a
+    * full-group sort. Identical `kept` flags to the exact form
+    * (CorpusAssemblySpec + the shared l29 oracle pin it).
+    */
+  def temperatureMixSelectHistogram(df: DataFrame, groupCol: String,
+                                    idCol: String, totalTarget: Long,
+                                    nBuckets: Int = 64): DataFrame = {
+    require(nBuckets > 0)
+    val bucketWidth = MixHashMod / nBuckets + 1
+    val scored = df.select(col(groupCol), col(idCol))
+      .withColumn("h", mixHash(idCol))
+      .withColumn("__b", expr(s"h DIV ${bucketWidth}L"))
+    val targets = temperatureMixTargets(df, groupCol, totalTarget)
+    val hist = scored.groupBy(groupCol, "__b")
+      .agg(count(lit(1)).cast("long").as("__n"))
+    val wb = Window.partitionBy(groupCol).orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = hist
+      .withColumn("__cum_before", coalesce(sum("__n").over(wb), lit(0L)))
+      .join(broadcast(targets), Seq(groupCol))
+      .withColumn("__cls",
+        when(col("__cum_before") + col("__n") <= col("target"),
+          lit("keep"))
+        .when(col("__cum_before") >= col("target"), lit("drop"))
+        .otherwise(lit("edge")))
+      .select(col(groupCol), col("__b"), col("__cum_before"),
+        col("__cls"), col("target"))
+    val joined = scored.join(buckets, Seq(groupCol, "__b"))
+    val decided = joined.filter(col("__cls") =!= "edge")
+      .withColumn("kept", col("__cls") === "keep")
+    val wEdge = Window.partitionBy(groupCol, "__b")
+      .orderBy(col("h"), col(idCol))
+    val edge = joined.filter(col("__cls") === "edge")
+      .withColumn("kept", col("__cum_before") +
+        row_number().over(wEdge) <= col("target"))
+    decided.unionByName(edge)
+      .select(col(groupCol), col(idCol), col("h"), col("kept"))
+  }
 }

@@ -1352,10 +1352,68 @@ object LlmOps {
         CAST(sum(n_dup_positions) AS BIGINT) AS dup_positions_removed
       FROM sp GROUP BY source, split"""))
 
+  // L29 — temperature-based source mixing (the sqrt-count reweighting
+  // of the Pile/LLaMA data recipes, alpha = 0.5): each lang gets
+  // floor(T * sqrt(n)/sum sqrt(n)) docs, selected as the target-many
+  // smallest portable-LCG hashes — a deterministic without-replacement
+  // sample that down-weights giant sources vs proportional sampling.
+  // alpha is FIXED at 0.5 because sqrt is exactly-rounded IEEE where
+  // pow() is not (a libm ulp would flip a floor and break the hash
+  // match); the weight sum folds in sorted lang order (the l27b trick)
+  // for the same reason. kept_h_sum fingerprints the exact selected
+  // SET, not just its size. ONE oracle for l29 (exact per-lang window)
+  // and l29h (histogram-threshold form — hash space bucketized, whole
+  // buckets classified, only the straddling bucket pays a window
+  // partitioned by (lang, bucket): the l26h giant-source treatment
+  // applied to rank selection).
+  private val l29OracleSql = """WITH sc AS (SELECT lang, doc_id,
+        ((((doc_id % 100000007) + 100000007) % 100000007)
+          * 1103515245 + 12345) % 1000000007 AS h
+        FROM documents),
+      cnt AS (SELECT lang, CAST(count(*) AS BIGINT) n_docs
+        FROM sc GROUP BY lang),
+      w AS (SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) wt
+        FROM cnt),
+      sw AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(wt ORDER BY lang)), (a, b) -> a + b) s FROM w),
+      tg AS (SELECT lang, n_docs,
+          CAST(floor(200.0 * wt / s) AS BIGINT) target
+        FROM w CROSS JOIN sw),
+      r AS (SELECT lang, doc_id, h,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY h, doc_id) AS BIGINT) rnk
+        FROM sc),
+      k AS (SELECT r.lang, h, rnk <= target AS kept
+        FROM r JOIN tg ON r.lang = tg.lang)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN kept THEN h ELSE 0 END) AS BIGINT)
+          AS kept_h_sum
+      FROM k GROUP BY lang"""
+
+  private def mixAgg(sel: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sel.groupBy("lang").agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).cast("long")
+        .as("n_kept"),
+      sum(when(col("kept"), col("h")).otherwise(lit(0L))).cast("long")
+        .as("kept_h_sum"))
+
+  private val l29 = QueryDef("l29_temperature_mix", (s, dir) => {
+    mixAgg(CorpusAssembly.temperatureMixSelect(
+      Tables.documents(s, dir), "lang", "doc_id", totalTarget = 200L))
+  }, Some(l29OracleSql))
+
+  private val l29h = QueryDef("l29h_temperature_mix_hist", (s, dir) => {
+    mixAgg(CorpusAssembly.temperatureMixSelectHistogram(
+      Tables.documents(s, dir), "lang", "doc_id", totalTarget = 200L))
+  }, Some(l29OracleSql))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      l24b, l25, l26, l26h, l27, l27b, l28, m1)
+      l24b, l25, l26, l26h, l27, l27b, l28, l29, l29h, m1)
 }

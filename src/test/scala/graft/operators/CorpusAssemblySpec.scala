@@ -202,4 +202,40 @@ class CorpusAssemblySpec extends AnyFunSuite {
     val maxBin = packed.select(max("bin")).collect()(0).getLong(0)
     assert(maxBin <= (maxCum - 1) / 512L)
   }
+
+  test("temperature mixing: histogram kept flags == exact windowed form " +
+    "on skewed group sizes (incl. one giant group), targets honor the " +
+    "sqrt reweighting, and a tiny group can saturate") {
+    import s.implicits._
+    // group sizes 4000 / 400 / 40 / 4: sqrt weights 63.2 / 20 / 6.3 / 2
+    val rows =
+      (1L to 4000L).map(i => ("giant", i)) ++
+      (1L to 400L).map(i => ("mid", 10000L + i)) ++
+      (1L to 40L).map(i => ("small", 20000L + i)) ++
+      (1L to 4L).map(i => ("tiny", 30000L + i))
+    val df = rows.toDF("grp", "id").repartition(13)
+    val total = 500L
+    def kept(sel: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      sel.collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    val exact = CorpusAssembly.temperatureMixSelect(df, "grp", "id", total)
+    val hist = CorpusAssembly.temperatureMixSelectHistogram(df, "grp",
+      "id", total, nBuckets = 16)
+    assert(kept(exact) == kept(hist),
+      "histogram form must make identical per-doc decisions")
+    val targets = CorpusAssembly.temperatureMixTargets(df, "grp", total)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // sqrt reweighting: the giant group's KEEP RATE is far below the
+    // tiny group's (proportional sampling would keep ~11% everywhere)
+    val (gn, gt) = targets("giant")
+    val (tn, tt) = targets("tiny")
+    assert(gt.toDouble / gn < 0.1, s"giant keep rate ${gt.toDouble / gn}")
+    assert(tt >= tn, "tiny group saturates: target >= its size")
+    val keptByGrp = exact.filter(col("kept")).groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptByGrp("tiny") == tn, "saturated group keeps everything")
+    targets.foreach { case (g, (n, t)) =>
+      assert(keptByGrp(g) == math.min(n, t), s"group $g")
+    }
+  }
 }
