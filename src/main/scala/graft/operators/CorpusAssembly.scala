@@ -230,15 +230,22 @@ object CorpusAssembly {
     * engine or layout. Returns (groupCol, n_docs, target).
     */
   def temperatureMixTargets(df: DataFrame, groupCol: String,
-                            totalTarget: Long): DataFrame = {
-    val counts = df.groupBy(groupCol)
-      .agg(count(lit(1)).cast("long").as("n_docs"))
-      .withColumn("w", sqrt(col("n_docs").cast("double")))
-    val sw = counts
+                            totalTarget: Long): DataFrame =
+    targetsFromCounts(
+      df.groupBy(groupCol).agg(count(lit(1)).cast("long").as("n_docs")),
+      groupCol, totalTarget)
+
+  /** [[temperatureMixTargets]] from a PRE-AGGREGATED (group, n_docs)
+    * table — the entry point when the counts come from merged streaming
+    * state instead of a corpus scan. */
+  def targetsFromCounts(counts: DataFrame, groupCol: String,
+                        totalTarget: Long): DataFrame = {
+    val weighted = counts.withColumn("w", sqrt(col("n_docs").cast("double")))
+    val sw = weighted
       .agg(expr(s"""aggregate(array_sort(collect_list(
           struct($groupCol, w))), CAST(0.0 AS DOUBLE),
           (a, s) -> a + s.w)""").as("sw"))
-    counts.crossJoin(broadcast(sw))
+    weighted.crossJoin(broadcast(sw))
       .withColumn("target",
         floor(lit(totalTarget.toDouble) * col("w") / col("sw"))
           .cast("long"))
@@ -277,15 +284,46 @@ object CorpusAssembly {
     */
   def temperatureMixSelectHistogram(df: DataFrame, groupCol: String,
                                     idCol: String, totalTarget: Long,
-                                    nBuckets: Int = 64): DataFrame = {
+                                    nBuckets: Int = 64): DataFrame =
+    temperatureMixFromHistogram(df,
+      mixBucketHistogram(df, groupCol, idCol, nBuckets),
+      groupCol, idCol, totalTarget, nBuckets)
+
+  /** The (group, hash-bucket, count) histogram of `df` under the
+    * portable mix hash — the additive state a streaming sink maintains
+    * (micro-batch histograms merge by summing `__n`; group counts are
+    * the per-group bucket sums, so no separate count state is needed).
+    */
+  def mixBucketHistogram(df: DataFrame, groupCol: String, idCol: String,
+                         nBuckets: Int): DataFrame = {
     require(nBuckets > 0)
     val bucketWidth = MixHashMod / nBuckets + 1
-    val scored = df.select(col(groupCol), col(idCol))
+    df.select(col(groupCol), mixHash(idCol).as("h"))
+      .withColumn("__b", expr(s"h DIV ${bucketWidth}L"))
+      .groupBy(groupCol, "__b")
+      .agg(count(lit(1)).cast("long").as("__n"))
+  }
+
+  /** [[temperatureMixSelectHistogram]] with the histogram supplied by
+    * the CALLER (e.g. merged streaming state): targets derive from the
+    * histogram's own per-group sums, bucket classes from its
+    * cumulative counts, and `corpus` is only consulted to resolve the
+    * straddling edge bucket per group. `hist` must be the exact
+    * [[mixBucketHistogram]] of `corpus` (same nBuckets) for the kept
+    * flags to equal the one-shot form.
+    */
+  def temperatureMixFromHistogram(corpus: DataFrame, hist: DataFrame,
+                                  groupCol: String, idCol: String,
+                                  totalTarget: Long,
+                                  nBuckets: Int): DataFrame = {
+    require(nBuckets > 0)
+    val bucketWidth = MixHashMod / nBuckets + 1
+    val scored = corpus.select(col(groupCol), col(idCol))
       .withColumn("h", mixHash(idCol))
       .withColumn("__b", expr(s"h DIV ${bucketWidth}L"))
-    val targets = temperatureMixTargets(df, groupCol, totalTarget)
-    val hist = scored.groupBy(groupCol, "__b")
-      .agg(count(lit(1)).cast("long").as("__n"))
+    val targets = targetsFromCounts(
+      hist.groupBy(groupCol).agg(sum("__n").cast("long").as("n_docs")),
+      groupCol, totalTarget)
     val wb = Window.partitionBy(groupCol).orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val buckets = hist

@@ -277,6 +277,50 @@ object StreamOps {
     }
   }
 
+  /** Streaming temperature-based source mixing: the l29h (group,
+    * hash-bucket) count histogram maintained incrementally — purely
+    * additive state (group counts are the per-group bucket sums, so
+    * one histogram carries everything the sqrt reweighting and the
+    * bucket classification need). Crash-safe staged publish, idempotent
+    * under retries via the batch marker; `totalTarget` applies at
+    * decision time ([[mixFromState]]), so one stream serves any
+    * number of mixing policies.
+    */
+  def mixForeachBatch(histPath: String, groupCol: String, idCol: String,
+                      nBuckets: Int = 64)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, histPath).contains(batchId)) {
+        val part = graft.operators.CorpusAssembly
+          .mixBucketHistogram(batch, groupCol, idCol, nBuckets)
+        val live = new org.apache.hadoop.fs.Path(histPath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(live))
+            spark.read.parquet(histPath).unionByName(part)
+              .groupBy(groupCol, "__b").agg(sum("__n").as("__n"))
+          else part
+        publishAtomic(spark, histPath, merged, Some(batchId))
+      }
+    }
+  }
+
+  /** The mixing decision for everything streamed so far: sqrt-reweighted
+    * targets and bucket classes from the merged state, edge buckets
+    * resolved over `corpus` (the materialized stream). Equals the
+    * one-shot [[graft.operators.CorpusAssembly.temperatureMixSelectHistogram]]
+    * on the same corpus — same state+view split as [[quotaFromState]].
+    * `nBuckets` must match the sink's.
+    */
+  def mixFromState(spark: org.apache.spark.sql.SparkSession,
+                   histPath: String, corpus: DataFrame, groupCol: String,
+                   idCol: String, totalTarget: Long,
+                   nBuckets: Int = 64): DataFrame =
+    graft.operators.CorpusAssembly.temperatureMixFromHistogram(
+      corpus, spark.read.parquet(histPath), groupCol, idCol,
+      totalTarget, nBuckets)
+
   /** The quota decision for everything streamed so far: classifies the
     * merged (source, quality) histogram state against `budgetPerSource`
     * and resolves the per-doc kept flags over `corpus` (the

@@ -406,6 +406,46 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(after == before, "retried batch id 2 must be a no-op")
   }
 
+  test("streaming temperature mixing: the (group, hash-bucket) histogram " +
+    "merges by addition and the state decision equals BOTH one-shot " +
+    "mixing forms on the materialized stream") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val histPath = java.nio.file.Files
+      .createTempDirectory("graft_mix_stream").toString + "/mhist"
+    // skewed groups split across micro-batches: sa 12 docs, sb 3 —
+    // sqrt reweighting must down-weight sa's keep rate vs sb's
+    val docs = (1L to 12L).map(i => SrcDoc(i, "sa", "x")) ++
+      (101L to 103L).map(i => SrcDoc(i, "sb", "x"))
+    val batches = docs.grouped(5).toSeq
+    val input = MemoryStream[SrcDoc]
+    val q = input.toDF().writeStream
+      .foreachBatch(StreamOps.mixForeachBatch(histPath, "source",
+        "doc_id", nBuckets = 8))
+      .start()
+    try batches.foreach { b =>
+      input.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val corpus = docs.map(d => (d.doc_id, d.source))
+      .toDF("doc_id", "source")
+    def keptSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("kept")).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val streamed = keptSet(StreamOps.mixFromState(s, histPath, corpus,
+      "source", "doc_id", totalTarget = 8L, nBuckets = 8))
+    val oneShot = keptSet(graft.operators.CorpusAssembly
+      .temperatureMixSelectHistogram(corpus, "source", "doc_id", 8L,
+        nBuckets = 8))
+    val exact = keptSet(graft.operators.CorpusAssembly
+      .temperatureMixSelect(corpus, "source", "doc_id", 8L))
+    assert(streamed == oneShot && streamed == exact,
+      s"streamed=$streamed oneShot=$oneShot exact=$exact")
+    assert(streamed.nonEmpty && streamed.size < docs.size,
+      "both kept and dropped docs must occur")
+  }
+
   test("windowed counts with watermark aggregate per minute") {
     import s.implicits._
     implicit val sq = s.sqlContext
