@@ -216,6 +216,22 @@ object CorpusAssembly {
     s"pmod(pmod($idCol, 100000007) * 1103515245 + 12345, 1000000007)")
   private val MixHashMod = 1000000007L
 
+  /** The mix-hash SQL above arithmetically assumes an INTEGRAL id: a
+    * string id column would be numerically coerced (non-numeric values
+    * to NULL), silently corrupting bucket assignment and kept flags
+    * instead of failing. Fail fast with the actual dtype — the
+    * [[graft.core.Tables.eventTsUs]] dispatch discipline applied here.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"mix hash requires an integral id column; '$idCol' is $other " +
+          "(a string id would coerce to NULL and corrupt the sample)")
+    }
+  }
+
   /** Per-group doc targets for temperature-based source mixing (the
     * sqrt-count reweighting of the Pile / LLaMA data recipes, alpha =
     * 0.5): group g gets floor(totalTarget * sqrt(n_g) / sum_h
@@ -261,6 +277,7 @@ object CorpusAssembly {
     */
   def temperatureMixSelect(df: DataFrame, groupCol: String, idCol: String,
                            totalTarget: Long): DataFrame = {
+    requireIntegralId(df, idCol)
     val scored = df.select(col(groupCol), col(idCol))
       .withColumn("h", mixHash(idCol))
     val targets = temperatureMixTargets(df, groupCol, totalTarget)
@@ -297,6 +314,7 @@ object CorpusAssembly {
   def mixBucketHistogram(df: DataFrame, groupCol: String, idCol: String,
                          nBuckets: Int): DataFrame = {
     require(nBuckets > 0)
+    requireIntegralId(df, idCol)
     val bucketWidth = MixHashMod / nBuckets + 1
     df.select(col(groupCol), mixHash(idCol).as("h"))
       .withColumn("__b", expr(s"h DIV ${bucketWidth}L"))
@@ -317,6 +335,7 @@ object CorpusAssembly {
                                   totalTarget: Long,
                                   nBuckets: Int): DataFrame = {
     require(nBuckets > 0)
+    requireIntegralId(corpus, idCol)
     val bucketWidth = MixHashMod / nBuckets + 1
     val scored = corpus.select(col(groupCol), col(idCol))
       .withColumn("h", mixHash(idCol))

@@ -75,9 +75,20 @@ object IngestPipeline {
       .join(cleaned.select(col(idCol), col("n_dup_positions")), Seq(idCol))
       .withColumn("split",
         TextAnalysis.splitAssign(idCol, trainPct, valPct))
-    kept.groupBy(col(sourceCol), col("split")).agg(
+    val summary = kept.groupBy(col(sourceCol), col("split")).agg(
       count(lit(1)).as("n_docs"),
       sum("n_tokens").cast("long").as("tokens_kept"),
       sum("n_dup_positions").cast("long").as("dup_positions_removed"))
+    // Materialize the (sources x splits)-row summary eagerly via
+    // localCheckpoint, then RELEASE both batch-bounded caches: a
+    // long-lived driver running daily ingests would otherwise accumulate
+    // two cache entries per run for the session lifetime. The checkpoint
+    // keeps the returned frame valid after the unpersists (its lineage no
+    // longer references survivors/cleaned) and costs only the tiny
+    // summary's storage.
+    val out = summary.localCheckpoint(eager = true)
+    survivors.unpersist(blocking = false)
+    cleaned.unpersist(blocking = false)
+    out
   }
 }

@@ -228,10 +228,13 @@ object Multimodal {
     * a self-contained JPEG, so sampled frames decode downstream through
     * the ordinary [[ImageCodec]] with no re-encoding. Pure-JVM byte
     * parsing (RIFF is a public spec; no external codec), bounded by the
-    * payload: offsets advance monotonically, sizes are clamped to the
-    * buffer, so a malformed file ends the walk instead of looping.
-    * Returns None for non-AVI payloads — batch jobs degrade to the
-    * byte-chunk path rather than dying on one bad file.
+    * payload: offsets advance strictly monotonically (a chunk whose
+    * declared u32 size would not move the cursor forward — including
+    * sizes >= 2^31, which a naive `.toInt` turns negative — aborts the
+    * walk as corrupt), and LIST nesting is depth-capped so a crafted
+    * payload of nested lists degrades instead of StackOverflowError-ing
+    * the task. Returns None for non-AVI payloads — batch jobs degrade
+    * to the byte-chunk path rather than dying on one bad file.
     */
   object AviDemux {
     final case class AviInfo(width: Int, height: Int,
@@ -252,16 +255,19 @@ object Multimodal {
           var width = 0
           var height = 0
           val fb = Vector.newBuilder[Array[Byte]]
-          def walk(start: Int, end: Int): Unit = {
+          val maxDepth = 64 // RIFF in practice nests ~3 deep (hdrl/strl)
+          def walk(start: Int, end: Int, depth: Int): Unit = {
+            if (depth > maxDepth) return // crafted nesting — stop descending
             var off = start
-            while (off + 8 <= end) {
+            var ok = true
+            while (ok && off + 8 <= end) {
               val id = fourCC(payload, off)
-              val sz = u32(payload, off + 4).toInt
+              val sz = u32(payload, off + 4) // unsigned, keep as Long
               val dataStart = off + 8
               val dataEnd = math.min(dataStart.toLong + sz, end.toLong)
                 .toInt
               if (id == "LIST" && dataEnd - dataStart >= 4)
-                walk(dataStart + 4, dataEnd) // hdrl / strl / movi
+                walk(dataStart + 4, dataEnd, depth + 1) // hdrl/strl/movi
               else if (id == "avih" && dataEnd - dataStart >= 40) {
                 width = u32(payload, dataStart + 32).toInt
                 height = u32(payload, dataStart + 36).toInt
@@ -269,11 +275,14 @@ object Multimodal {
                   id.take(2).forall(_.isDigit))
                 fb += java.util.Arrays.copyOfRange(payload, dataStart,
                   dataEnd)
-              // chunks pad to even byte boundaries
-              off = dataStart + sz + (sz & 1)
+              // chunks pad to even byte boundaries; Long math so a size
+              // field >= 0x80000000 can't wrap negative and stall `off`
+              val next = dataStart.toLong + sz + (sz & 1L)
+              if (next > off && next <= Int.MaxValue) off = next.toInt
+              else ok = false // corrupt size: no forward progress — stop
             }
           }
-          walk(12, payload.length)
+          walk(12, payload.length, 0)
           val fs = fb.result()
           if (fs.isEmpty && width == 0) None else Some(AviInfo(width,
             height, fs))

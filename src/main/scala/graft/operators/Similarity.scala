@@ -187,7 +187,7 @@ object Similarity {
     // forms; the hash-matched l11p stays on the UNREFINED deterministic
     // sample. Measured recall impact: SCALE_r10.md §3b.
     val centroids = (1 to refineIters).foldLeft(sampled) { (cur, _) =>
-      nearestCells(cur)(c, "cv", "cn", "cell", 1)
+      val next = nearestCells(cur)(c, "cv", "cn", "cell", 1)
         .select(col("cell"), posexplode(col("cv")).as(Seq("__pos", "__v")))
         .groupBy("cell", "__pos").agg(avg("__v").as("__m"))
         .groupBy("cell")
@@ -195,6 +195,14 @@ object Similarity {
               struct(__pos, __m))), s -> s.__m)""").as("centroid"))
         .withColumn("centroid_nrm", norm("centroid"))
         .cache()
+      // materialize the (tiny, <= nCells-row) new table, then release the
+      // previous iteration's cache — otherwise refineIters tables pile up
+      // in the session's cache for its whole lifetime. The count is the
+      // same assign pass the next iteration would trigger anyway; it just
+      // runs it now so `cur` is safe to drop.
+      next.count()
+      if (cur ne sampled) cur.unpersist(blocking = false)
+      next
     }
     val assigned = nearestCells(centroids)(c, "cv", "cn", "cell", 1)
     val probed = nearestCells(centroids)(q, "qv", "qn", "cell", nProbe)

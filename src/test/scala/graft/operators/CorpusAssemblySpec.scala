@@ -238,4 +238,17 @@ class CorpusAssemblySpec extends AnyFunSuite {
       assert(keptByGrp(g) == math.min(n, t), s"group $g")
     }
   }
+
+  test("mixing fails fast on a non-integral id column instead of " +
+    "silently NULL-coercing it into the hash") {
+    import s.implicits._
+    val df = Seq(("web", "doc-1"), ("web", "doc-2")).toDF("grp", "id")
+    val e = intercept[IllegalArgumentException] {
+      CorpusAssembly.temperatureMixSelect(df, "grp", "id", 1L)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      CorpusAssembly.mixBucketHistogram(df, "grp", "id", 16)
+    }
+  }
 }

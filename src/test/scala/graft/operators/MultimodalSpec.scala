@@ -323,4 +323,44 @@ class MultimodalSpec extends AnyFunSuite {
       .map(f => f.id -> f).toMap
     assert(again == feats)
   }
+
+  test("video: adversarial AVI payloads terminate (huge u32 chunk " +
+    "size) and survive deep LIST nesting (no StackOverflowError)") {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // a `00dc` chunk whose declared size is 0xFFFFFFF8 (negative as a
+    // signed Int: -8). Pre-fix this made `off = dataStart + sz + (sz&1)`
+    // land back on the SAME offset forever — the walk must now abort as
+    // corrupt instead of hanging the executor task.
+    val evil = "RIFF".getBytes("US-ASCII") ++ le32(1000L) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(0xFFFFFFF8L) ++
+      new Array[Byte](64)
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { Multimodal.AviDemux.frames(evil); () }
+      })
+      fut.get(10, java.util.concurrent.TimeUnit.SECONDS) // hang => timeout
+    } finally done.shutdownNow()
+
+    // ~40k nested LISTs: recursion is depth-capped, so this parses (to
+    // nothing useful) instead of throwing a fatal StackOverflowError
+    // that would escape the NonFatal catch and kill the task.
+    val depth = 40000
+    // LIST-at-k-levels-above-the-leaf has data size 8 + 12k (movi tag +
+    // one nested LIST header + its data), leaf data is 4 zero bytes —
+    // write the chain outermost-first in one linear pass
+    val bos = new java.io.ByteArrayOutputStream(depth * 12 + 16)
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(depth * 12L + 8))
+    bos.write("AVI ".getBytes("US-ASCII"))
+    for (k <- (depth - 1) to 0 by -1) {
+      bos.write("LIST".getBytes("US-ASCII")); bos.write(le32(8L + 12L * k))
+      bos.write("movi".getBytes("US-ASCII"))
+    }
+    bos.write(new Array[Byte](4))
+    val deep = bos.toByteArray
+    assert(Multimodal.AviDemux.frames(deep).isEmpty) // degrades, no throw
+  }
 }
