@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer, trained and applied AS DATAFLOW — the
+  * real-merge-table upgrade of the `l9` "BPE-ish" token count (reference
+  * tokenizes with whitespace heuristics only; every budget operator
+  * downstream — packing, quota, mixing — keys on token counts, so the
+  * counts should come from a trained tokenizer).
+  *
+  * Representation: a word's symbol sequence is ONE delimited string with
+  * DOUBLE separators, `||a||b||c||` (symbols never contain `|` — the
+  * alphabet is `[a-z]+`), and applying the merge (a,b)->ab is the literal
+  * string replacement `|a||b|` -> `|ab|`. Plain `replace` scans
+  * left-to-right non-overlapping, and because every symbol boundary
+  * carries TWO separators — each match consuming exactly one from each
+  * end, leaving the other for the neighboring match — this equals greedy
+  * single-pass BPE application even on runs of the same pair (merging
+  * (a,a) over `||a||a||a||a||` yields `||aa||aa||`, where a single-sep
+  * encoding would stall after the first merge because adjacent pattern
+  * occurrences share the boundary character; BpeSpec pins the run cases
+  * against a naive reference implementation). The leading `|a` guard
+  * means a match can never start mid-symbol, the trailing `b|` guard
+  * that it can never end mid-symbol, and the `||||` seam between
+  * concatenated words blocks cross-word merges. That one representation
+  * choice makes both training and encoding exactly SQL-expressible (the
+  * DuckDB oracle below is the same algorithm with the N iterations
+  * unrolled into CTEs), all-integer, and engine-portable.
+  *
+  * Training (classic Sennrich et al. 2016 merge learning, arXiv:1508.07909):
+  *  - ONE corpus pass builds the distinct-word count table — the only
+  *    corpus-sized job; everything after runs on the vocabulary, which is
+  *    heavy-tail-bounded (~1e8 rows at 100 TB, not corpus-sized).
+  *  - Each of the `nMerges` bounded driver iterations (the keeper-
+  *    resolution loop discipline) is: adjacent-pair counts weighted by
+  *    word frequency (map-side-combinable groupBy on the vocab table),
+  *    argmax with a TOTAL tie order (count desc, then pair lexicographic —
+  *    bit-deterministic under any partitioning), then one `replace` pass
+  *    re-materializing the vocab. Per-iteration tables are cached and the
+  *    predecessor released once the successor is counted (the Lloyd-
+  *    refinement cache discipline).
+  *
+  * Encoding is MAP-ONLY: the learned merges are baked into a chain of
+  * `nMerges` literal `replace` calls (collected to the driver — bounded
+  * by `nMerges` rows — and inlined, so the whole encode is one codegen'd
+  * projection; no join, no UDF, no shuffle until the caller aggregates).
+  * Applying merges in learned rank order is the reference BPE encode.
+  *
+  * Reference behavior mirrored: `scripts/text_fe.py:31-44` counts tokens
+  * by whitespace split only; this operator is the trained-tokenizer
+  * extension the survey's LLM-pipeline section calls for.
+  */
+object Bpe {
+
+  /** Delimiter; never occurs inside a symbol (alphabet is `[a-z]+`). */
+  val Sep = "|"
+
+  final case class Merge(rank: Int, a: String, b: String) {
+    def merged: String = a + b
+  }
+
+  /** Lowercase `[a-z]+` word stream of `textCol` — the pre-tokenizer
+    * shared by training and encoding (and by the DuckDB oracle).
+    */
+  private def wordsSql(textCol: String): String =
+    s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"
+
+  /** `word` -> `||w||o||r||d||` (single-char symbols, double-delimited). */
+  private def delimitSql(wordExpr: String): String =
+    s"'$Sep$Sep' || regexp_replace($wordExpr, '(.)', '$$1$Sep$Sep')"
+
+  /** Merge (a,b): the search / replacement literals. */
+  private def searchLit(a: String, b: String): String = s"$Sep$a$Sep$Sep$b$Sep"
+  private def replaceLit(a: String, b: String): String = s"$Sep$a$b$Sep"
+
+  /** Distinct-word frequency table of the corpus: (word, cnt, seq). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(expr(wordsSql(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("seq", expr(delimitSql("word")))
+
+  /** Weighted adjacent-pair counts of the current vocab state. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("cnt"),
+        expr(s"filter(split(seq, '[$Sep]'), x -> x != '')").as("syms"))
+      .select(col("cnt"), explode(expr(
+        """zip_with(slice(syms, 1, size(syms) - 1),
+                    slice(syms, 2, size(syms) - 1),
+                    (x, y) -> struct(x AS a, y AS b))""")).as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(sum("cnt").as("total"))
+
+  /** Learn the top-`nMerges` merges from `docs`. Deterministic: integer
+    * counts, total argmax order, left-to-right replace — the same merge
+    * table on any engine, partitioning, or rerun (BpeSpec pins it).
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    val merges = Vector.newBuilder[Merge]
+    var cur = wordCounts(docs, textCol).cache()
+    cur.count()
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = pairCounts(cur)
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(r, a, b)
+        val next = cur.withColumn("seq",
+          expr(s"replace(seq, '${searchLit(a, b)}', '${replaceLit(a, b)}')"))
+          .cache()
+        next.count()
+        cur.unpersist(blocking = false)
+        cur = next
+        r += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** `docs` with `n_words` and `bpe_tokens` columns: the document's
+    * token count under the trained merges. One codegen'd projection —
+    * the per-doc symbol stream is the concatenation of its delimited
+    * words (the `||` seam blocks cross-word merges), each merge is one
+    * literal `replace` in rank order, and the final token count is
+    * (number of `|` separators) − (number of words), all integer.
+    */
+  def encodeCounts(docs: DataFrame, textCol: String,
+                   merges: Seq[Merge]): DataFrame = {
+    val seq0 =
+      s"array_join(transform(words, w -> ${delimitSql("w")}), '')"
+    val seqN = merges.sortBy(_.rank).foldLeft(seq0) { (s, m) =>
+      s"replace($s, '${searchLit(m.a, m.b)}', '${replaceLit(m.a, m.b)}')"
+    }
+    // a k-symbol word contributes 2(k+1) separators, so over a doc the
+    // symbol total is nSeps/2 - nWords (each merge removes exactly 2)
+    docs
+      .withColumn("words", expr(wordsSql(textCol)))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("__seq", expr(seqN))
+      .withColumn("bpe_tokens", expr(
+        s"""CAST((length(__seq) - length(replace(__seq, '$Sep', '')))
+            DIV 2 - n_words AS BIGINT)"""))
+      .drop("words", "__seq")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle generation: the SAME algorithm with the training loop
+  // unrolled into CTEs (w0 -> p1 -> m1 -> w1 -> ... -> mN), so the
+  // driver's cross-engine hash compare covers the trained merge table
+  // and the encoded counts end to end.
+  // ---------------------------------------------------------------------
+
+  /** CTE chain `tr, wc, w0, p1, m1, w1, ..., pN, mN` (no trailing comma).
+    * `trainFilterSql` is the train-split predicate over `documents`.
+    * Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    * since each `w{k}` references `w{k-1}` (directly and through `p{k}`),
+    * inlining would expand the documents scan 2^N times. (stripMargin
+    * uses `!` as the margin char here because the BPE delimiter IS `|`.)
+    */
+  def oracleTrainCtes(textCol: String, trainFilterSql: String,
+                      nMerges: Int): String = {
+    val head =
+      s"""tr AS (SELECT lower($textCol) AS t FROM documents
+         !  WHERE $trainFilterSql),
+         !wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         !  FROM (SELECT unnest(regexp_extract_all(t, '[a-z]+')) AS word
+         !        FROM tr)
+         !  GROUP BY word),
+         !w0 AS MATERIALIZED (SELECT cnt,
+         !  '$Sep$Sep' || regexp_replace(word, '(.)', '\\1$Sep$Sep', 'g')
+         !  AS seq FROM wc)""".stripMargin('!')
+    val iters = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT pr.a AS a, pr.b AS b, sum(cnt) AS total FROM
+         !  (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         !     i -> struct_pack(a := syms[i], b := syms[i+1]))) AS pr FROM
+         !   (SELECT cnt, list_filter(string_split(seq, '$Sep'),
+         !      x -> x <> '') AS syms FROM w${k - 1}))
+         !  GROUP BY 1, 2),
+         !m$k AS MATERIALIZED (SELECT CAST($k AS BIGINT) AS rank, a, b
+         !  FROM p$k ORDER BY total DESC, a, b LIMIT 1),
+         !w$k AS MATERIALIZED (SELECT cnt, replace(seq,
+         !  '$Sep' || m.a || '$Sep$Sep' || m.b || '$Sep',
+         !  '$Sep' || m.a || m.b || '$Sep') AS seq
+         !  FROM w${k - 1}, m$k m)""".stripMargin('!')
+    }
+    (head +: iters).mkString(",\n")
+  }
+
+  /** Full oracle for the merge-table query: (rank, a, b, merged). */
+  def oracleTrainSql(textCol: String, trainFilterSql: String,
+                     nMerges: Int): String = {
+    val union = (1 to nMerges)
+      .map(k => s"SELECT rank, a, b, a || b AS merged FROM m$k")
+      .mkString("\nUNION ALL ")
+    s"WITH ${oracleTrainCtes(textCol, trainFilterSql, nMerges)}\n$union"
+  }
+
+  /** Full oracle for the encode query: per (lang, split) doc and BPE
+    * token totals over ALL documents (train AND held-out splits),
+    * `splitSql` being the engine-portable split-assign CASE expression.
+    */
+  def oracleEncodeSql(textCol: String, trainFilterSql: String,
+                      splitSql: String, nMerges: Int): String = {
+    val encChain = (1 to nMerges).map { k =>
+      s"""e$k AS MATERIALIZED (SELECT lang, split, n_words, replace(seq,
+         !  '$Sep' || m.a || '$Sep$Sep' || m.b || '$Sep',
+         !  '$Sep' || m.a || m.b || '$Sep') AS seq
+         !  FROM e${k - 1}, m$k m)""".stripMargin('!')
+    }.mkString(",\n")
+    s"""WITH ${oracleTrainCtes(textCol, trainFilterSql, nMerges)},
+       !e0 AS MATERIALIZED (SELECT lang, $splitSql AS split,
+       !  CAST(len(words) AS BIGINT) AS n_words,
+       !  coalesce(list_aggregate(list_transform(words, w ->
+       !    '$Sep$Sep' || regexp_replace(w, '(.)', '\\1$Sep$Sep', 'g')),
+       !    'string_agg', ''), '') AS seq FROM
+       !  (SELECT lang, doc_id,
+       !     regexp_extract_all(lower($textCol), '[a-z]+') AS words
+       !   FROM documents)),
+       !$encChain
+       !SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       !  CAST(sum(n_words) AS BIGINT) AS total_words,
+       !  CAST(sum((length(seq) - length(replace(seq, '$Sep', '')))
+       !    // 2 - n_words) AS BIGINT) AS bpe_total
+       !FROM e$nMerges GROUP BY lang, split""".stripMargin('!')
+  }
+}

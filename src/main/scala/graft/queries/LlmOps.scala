@@ -1,9 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{CorpusAssembly, Dedup, IngestPipeline, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, CorpusAssembly, Dedup, IngestPipeline, Multimodal, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -1410,10 +1411,54 @@ object LlmOps {
       Tables.documents(s, dir), "lang", "doc_id", totalTarget = 200L))
   }, Some(l29OracleSql))
 
+  // L30 — REAL BPE tokenizer (the trained-merge-table upgrade of l9's
+  // "BPE-ish" count; every budget operator — l25 packing, l26 quota,
+  // l29 mixing — keys on token counts, so the counts should come from a
+  // trained tokenizer). Merges train on the l19 train split ONLY; the
+  // encode query tokenizes ALL splits with the learned table, so the
+  // held-out rows check true generalization of the merge table, not
+  // memorization. All-integer and string-exact end to end: the DuckDB
+  // oracle re-runs the identical training loop as 16 unrolled CTE
+  // iterations and must land on the same merges AND the same per-split
+  // token totals. See [[graft.operators.Bpe]] for the dataflow shape
+  // (one corpus pass, then vocab-sized bounded iterations; map-only
+  // literal-replace encode).
+  private val bpeMerges = 16
+  private val bpeTrainFilter =
+    """((((doc_id % 100000007) + 100000007) % 100000007)
+      |  * 1103515245 + 12345) % 100 < 80""".stripMargin
+  private val bpeSplitCase =
+    """CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
+      |       * 1103515245 + 12345) % 100 < 80 THEN 'train'
+      |     WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
+      |       * 1103515245 + 12345) % 100 < 90 THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+  private def bpeTrainDocs(s: SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .filter(TextAnalysis.splitAssign("doc_id", 80, 10) === "train")
+
+  private val l30 = QueryDef("l30_bpe_train", (s, dir) => {
+    val merges = Bpe.train(bpeTrainDocs(s, dir), "text", bpeMerges)
+    import s.implicits._
+    merges.map(m => (m.rank.toLong, m.a, m.b, m.merged))
+      .toDF("rank", "a", "b", "merged")
+  }, Some(Bpe.oracleTrainSql("text", bpeTrainFilter, bpeMerges)))
+
+  private val l30e = QueryDef("l30e_bpe_tokenize", (s, dir) => {
+    val merges = Bpe.train(bpeTrainDocs(s, dir), "text", bpeMerges)
+    Bpe.encodeCounts(Tables.documents(s, dir), "text", merges)
+      .withColumn("split", TextAnalysis.splitAssign("doc_id", 80, 10))
+      .groupBy("lang", "split").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("total_words"),
+        sum("bpe_tokens").cast("long").as("bpe_total"))
+  }, Some(Bpe.oracleEncodeSql("text", bpeTrainFilter, bpeSplitCase,
+    bpeMerges)))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      l24b, l25, l26, l26h, l27, l27b, l28, l29, l29h, m1)
+      l24b, l25, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e, m1)
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins [[Bpe]] against a NAIVE in-memory reference implementation of
+  * Sennrich-style BPE (pair counting over a word-frequency map, greedy
+  * left-to-right merge application) — the dataflow version must learn
+  * the identical merge table and produce identical token counts, and
+  * must do so under any input partitioning.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  // ---- naive reference: words as symbol vectors --------------------
+  private def refApply(w: Vector[String], a: String,
+                       b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+        out += (a + b); i += 2 // greedy left-to-right, non-overlapping
+      } else { out += w(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(texts: Seq[String],
+                       n: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      texts.flatMap("[a-z]+".r.findAllIn(_))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, c) => w.map(_.toString).toVector -> c }
+    val merges = Vector.newBuilder[(String, String)]
+    var r = 0
+    var done = false
+    while (r < n && !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((w, c) <- vocab; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) = counts.getOrElse((w(i), w(i + 1)), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        // count desc, then lexicographically smallest pair — Bpe.train's
+        // total argmax order
+        val (a, b) = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        merges += ((a, b))
+        vocab = vocab.groupMapReduce(kv => refApply(kv._1, a, b))(_._2)(_ + _)
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def refEncodeCount(text: String,
+                             merges: Seq[(String, String)]): Long =
+    "[a-z]+".r.findAllIn(text.toLowerCase).map { w =>
+      merges.foldLeft(w.map(_.toString).toVector) { case (v, (a, b)) =>
+        refApply(v, a, b)
+      }.length.toLong
+    }.sum
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat with another cat"),
+    (2L, "the bat and the cat chat that matter"),
+    (3L, "aaa aaaa aa banana bandana"),
+    (4L, "Mixed CASE and d1g1ts 42 splitting words"),
+    (5L, "chatter chat chart charts the theme there"),
+    (6L, ""))
+
+  test("train learns the naive-reference merge table (incl. greedy " +
+    "overlap on aaa-style runs) and is invariant to partitioning") {
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val expected = refTrain(corpus.map(_._2.toLowerCase), 12)
+    for (parts <- Seq(1, 7)) {
+      val merges = Bpe.train(df.repartition(parts), "text", 12)
+      assert(merges.map(m => (m.a, m.b)) == expected,
+        s"parts=$parts")
+      assert(merges.map(_.rank) == (1 to 12))
+    }
+  }
+
+  test("encodeCounts matches the naive per-doc reference counts and " +
+    "never merges across word boundaries") {
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", 12)
+    val got = Bpe.encodeCounts(df, "text", merges)
+      .select("doc_id", "n_words", "bpe_tokens")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val refMerges = merges.map(m => (m.a, m.b))
+    corpus.foreach { case (id, text) =>
+      val words = "[a-z]+".r.findAllIn(text.toLowerCase).size.toLong
+      assert(got(id) == ((words, refEncodeCount(text, refMerges))),
+        s"doc $id")
+    }
+    // cross-word-boundary guard: "ab ba" must not merge b+b even when
+    // (b, b) is forced into the table
+    val pair = Seq((1L, "ab ba")).toDF("doc_id", "text")
+    val forced = Seq(Bpe.Merge(1, "b", "b"))
+    val n = Bpe.encodeCounts(pair, "text", forced)
+      .select("bpe_tokens").head().getLong(0)
+    assert(n == 4L, "b|b spans a word seam and must not merge")
+  }
+
+  test("training exhausts gracefully when every word is fully merged") {
+    import s.implicits._
+    val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(tiny, "text", 10)
+    assert(merges.map(m => (m.a, m.b)) == Seq(("a", "b")),
+      "one merge possible, then the pair stream is empty")
+  }
+}
