@@ -391,8 +391,8 @@ object Similarity {
               vecCol: String, k: Int, dim: Int,
               nPlanes: Int = 8, nTables: Int = 1,
               multiProbe: Int = 0): DataFrame = {
-    require(multiProbe >= 0 && multiProbe <= 2,
-      "multiProbe is a Hamming probe radius: 0, 1 or 2")
+    require(multiProbe >= 0 && multiProbe <= nPlanes,
+      s"multiProbe is a Hamming probe radius in [0, nPlanes=$nPlanes]")
     def bucketed(df: DataFrame, id: String, vec: String,
                  nrm: String): DataFrame = {
       val buckets = lshBucketsAll(vec, nPlanes, dim, nTables)
@@ -415,20 +415,13 @@ object Similarity {
     // neighbors) measured recall@5 on the 5k-vector corpus goes
     // 0.06 -> 0.46 (radius 1) -> 0.80 (radius 2) — SCALE_r10.md.
     // (The interpreted-HOF rule is satisfied: the flip lambdas run over
-    // the QUERY rows only, never the corpus.)
-    val one = "CAST(1 AS BIGINT)"
-    val r1 =
-      s"""transform(sequence(0, ${nPlanes - 1}),
-            i -> bucket ^ shiftleft($one, i))"""
-    val r2 =
-      s"""flatten(transform(sequence(0, ${nPlanes - 2}),
-            i -> transform(sequence(i + 1, ${nPlanes - 1}),
-              j -> bucket ^ shiftleft($one, i) ^ shiftleft($one, j))))"""
-    val probeSql = multiProbe match {
-      case 0 => "array(bucket)"
-      case 1 => s"concat(array(bucket), $r1)"
-      case _ => s"concat(array(bucket), $r1, $r2)"
-    }
+    // the QUERY rows only, never the corpus.) The full Hamming ball of
+    // XOR masks is generated ON THE DRIVER — choose(nPlanes, <= radius)
+    // literals, e.g. 37 at 8 planes/r2, 299 at 12 planes/r3 — so any
+    // radius/plane design point works without hand-unrolled probe SQL.
+    val masks = hammingBallMasks(nPlanes, multiProbe)
+    val probeSql =
+      s"transform(array(${masks.mkString("L,")}L), m -> bucket ^ m)"
     val q = q0.select(col("q_id"), col("qv"), col("qn"), col("tbl"),
       explode(expr(probeSql)).as("bucket"))
     val joined = c.join(broadcast(q), Seq("tbl", "bucket"))
@@ -436,10 +429,41 @@ object Similarity {
       // a pair can collide in several tables; score each candidate once
       .select("q_id", "n_id", "qv", "cv", "qn", "cn").distinct()
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("n_id"))
-    joined.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "rnk", "n_id", "cosine")
+    // Final per-query ranking through the bounded mergeable top-k
+    // aggregator, NOT row_number over Window.partitionBy(q_id): multi-
+    // probe multiplies per-query candidates by the probe count (37x at
+    // the l6m design point), and a window would funnel each query's
+    // whole candidate set into one task — the exact funnel l27b
+    // removed. BoundedTopK keeps O(k) state per partial, moves
+    // partitions*k rows per query through the final shuffle, and emits
+    // bit-identical rows (score desc, id asc tie-break; QueryPlanSpec
+    // asserts the executed plan has no Window over the scored stream).
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    def ranked[D: Ordering: scala.reflect.runtime.universe.TypeTag] = {
+      val top = udaf(new graft.functions.BoundedTopK[D](k))
+      joined.groupBy("q_id")
+        .agg(top(col("cosine"), col("n_id"), lit(0L), lit(0L)).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("r.doc").as("n_id"), col("r.score").as("cosine"))
+    }
+    joined.schema("n_id").dataType match {
+      case LongType    => ranked[Long]
+      case IntegerType => ranked[Int]
+      case StringType  => ranked[String]
+      case dt => throw new IllegalArgumentException(
+        s"lshTopK: unsupported id type $dt (need long/int/string)")
+    }
   }
+
+  /** All XOR masks within Hamming distance `radius` of 0 over `nPlanes`
+    * bits, ascending-popcount then numeric — the identity mask first.
+    * Driver-side and tiny (sum of binomials), never corpus-scaled.
+    */
+  private[operators] def hammingBallMasks(nPlanes: Int,
+                                          radius: Int): Seq[Long] =
+    (0 to radius).flatMap { r =>
+      (0 until nPlanes).combinations(r)
+        .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq.sorted
+    }
 }

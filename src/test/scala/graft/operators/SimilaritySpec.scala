@@ -74,6 +74,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall must be monotone in probe radius ($r0 -> $r1 -> $r2)")
     assert(r2 >= 0.6, s"radius-2 recall floor: $r2 " +
       "(sf0.1 probe measured 0.80 — SCALE_r10.md)")
+    // the generalized Hamming-ball generator: radius 3 at a 12-plane
+    // design point (299 probe masks — far past the old hand-unrolled
+    // radius-2 cap) stays monotone over radius 2
+    def recall12(radius: Int): Double = {
+      val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          k = 5, dim = 64, nPlanes = 12, nTables = 2, multiProbe = radius)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (ann & brute).size.toDouble / brute.size
+    }
+    val t2 = recall12(2)
+    val t3 = recall12(3)
+    assert(t3 >= t2,
+      s"radius 3 must not lose recall at 12 planes ($t2 -> $t3)")
+  }
+
+  test("hammingBallMasks enumerates the exact choose(n, <=r) ball, " +
+    "identity first, no duplicates") {
+    val m82 = Similarity.hammingBallMasks(8, 2)
+    assert(m82.length == 1 + 8 + 28 && m82.head == 0L)
+    assert(m82.distinct.length == m82.length)
+    assert(m82.forall(m => java.lang.Long.bitCount(m) <= 2))
+    val m123 = Similarity.hammingBallMasks(12, 3)
+    assert(m123.length == 1 + 12 + 66 + 220)
+    assert(m123.forall(m => m >= 0 && m < (1L << 12) &&
+      java.lang.Long.bitCount(m) <= 3))
+    assert(Similarity.hammingBallMasks(4, 0) == Seq(0L))
   }
 
   test("IVF ANN: probing more cells raises recall; single-cell assignment " +

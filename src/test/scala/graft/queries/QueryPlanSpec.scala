@@ -108,6 +108,14 @@ class QueryPlanSpec extends AnyFunSuite {
       "l27b regressed to a window over the scored stream")
     assert(p27b.contains("ObjectHashAggregate"),
       "l27b's BoundedTopK aggregation path is gone")
+    // Round-11: lshTopK's final ranking moved to the same BoundedTopK
+    // shape (multi-probe multiplies per-query candidates 37x at the l6m
+    // design point; a q_id window would funnel them into one task).
+    val p6m = plan("l6m_ann_lsh_multiprobe")
+    assert(!p6m.contains("Window"),
+      "l6m regressed to a window over the candidate stream")
+    assert(p6m.contains("ObjectHashAggregate"),
+      "l6m's BoundedTopK aggregation path is gone")
     val p18 = plan("x18_heavy_hitters")
     val scans18 = p18.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(scans18.nonEmpty)
