@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Bpe, CorpusAssembly, Dedup, IngestPipeline, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, CorpusAssembly, Dedup, IngestPipeline, Multimodal, QualityClassifier, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -1455,10 +1455,50 @@ object LlmOps {
   }, Some(Bpe.oracleEncodeSql("text", bpeTrainFilter, bpeSplitCase,
     bpeMerges)))
 
+  // L31 — TRAINED quality classifier (l8's heuristic scorer, learned):
+  // fixed-point hard-sigmoid logistic regression over poly-hashed token
+  // features, full-batch gradient descent in exact BIGINT arithmetic.
+  // The DuckDB oracle replays all six training iterations as unrolled
+  // CTEs and must land on the IDENTICAL weight vector (l31) and the
+  // identical per-lang kept counts (l31s) — cross-engine-exact model
+  // TRAINING, not just inference. See
+  // [[graft.operators.QualityClassifier]] for the one-job-per-iteration
+  // dataflow (literal weights, posexplode + F+1-key combinable groupBy).
+  private val qcCfg = QualityClassifier.Config()
+
+  private val l31 = QueryDef("l31_trained_quality", (s, dir) => {
+    val feats = QualityClassifier
+      .featurize(Tables.documents(s, dir), "doc_id", "text", qcCfg)
+      .cache()
+    val w = try QualityClassifier.train(feats, qcCfg)
+            finally feats.unpersist(blocking = false)
+    import s.implicits._
+    w.zipWithIndex.map { case (wv, j) => (j.toLong, wv) }.toSeq
+      .toDF("j", "w")
+  }, Some(QualityClassifier.oracleWeightsSql("text", qcCfg)))
+
+  private val l31s = QueryDef("l31s_trained_quality_score", (s, dir) => {
+    val feats = QualityClassifier
+      .featurize(Tables.documents(s, dir), "doc_id", "text", qcCfg,
+        carry = Seq("lang"))
+      .cache()
+    try {
+      val w = QualityClassifier.train(feats, qcCfg)
+      QualityClassifier.score(feats, w)
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).cast("long")
+            .as("n_kept"),
+          sum("y").cast("long").as("n_pos_label"))
+        .localCheckpoint(true) // release the cache below, result stands
+    } finally feats.unpersist(blocking = false)
+  }, Some(QualityClassifier.oracleScoreSql("text", qcCfg)))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      l24b, l25, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e, m1)
+      l24b, l25, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e, l31,
+      l31s, m1)
 }
