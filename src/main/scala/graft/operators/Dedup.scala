@@ -46,12 +46,27 @@ object Dedup {
     * the precomputed hash index a snapshot pipeline would keep anyway.
     */
   def incrementalDupFlags(existing: DataFrame, batch: DataFrame,
-                          idCol: String, textCol: String): DataFrame = {
-    def hashed(df: DataFrame) = df.select(col(idCol),
-      sha2(normalizeText(col(textCol)), 256).as("content_hash"))
-    val known = hashed(existing).select("content_hash").distinct()
+                          idCol: String, textCol: String): DataFrame =
+    incrementalDupFlagsFromIndex(
+      existing.select(
+        sha2(normalizeText(col(textCol)), 256).as("content_hash")),
+      batch, idCol, textCol)
+
+  /** [[incrementalDupFlags]] against a PRE-HASHED index (a
+    * `content_hash` column) — the entry point when the standing corpus
+    * is represented by its maintained hash index (the streaming
+    * delta-log state, or the precomputed index a snapshot pipeline
+    * keeps) instead of re-hashing corpus text every run.
+    */
+  def incrementalDupFlagsFromIndex(index: DataFrame, batch: DataFrame,
+                                   idCol: String,
+                                   textCol: String): DataFrame = {
+    val known = index.select("content_hash").distinct()
       .withColumn("__known", lit(1L))
-    hashed(batch).join(known, Seq("content_hash"), "left")
+    batch
+      .select(col(idCol),
+        sha2(normalizeText(col(textCol)), 256).as("content_hash"))
+      .join(known, Seq("content_hash"), "left")
       .select(col(idCol),
         coalesce(col("__known"), lit(0L)).as("dup_of_existing"))
   }

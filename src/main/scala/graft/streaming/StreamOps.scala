@@ -321,6 +321,76 @@ object StreamOps {
       corpus, spark.read.parquet(histPath), groupCol, idCol,
       totalTarget, nBuckets)
 
+  /** Streaming incremental EXACT dedup — the l28/l22 standing-corpus
+    * content-hash index maintained as streaming state, closing the one
+    * stage of the composed ingest pipeline the streaming family didn't
+    * cover.
+    *
+    * The state is an APPEND-ONLY DELTA LOG, not a rewritten snapshot:
+    * `indexPath/d=<batchId>/` holds the distinct content hashes FIRST
+    * seen in that micro-batch (`(content_hash, first_batch)` rows, the
+    * batch's hashes anti-joined against every earlier delta). That is
+    * the right shape for insert-only corpus-sized state — the
+    * histogram/MG sinks rewrite their whole state per batch because it
+    * is O(buckets) small, but a 100 TB corpus's hash index cannot be
+    * rewritten per micro-batch; appending ONLY the batch's new hashes
+    * makes per-batch write cost O(batch), leaves every earlier delta
+    * immutable, and keeps the full index = the union of deltas (LSM
+    * discipline; periodic compaction of old deltas is the standard
+    * follow-up and touches nothing semantic. The growing file count,
+    * not data volume, is what compaction bounds).
+    *
+    * Idempotency needs NO batch marker here, by construction: every
+    * read of the index (the `known` set for flags, and the anti-join
+    * building the delta) filters to `first_batch < batchId`, so a
+    * retried batch sees exactly the pre-batch state no matter how far
+    * the failed attempt got, recomputes byte-identical outputs, and
+    * overwrites its own two directories (`d=<batchId>` and
+    * `flagsPath/batch=<batchId>`) in place. A later high-batch delta
+    * never changes an earlier batch's flags — flags are decided AT
+    * ARRIVAL, matching the daily-ingest semantics of l22/l28 (and the
+    * spec pins streamed flags == replaying the one-shot batch operator
+    * snapshot by snapshot).
+    */
+  def dedupIndexForeachBatch(indexPath: String, flagsPath: String,
+                             idCol: String, textCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val before = dedupIndex(spark, indexPath)
+        .filter(col("first_batch") < batchId)
+      graft.operators.Dedup
+        .incrementalDupFlagsFromIndex(before, batch, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$flagsPath/batch=$batchId")
+      batch
+        .select(sha2(graft.operators.Dedup.normalizeText(col(textCol)),
+          256).as("content_hash"))
+        .distinct()
+        .join(before, Seq("content_hash"), "left_anti")
+        .withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$indexPath/d=$batchId")
+    }
+  }
+
+  /** The full standing hash index: the union of all published deltas
+    * (each hash appears in exactly one — the delta build anti-joins
+    * history). Empty frame when no delta exists yet.
+    */
+  def dedupIndex(spark: org.apache.spark.sql.SparkSession,
+                 indexPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+        .map(_.getPath.toString)
+    if (deltas.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("content_hash", "first_batch")
+    } else spark.read.parquet(deltas.toIndexedSeq: _*)
+  }
+
   /** The quota decision for everything streamed so far: classifies the
     * merged (source, quality) histogram state against `budgetPerSource`
     * and resolves the per-doc kept flags over `corpus` (the

@@ -446,6 +446,89 @@ class StreamOpsSpec extends AnyFunSuite {
       "both kept and dropped docs must occur")
   }
 
+  test("streaming incremental dedup: the delta-log hash index equals " +
+    "the one-shot l22 flags replayed snapshot-by-snapshot, and a " +
+    "retried micro-batch is a byte-identical no-op") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dedup_stream").toString
+    val indexPath = root + "/index"
+    val flagsPath = root + "/flags"
+    val standing = Seq(
+      (100L, "Hello  World"), (101L, "standing corpus text"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (1L, " hello world "),   // dup of standing (normalized)
+      (2L, "fresh batch one")) // new
+    val b2 = Seq(
+      (3L, "FRESH BATCH ONE"), // dup of b1's doc 2 (earlier stream batch)
+      (4L, "Hello  World"),    // dup of standing
+      (5L, "brand new again")) // new
+
+    val input = MemoryStream[Doc]
+    val sink = StreamOps.dedupIndexForeachBatch(indexPath, flagsPath,
+      "doc_id", "text")
+    // seed the standing corpus as delta d=0 by the same code path
+    sink(standing, 0L)
+    val q = input.toDF().drop("ts")
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame,
+                                   id: Long) =>
+        sink(df, id + 1) // batch ids 1.. after the standing seed
+      }.start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:01")
+      input.addData(b1.map { case (i, tx) => Doc(i, t, tx) }: _*)
+      q.processAllAvailable()
+      input.addData(b2.map { case (i, tx) => Doc(i, t, tx) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def flagsOf(path: String) = s.read.parquet(path)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("dup_of_existing")).toMap
+    // streamed flags == the one-shot batch operator replayed against
+    // the standing corpus as it stood when each batch arrived
+    val f1 = flagsOf(s"$flagsPath/batch=1")
+    val f2 = flagsOf(s"$flagsPath/batch=2")
+    assert(f1 == Map(1L -> 1L, 2L -> 0L))
+    assert(f1 == graft.operators.Dedup
+      .incrementalDupFlags(standing, b1.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("doc_id", "dup_of_existing")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(f2 == Map(3L -> 1L, 4L -> 1L, 5L -> 0L))
+    assert(f2 == graft.operators.Dedup
+      .incrementalDupFlags(
+        standing.unionByName(b1.toDF("doc_id", "text")),
+        b2.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "dup_of_existing")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+
+    // the index is the union of deltas == one-shot distinct over all
+    // content ever seen, each hash in exactly one delta
+    val index = StreamOps.dedupIndex(s, indexPath).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(index.length == index.map(_._1).distinct.length)
+    val allDocs = standing
+      .unionByName(b1.toDF("doc_id", "text"))
+      .unionByName(b2.toDF("doc_id", "text"))
+    val expectedHashes = allDocs.select(
+        sha2(graft.operators.Dedup.normalizeText(col("text")), 256))
+      .collect().map(_.getString(0)).toSet
+    assert(index.map(_._1).toSet == expectedHashes)
+
+    // RETRY: re-running batch 2 must reproduce byte-identical state —
+    // same flags, same delta, nothing double-inserted
+    sink(b2.toDF("doc_id", "text"), 2L)
+    assert(flagsOf(s"$flagsPath/batch=2") == f2,
+      "retried batch changed its flags")
+    val again = StreamOps.dedupIndex(s, indexPath).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(again.sorted.toSeq == index.sorted.toSeq,
+      "retried batch changed the index")
+  }
+
   test("windowed counts with watermark aggregate per minute") {
     import s.implicits._
     implicit val sq = s.sqlContext
