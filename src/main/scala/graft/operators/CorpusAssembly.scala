@@ -84,6 +84,108 @@ object CorpusAssembly {
           expr(s"(cum_tokens - 1) div ${budget}L") > col("bin"))
   }
 
+  /** Bin packing, FIRST-FIT-DECREASING style — the packing-quality
+    * comparison baseline for [[sequencePack]]: concat-and-chunk wastes
+    * budget on straddlers (a doc cut at every bin boundary), while FFD
+    * never splits a document — docs are laid out longest-first and each
+    * goes to the first bin that still fits it, opening a new bin only
+    * when none does. A doc longer than `budget` gets a singleton bin
+    * (nothing else ever fits there).
+    *
+    * Pure FFD is a sequential fold over the whole corpus; the
+    * distributed form packs within fixed GROUPS of `groupSize`
+    * consecutive ranks of the global (n_tokens desc, id) order — bins
+    * never span groups, so each group's fold is BOUNDED (<= groupSize
+    * docs, <= groupSize bins) and runs as one interpreted-HOF aggregate
+    * per group, every group parallel. Group boundaries are defined by
+    * the VALUE-deterministic global rank ([[prefixSum]] over ones — no
+    * single-partition window), not by physical partitioning, so the
+    * packing is bit-identical on any engine or cluster layout; the
+    * quality loss vs global FFD is at most one underfull bin per group.
+    * All arithmetic exact-integer. The DuckDB oracle replays the
+    * identical fold as a recursive CTE stepping one rank at a time
+    * (depth <= groupSize), so l25b is hash-checked end to end.
+    *
+    * Returns (idCol, n_tokens, grp, bin): bin ids are per-group.
+    */
+  def packFirstFitDecreasing(df: DataFrame, idCol: String,
+                             textCol: String, budget: Long,
+                             groupSize: Int = 256): DataFrame = {
+    require(groupSize > 0 && budget > 0)
+    val toks = df.select(col(idCol).as("doc"),
+      TextAnalysis.tokenCount(textCol).as("n"))
+      .withColumn("__okey",
+        struct((col("n") * lit(-1L)).as("nn"), col("doc")))
+      .withColumn("__one", lit(1L))
+    val ranked = prefixSum(toks, "__okey", "__one", "rnk")
+      .withColumn("grp", expr(s"(rnk - 1) div ${groupSize}L"))
+      .withColumn("r", col("rnk") - col("grp") * groupSize)
+    val folded = ranked
+      .groupBy("grp")
+      .agg(expr("array_sort(collect_list(struct(r, n, doc)))").as("ds"))
+      // the fold: acc = (bin loads, per-doc bin ids so far); the chosen
+      // bin index j is bound ONCE via the transform-over-singleton trick
+      .withColumn("st", expr(
+        s"""aggregate(ds,
+              struct(CAST(array() AS ARRAY<BIGINT>) AS loads,
+                     CAST(array() AS ARRAY<BIGINT>) AS bins),
+              (acc, d) -> element_at(transform(array(
+                  IF(size(acc.loads) = 0, CAST(NULL AS INT),
+                     try_element_at(filter(sequence(1, size(acc.loads)),
+                       i -> element_at(acc.loads, i) + d.n <= ${budget}L),
+                       1))),
+                j -> struct(
+                  IF(j IS NULL, concat(acc.loads, array(d.n)),
+                     transform(acc.loads,
+                       (l, i) -> IF(i = j - 1, l + d.n, l))) AS loads,
+                  concat(acc.bins, array(CAST(IF(j IS NULL,
+                    size(acc.loads) + 1, j) AS BIGINT))) AS bins)), 1))"""))
+      .select(col("grp"), explode(expr(
+        """zip_with(ds, st.bins,
+             (d, b) -> struct(d.doc AS doc, d.n AS n, b AS bin))"""))
+        .as("x"))
+    folded.select(col("x.doc").as(idCol),
+      col("x.n").cast("long").as("n_tokens"), col("grp"),
+      col("x.bin").as("bin"))
+  }
+
+  /** DuckDB oracle for [[packFirstFitDecreasing]]: identical rank,
+    * grouping and fold — the fold as a recursive CTE advancing one
+    * rank per step, bin state carried as a list column.
+    */
+  def packFfdOracleSql(textCol: String, budget: Long,
+                       groupSize: Int): String = {
+    val fits =
+      s"list_filter(range(1, len(p.loads) + 1), " +
+        s"q -> p.loads[q] + d.n <= $budget)[1]"
+    s"""WITH RECURSIVE scored AS (SELECT doc_id,
+       #  CAST(len(list_filter(string_split($textCol, ' '),
+       #    t -> length(t) > 0)) AS BIGINT) AS n FROM documents),
+       #rk AS (SELECT doc_id, n, CAST(row_number() OVER
+       #    (ORDER BY n DESC, doc_id) AS BIGINT) AS rnk FROM scored),
+       #grps AS (SELECT doc_id, n, (rnk - 1) // $groupSize AS grp,
+       #  rnk - ((rnk - 1) // $groupSize) * $groupSize AS r FROM rk),
+       #cnt AS (SELECT grp, CAST(count(*) AS BIGINT) AS c FROM grps
+       #  GROUP BY grp),
+       #pack AS (
+       #  SELECT grp, CAST(0 AS BIGINT) AS r,
+       #    CAST([] AS BIGINT[]) AS loads, CAST([] AS BIGINT[]) AS bins
+       #  FROM (SELECT DISTINCT grp FROM grps)
+       #  UNION ALL
+       #  SELECT p.grp, p.r + 1,
+       #    CASE WHEN $fits IS NULL THEN list_append(p.loads, d.n)
+       #         ELSE list_transform(range(1, len(p.loads) + 1),
+       #           i -> CASE WHEN i = $fits THEN p.loads[i] + d.n
+       #                ELSE p.loads[i] END) END,
+       #    list_append(p.bins, CAST(coalesce($fits,
+       #      len(p.loads) + 1) AS BIGINT))
+       #  FROM pack p JOIN grps d ON d.grp = p.grp AND d.r = p.r + 1),
+       #done AS (SELECT p.grp, p.bins FROM pack p
+       #  JOIN cnt ON cnt.grp = p.grp AND p.r = cnt.c)
+       #SELECT d.doc_id, d.n AS n_tokens, d.grp, f.bins[d.r] AS bin
+       #FROM grps d JOIN done f ON f.grp = d.grp""".stripMargin('#')
+  }
+
   /** Quality scoring shared by both quota forms: `n_tokens` =
     * whitespace token count, `quality` = distinct-token count (lexical
     * diversity) — both exact integers, so every downstream decision is

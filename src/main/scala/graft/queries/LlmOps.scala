@@ -1455,6 +1455,19 @@ object LlmOps {
   }, Some(Bpe.oracleEncodeSql("text", bpeTrainFilter, bpeSplitCase,
     bpeMerges)))
 
+  // L25B — first-fit-decreasing packing, the packing-QUALITY baseline
+  // l25's concat-and-chunk is compared against: FFD never splits a doc
+  // (zero straddlers by construction, vs l25's cut-at-every-boundary),
+  // at the cost of underfull bins. Bounded per-group fold over the
+  // value-deterministic global rank (groups of 256; no layout
+  // dependence), recursive-CTE DuckDB oracle replays the identical
+  // fold. Emitted per-doc so the hash covers every single assignment.
+  private val l25b = QueryDef("l25b_ffd_packing", (s, dir) => {
+    CorpusAssembly.packFirstFitDecreasing(Tables.documents(s, dir),
+      "doc_id", "text", budget = 2048L, groupSize = 256)
+  }, Some(CorpusAssembly.packFfdOracleSql("text", budget = 2048L,
+    groupSize = 256)))
+
   // L31 — TRAINED quality classifier (l8's heuristic scorer, learned):
   // fixed-point hard-sigmoid logistic regression over poly-hashed token
   // features, full-batch gradient descent in exact BIGINT arithmetic.
@@ -1499,6 +1512,6 @@ object LlmOps {
       l10,
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
-      l24b, l25, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e, l31,
-      l31s, m1)
+      l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
+      l31, l31s, m1)
 }

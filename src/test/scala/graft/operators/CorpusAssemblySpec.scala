@@ -239,6 +239,57 @@ class CorpusAssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("FFD packing: equals a naive in-memory first-fit-decreasing " +
+    "fold per group, conserves tokens, never splits a doc, never " +
+    "overfills a bin (oversized docs get singleton bins), and is " +
+    "invariant to partitioning") {
+    import s.implicits._
+    val B = 100L
+    val docs = Seq(
+      (1L, 60L), (2L, 60L), (3L, 45L), (4L, 40L), (5L, 30L), (6L, 25L),
+      (7L, 130L), // longer than the budget: must sit alone
+      (8L, 10L), (9L, 10L), (10L, 0L)) // zero-length doc still assigned
+      .map { case (id, n) => (id, ("x " * n.toInt).trim) }
+      .toDF("doc_id", "text")
+    def packed(parts: Int) = CorpusAssembly
+      .packFirstFitDecreasing(docs.repartition(parts), "doc_id", "text",
+        budget = B, groupSize = 256)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val p1 = packed(1)
+    assert(p1.toSeq == packed(5).toSeq, "layout changed the packing")
+    assert(p1.map(_._1).toSeq == (1L to 10L), "every doc assigned once")
+    // token conservation: bin loads sum to the corpus total
+    assert(p1.map(_._2).sum == 60 + 60 + 45 + 40 + 30 + 25 + 130 + 20)
+    // no bin over budget unless it is a singleton oversized doc
+    val byBin = p1.groupBy(t => (t._3, t._4)).values
+    byBin.foreach { bin =>
+      val load = bin.map(_._2).sum
+      assert(load <= B || (bin.length == 1 && bin.head._2 > B),
+        s"overfull non-singleton bin: $bin")
+    }
+    // naive FFD over (n desc, id) — one group, so global == per-group
+    val order = Seq((7L, 130L), (1L, 60L), (2L, 60L), (3L, 45L),
+      (4L, 40L), (5L, 30L), (6L, 25L), (8L, 10L), (9L, 10L), (10L, 0L))
+    val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val expect = order.map { case (id, n) =>
+      val j = loads.indexWhere(_ + n <= B)
+      if (j < 0) { loads += n; id -> loads.length.toLong }
+      else { loads(j) += n; id -> (j + 1).toLong }
+    }.toMap
+    p1.foreach { case (id, _, grp, bin) =>
+      assert(grp == 0L && bin == expect(id),
+        s"doc $id: got bin $bin, naive FFD says ${expect(id)}")
+    }
+    // groups bound the fold: a small groupSize splits ranks 1-3 / 4-6...
+    val grps = CorpusAssembly
+      .packFirstFitDecreasing(docs, "doc_id", "text", budget = B,
+        groupSize = 3)
+      .select("grp").distinct().count()
+    assert(grps == 4L)
+  }
+
   test("mixing fails fast on a non-integral id column instead of " +
     "silently NULL-coercing it into the hash") {
     import s.implicits._
