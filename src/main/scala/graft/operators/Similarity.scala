@@ -424,11 +424,20 @@ object Similarity {
       s"transform(array(${masks.mkString("L,")}L), m -> bucket ^ m)"
     val q = q0.select(col("q_id"), col("qv"), col("qn"), col("tbl"),
       explode(expr(probeSql)).as("bucket"))
+    // A pair can collide in several (table, probe) cells; score every
+    // collision map-side (the dot is 64 muls — cheap), then collapse to
+    // one row per (q_id, n_id) BEFORE anything shuffles. The former
+    // `.distinct()` over rows still carrying both 64-dim vectors moved
+    // ~1 KB per collision through the exchange — measured 1.9 GB
+    // shuffle + 14.5 GB spill for 100 queries on the 100k-vector
+    // clustered corpus (SCALE_r11.md); grouping on the 16-byte pair key
+    // with a partial-aggregating first() carries 24 bytes instead.
+    // first(cosine) is deterministic here: every collision of a pair
+    // computes the identical IEEE value from the identical vectors.
     val joined = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      // a pair can collide in several tables; score each candidate once
-      .select("q_id", "n_id", "qv", "cv", "qn", "cn").distinct()
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+      .groupBy("q_id", "n_id").agg(first("cosine").as("cosine"))
     // Final per-query ranking through the bounded mergeable top-k
     // aggregator, NOT row_number over Window.partitionBy(q_id): multi-
     // probe multiplies per-query candidates by the probe count (37x at

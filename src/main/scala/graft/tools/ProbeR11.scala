@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+import graft.operators.{IngestPipeline, Similarity}
+
+/** Dev-only: the round-11 scale-evidence runs behind SCALE_r11.md.
+  *
+  * Modes (arg 1), sfDir (arg 2):
+  *  - `annrecall`: the honest at-scale ANN recall table. Round 10's sf5
+  *    rows were vacuous (replica inflation makes every query's true
+  *    top-k its own copies — recall 1.000 for anything); this probe
+  *    expects a `ScaleGen ... cluster`-generated corpus, where inflated
+  *    vectors cluster around 64 base-corpus seed centers with unique
+  *    per-vector jitter, so exact top-k is non-trivial at 250k vectors.
+  *    Measures LSH (8 planes x 4 tables) at probe radius 0/1/2, the
+  *    generalized Hamming-ball generator at 12 planes x 2 tables radius
+  *    2/3, and IVF at 4/8 probes.
+  *  - `ingest`: the composed l28 pipeline (incremental dedup -> span
+  *    removal -> histogram quota -> splits) at sf5 — 250k standing docs,
+  *    the l28 recrawl/revision/fresh batch shape scaled with it, quota
+  *    budget scaled to stay non-vacuous. Reports wall, shuffle bytes,
+  *    spill, max task over 3 reps (first rep codegen-cold), plus stage
+  *    row counts so every stage is provably non-vacuous.
+  */
+object ProbeR11 {
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Sessions.build("graft-probe-r11", Sessions.cpusFromEnv(32))
+    val metrics = TaskMetricsListener.installed(spark)
+
+    def timed(name: String, df: => DataFrame, reps: Int = 3): Unit = {
+      var out = Seq.empty[String]
+      for (i <- 1 to reps) {
+        spark.catalog.clearCache()
+        metrics.reset()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode(SaveMode.Overwrite).save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        metrics.drain()
+        out :+= f"rep$i ${secs}%.2f s shuffle=${metrics.shuffleWriteMb} MB" +
+          f" spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s"
+      }
+      println(s"PROBE11 $name ${out.mkString(" | ")}")
+    }
+
+    mode match {
+      case "annrecall" =>
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val k = 5
+        val n = emb.count()
+        def pairs(df: DataFrame): Set[(Long, Long)] = df
+          .select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // two query regimes: cluster SEEDS (vec_id < 10 — their top-k
+        // is their own tight cluster, the easy case) and NON-seeds
+        // (100 <= vec_id < 110 — base vectors no cluster centers on,
+        // whose true neighbors sit at moderate cosine: the hard case
+        // that separates the methods)
+        val regimes = Seq(
+          "seedq" -> emb.filter(col("vec_id") < 10),
+          "nonseedq" -> emb.filter(col("vec_id") >= 100 &&
+            col("vec_id") < 110))
+        for ((label, queries) <- regimes) {
+          val exact = pairs(Similarity.bruteForceTopK(emb, queries,
+            "vec_id", "embedding", k))
+          def recall(ann: Set[(Long, Long)]): Double =
+            if (exact.isEmpty) 1.0
+            else ann.intersect(exact).size.toDouble / exact.size
+          def lsh(planes: Int, tables: Int, mp: Int) =
+            recall(pairs(Similarity.lshTopK(emb, queries, "vec_id",
+              "embedding", k = k, dim = 64, nPlanes = planes,
+              nTables = tables, multiProbe = mp)))
+          def ivf(nProbe: Int) =
+            recall(pairs(Similarity.ivfTopK(emb, queries, "vec_id",
+              "embedding", k = k, nCells = 16, nProbe = nProbe)))
+          println(f"PROBE11 annrecall_$label corpus=$n " +
+            f"exact_pairs=${exact.size} " +
+            f"lsh8x4_r0=${lsh(8, 4, 0)}%.3f " +
+            f"lsh8x4_r1=${lsh(8, 4, 1)}%.3f " +
+            f"lsh8x4_r2=${lsh(8, 4, 2)}%.3f " +
+            f"lsh12x2_r2=${lsh(12, 2, 2)}%.3f " +
+            f"lsh12x2_r3=${lsh(12, 2, 3)}%.3f " +
+            f"ivf_p4=${ivf(4)}%.3f ivf_p8=${ivf(8)}%.3f")
+        }
+
+      case "annperf" =>
+        // cost of the BoundedTopK-ranked multi-probe query path at
+        // scale (the round-11 lshTopK change): wall/shuffle/maxTask of
+        // radius-2 probing over the clustered corpus
+        val embp = graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val qs = embp.filter(col("vec_id") < 100)
+        timed("lsh8x4_mp2_100q", Similarity.lshTopK(embp, qs, "vec_id",
+          "embedding", k = 5, dim = 64, nPlanes = 8, nTables = 4,
+          multiProbe = 2))
+        timed("brute_100q", Similarity.bruteForceTopK(embp, qs,
+          "vec_id", "embedding", k = 5))
+
+      case "ingest" =>
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "source", "text")
+        val nDocs = docs.count()
+        // the l28 fixture shape, scaled: recrawls (exact dups of the
+        // standing corpus), revisions (near dups -> span removal), and
+        // fresh docs (reversed text), id-shifted past the corpus
+        val shift = 100000000L
+        val recrawled = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+          .select((col("doc_id") + lit(shift)).as("doc_id"),
+            col("source"), col("text"))
+        val revised = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+          .select((col("doc_id") + lit(2 * shift)).as("doc_id"),
+            col("source"), concat(col("text"), lit(" rev2")).as("text"))
+        val fresh = docs.filter(pmod(col("doc_id"), lit(11L)) === 0L)
+          .select((col("doc_id") + lit(3 * shift)).as("doc_id"),
+            col("source"),
+            expr("""array_join(reverse(filter(split(text, ' '),
+                   t -> length(t) > 0)), ' ')""").as("text"))
+        val batch = recrawled.unionByName(revised).unionByName(fresh)
+        println(s"PROBE11 ingest corpus_docs=$nDocs " +
+          s"batch_docs=${batch.count()}")
+        // budget scaled with the corpus (l28 uses 100 tokens/source on
+        // ~500 docs); sf5 is 500x the doc count
+        val budget = 50000L
+        timed("l28_sf5", IngestPipeline.run(
+          standing = docs.select("doc_id", "text"), batch = batch,
+          idCol = "doc_id", textCol = "text", sourceCol = "source",
+          spanN = 8, budgetPerSource = budget, trainPct = 80,
+          valPct = 10))
+        // non-vacuosity: stage outcomes at this scale
+        val out = IngestPipeline.run(
+          standing = docs.select("doc_id", "text"), batch = batch,
+          idCol = "doc_id", textCol = "text", sourceCol = "source",
+          spanN = 8, budgetPerSource = budget, trainPct = 80,
+          valPct = 10)
+        out.orderBy("source", "split").collect().foreach { r =>
+          println(s"PROBE11 ingest_row $r")
+        }
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown probe mode $other")
+    }
+    spark.stop()
+  }
+}

@@ -54,7 +54,21 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(baseDir, outDir, factorStr) = args.take(3)
     val k = factorStr.toInt
-    val zipf = args.length > 3 && args(3) == "zipf"
+    val flags = args.drop(3).toSet
+    val zipf = flags.contains("zipf")
+    // `cluster`: inflated embedding copies are CLUSTERED around seed
+    // centers instead of replica+epsilon-jitter. Exact-replica
+    // inflation makes at-scale recall numbers vacuous (every query's
+    // true top-k is its own copies, recall 1.000 for any method — the
+    // round-10 honesty caveat); clustered copies give queries
+    // NON-TRIVIAL nearest neighbors: cluster id = xxhash64(vec_id) %
+    // 64, vector = base-corpus seed center + a per-(id, dim)
+    // deterministic jitter (the l12 planted-twin trick generalized to
+    // whole clusters).
+    val cluster = flags.contains("cluster")
+    // `embonly`: rewrite only the embeddings table into an existing
+    // inflated dir (probe turnaround; everything else is unchanged).
+    val embOnly = flags.contains("embonly")
     val spark = Sessions.build("graft-scalegen", Sessions.cpusFromEnv(32))
 
     def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
@@ -134,18 +148,37 @@ object ScaleGen {
         Map("event_id" -> eventBase, "user_id" -> userBase))),
       "documents" -> zipfHotTexts(read("documents"))(
         inflate(read("documents"), Map("doc_id" -> docBase))),
-      "embeddings" -> inflate(read("embeddings"), Map("vec_id" -> vecBase),
-        perCopy = (d, i) =>
-          if (i == 0) d
-          else d.withColumn("embedding", expr(
-            s"""zip_with(embedding, sequence(0, size(embedding) - 1),
-                (x, j) -> CAST(x + 0.01D * sin(CAST(j AS DOUBLE) * 1.7D
-                  + CAST(vec_id AS DOUBLE)) AS FLOAT))"""))))
+      "embeddings" -> {
+        val nClusters = 64
+        lazy val centers = broadcast(read("embeddings")
+          .filter(col("vec_id") < nClusters)
+          .select(col("vec_id").as("__cid"),
+            col("embedding").as("__cvec")))
+        inflate(read("embeddings"), Map("vec_id" -> vecBase),
+          perCopy = (d, i) =>
+            if (i == 0) d // base corpus (and the probe queries) intact
+            else if (cluster)
+              d.withColumn("__c",
+                  pmod(xxhash64(col("vec_id")), lit(nClusters.toLong)))
+                .join(centers, col("__c") === col("__cid"), "left")
+                .withColumn("embedding", expr(
+                  s"""zip_with(__cvec, sequence(0, size(__cvec) - 1),
+                      (x, j) -> CAST(x + 0.05D
+                        * sin(CAST(j AS DOUBLE) * 1.7D
+                          + CAST(vec_id AS DOUBLE) * 0.61D) AS FLOAT))"""))
+                .drop("__c", "__cid", "__cvec")
+            else d.withColumn("embedding", expr(
+              s"""zip_with(embedding, sequence(0, size(embedding) - 1),
+                  (x, j) -> CAST(x + 0.01D * sin(CAST(j AS DOUBLE) * 1.7D
+                    + CAST(vec_id AS DOUBLE)) AS FLOAT))""")))
+      })
 
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[scalegen] $name -> $outDir/$name.parquet")
-    }
+    tables
+      .filter { case (name, _) => !embOnly || name == "embeddings" }
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[scalegen] $name -> $outDir/$name.parquet")
+      }
     spark.stop()
   }
 }
