@@ -99,8 +99,20 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
     val merges = Vector.newBuilder[Merge]
-    var cur = wordCounts(docs, textCol).cache()
-    cur.count()
+    // ONE materialized table (the corpus pass); iterations chain their
+    // replace()s LAZILY on top of it. A cache-per-iteration +
+    // unpersist-previous chain here is a trap: unpersisting the parent
+    // invalidates the dependent cache entry (its plan embeds the
+    // parent's InMemoryRelation), so every iteration silently re-runs
+    // the corpus pass — measured 4.8 s/iteration on a 31-row vocab.
+    // Re-applying <= nMerges cheap string replaces per argmax job over
+    // the cached vocab is orders cheaper; lineage is snapshotted with
+    // an (independent, non-cascading) localCheckpoint every
+    // `snapshotEvery` merges to keep the chain short at large N.
+    val base = wordCounts(docs, textCol).cache()
+    base.count()
+    val snapshotEvery = 8
+    var cur = base.select(col("cnt"), col("seq"))
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
@@ -111,16 +123,13 @@ object Bpe {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += Merge(r, a, b)
-        val next = cur.withColumn("seq",
+        cur = cur.withColumn("seq",
           expr(s"replace(seq, '${searchLit(a, b)}', '${replaceLit(a, b)}')"))
-          .cache()
-        next.count()
-        cur.unpersist(blocking = false)
-        cur = next
+        if (r % snapshotEvery == 0) cur = cur.localCheckpoint(true)
         r += 1
       }
     }
-    cur.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     merges.result()
   }
 
