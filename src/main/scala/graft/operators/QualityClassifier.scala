@@ -123,12 +123,16 @@ object QualityClassifier {
     for (_ <- 1 to cfg.iters) {
       val errCol = expr(
         s"y * ${Scale}L - ${sigmaFp(s"(${zSql(w)})")}")
-      val grads = feats
-        .select(errCol.as("err"), posexplode(col("x")).as(Seq("pos", "xi")))
-        .groupBy("pos").agg(sum(expr("err * xi")).as("grad"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // gradient = F+1 independent integer sums — ONE fully-codegen'd
+      // global aggregation (partials merge map-side, a single row per
+      // partition reaches the driver); the error is projected once per
+      // row so the logit isn't recomputed per feature column
+      val gradCols = (0 to cfg.nFeatures).map(j =>
+        sum(expr(s"err * element_at(x, ${j + 1})")).as(s"g$j"))
+      val row = feats.select(errCol.as("err"), col("x"))
+        .agg(gradCols.head, gradCols.tail: _*).head()
       w = w.zipWithIndex.map { case (wv, j) =>
-        val g = grads.getOrElse(j, 0L)
+        val g = row.getLong(j)
         val den = cfg.lrDen * n
         wv + (if (g >= 0) g / den else -((-g) / den))
       }

@@ -54,13 +54,14 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm("qv"))
+    // per-query candidates = the ENTIRE corpus (that is what brute
+    // force means), so the ranking must be the bounded mergeable top-k:
+    // a q_id window would funnel a full corpus copy per query into one
+    // task. With BoundedTopK the scan stays embarrassingly parallel and
+    // only partitions*k (cosine, id) rows per query ever shuffle.
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "rnk", "n_id", "cosine")
+    rankTopKByCosine(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane for LSH: component d of plane
@@ -206,16 +207,17 @@ object Similarity {
     }
     val assigned = nearestCells(centroids)(c, "cv", "cn", "cell", 1)
     val probed = nearestCells(centroids)(q, "qv", "qn", "cell", nProbe)
+    // Each corpus vector lives in exactly one cell, so a (q, n) pair
+    // occurs at most once — no dedup needed. The per-query candidate
+    // set is corpus-SCALED (~ n * nProbe / nCells rows per query), so
+    // the final ranking runs through the same bounded mergeable top-k
+    // as lshTopK/l27b, never a q_id window: partials keep O(k) state
+    // and only (cosine, n_id) — not the 64-dim vectors — reaches the
+    // tiny final shuffle.
     val joined = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("n_id"))
-    // each corpus vector lives in exactly one cell, so a (q, n) pair
-    // occurs at most once — no dedup needed before ranking
-    joined.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "rnk", "n_id", "cosine")
+    rankTopKByCosine(joined, k)
   }
 
   /** Embedding-cosine near-dup pairs: corpus-x-corpus, blocked by
@@ -443,25 +445,33 @@ object Similarity {
     // probe multiplies per-query candidates by the probe count (37x at
     // the l6m design point), and a window would funnel each query's
     // whole candidate set into one task — the exact funnel l27b
-    // removed. BoundedTopK keeps O(k) state per partial, moves
-    // partitions*k rows per query through the final shuffle, and emits
-    // bit-identical rows (score desc, id asc tie-break; QueryPlanSpec
-    // asserts the executed plan has no Window over the scored stream).
+    // removed (QueryPlanSpec asserts the executed plan has no Window
+    // over the scored stream).
+    rankTopKByCosine(joined, k)
+  }
+
+  /** Per-query top-k of a scored (q_id, n_id, cosine) stream via the
+    * mergeable [[graft.functions.BoundedTopK]]: O(k) state per partial,
+    * partitions*k rows per query through the final shuffle, output
+    * bit-identical to `row_number() OVER (PARTITION BY q_id ORDER BY
+    * cosine DESC, n_id) <= k` (exact score compare, id tie-break).
+    */
+  private def rankTopKByCosine(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     def ranked[D: Ordering: scala.reflect.runtime.universe.TypeTag] = {
       val top = udaf(new graft.functions.BoundedTopK[D](k))
-      joined.groupBy("q_id")
+      scored.groupBy("q_id")
         .agg(top(col("cosine"), col("n_id"), lit(0L), lit(0L)).as("top"))
         .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "r")))
         .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
           col("r.doc").as("n_id"), col("r.score").as("cosine"))
     }
-    joined.schema("n_id").dataType match {
+    scored.schema("n_id").dataType match {
       case LongType    => ranked[Long]
       case IntegerType => ranked[Int]
       case StringType  => ranked[String]
       case dt => throw new IllegalArgumentException(
-        s"lshTopK: unsupported id type $dt (need long/int/string)")
+        s"rankTopKByCosine: unsupported id type $dt (need long/int/string)")
     }
   }
 

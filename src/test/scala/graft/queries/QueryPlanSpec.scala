@@ -111,11 +111,21 @@ class QueryPlanSpec extends AnyFunSuite {
     // Round-11: lshTopK's final ranking moved to the same BoundedTopK
     // shape (multi-probe multiplies per-query candidates 37x at the l6m
     // design point; a q_id window would funnel them into one task).
-    val p6m = plan("l6m_ann_lsh_multiprobe")
-    assert(!p6m.contains("Window"),
-      "l6m regressed to a window over the candidate stream")
-    assert(p6m.contains("ObjectHashAggregate"),
-      "l6m's BoundedTopK aggregation path is gone")
+    // (and the same shape for the whole ANN family — l5's per-query
+    // candidate set is the entire corpus, l11's is corpus/nCells*nProbe)
+    for (name <- Seq("l6m_ann_lsh_multiprobe", "l5_knn_brute")) {
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name regressed to a window over the candidate stream")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name's BoundedTopK aggregation path is gone")
+    }
+    // l11p keeps its nearestCells windows — those rank <= nCells(=16)
+    // centroid rows PER VECTOR (bounded per key, not corpus-scaled);
+    // only the final candidate ranking must be the bounded aggregation
+    val p11 = plan("l11p_ann_ivf_portable")
+    assert(p11.contains("ObjectHashAggregate"),
+      "l11p's BoundedTopK final ranking is gone")
     val p18 = plan("x18_heavy_hitters")
     val scans18 = p18.linesIterator.filter(_.contains("ReadSchema")).toSeq
     assert(scans18.nonEmpty)
