@@ -159,6 +159,28 @@ object Bpe {
       .drop("words", "__seq")
   }
 
+  /** The actual token STREAM of each doc under the trained merges:
+    * (idCol, pos, token) rows, pos 1-based over the doc's concatenated
+    * word stream. Same map-only replace chain as [[encodeCounts]], then
+    * one posexplode — the form a loader hands to a vocab lookup, and a
+    * stronger cross-engine pin than counts (l30t hashes every single
+    * emitted token).
+    */
+  def tokens(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val seq0 =
+      s"array_join(transform(${wordsSql(textCol)}, w -> ${delimitSql("w")}), '')"
+    val seqN = merges.sortBy(_.rank).foldLeft(seq0) { (s, m) =>
+      s"replace($s, '${searchLit(m.a, m.b)}', '${replaceLit(m.a, m.b)}')"
+    }
+    docs
+      .select(col(idCol),
+        expr(s"filter(split($seqN, '[$Sep]'), x -> x != '')").as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "token")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("token"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle generation: the SAME algorithm with the training loop
   // unrolled into CTEs (w0 -> p1 -> m1 -> w1 -> ... -> mN), so the
@@ -209,6 +231,33 @@ object Bpe {
       .map(k => s"SELECT rank, a, b, a || b AS merged FROM m$k")
       .mkString("\nUNION ALL ")
     s"WITH ${oracleTrainCtes(textCol, trainFilterSql, nMerges)}\n$union"
+  }
+
+  /** Full oracle for the token-stream query over `docFilterSql` docs:
+    * (doc_id, pos, token), pos 1-based.
+    */
+  def oracleTokensSql(textCol: String, trainFilterSql: String,
+                      docFilterSql: String, nMerges: Int): String = {
+    val encChain = (1 to nMerges).map { k =>
+      s"""t$k AS MATERIALIZED (SELECT doc_id, replace(seq,
+         !  '$Sep' || m.a || '$Sep$Sep' || m.b || '$Sep',
+         !  '$Sep' || m.a || m.b || '$Sep') AS seq
+         !  FROM t${k - 1}, m$k m)""".stripMargin('!')
+    }.mkString(",\n")
+    s"""WITH ${oracleTrainCtes(textCol, trainFilterSql, nMerges)},
+       !t0 AS (SELECT doc_id,
+       !  coalesce(list_aggregate(list_transform(
+       !    regexp_extract_all(lower($textCol), '[a-z]+'), w ->
+       !    '$Sep$Sep' || regexp_replace(w, '(.)', '\\1$Sep$Sep', 'g')),
+       !    'string_agg', ''), '') AS seq
+       !  FROM documents WHERE $docFilterSql),
+       !$encChain
+       !SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS token
+       !FROM (SELECT doc_id, unnest(list_transform(
+       !    range(1, len(tk) + 1),
+       !    i -> struct_pack(pos := i, tok := tk[i]))) AS u
+       !  FROM (SELECT doc_id, list_filter(string_split(seq, '$Sep'),
+       !      x -> x <> '') AS tk FROM t$nMerges))""".stripMargin('!')
   }
 
   /** Full oracle for the encode query: per (lang, split) doc and BPE

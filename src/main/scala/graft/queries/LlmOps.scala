@@ -1466,6 +1466,18 @@ object LlmOps {
   }, Some(Bpe.oracleEncodeSql("text", bpeTrainFilter, bpeSplitCase,
     bpeMerges)))
 
+  // L30T — the actual token STREAMS (doc_id, pos, token) for a doc
+  // subset: hashes every single emitted token cross-engine, the
+  // strongest possible pin on the tokenizer (counts can collide;
+  // sequences can't).
+  private val l30t = QueryDef("l30t_bpe_token_stream", (s, dir) => {
+    val merges = bpeMemo.computeIfAbsent(dir,
+      d => Bpe.train(bpeTrainDocs(s, d), "text", bpeMerges))
+    Bpe.tokens(Tables.documents(s, dir).filter(col("doc_id") < 25),
+      "doc_id", "text", merges)
+  }, Some(Bpe.oracleTokensSql("text", bpeTrainFilter, "doc_id < 25",
+    bpeMerges)))
+
   // L25B — first-fit-decreasing packing, the packing-QUALITY baseline
   // l25's concat-and-chunk is compared against: FFD never splits a doc
   // (zero straddlers by construction, vs l25's cut-at-every-boundary),
@@ -1525,5 +1537,5 @@ object LlmOps {
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
-      l31, l31s, m1)
+      l30t, l31, l31s, m1)
 }

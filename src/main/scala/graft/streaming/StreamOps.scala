@@ -372,6 +372,48 @@ object StreamOps {
     }
   }
 
+  /** LSM-style compaction of the dedup delta log: merges every delta
+    * whose MAX first_batch is <= `upTo` into one directory, preserving
+    * each row's original `first_batch` (so the at-arrival flag
+    * semantics and retry reads are byte-unchanged — compaction is
+    * purely physical, bounding the delta-dir count the index read has
+    * to list). Publish order makes a crash safe at every point: the
+    * compacted dir (named `d=c<upTo>`, which no future `d=<batchId>`
+    * retry can ever overwrite) is staged and renamed BEFORE the source
+    * dirs are deleted — a crash in between leaves duplicate hash rows
+    * across old+new dirs, which every reader tolerates (the known-set
+    * is distinct()ed, the anti-join ignores multiplicity) and the next
+    * compaction cleans up.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, upTo: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val all = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
+        !s.getPath.getName.contains("__staging"))
+      .map(_.getPath)
+    val eligible = all.filter { p =>
+      val top = spark.read.parquet(p.toString)
+        .agg(max("first_batch")).head()
+      !top.isNullAt(0) && top.getLong(0) <= upTo
+    }
+    if (eligible.length < 2) return // nothing worth merging
+    val merged = spark.read
+      .parquet(eligible.map(_.toString).toIndexedSeq: _*)
+      .groupBy("content_hash")
+      .agg(min("first_batch").as("first_batch")) // dedups crash leftovers
+    val staging =
+      new org.apache.hadoop.fs.Path(s"$indexPath/d=c${upTo}__staging")
+    val target = new org.apache.hadoop.fs.Path(s"$indexPath/d=c$upTo")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"compact: cannot publish $target")
+    eligible.filterNot(_ == target).foreach(fs.delete(_, true))
+  }
+
   /** The full standing hash index: the union of all published deltas
     * (each hash appears in exactly one — the delta build anti-joins
     * history). Empty frame when no delta exists yet.
@@ -383,7 +425,8 @@ object StreamOps {
     val deltas =
       if (!fs.exists(root)) Array.empty[String]
       else fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
+          !s.getPath.getName.contains("__staging")) // crashed compaction
         .map(_.getPath.toString)
     if (deltas.isEmpty) {
       import spark.implicits._

@@ -527,6 +527,25 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1))
     assert(again.sorted.toSeq == index.sorted.toSeq,
       "retried batch changed the index")
+
+    // COMPACTION is purely physical: deltas 0..1 merge into one dir,
+    // rows keep their original first_batch, the index set is unchanged,
+    // and a subsequent batch still flags/appends correctly
+    StreamOps.compactDedupIndex(s, indexPath, upTo = 1L)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+      .map(_.getPath.getName).filter(_.startsWith("d=")).sorted
+    assert(dirs.toSeq == Seq("d=2", "d=c1"), dirs.mkString(","))
+    val compacted = StreamOps.dedupIndex(s, indexPath).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(compacted.sorted.toSeq == index.sorted.toSeq,
+      "compaction changed the logical index")
+    val b3 = Seq((6L, "fresh batch one"), (7L, "post compact new"))
+    sink(b3.toDF("doc_id", "text"), 3L)
+    assert(flagsOf(s"$flagsPath/batch=3") == Map(6L -> 1L, 7L -> 0L))
+    assert(StreamOps.dedupIndex(s, indexPath).count() ==
+      index.length + 1, "batch 3 must add exactly its one new hash")
   }
 
   test("windowed counts with watermark aggregate per minute") {
