@@ -104,6 +104,34 @@ object ProbeR11 {
         timed("brute_100q", Similarity.bruteForceTopK(embp, qs,
           "vec_id", "embedding", k = 5))
 
+      case "budgetops" =>
+        // the round-11 trained/packing operators at sf5 (250k docs):
+        // FFD packing (per-group bounded folds over the global rank),
+        // BPE merge learning (corpus pass + vocab-sized iterations),
+        // classifier training (one codegen'd gradient job/iteration)
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        timed("l25b_ffd_pack", graft.operators.CorpusAssembly
+          .packFirstFitDecreasing(docs, "doc_id", "text", budget = 2048L,
+            groupSize = 256))
+        for (rep <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val m = graft.operators.Bpe.train(docs, "text", 16)
+          println(f"PROBE11 bpe_train rep$rep ${
+            (System.nanoTime() - t0) / 1e9}%.2f s merges=${m.size}")
+        }
+        val cfg = graft.operators.QualityClassifier.Config()
+        val feats = graft.operators.QualityClassifier
+          .featurize(docs, "doc_id", "text", cfg).cache()
+        feats.count()
+        for (rep <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val w = graft.operators.QualityClassifier.train(feats, cfg)
+          println(f"PROBE11 qc_train rep$rep ${
+            (System.nanoTime() - t0) / 1e9}%.2f s nonzero=${
+            w.count(_ != 0L)}")
+        }
+        feats.unpersist(blocking = false)
+
       case "ingest" =>
         val docs = graft.core.Tables.documents(spark, sfDir)
           .select("doc_id", "source", "text")
