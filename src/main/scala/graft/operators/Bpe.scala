@@ -159,6 +159,56 @@ object Bpe {
       .drop("words", "__seq")
   }
 
+  /** Deterministic vocabulary of a trained tokenizer: the training
+    * alphabet (distinct `[a-z]` chars of the TRAIN corpus, sorted — ids
+    * `0..|A|-1`) followed by the merged symbols in learned rank order
+    * (id `|A| + rank - 1`) — the id assignment every BPE implementation
+    * ships (alphabet first, then merge order). Two merges can produce
+    * the same surface string (e.g. (a,bc) and (ab,c) both yield `abc`);
+    * for surface-token lookup the FIRST-learned id wins (`min(id)`), so
+    * the table is a function of token. Everything is lazy and bounded:
+    * the alphabet is ≤26 rows by the pre-tokenizer's `[a-z]+` regex and
+    * merges are ≤`nMerges` rows, so the single-partition `row_number`
+    * window sits on a frame bounded BY CONSTRUCTION (the
+    * `orderedIdBounded` discipline, Gold.scala), never on corpus data.
+    */
+  def vocabTable(trainDocs: DataFrame, textCol: String,
+                 merges: Seq[Merge]): DataFrame = {
+    val spark = trainDocs.sparkSession
+    import spark.implicits._
+    val alpha = trainDocs
+      .select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]', 0)"))
+        .as("token"))
+      .distinct()
+      .select(lit(0).as("kind"), col("token").as("ord"), col("token"))
+    val ms = merges.sortBy(_.rank)
+      .map(m => (1, f"${m.rank}%06d", m.merged))
+      .toDF("kind", "ord", "token")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("kind", "ord")
+    alpha.union(ms)
+      .withColumn("id", (row_number().over(w) - 1).cast("long"))
+      .groupBy("token").agg(min("id").as("token_id"))
+  }
+
+  /** The loader hand-off: `(idCol, pos, token_id)` — [[tokens]] joined
+    * against the broadcast [[vocabTable]]. Surface symbols absent from
+    * the vocabulary (a held-out doc's chars the train split never saw)
+    * map to the UNK id `-1` instead of dropping rows — positions stay
+    * dense. Broadcast hash join, never a shuffle of the token stream:
+    * the vocab is alphabet+merges-bounded (~vocab-size rows at 100 TB,
+    * driver/executor-memory-trivial), so this is the scale path; at a
+    * 50k-merge production vocab a literal-map projection would blow the
+    * codegen method limit, which is why it is a join and not `replace`
+    * chaining like the encode.
+    */
+  def tokenIds(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[Merge], vocab: DataFrame): DataFrame =
+    tokens(docs, idCol, textCol, merges)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+
   /** The actual token STREAM of each doc under the trained merges:
     * (idCol, pos, token) rows, pos 1-based over the doc's concatenated
     * word stream. Same map-only replace chain as [[encodeCounts]], then
@@ -233,31 +283,69 @@ object Bpe {
     s"WITH ${oracleTrainCtes(textCol, trainFilterSql, nMerges)}\n$union"
   }
 
-  /** Full oracle for the token-stream query over `docFilterSql` docs:
-    * (doc_id, pos, token), pos 1-based.
+  /** CTE chain `t0, t1, ..., tN, stream` — the encoded token stream of
+    * the `docFilterSql` docs as a reusable CTE (`stream(doc_id, pos,
+    * token)`, pos 1-based). Assumes [[oracleTrainCtes]] precede it.
     */
-  def oracleTokensSql(textCol: String, trainFilterSql: String,
-                      docFilterSql: String, nMerges: Int): String = {
+  private def oracleStreamCtes(textCol: String, docFilterSql: String,
+                               nMerges: Int): String = {
     val encChain = (1 to nMerges).map { k =>
       s"""t$k AS MATERIALIZED (SELECT doc_id, replace(seq,
          !  '$Sep' || m.a || '$Sep$Sep' || m.b || '$Sep',
          !  '$Sep' || m.a || m.b || '$Sep') AS seq
          !  FROM t${k - 1}, m$k m)""".stripMargin('!')
     }.mkString(",\n")
-    s"""WITH ${oracleTrainCtes(textCol, trainFilterSql, nMerges)},
-       !t0 AS (SELECT doc_id,
+    s"""t0 AS (SELECT doc_id,
        !  coalesce(list_aggregate(list_transform(
        !    regexp_extract_all(lower($textCol), '[a-z]+'), w ->
        !    '$Sep$Sep' || regexp_replace(w, '(.)', '\\1$Sep$Sep', 'g')),
        !    'string_agg', ''), '') AS seq
        !  FROM documents WHERE $docFilterSql),
-       !$encChain
-       !SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS token
-       !FROM (SELECT doc_id, unnest(list_transform(
-       !    range(1, len(tk) + 1),
-       !    i -> struct_pack(pos := i, tok := tk[i]))) AS u
-       !  FROM (SELECT doc_id, list_filter(string_split(seq, '$Sep'),
-       !      x -> x <> '') AS tk FROM t$nMerges))""".stripMargin('!')
+       !$encChain,
+       !stream AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+       !    u.tok AS token
+       !  FROM (SELECT doc_id, unnest(list_transform(
+       !      range(1, len(tk) + 1),
+       !      i -> struct_pack(pos := i, tok := tk[i]))) AS u
+       !    FROM (SELECT doc_id, list_filter(string_split(seq, '$Sep'),
+       !        x -> x <> '') AS tk FROM t$nMerges)))""".stripMargin('!')
+  }
+
+  /** Full oracle for the token-stream query over `docFilterSql` docs:
+    * (doc_id, pos, token), pos 1-based.
+    */
+  def oracleTokensSql(textCol: String, trainFilterSql: String,
+                      docFilterSql: String, nMerges: Int): String =
+    s"""WITH ${oracleTrainCtes(textCol, trainFilterSql, nMerges)},
+       !${oracleStreamCtes(textCol, docFilterSql, nMerges)}
+       !SELECT doc_id, pos, token FROM stream""".stripMargin('!')
+
+  /** Full oracle for the token-ID stream: [[oracleTokensSql]]'s stream
+    * left-joined against the deterministic vocabulary (alphabet chars
+    * sorted, then merges in rank order; surface collisions resolve to
+    * the first-learned id; unseen symbols -> -1), mirroring
+    * [[vocabTable]]/[[tokenIds]] exactly.
+    */
+  def oracleTokenIdsSql(textCol: String, trainFilterSql: String,
+                        docFilterSql: String, nMerges: Int): String = {
+    val mAll = (1 to nMerges)
+      .map(k => s"SELECT rank, a || b AS token FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""WITH ${oracleTrainCtes(textCol, trainFilterSql, nMerges)},
+       !${oracleStreamCtes(textCol, docFilterSql, nMerges)},
+       !alpha AS (SELECT DISTINCT unnest(regexp_extract_all(t, '[a-z]'))
+       !    AS token FROM tr),
+       !vocab0 AS (SELECT 0 AS kind, token AS ord, token FROM alpha
+       !  UNION ALL
+       !  SELECT 1 AS kind, printf('%06d', rank) AS ord, token
+       !  FROM ($mAll)),
+       !vocabr AS (SELECT token,
+       !    row_number() OVER (ORDER BY kind, ord) - 1 AS id FROM vocab0),
+       !vocab AS (SELECT token, CAST(min(id) AS BIGINT) AS token_id
+       !  FROM vocabr GROUP BY token)
+       !SELECT s.doc_id, s.pos, coalesce(v.token_id, -1) AS token_id
+       !FROM stream s LEFT JOIN vocab v ON s.token = v.token"""
+      .stripMargin('!')
   }
 
   /** Full oracle for the encode query: per (lang, split) doc and BPE

@@ -1478,6 +1478,22 @@ object LlmOps {
   }, Some(Bpe.oracleTokensSql("text", bpeTrainFilter, "doc_id < 25",
     bpeMerges)))
 
+  // L30V — the token-ID stream (doc_id, pos, token_id): l30t's tokens
+  // pushed through the deterministic vocabulary (training alphabet
+  // sorted, then merges in rank order — the id layout every BPE ships),
+  // the actual integer hand-off a training loader consumes. Broadcast
+  // vocab join (alphabet+merges-bounded), UNK -> -1 keeps positions
+  // dense. The oracle rebuilds the identical vocabulary from the same
+  // unrolled training CTEs, so every single id crosses engines.
+  private val l30v = QueryDef("l30v_bpe_token_ids", (s, dir) => {
+    val merges = bpeMemo.computeIfAbsent(dir,
+      d => Bpe.train(bpeTrainDocs(s, d), "text", bpeMerges))
+    val vocab = Bpe.vocabTable(bpeTrainDocs(s, dir), "text", merges)
+    Bpe.tokenIds(Tables.documents(s, dir).filter(col("doc_id") < 25),
+      "doc_id", "text", merges, vocab)
+  }, Some(Bpe.oracleTokenIdsSql("text", bpeTrainFilter, "doc_id < 25",
+    bpeMerges)))
+
   // L25B — first-fit-decreasing packing, the packing-QUALITY baseline
   // l25's concat-and-chunk is compared against: FFD never splits a doc
   // (zero straddlers by construction, vs l25's cut-at-every-boundary),
@@ -1537,5 +1553,5 @@ object LlmOps {
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
-      l30t, l31, l31s, m1)
+      l30t, l30v, l31, l31s, m1)
 }

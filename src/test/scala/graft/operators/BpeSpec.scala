@@ -114,4 +114,42 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.map(m => (m.a, m.b)) == Seq(("a", "b")),
       "one merge possible, then the pair stream is empty")
   }
+
+  test("vocabTable: alphabet-sorted-then-merge-rank ids; surface " +
+    "collisions keep the first-learned id") {
+    import s.implicits._
+    val train = Seq((1L, "cab cab ba")).toDF("doc_id", "text")
+    // alphabet {a, b, c} -> ids 0, 1, 2; then merges by rank
+    val merges = Seq(Bpe.Merge(1, "c", "a"), Bpe.Merge(2, "ca", "b"),
+      Bpe.Merge(3, "c", "ab")) // rank 3 collides with rank 2's "cab"
+    val v = Bpe.vocabTable(train, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("a" -> 0L, "b" -> 1L, "c" -> 2L,
+      "ca" -> 3L, "cab" -> 4L),
+      s"deterministic dense layout, min id on collision; got $v")
+  }
+
+  test("tokenIds: ids follow the vocab, positions stay dense, and " +
+    "held-out chars the train split never saw map to UNK -1") {
+    import s.implicits._
+    val train = Seq((1L, "abab aba")).toDF("doc_id", "text")
+    val merges = Bpe.train(train, "text", 2)
+    val vocab = Bpe.vocabTable(train, "text", merges)
+    // 'z' never occurs in training: alphabet is {a, b}
+    val held = Seq((9L, "abaz")).toDF("doc_id", "text")
+    val ids = Bpe.tokenIds(held, "doc_id", "text", merges, vocab)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // merges learned on "abab abab aba": rank1 (a,b)->ab, rank2 varies;
+    // recompute expectations from the trained table itself
+    val tok = Bpe.tokens(held, "doc_id", "text", merges)
+      .orderBy("pos").collect().map(_.getString(2)).toSeq
+    val vm = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = tok.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, vm.getOrElse(t, -1L)) }
+    assert(ids == expect, s"ids $ids != vocab-mapped tokens $expect")
+    assert(tok.contains("z") && vm.get("z").isEmpty &&
+      ids.exists(_._2 == -1L), "the OOV branch must actually fire")
+    assert(ids.map(_._1) == (1L to ids.length).toSeq, "dense positions")
+  }
 }
