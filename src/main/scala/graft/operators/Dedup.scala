@@ -452,6 +452,53 @@ object Dedup {
     overlaps.groupBy("doc").agg(max("overlap").as("max_overlap"))
   }
 
+  /** [[contaminationScores]] (uncapped form) with a BROADCAST BLOOM
+    * PREFILTER on the corpus side — the 100 TB shape when the benchmark
+    * index outgrows the broadcast-join threshold. At full-eval-suite
+    * decontamination scale the benchmark side is ~10^7 shingles: too
+    * big for a broadcast hash join, so the corpus⋈benchmark index join
+    * becomes a shuffle that moves EVERY corpus shingle (trillions of
+    * rows whose overwhelming majority match nothing). The fix is one
+    * driver-built bloom filter over the benchmark shingle hashes
+    * (16 bits/key at fpp 3% — ~20 MB for 10^7 keys, task-broadcast as
+    * a plan reference), applied map-side to the exploded corpus
+    * shingles BEFORE the exchange: only (rare true matches + fpp of
+    * the rest) ever shuffle. False positives just fail the exact join
+    * that follows, so the result is IDENTICAL to [[contaminationScores]]
+    * — l15b registers under l15's oracle SQL unchanged.
+    *
+    * Two benchmark-bounded jobs run at construction (size estimate +
+    * filter build — the `df.stat.bloomFilter` contract); the corpus
+    * side stays fully lazy.
+    */
+  def contaminationScoresBloom(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int, fpp: Double = 0.03): DataFrame = {
+    val cSh = shingleTable(corpus, idCol, textCol, n)
+    val bSh = benchmark.select(col(idCol).as("bdoc"),
+        shingles(textCol, n).as("bsh"))
+      .filter(size(col("bsh")) > 0).cache()
+    val bInv = bSh.select(col("bdoc"), explode(col("bsh")).as("shingle"))
+    val nKeys = math.max(1L, bInv.count())
+    val bf = bInv.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", nKeys, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val cInv = invertedIndex(cSh, Int.MaxValue)
+      .filter(call_function("bloom_might_contain",
+        lit(bytes), xxhash64(col("shingle"))))
+    val bSizes = bSh.select(col("bdoc"),
+      size(col("bsh")).cast("long").as("n_b"))
+    cInv.join(bInv, "shingle")
+      .groupBy("doc", "bdoc").agg(count(lit(1)).as("shared"))
+      .join(bSizes, "bdoc")
+      .withColumn("overlap", col("shared").cast("double") / col("n_b"))
+      .groupBy("doc").agg(max("overlap").as("max_overlap"))
+  }
+
   /** RDD ids backing a localCheckpoint'ed Dataset, read off its OWN
     * analyzed plan (the LogicalRDD node — reflective access because the
     * class is private[sql], but its shape is stable public API in

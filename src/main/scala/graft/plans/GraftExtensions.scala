@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntersectCount(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomMightContain(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

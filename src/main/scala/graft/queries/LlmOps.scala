@@ -748,7 +748,22 @@ object LlmOps {
     Dedup.contaminationScores(
       docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
       "doc_id", "text", n = 3)
-  }, Some("""WITH toks AS (SELECT doc_id,
+  }, Some(l15OracleSql))
+
+  // L15B — the same decontamination through the broadcast-bloom corpus
+  // prefilter (the shape for a benchmark index too big to broadcast:
+  // corpus shingles are cut map-side BEFORE the only corpus-sized
+  // exchange; false positives die in the exact join that follows).
+  // Registered under l15's oracle SQL UNCHANGED — the hash-match IS the
+  // proof the prefilter is transparent.
+  private val l15b = QueryDef("l15b_decontam_bloom", (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationScoresBloom(
+      docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+      "doc_id", "text", n = 3)
+  }, Some(l15OracleSql))
+
+  private lazy val l15OracleSql = """WITH toks AS (SELECT doc_id,
         list_filter(string_split(text, ' '), t -> length(t) > 0) tk
         FROM documents),
       sh AS (SELECT doc_id, list_distinct(list_transform(
@@ -762,7 +777,7 @@ object LlmOps {
       ov AS (SELECT doc, bdoc, bn, CAST(count(*) AS BIGINT) shared
              FROM c JOIN b USING (shingle) GROUP BY 1, 2, 3)
       SELECT doc, max(CAST(shared AS DOUBLE) / bn) AS max_overlap
-      FROM ov GROUP BY doc"""))
+      FROM ov GROUP BY doc"""
 
   // M1 — multimodal binary plumbing: payload as binary + typed metadata;
   // digest/header expressions on the blob. (The mapPartitions decode stub
@@ -1551,7 +1566,8 @@ object LlmOps {
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
       l11, l11p, l12, l12c, l12p, l12cp,
-      l13, l14, l15, l16, l17, l18, l19, l20, l21, l22, l23, l23h, l24,
+      l13, l14, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
+      l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
       l30t, l30v, l31, l31s, m1)
 }

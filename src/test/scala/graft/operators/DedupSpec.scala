@@ -81,6 +81,30 @@ class DedupSpec extends AnyFunSuite {
     assert(scores(50) == scores(Int.MaxValue))
   }
 
+  test("bloom-prefiltered contamination equals the direct form — " +
+    "including at an absurd fpp — and the bloom predicate sits in the " +
+    "corpus-side plan") {
+    val docs = Tables.documents(s, sf)
+    val corpus = docs.filter(col("doc_id") >= 25)
+    val bench = docs.filter(col("doc_id") < 25)
+    val direct = Dedup.contaminationScores(corpus, bench,
+        "doc_id", "text", n = 3).collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Double]("max_overlap")))
+      .toSet
+    // fpp 0.4: nearly half the misses pass the filter — every one of
+    // them must die in the exact join, leaving scores identical
+    for (fpp <- Seq(0.03, 0.4)) {
+      val bloomed = Dedup.contaminationScoresBloom(corpus, bench,
+        "doc_id", "text", n = 3, fpp = fpp)
+      assert(bloomed.collect()
+        .map(r => (r.getAs[Long]("doc"), r.getAs[Double]("max_overlap")))
+        .toSet == direct, s"fpp=$fpp must be transparent")
+      assert(bloomed.queryExecution.executedPlan.toString
+        .contains("bloom_might_contain"),
+        "the map-side bloom prefilter must survive optimization")
+    }
+  }
+
   test("MinHash-LSH finds the planted near-dups: recall >= 0.9 vs the " +
     "exact pairs at J >= 0.2, perfect precision by construction") {
     val docs = Tables.documents(s, sf)
