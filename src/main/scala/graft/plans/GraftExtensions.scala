@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntersectCount(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName,
+        "interleave_bits"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        InterleaveBits(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "bloom_might_contain"),

@@ -544,8 +544,33 @@ object Extras {
       SELECT term, freq FROM c CROSS JOIN n
       WHERE CAST(freq AS DOUBLE) > 0.02 * CAST(tt AS DOUBLE)"""))
 
+  // X20 — Z-ORDER layout write + read-back (operators/ZOrder): lineitem
+  // z-clustered on (l_partkey, l_suppkey) 16-bit buckets, the
+  // 2-D-pruning lakehouse layout. The query re-reads the z-written copy
+  // and emits every row's stored z-key; the oracle recomputes the
+  // Morton interleave arithmetically from the plain parquet table, so
+  // the hash-match covers the native interleave_bits expression AND the
+  // write/read round trip per row. The pruning VALUE of the layout
+  // (files touched under a one-dimension filter, vs a linear sort) is
+  // measured in ZOrderSpec — file-skipping itself is not SQL-visible.
+  private val x20 = QueryDef("x20_zorder_layout", (s, dir) => {
+    import graft.operators.ZOrder
+    val tmp = System.getProperty("java.io.tmpdir") + "/graft_zorder"
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      ZOrder.zvalue((col("l_partkey") % 65536L).cast("long"),
+        (col("l_suppkey") % 65536L).cast("long")).as("z"))
+    ZOrder.writeZOrdered(li, "z", tmp, numFiles = 8)
+    s.read.parquet(tmp).select("l_orderkey", "l_linenumber", "z")
+  }, Some("""SELECT l_orderkey, l_linenumber,
+      CAST(list_sum(list_transform(range(0, 16), i ->
+        (((l_partkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+        (((l_suppkey % 65536) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+      )) AS BIGINT) AS z
+      FROM lineitem"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19)
+      x16w, x16, x17, x18, x19, x20)
 }
