@@ -128,6 +128,47 @@ object Similarity {
     call_function("lsh_buckets", col(vecCol), lit(nPlanes), lit(nTables),
       lit(dim), lit(0))
 
+  /** Nearest `take` centroid cells per vector, against a GIVEN
+    * `(cell, centroid, centroid_nrm)` table: argmax cosine over the
+    * broadcast set (cosine, since vectors aren't normalized; norms
+    * precomputed by the caller). The window partitions by `df`'s FIRST
+    * column — the per-vector id — with a total tie order on cell, so
+    * assignments are deterministic. Shared by batch [[ivfTopK]], its
+    * Lloyd refinement, and the streaming index-maintenance sink
+    * (StreamOps.annIndexForeachBatch), which is exactly what makes
+    * streamed and one-shot assignments provably identical.
+    */
+  def assignCells(df: DataFrame, vec: String, vecNrm: String,
+                  centroids: DataFrame, out: String,
+                  take: Int): DataFrame = {
+    val scored = df.join(broadcast(centroids))
+      .withColumn("__sim",
+        dot(vec, "centroid") / (col(vecNrm) * col("centroid_nrm")))
+    val w = Window.partitionBy(df.columns.head)
+      .orderBy(col("__sim").desc, col("cell"))
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= take)
+      .drop("centroid", "centroid_nrm", "__sim", "__r")
+      .withColumnRenamed("cell", out)
+  }
+
+  /** The deterministic pseudo-random centroid sample [[ivfTopK]] uses,
+    * as a standalone table builder for callers that must FIX the
+    * centroid set across runs (the streaming index: structure trained
+    * once at bootstrap, inserts assigned against it forever after).
+    */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int,
+                      centroidRank: Column => Column =
+                        id => xxhash64(id)): DataFrame =
+    corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm("cv"))
+      .orderBy(centroidRank(col("n_id")), col("n_id"))
+      .limit(nCells)
+      .select(col("n_id").as("cell"), col("cv").as("centroid"),
+        col("cn").as("centroid_nrm"))
+
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest of `nCells` centroid cells; a query probes its `nProbe`
     * nearest cells and runs exact cosine top-k over just those cells'
@@ -155,21 +196,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", norm("qv"))
-    // nearest cell(s) per vector against a GIVEN centroid table: argmax
-    // cosine over the broadcast set (cosine, since vectors aren't
-    // normalized); norms precomputed
     def nearestCells(centroids: DataFrame)(df: DataFrame, vec: String,
-                     vecNrm: String, out: String, take: Int): DataFrame = {
-      val scored = df.join(broadcast(centroids))
-        .withColumn("__sim",
-          dot(vec, "centroid") / (col(vecNrm) * col("centroid_nrm")))
-      val w = Window.partitionBy(df.columns.head)
-        .orderBy(col("__sim").desc, col("cell"))
-      scored.withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= take)
-        .drop("centroid", "centroid_nrm", "__sim", "__r")
-        .withColumnRenamed("cell", out)
-    }
+                     vecNrm: String, out: String, take: Int): DataFrame =
+      assignCells(df, vec, vecNrm, centroids, out, take)
     val sampled = c.orderBy(centroidRank(col("n_id")), col("n_id"))
       .limit(nCells)
       .select(col("n_id").as("cell"), col("cv").as("centroid"),
@@ -456,7 +485,8 @@ object Similarity {
     * bit-identical to `row_number() OVER (PARTITION BY q_id ORDER BY
     * cosine DESC, n_id) <= k` (exact score compare, id tie-break).
     */
-  private def rankTopKByCosine(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopKByCosine(scored: DataFrame,
+                                      k: Int): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     def ranked[D: Ordering: scala.reflect.runtime.universe.TypeTag] = {
       val top = udaf(new graft.functions.BoundedTopK[D](k))

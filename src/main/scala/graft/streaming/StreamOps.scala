@@ -434,6 +434,101 @@ object StreamOps {
     } else spark.read.parquet(deltas.toIndexedSeq: _*)
   }
 
+  /** STREAMING vector-index maintenance — the IVF corpus index as an
+    * append-only delta log (the dedup-index LSM shape applied to ANN
+    * serving): the index STRUCTURE (the centroid table) is fixed at
+    * bootstrap — exactly how production vector indexes run, structure
+    * trained once, inserts appended — and each micro-batch assigns its
+    * new vectors to their nearest cell via the same
+    * [[graft.operators.Similarity.assignCells]] the batch operator
+    * uses, then writes ONLY those rows to `indexPath/d=<batchId>/`,
+    * sub-partitioned BY CELL (`d=N/cell=K/`) so the query path can
+    * directory-prune to just the probed cells. Per-batch write cost is
+    * O(batch); earlier deltas are immutable; the full index is the
+    * union of deltas.
+    *
+    * Retries are idempotent BY CONSTRUCTION: a batch only ever writes
+    * vectors it carries itself (no read of prior state feeds the
+    * output), and mode-overwrite replaces the whole `d=<batchId>` dir,
+    * so a retried batch rewrites byte-identical content. Duplicate
+    * vec_ids ACROSS batches are upstream's dedup problem (the l22
+    * index sink), not the index's — both copies are served, as in any
+    * real vector store.
+    */
+  def annIndexForeachBatch(indexPath: String, centroids: DataFrame,
+                           idCol: String, vecCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val c = batch.select(col(idCol).as("n_id"),
+          col(vecCol).cast("array<double>").as("cv"))
+        .withColumn("cn", graft.operators.Similarity.norm("cv"))
+      graft.operators.Similarity
+        .assignCells(c, "cv", "cn", centroids, "cell", take = 1)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexPath/d=$batchId")
+    }
+  }
+
+  /** The full streamed vector index: union of all published deltas,
+    * `(n_id, cv, cn, cell)`. Empty frame when no delta exists yet. */
+  def annIndex(spark: org.apache.spark.sql.SparkSession,
+               indexPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+        .map(_.getPath.toString)
+    if (deltas.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("n_id"),
+          lit(Array.empty[Double]).as("cv"), lit(0.0).as("cn"),
+          lit(0L).as("cell"))
+        .limit(0)
+    // one scan relation rooted at the log: both hive-style levels
+    // (`d=N`, `cell=K`) surface as partition columns — keeping it a
+    // single relation is what lets a cell filter prune directories
+    // across ALL deltas at once; the batch level is a physical detail
+    // the index view hides
+    else spark.read.option("basePath", indexPath)
+      .parquet(deltas.toIndexedSeq: _*)
+      .drop("d")
+  }
+
+  /** ANN top-k over the streamed index: queries probe their `nProbe`
+    * nearest cells against the SAME fixed centroid table, the index
+    * scan statically prunes to exactly those cell directories (the
+    * probed-cell set is queries×nProbe-bounded, so collecting it
+    * driver-side is the one tiny eager job here — it is what turns the
+    * join into `PartitionFilters` on the scan, the whole point of the
+    * cell-partitioned layout), and exact cosine + the mergeable
+    * BoundedTopK ranking finish within the pruned slice. Results equal
+    * the batch IVF query path over the same assignments
+    * (StreamOpsSpec pins it).
+    */
+  def annSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, queries: DataFrame,
+                         idCol: String, vecCol: String,
+                         centroids: DataFrame, k: Int,
+                         nProbe: Int): DataFrame = {
+    import graft.operators.Similarity
+    val q = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.norm("qv"))
+    val probed = Similarity
+      .assignCells(q, "qv", "qn", centroids, "cell", take = nProbe)
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val joined = annIndex(spark, indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        Similarity.dot("qv", "cv") / (col("qn") * col("cn")))
+    Similarity.rankTopKByCosine(joined, k)
+  }
+
   /** The quota decision for everything streamed so far: classifies the
     * merged (source, quality) histogram state against `budgetPerSource`
     * and resolves the per-doc kept flags over `corpus` (the

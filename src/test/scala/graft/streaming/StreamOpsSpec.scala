@@ -15,6 +15,7 @@ case class SrcDoc(doc_id: Long, source: String, text: String)
 case class FullEv(event_id: Long, user_id: Long, ts: Timestamp,
                   event_type: String, value: Double)
 case class DimRow(k: Long, v: String)
+case class EmbRow(vec_id: Long, embedding: Seq[Double])
 
 class StreamOpsSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
@@ -566,5 +567,90 @@ class StreamOpsSpec extends AnyFunSuite {
         .toSet
       assert(out == Set(("click", 2L, 3.0), ("click", 1L, 4.0)))
     } finally q.stop()
+  }
+
+  test("streaming ANN index: cell-partitioned delta log equals the " +
+    "one-shot assignment, retries are byte-identical, and the search " +
+    "path statically prunes to the probed cells") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft_ann_stream").toString + "/index"
+    val all = graft.core.Tables
+      .embeddings(s, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => EmbRow(r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_.vec_id)
+    assert(all.length >= 30, s"need a real corpus, got ${all.length}")
+    // index structure fixed at bootstrap: centroids from the initial
+    // corpus (the first slice), exactly how a production index runs
+    val seed = all.take(all.length / 3)
+    val centroids = graft.operators.Similarity.sampleCentroids(
+      seed.toSeq.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nCells = 6).cache()
+    val sink = StreamOps.annIndexForeachBatch(indexPath, centroids,
+      "vec_id", "embedding")
+    sink(seed.toSeq.toDF("vec_id", "embedding"), 0L) // bootstrap delta
+    val rest = all.drop(all.length / 3)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[EmbRow]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(df, id + 1)
+      }.start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def assignments(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("n_id"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val streamed = assignments(StreamOps.annIndex(s, indexPath))
+    val allDf = all.toSeq.toDF("vec_id", "embedding")
+      .select(col("vec_id").as("n_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", graft.operators.Similarity.norm("cv"))
+    val oneShot = assignments(graft.operators.Similarity
+      .assignCells(allDf, "cv", "cn", centroids, "cell", take = 1))
+    assert(streamed == oneShot,
+      "batch boundaries must not change cell assignments")
+    assert(streamed.map(_._1).size == all.length, "every vector indexed")
+    assert(streamed.map(_._2).size > 1, "a one-cell index is vacuous")
+
+    // RETRY batch 2: byte-identical no-op
+    sink(b2.toSeq.toDF("vec_id", "embedding"), 2L)
+    assert(assignments(StreamOps.annIndex(s, indexPath)) == streamed)
+
+    // search equals the batch IVF query path over the same index, and
+    // the index scan prunes to the probed cell directories
+    val queries = all.take(5).toSeq.toDF("vec_id", "embedding")
+    val got = StreamOps.annSearchFromIndex(s, indexPath, queries,
+      "vec_id", "embedding", centroids, k = 3, nProbe = 2)
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val qDf = queries.select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", graft.operators.Similarity.norm("qv"))
+    val probedRef = graft.operators.Similarity
+      .assignCells(qDf, "qv", "qn", centroids, "cell", take = 2)
+    val joinedRef = graft.operators.Similarity
+      .assignCells(allDf, "cv", "cn", centroids, "cell", take = 1)
+      .join(probedRef, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", graft.operators.Similarity.dot("qv", "cv")
+        / (col("qn") * col("cn")))
+    val want = graft.operators.Similarity.rankTopKByCosine(joinedRef, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(gotRows == want,
+      "streamed-index search must equal the batch IVF query path")
+    val planned = got.queryExecution.executedPlan.toString
+    assert(planned.contains("PartitionFilters") &&
+      planned.contains("cell"),
+      s"probed cells must prune the scan:\n${planned.take(1200)}")
   }
 }
