@@ -38,10 +38,20 @@ object CorpusAssembly {
     * the only global structure is the partition-totals table.
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
-                name: String): DataFrame = {
-    val parted = df.repartitionByRange(col(orderCol))
+                name: String): DataFrame =
+    prefixSumCols(df, Seq(orderCol), valueCol, name)
+
+  /** [[prefixSum]] under a composite (lexicographic) order — the same
+    * four-step shape, range-partitioned and windowed on ALL the order
+    * columns. Callers must make the composite key total (append a
+    * unique id) or equal-key rank order is layout-dependent.
+    */
+  def prefixSumCols(df: DataFrame, orderCols: Seq[String],
+                    valueCol: String, name: String): DataFrame = {
+    val oc = orderCols.map(col)
+    val parted = df.repartitionByRange(oc: _*)
       .withColumn("__pid", spark_partition_id())
-    val localW = Window.partitionBy("__pid").orderBy(orderCol)
+    val localW = Window.partitionBy("__pid").orderBy(oc: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withLocal =
       parted.withColumn("__local", sum(col(valueCol)).over(localW))
@@ -184,6 +194,51 @@ object CorpusAssembly {
        #  JOIN cnt ON cnt.grp = p.grp AND p.r = cnt.c)
        #SELECT d.doc_id, d.n AS n_tokens, d.grp, f.bins[d.r] AS bin
        #FROM grps d JOIN done f ON f.grp = d.grp""".stripMargin('#')
+  }
+
+  /** Per-(epoch, id) portable shuffle key: integer LCG over a
+    * seed-salted combination, every step positive and < 2^63 (the l19
+    * split-assign arithmetic family). The SAME string runs in Spark
+    * `expr` and DuckDB (manual pmod — the x14 shared-fragment
+    * discipline), which is what makes the epoch permutations
+    * engine-exact.
+    */
+  def epochHashSql(idCol: String, seed: Long): String =
+    s"((((($idCol + epoch * 999983 + $seed) % 100000007) + 100000007)" +
+      s" % 100000007) * 1103515245 + 12345) % 1000000007"
+
+  /** Deterministic EPOCH SHUFFLE — the loader-order step between corpus
+    * assembly and training: for each epoch `1..epochs`, a reproducible
+    * pseudo-random permutation of the corpus (`ord` = rank of the
+    * per-epoch [[epochHashSql]] key, ties broken by id). Same inputs +
+    * seed => the same byte-exact schedule on any engine, cluster
+    * layout, or rerun — which is what makes training restarts and
+    * data-ablation reruns comparable. A fresh key per epoch (not a
+    * rotation of epoch 1) is the standard loader contract.
+    *
+    * Scale shape: the rank runs through [[prefixSumCols]] under the
+    * composite (epoch, h, id) order — a range-partitioned sort, NEVER
+    * a per-epoch window funnel (an epoch partition is the whole
+    * corpus). The per-epoch offset that localizes the global rank is a
+    * broadcast-joined `epochs`-row aggregate. Everything stays lazy.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Int,
+                 seed: Long = 0L): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    requireIntegralId(df, idCol)
+    val keyed = df
+      .select(col(idCol), explode(expr(s"sequence(1, $epochs)"))
+        .as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("__h", expr(epochHashSql(idCol, seed)))
+      .withColumn("__one", lit(1L))
+    val ranked = prefixSumCols(keyed, Seq("epoch", "__h", idCol),
+      "__one", "__g")
+    val offsets = ranked.groupBy("epoch")
+      .agg((min("__g") - 1L).as("__off"))
+    ranked.join(broadcast(offsets), "epoch")
+      .select(col("epoch"), (col("__g") - col("__off")).as("ord"),
+        col(idCol))
   }
 
   /** Quality scoring shared by both quota forms: `n_tokens` =

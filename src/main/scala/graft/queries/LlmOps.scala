@@ -1522,6 +1522,25 @@ object LlmOps {
   }, Some(CorpusAssembly.packFfdOracleSql("text", budget = 2048L,
     groupSize = 256)))
 
+  // L32 — deterministic EPOCH SHUFFLE: the loader-order step between
+  // corpus assembly and training (a fresh reproducible permutation per
+  // epoch — same seed => the same byte-exact schedule on any engine or
+  // rerun, what makes restarts and ablations comparable). Two epochs so
+  // the freshness claim is non-vacuous; the oracle replays the same
+  // shared hash fragment with a plain per-epoch window (DuckDB can
+  // afford the funnel at gate SF; Spark ranks through the
+  // range-partitioned prefix-sum, never a per-epoch window).
+  private val l32 = QueryDef("l32_epoch_shuffle", (s, dir) => {
+    CorpusAssembly.epochOrder(Tables.documents(s, dir), "doc_id",
+      epochs = 2, seed = 7L)
+  }, Some(s"""WITH e AS (SELECT doc_id, epoch
+        FROM documents, (SELECT unnest(range(1, 3)) AS epoch)),
+      h AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+        ${CorpusAssembly.epochHashSql("doc_id", 7L)} AS hk FROM e)
+      SELECT epoch, CAST(row_number() OVER (PARTITION BY epoch
+          ORDER BY hk, doc_id) AS BIGINT) AS ord, doc_id
+      FROM h"""))
+
   // L31 — TRAINED quality classifier (l8's heuristic scorer, learned):
   // fixed-point hard-sigmoid logistic regression over poly-hashed token
   // features, full-batch gradient descent in exact BIGINT arithmetic.
@@ -1569,5 +1588,5 @@ object LlmOps {
       l13, l14, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
-      l30t, l30v, l31, l31s, m1)
+      l30t, l30v, l31, l31s, l32, m1)
 }

@@ -302,4 +302,43 @@ class CorpusAssemblySpec extends AnyFunSuite {
       CorpusAssembly.mixBucketHistogram(df, "grp", "id", 16)
     }
   }
+
+  test("epochOrder: each epoch is a fresh exact permutation, equal to " +
+    "the naive per-epoch window on any input layout, and seeds matter") {
+    import s.implicits._
+    val n = 500
+    val ids = (0L until n.toLong).toDF("doc_id")
+    def runAt(parts: Int, seed: Long) =
+      CorpusAssembly.epochOrder(ids.repartition(parts), "doc_id",
+          epochs = 3, seed = seed)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = runAt(7, seed = 7L)
+    // permutation property per epoch
+    for (e <- 1L to 3L) {
+      val ep = got.filter(_._1 == e)
+      assert(ep.map(_._2) == (1L to n.toLong).toSet, s"epoch $e ords")
+      assert(ep.map(_._3) == (0L until n.toLong).toSet, s"epoch $e ids")
+    }
+    // layout invariance (the prefix-sum rank is value-deterministic)
+    assert(runAt(1, 7L) == got && runAt(32, 7L) == got)
+    // equals the naive global-window reference
+    val naive = ids
+      .select(col("doc_id"), explode(expr("sequence(1, 3)")).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("hk", expr(CorpusAssembly.epochHashSql("doc_id", 7L)))
+      .withColumn("ord", row_number().over(org.apache.spark.sql
+        .expressions.Window.partitionBy("epoch")
+        .orderBy("hk", "doc_id")).cast("long"))
+      .select("epoch", "ord", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == naive)
+    // epochs genuinely reshuffle, and so does the seed
+    def orderOf(set: Set[(Long, Long, Long)], e: Long) =
+      set.filter(_._1 == e).toSeq.sortBy(_._2).map(_._3)
+    assert(orderOf(got, 1L) != orderOf(got, 2L))
+    assert(orderOf(got, 2L) != orderOf(got, 3L))
+    assert(orderOf(runAt(7, 8L), 1L) != orderOf(got, 1L))
+  }
 }
