@@ -147,6 +147,49 @@ object TextAnalysis {
     * reproducible cross-engine, unlike a floating-point log). Terms
     * shorter than `minLen` are skipped (stopword screen).
     */
+  /** Per-doc zlib COMPRESSION RATIO — the Gopher/C4-family quality
+    * signal the regex features can't fake: boilerplate and template
+    * text compresses far below ~0.4, high-entropy natural prose sits
+    * near 0.6–1.0, so `compressed/raw` is a one-number repetition+
+    * diversity score. No SQL engine can mirror DEFLATE, so this is a
+    * declared rows-only operator: the spec pins it against an
+    * in-test-JVM recompute byte-for-byte instead (same container, same
+    * zlib), plus the behavioral ordering (repetitive << shuffled-unique)
+    * and layout invariance.
+    *
+    * Execution shape: `mapPartitions` with ONE `Deflater` reset per
+    * document (allocation per row would dominate), fixed level 6 and
+    * default strategy so the bytes are deterministic; no shuffle — the
+    * scoring pass is map-only like l24's, and empty docs define
+    * ratio 1.0.
+    */
+  def compressionRatio(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          var compressed = 0L
+          if (raw.nonEmpty) {
+            d.reset()
+            d.setInput(raw)
+            d.finish()
+            while (!d.finished())
+              compressed += d.deflate(buf)
+          }
+          val ratio =
+            if (raw.isEmpty) 1.0 else compressed.toDouble / raw.length
+          (id, raw.length.toLong, compressed, ratio)
+        }
+      }
+      .toDF(idCol, "raw_bytes", "compressed_bytes", "compression_ratio")
+  }
+
   def topTfidfTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int,
                     minLen: Int): org.apache.spark.sql.DataFrame = {

@@ -1581,6 +1581,27 @@ object LlmOps {
     } finally feats.unpersist(blocking = false)
   }, Some(QualityClassifier.oracleScoreSql("text", qcCfg)))
 
+  // L33 — zlib compression-ratio quality signal (the Gopher-family
+  // repetition/diversity filter no regex feature reproduces). DECLARED
+  // ROWS-ONLY: no SQL engine can mirror DEFLATE, so unlike the
+  // LSH/sketch families there is no portable sibling BY NATURE —
+  // TextAnalysisSpec instead pins the bytes against an in-JVM zlib
+  // recompute and the behavioral ordering (repetitive boilerplate
+  // scores far below shuffled-unique text). Aggregated per lang here so
+  // the row check still spans every doc's exact ratio (sums of
+  // compressed bytes are as order-independent as counts).
+  private val l33 = QueryDef("l33_compression_ratio", (s, dir) => {
+    TextAnalysis.compressionRatio(Tables.documents(s, dir), "doc_id",
+        "text")
+      .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("raw_bytes").as("raw_total"),
+        sum("compressed_bytes").as("compressed_total"),
+        sum(when(col("compression_ratio") < 0.45, 1L).otherwise(0L))
+          .as("n_boilerplate"))
+  }, None)
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
@@ -1588,5 +1609,5 @@ object LlmOps {
       l13, l14, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
-      l30t, l30v, l31, l31s, l32, m1)
+      l30t, l30v, l31, l31s, l32, l33, m1)
 }

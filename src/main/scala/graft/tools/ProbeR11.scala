@@ -172,6 +172,131 @@ object ProbeR11 {
           println(s"PROBE11 ingest_row $r")
         }
 
+      case "newops" =>
+        // the second-wave round-11 operators at sf5: bloom-prefiltered
+        // decontamination (the no-broadcast regime it exists for),
+        // z-order layout write + pruning payoff, epoch shuffle, BPE
+        // token-id encode, and the streamed-ANN-index search path.
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+
+        // --- l15 vs l15b with the benchmark index too big to broadcast
+        // (the regime the bloom prefilter exists for; with a tiny
+        // broadcastable benchmark both forms are map-side anyway)
+        val corpus = docs.filter(col("doc_id") >= 2500)
+        val bench = docs.filter(col("doc_id") < 2500)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        timed("l15_direct_nobcast", graft.operators.Dedup
+          .contaminationScores(corpus, bench, "doc_id", "text", n = 3))
+        timed("l15b_bloom_nobcast", graft.operators.Dedup
+          .contaminationScoresBloom(corpus, bench, "doc_id", "text",
+            n = 3))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (10L * 1024 * 1024).toString)
+
+        // --- x20: z-order write cost vs a plain same-file-count write,
+        // then the pruning payoff for a one-dimension range scan
+        val li = graft.core.Tables.lineitem(spark, sfDir).select(
+          col("l_orderkey"), col("l_quantity"),
+          (col("l_partkey") % 65536L).cast("long").as("zx"),
+          (col("l_suppkey") % 65536L).cast("long").as("zy"))
+        val liZ = li.withColumn("z", graft.operators.ZOrder
+          .zvalue(col("zx"), col("zy")))
+        val zDir = "/tmp/scale/probe_zorder"
+        val pDir = "/tmp/scale/probe_plain"
+        for ((name, write) <- Seq[(String, () => Unit)](
+          ("x20_zorder_write", () => graft.operators.ZOrder
+            .writeZOrdered(liZ, "z", zDir, numFiles = 64)),
+          ("x20_plain_write", () => liZ.repartition(64)
+            .write.mode(SaveMode.Overwrite).parquet(pDir)))) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          write()
+          println(f"PROBE11 $name ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+            f" shuffle=${metrics.shuffleWriteMb} MB" +
+            f" maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        def touched(dir: String, c: String, lo: Long, hi: Long): Int =
+          new java.io.File(dir).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .count { f =>
+              val r = spark.read.parquet(f.getAbsolutePath)
+                .agg(min(col(c)), max(col(c))).head()
+              r.getLong(0) <= hi && r.getLong(1) >= lo
+            }
+        val zyHi = 2047L // 1/32 of the 16-bit bucket space
+        println(s"PROBE11 x20_files_touched zy<=${zyHi}: " +
+          s"zorder=${touched(zDir, "zy", 0L, zyHi)}/64 " +
+          s"plain=${touched(pDir, "zy", 0L, zyHi)}/64")
+        for ((name, dir) <- Seq(("x20_scan_zorder", zDir),
+                                ("x20_scan_plain", pDir))) {
+          for (rep <- 1 to 3) {
+            val t0 = System.nanoTime()
+            val s0 = spark.read.parquet(dir)
+              .filter(col("zy") <= zyHi)
+              .agg(sum("l_quantity"), count(lit(1))).head()
+            println(f"PROBE11 $name rep$rep ${
+              (System.nanoTime() - t0) / 1e9}%.2f s rows=${s0.getLong(1)}")
+          }
+        }
+
+        // --- l32: 3-epoch shuffle of the full corpus (range-sort shape)
+        timed("l32_epochs3", graft.operators.CorpusAssembly
+          .epochOrder(docs, "doc_id", epochs = 3, seed = 7L))
+
+        // --- l30v: token-id streams over the whole corpus (map-only
+        // replace chain + broadcast vocab join); merges trained on the
+        // sf5 train split itself
+        val trainDocs = docs.filter(graft.operators.TextAnalysis
+          .splitAssign("doc_id", 80, 10) === "train")
+        val t0b = System.nanoTime()
+        val merges = graft.operators.Bpe.train(trainDocs, "text", 16)
+        println(f"PROBE11 l30_train_sf5 ${
+          (System.nanoTime() - t0b) / 1e9}%.2f s merges=${merges.size}")
+        val vocab = graft.operators.Bpe.vocabTable(trainDocs, "text",
+          merges)
+        timed("l30v_token_ids", graft.operators.Bpe.tokenIds(docs,
+          "doc_id", "text", merges, vocab)
+          .groupBy("token_id").agg(count(lit(1)).as("n")))
+
+        // --- streaming ANN index: build via 4 sink batches, then the
+        // pruned search vs a full-index scan at 100 queries
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val centroids = Similarity.sampleCentroids(emb, "vec_id",
+          "embedding", nCells = 64).cache()
+        centroids.count()
+        val idxPath = "/tmp/scale/probe_annidx"
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(idxPath), true)
+        val sink = graft.streaming.StreamOps.annIndexForeachBatch(
+          idxPath, centroids, "vec_id", "embedding")
+        val tIdx = System.nanoTime()
+        for (b <- 0 until 4)
+          sink(emb.filter(pmod(col("vec_id"), lit(4L)) === b.toLong),
+            b.toLong)
+        println(f"PROBE11 annidx_build_4batches ${
+          (System.nanoTime() - tIdx) / 1e9}%.2f s")
+        val qs = emb.filter(col("vec_id") < 100)
+        timed("annidx_search_pruned", graft.streaming.StreamOps
+          .annSearchFromIndex(spark, idxPath, qs, "vec_id", "embedding",
+            centroids, k = 5, nProbe = 8))
+        // full-scan comparator: same candidates, no cell pruning
+        val qPrep = qs.select(col("vec_id").as("q_id"),
+            col("embedding").cast("array<double>").as("qv"))
+          .withColumn("qn", Similarity.norm("qv"))
+        val probedAll = Similarity.assignCells(qPrep, "qv", "qn",
+          centroids, "cell", take = 8)
+        timed("annidx_search_fullscan", Similarity.rankTopKByCosine(
+          graft.streaming.StreamOps.annIndex(spark, idxPath)
+            .join(broadcast(probedAll), Seq("cell"))
+            .filter(col("q_id") =!= col("n_id"))
+            .withColumn("cosine", Similarity.dot("qv", "cv")
+              / (col("qn") * col("cn"))), k = 5))
+
       case other =>
         throw new IllegalArgumentException(s"unknown probe mode $other")
     }

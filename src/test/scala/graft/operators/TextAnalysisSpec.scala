@@ -317,4 +317,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.bm25TopK(docs, "doc_id", "text",
       Seq("zz", "yy"), k = 5).count() == 0L)
   }
+
+  test("compressionRatio: byte-exact vs an in-JVM zlib recompute, " +
+    "repetitive text scores far below shuffled-unique text, empty " +
+    "defines 1.0, and layout doesn't matter") {
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector.fill(400)(rnd.alphanumeric.take(6).mkString)
+    val docs = Seq(
+      1L -> Seq.fill(200)("lorem ipsum dolor").mkString(" "), // template
+      2L -> rnd.shuffle(words).mkString(" "),                 // diverse
+      3L -> "",                                               // empty
+      4L -> "short") ++
+      (5L to 20L).map(i => i ->
+        rnd.shuffle(words).take(120).mkString(" "))
+    val df = docs.toDF("doc_id", "text")
+    def run(parts: Int) = TextAnalysis
+      .compressionRatio(df.repartition(parts), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val got = run(3)
+    // reference: the same fixed-level zlib in this JVM
+    def ref(text: String): (Long, Long) = {
+      val raw = text.getBytes("UTF-8")
+      if (raw.isEmpty) return (0L, 0L)
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      (raw.length.toLong, n)
+    }
+    for ((id, text) <- docs) {
+      val (raw, comp) = ref(text)
+      val (gRaw, gComp, gRatio) = got(id)
+      assert((gRaw, gComp) == (raw, comp), s"doc $id bytes")
+      val want = if (raw == 0L) 1.0 else comp.toDouble / raw
+      assert(gRatio == want, s"doc $id ratio")
+    }
+    assert(got(1L)._3 < 0.15, s"template text must crush: ${got(1L)._3}")
+    assert(got(2L)._3 > 0.5, s"diverse text must not: ${got(2L)._3}")
+    assert(got(3L)._3 == 1.0, "empty doc defines ratio 1.0")
+    assert(run(1) == got && run(13) == got, "layout invariance")
+  }
 }
