@@ -569,8 +569,44 @@ object Extras {
       )) AS BIGINT) AS z
       FROM lineitem"""))
 
+  // X21 — point-in-interval RANGE JOIN (operators/RangeJoin): events
+  // against sliding promo-style windows derived from orders keys (both
+  // sides SF-scale, so the naive BETWEEN predicate — which Spark plans
+  // as BroadcastNestedLoopJoin — is exactly the shape that dies at
+  // scale). Bucketized to one equi-join hash shuffle + an exact BETWEEN
+  // filter; the oracle is the naive BETWEEN join itself, so the
+  // hash-match proves the bucket rewrite is semantics-transparent.
+  // Hour-of-epoch domain through Tables.eventTsUs (the NTZ discipline);
+  // window anchors land inside the events span so the join is
+  // non-vacuous at the gate SF.
+  private val x21 = QueryDef("x21_range_join", (s, dir) => {
+    import graft.operators.RangeJoin
+    val pts = Tables.eventsWithTsUs(s, dir)
+      .select(col("event_id"),
+        expr("ts_us DIV 3600000000").as("hr"))
+    val win = Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(97L)) === 0L)
+      .select(col("o_orderkey"),
+        (lit(473352L) + pmod(col("o_orderkey"), lit(600L)))
+          .as("start_hr"))
+      .withColumn("end_hr", col("start_hr") + lit(47L))
+    RangeJoin.pointInInterval(pts, win, "hr", "start_hr", "end_hr",
+        bucketWidth = 24L)
+      .groupBy("o_orderkey").agg(
+        count(lit(1)).as("n_events"),
+        sum("event_id").cast("long").as("id_sum"))
+  }, Some("""WITH p AS (SELECT event_id,
+        epoch_us(ts) // 3600000000 AS hr FROM events),
+      w AS (SELECT o_orderkey,
+        473352 + o_orderkey % 600 AS start_hr FROM orders
+        WHERE o_orderkey % 97 = 0)
+      SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(event_id) AS BIGINT) AS id_sum
+      FROM p JOIN w ON p.hr BETWEEN w.start_hr AND w.start_hr + 47
+      GROUP BY o_orderkey"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19, x20)
+      x16w, x16, x17, x18, x19, x20, x21)
 }

@@ -172,6 +172,46 @@ object ProbeR11 {
           println(s"PROBE11 ingest_row $r")
         }
 
+      case "decontam" =>
+        // l15 vs l15b with the benchmark index too big to broadcast —
+        // the regime the bloom prefilter exists for. Fixture honesty,
+        // learned twice: (a) a raw doc slice as the benchmark is
+        // vacuous at this SF (the inflated corpus holds 49 copies of
+        // every base doc — every corpus shingle is a true member);
+        // (b) even a reversed-text benchmark stays vacuous, because the
+        // synthetic generator's 3-gram space is tiny and shared (at
+        // sf0.01, 85% of corpus docs overlap a 25-doc benchmark — both
+        // earlier probe runs measured identical ~1.37 GB shuffles for
+        // the two forms). Real decontamination is the OPPOSITE regime:
+        // natural-text shingles are mostly doc-unique and the corpus is
+        // overwhelmingly clean of the eval set. So this fixture salts
+        // every token with `doc_id % 9973`: shingles become per-doc
+        // strings, and the only corpus∩benchmark overlap is the organic
+        // one — a replica of a benchmark doc landing on the same salt
+        // residue (~0.5% of benchmark docs), which plays the role of
+        // true leakage.
+        val saltedAll = graft.core.Tables.documents(spark, sfDir)
+          .select(col("doc_id"),
+            expr("""array_join(transform(
+                     filter(split(text, ' '), t -> length(t) > 0),
+                     t -> concat(t, '_',
+                       CAST(pmod(doc_id, 9973) AS STRING))), ' ')""")
+              .as("text"))
+        val sCorpus = saltedAll.filter(col("doc_id") >= 2500)
+        val sBench = saltedAll.filter(col("doc_id") < 2500)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        timed("l15_direct_nobcast", graft.operators.Dedup
+          .contaminationScores(sCorpus, sBench, "doc_id", "text", n = 3))
+        timed("l15b_bloom_nobcast", graft.operators.Dedup
+          .contaminationScoresBloom(sCorpus, sBench, "doc_id", "text",
+            n = 3))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (10L * 1024 * 1024).toString)
+        val hits = graft.operators.Dedup.contaminationScoresBloom(
+          sCorpus, sBench, "doc_id", "text", n = 3).count()
+        println(s"PROBE11 decontam_scored_docs $hits (organic leakage " +
+          "only — must be a tiny fraction of the 247k corpus docs)")
+
       case "newops" =>
         // the second-wave round-11 operators at sf5: bloom-prefiltered
         // decontamination (the no-broadcast regime it exists for),
@@ -179,20 +219,6 @@ object ProbeR11 {
         // token-id encode, and the streamed-ANN-index search path.
         val docs = graft.core.Tables.documents(spark, sfDir)
           .select("doc_id", "text")
-
-        // --- l15 vs l15b with the benchmark index too big to broadcast
-        // (the regime the bloom prefilter exists for; with a tiny
-        // broadcastable benchmark both forms are map-side anyway)
-        val corpus = docs.filter(col("doc_id") >= 2500)
-        val bench = docs.filter(col("doc_id") < 2500)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        timed("l15_direct_nobcast", graft.operators.Dedup
-          .contaminationScores(corpus, bench, "doc_id", "text", n = 3))
-        timed("l15b_bloom_nobcast", graft.operators.Dedup
-          .contaminationScoresBloom(corpus, bench, "doc_id", "text",
-            n = 3))
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-          (10L * 1024 * 1024).toString)
 
         // --- x20: z-order write cost vs a plain same-file-count write,
         // then the pruning payoff for a one-dimension range scan
@@ -265,8 +291,15 @@ object ProbeR11 {
         val emb = graft.core.Tables.embeddings(spark, sfDir)
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("embedding"))
+        // serving shape: 256 cells, a 10-query lookup batch probing 8
+        // cells each — <=80 of 256 directories should ever be listed
+        // (the first probe ran 100 queries over 64 cells: the probe
+        // union covered every cell and "pruning" just added the
+        // probe-collect job — the pruned path is for ONLINE lookups,
+        // not bulk all-pairs scoring, and the fixture should look like
+        // one)
         val centroids = Similarity.sampleCentroids(emb, "vec_id",
-          "embedding", nCells = 64).cache()
+          "embedding", nCells = 256).cache()
         centroids.count()
         val idxPath = "/tmp/scale/probe_annidx"
         org.apache.hadoop.fs.FileSystem.get(
@@ -280,11 +313,14 @@ object ProbeR11 {
             b.toLong)
         println(f"PROBE11 annidx_build_4batches ${
           (System.nanoTime() - tIdx) / 1e9}%.2f s")
-        val qs = emb.filter(col("vec_id") < 100)
+        val qs = emb.filter(col("vec_id") < 10)
         timed("annidx_search_pruned", graft.streaming.StreamOps
           .annSearchFromIndex(spark, idxPath, qs, "vec_id", "embedding",
             centroids, k = 5, nProbe = 8))
         // full-scan comparator: same candidates, no cell pruning
+        println(s"PROBE11 annidx_probed_cells " +
+          graft.streaming.StreamOps.annIndex(spark, idxPath)
+            .select("cell").distinct().count() + " total cells on disk")
         val qPrep = qs.select(col("vec_id").as("q_id"),
             col("embedding").cast("array<double>").as("qv"))
           .withColumn("qn", Similarity.norm("qv"))
