@@ -74,6 +74,28 @@ object Bpe {
   private def searchLit(a: String, b: String): String = s"$Sep$a$Sep$Sep$b$Sep"
   private def replaceLit(a: String, b: String): String = s"$Sep$a$b$Sep"
 
+  /** The whole-DOC delimited symbol stream, equal by construction to
+    * `array_join(transform(words, w -> delimit(w)), '')` but built with
+    * THREE whole-string passes instead of an interpreted
+    * `regexp_replace` lambda PER WORD (higher-order lambdas evaluate
+    * interpreted per element — ~50M regex-engine entries at sf5, the
+    * measured hot spot of every encode query): non-letter runs collapse
+    * to one  marker (word seams), stray markers at the ends trim
+    * off, every letter gains its `||` suffix, markers become the `||||`
+    * seam, and the leading `||` completes the frame. The no-letters doc
+    * maps to '' (matching the empty-words array_join), guarded through
+    * a singleton-transform binding so the trimmed string is computed
+    * once, not twice.
+    */
+  private def docSeqSql(textCol: String): String = {
+    val m = ""
+    s"""element_at(transform(array(
+          btrim(regexp_replace(lower($textCol), '[^a-z]+', '$m'), '$m')),
+        t -> IF(t = '', '', concat('$Sep$Sep', replace(
+          regexp_replace(t, '([a-z])', '$$1$Sep$Sep'),
+          '$m', '$Sep$Sep')))), 1)"""
+  }
+
   /** Distinct-word frequency table of the corpus: (word, cnt, seq). */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
@@ -142,8 +164,7 @@ object Bpe {
     */
   def encodeCounts(docs: DataFrame, textCol: String,
                    merges: Seq[Merge]): DataFrame = {
-    val seq0 =
-      s"array_join(transform(words, w -> ${delimitSql("w")}), '')"
+    val seq0 = docSeqSql(textCol)
     val seqN = merges.sortBy(_.rank).foldLeft(seq0) { (s, m) =>
       s"replace($s, '${searchLit(m.a, m.b)}', '${replaceLit(m.a, m.b)}')"
     }
@@ -176,9 +197,13 @@ object Bpe {
                  merges: Seq[Merge]): DataFrame = {
     val spark = trainDocs.sparkSession
     import spark.implicits._
+    // per-doc array_distinct BEFORE the explode: ≤26 rows per doc reach
+    // the distinct shuffle instead of one row per CHARACTER of the
+    // corpus (a ~25x row cut the sf5 probe traced the vocab build's
+    // straggler task to)
     val alpha = trainDocs
-      .select(explode(
-        expr(s"regexp_extract_all(lower($textCol), '[a-z]', 0)"))
+      .select(explode(expr(
+        s"array_distinct(regexp_extract_all(lower($textCol), '[a-z]', 0))"))
         .as("token"))
       .distinct()
       .select(lit(0).as("kind"), col("token").as("ord"), col("token"))
@@ -218,8 +243,7 @@ object Bpe {
     */
   def tokens(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
-    val seq0 =
-      s"array_join(transform(${wordsSql(textCol)}, w -> ${delimitSql("w")}), '')"
+    val seq0 = docSeqSql(textCol)
     val seqN = merges.sortBy(_.rank).foldLeft(seq0) { (s, m) =>
       s"replace($s, '${searchLit(m.a, m.b)}', '${replaceLit(m.a, m.b)}')"
     }

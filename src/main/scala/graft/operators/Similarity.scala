@@ -152,6 +152,44 @@ object Similarity {
       .withColumnRenamed("cell", out)
   }
 
+  /** A centroid table collected driver-side for the FUSED assignment
+    * path: `(cellIds asc, flat cell-major matrix, norms)` — bounded by
+    * nCells (an index's structure table, driver-trivial at any corpus
+    * size). The ascending id order is load-bearing: it is what makes
+    * [[nearestCellCol]]'s first-wins tie rule equal [[assignCells]]'s
+    * (sim desc, cell asc) window order.
+    */
+  final case class CollectedCentroids(cellIds: Array[Long],
+                                      flat: Array[Double],
+                                      norms: Array[Double], dim: Int)
+
+  def collectCentroids(centroids: DataFrame): CollectedCentroids = {
+    val rows = centroids.select("cell", "centroid", "centroid_nrm")
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "collectCentroids: empty centroid table")
+    val dim = rows.head.getSeq[Double](1).length
+    val flat = new Array[Double](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Double](1)
+      require(v.length == dim, "collectCentroids: ragged centroid dims")
+      var d = 0
+      while (d < dim) { flat(c * dim + d) = v(d); d += 1 }
+    }
+    CollectedCentroids(rows.map(_.getLong(0)), flat,
+      rows.map(_.getDouble(2)), dim)
+  }
+
+  /** The nearest-cell id of `vecCol` against [[collectCentroids]]'
+    * table, as ONE fused codegen'd map expression
+    * ([[graft.plans.NearestCell]]) — no broadcast join, no per-vector
+    * window, no nCells× row blowup. Bit-identical to
+    * `assignCells(take = 1)` (NearestCellSpec pins it); the streaming
+    * index sink uses this for its per-batch assignment.
+    */
+  def nearestCellCol(vecCol: Column, cc: CollectedCentroids): Column =
+    call_function("nearest_cell", vecCol, lit(cc.flat), lit(cc.norms),
+      lit(cc.cellIds))
+
   /** The deterministic pseudo-random centroid sample [[ivfTopK]] uses,
     * as a standalone table builder for callers that must FIX the
     * centroid set across runs (the streaming index: structure trained

@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         IntersectCount(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "nearest_cell"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NearestCell(children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
       FunctionIdentifier("interleave_bits"),
       new ExpressionInfo(classOf[InterleaveBits].getName,
         "interleave_bits"),

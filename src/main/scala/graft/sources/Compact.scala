@@ -52,4 +52,39 @@ object Compact {
       .foreach(Files.deleteIfExists(_))
     (before, fileCount(dir))
   }
+
+  /** [[compactDir]] with a Z-ORDER clustered rewrite — the full
+    * `OPTIMIZE ... ZORDER BY` maintenance pass: streaming sinks and
+    * micro-batch appends produce many small UNSORTED files (each file
+    * spans the whole key space, so min/max stats prune nothing); this
+    * rewrite both merges them to `targetBytes`-sized files AND
+    * clusters rows along the Z curve of `zOf` (typically
+    * [[graft.operators.ZOrder.zvalue]] over two bucketized filter
+    * dimensions), so the compacted files prune on BOTH dimensions.
+    * `zOf` builds the key from the frame being rewritten; the helper
+    * column never reaches disk. Same single-writer swap contract as
+    * [[compactDir]]; CompactSpec measures the before/after
+    * files-touched delta under a one-dimension filter.
+    */
+  def compactDirZOrdered(s: SparkSession, dir: String, targetBytes: Long,
+                         zOf: DataFrame => org.apache.spark.sql.Column)
+      : (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val before = fileCount(dir)
+    val n = targetFileCount(dataSize(dir), targetBytes)
+    val df = s.read.parquet(dir)
+    val tmp = dir + "__compacting"
+    df.withColumn("__z", zOf(df))
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(tmp)
+    parquetFiles(Paths.get(dir)).foreach(Files.delete)
+    parquetFiles(Paths.get(tmp)).foreach { p =>
+      Files.move(p, Paths.get(dir).resolve(p.getFileName))
+    }
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    (before, fileCount(dir))
+  }
 }

@@ -457,16 +457,30 @@ object StreamOps {
     */
   def annIndexForeachBatch(indexPath: String, centroids: DataFrame,
                            idCol: String, vecCol: String)
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    if (!batch.isEmpty) {
-      val c = batch.select(col(idCol).as("n_id"),
-          col(vecCol).cast("array<double>").as("cv"))
-        .withColumn("cn", graft.operators.Similarity.norm("cv"))
-      graft.operators.Similarity
-        .assignCells(c, "cv", "cn", centroids, "cell", take = 1)
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$indexPath/d=$batchId")
-    }
+      : (DataFrame, Long) => Unit = {
+    // the index STRUCTURE is fixed for the sink's lifetime, so collect
+    // it once here (nCells-bounded) and assign each batch through the
+    // fused nearest_cell map expression — the declarative
+    // assignCells join+window form multiplies every vector by nCells
+    // rows per micro-batch (the sf5 probe measured it dominating the
+    // build at 256 cells); NearestCellSpec pins the two paths equal
+    val cc = graft.operators.Similarity.collectCentroids(centroids)
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        batch.select(col(idCol).as("n_id"),
+            col(vecCol).cast("array<double>").as("cv"))
+          .withColumn("cn", graft.operators.Similarity.norm("cv"))
+          .withColumn("cell", graft.operators.Similarity
+            .nearestCellCol(col("cv"), cc))
+          // cluster by cell before the dynamic-partition write: without
+          // it every scan task writes (and sorts for) up to nCells
+          // directories itself — the write, not the assignment, is what
+          // dominates the build; one small batch-sized shuffle buys
+          // one-file-per-cell-per-batch parallel writes
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/d=$batchId")
+      }
   }
 
   /** The full streamed vector index: union of all published deltas,

@@ -212,6 +212,29 @@ object ProbeR11 {
         println(s"PROBE11 decontam_scored_docs $hits (organic leakage " +
           "only — must be a tiny fraction of the 247k corpus docs)")
 
+      case "l30vdebug" =>
+        // stage decomposition of the l30v wall: which of (replace-chain
+        // encode, token posexplode, vocab build, id join) owns the time
+        val dd = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val tr = dd.filter(graft.operators.TextAnalysis
+          .splitAssign("doc_id", 80, 10) === "train")
+        val mg = graft.operators.Bpe.train(tr, "text", 16)
+        val vc = graft.operators.Bpe.vocabTable(tr, "text", mg)
+        timed("vocab_only", vc)
+        timed("encode_counts_only", graft.operators.Bpe
+          .encodeCounts(dd, "text", mg)
+          .groupBy().agg(sum("bpe_tokens")))
+        timed("tokens_only", graft.operators.Bpe
+          .tokens(dd, "doc_id", "text", mg)
+          .groupBy().agg(count(lit(1))))
+        timed("token_ids_full", graft.operators.Bpe
+          .tokenIds(dd, "doc_id", "text", mg, vc)
+          .groupBy("token_id").agg(count(lit(1))))
+        timed("token_ids_repart64", graft.operators.Bpe
+          .tokenIds(dd.repartition(64), "doc_id", "text", mg, vc)
+          .groupBy("token_id").agg(count(lit(1))))
+
       case "newops" =>
         // the second-wave round-11 operators at sf5: bloom-prefiltered
         // decontamination (the no-broadcast regime it exists for),
@@ -285,6 +308,18 @@ object ProbeR11 {
         timed("l30v_token_ids", graft.operators.Bpe.tokenIds(docs,
           "doc_id", "text", merges, vocab)
           .groupBy("token_id").agg(count(lit(1)).as("n")))
+        // the wall above is read-granularity-bound, not operator-bound:
+        // FilePartition bin-packs the 32 ~10 MB fixture files into ~3
+        // scan partitions at the default 128 MB maxPartitionBytes, so a
+        // CPU-heavy per-doc map pass (16 codegen'd replaces per doc)
+        // runs ~3-wide on a 32-core box. On a cluster the corpus is
+        // thousands of files; locally, splitting finer recovers the
+        // parallelism — measured side by side:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+        timed("l30v_token_ids_4mb_splits", graft.operators.Bpe
+          .tokenIds(docs, "doc_id", "text", merges, vocab)
+          .groupBy("token_id").agg(count(lit(1)).as("n")))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
 
         // --- streaming ANN index: build via 4 sink batches, then the
         // pruned search vs a full-index scan at 100 queries
