@@ -605,8 +605,36 @@ object Extras {
       FROM p JOIN w ON p.hr BETWEEN w.start_hr AND w.start_hr + 47
       GROUP BY o_orderkey"""))
 
+  // X22 — fixed-point PageRank (operators/GraphRank) over the
+  // undirected customer↔supplier co-purchase graph (distinct
+  // (custkey, suppkey) pairs from lineitem⋈orders — an SF-scaling edge
+  // list). The corpus-curation authority score (domain/URL ranking)
+  // expressed in exact scaled-BIGINT arithmetic, so all four power
+  // iterations replay in DuckDB as unrolled CTEs and must land on the
+  // identical rank vector — cross-engine-exact iterative graph
+  // training, the l31 discipline on a graph algorithm.
+  private val x22 = QueryDef("x22_pagerank", (s, dir) => {
+    import graft.operators.GraphRank
+    val e0 = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val e = e0.union(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    GraphRank.pageRankFixedPoint(e, "src", "dst", iters = 4)
+  }, Some(graft.operators.GraphRank.oracleSql(
+    """SELECT src, dst FROM (SELECT DISTINCT o_custkey*2 AS src,
+         l_suppkey*2+1 AS dst FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey) b
+       UNION ALL
+       SELECT dst AS src, src AS dst FROM (SELECT DISTINCT
+         o_custkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey) b2""", iters = 4)))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19, x20, x21)
+      x16w, x16, x17, x18, x19, x20, x21, x22)
 }
