@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Bpe, CorpusAssembly, Dedup, IngestPipeline, Multimodal, QualityClassifier, Similarity, TextAnalysis}
+import graft.operators.{Bpe, CorpusAssembly, Dedup, Html, IngestPipeline, Multimodal, QualityClassifier, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -1602,6 +1602,45 @@ object LlmOps {
           .as("n_boilerplate"))
   }, None)
 
+  // L34 — HTML boilerplate extraction (operators/Html): the
+  // crawl-to-text step that precedes every quality/dedup operator.
+  // The corpus is plain text, so the fixture synthesizes a realistic
+  // page around each doc IN-QUERY from a shared engine-portable
+  // fragment (script with tag-looking string content, style, nav
+  // links, entities, a doc_id-conditional link-heavy block) — the
+  // operator under test is the extraction, and the per-doc md5 of the
+  // cleaned text plus the exact link-density decision cross engines is
+  // the strongest pin available.
+  private val l34HtmlSynth =
+    """concat('<html><head><script>var x = "1 < 2; </p>";</script>',
+       '<style>p { color: red }</style></head><body><p>', text,
+       '</p><div><a href="/h">home nav</a> <a>more &amp; x</a></div>',
+       CASE WHEN doc_id % 3 = 0
+         THEN concat('<p><a href="/x">', substring(text, 1, 40),
+                     '</a></p>')
+         ELSE '' END,
+       '</body></html>')"""
+  private val l34 = QueryDef("l34_html_extract", (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("__html", expr(l34HtmlSynth))
+      .select(col("doc_id"),
+        expr(Html.cleanTextSql("__html")).as("clean"),
+        Html.linkDensity("__html").as("ld"))
+      .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        (col("ld") > 0.1).as("linky"))
+  }, Some(s"""WITH h AS (SELECT doc_id, $l34HtmlSynth AS html
+        FROM documents),
+      c AS (SELECT doc_id,
+        ${Html.cleanTextDuckSql("html")} AS clean,
+        ${Html.linkCharsDuckSql("html")} AS lc FROM h)
+      SELECT doc_id, md5(clean) AS clean_md5,
+        CAST(length(clean) AS BIGINT) AS clean_chars,
+        (length(clean) > 0 AND
+         CAST(lc AS DOUBLE) / CAST(length(clean) AS BIGINT) > 0.1)
+          AS linky
+      FROM c"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
@@ -1609,5 +1648,5 @@ object LlmOps {
       l13, l14, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
-      l30t, l30v, l31, l31s, l32, l33, m1)
+      l30t, l30v, l31, l31s, l32, l33, l34, m1)
 }
