@@ -40,11 +40,20 @@ object GraphRank {
                          dampDen: Long = 100L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
       s"bad pagerank config: iters=$iters damp=$dampNum/$dampDen")
+    // Iterative algorithms MUST materialize their reused inputs: the
+    // edge list feeds the degree table AND every iteration's join, so
+    // without the cache each of the 2·iters consumers re-runs the
+    // upstream plan (the sf5 probe caught exactly that — a 30M-row
+    // distinct recomputed ~8× per run). The per-iteration count() is
+    // the Lloyd-refinement discipline: materialize `next` BEFORE
+    // releasing `prev` (unpersisting a parent invalidates dependent
+    // cache entries), which also makes this operator eager by nature —
+    // like keeper resolution, not like the lazy one-pass queries.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     val base = scale * (dampDen - dampNum) / dampDen
     var r = nodes.withColumn("r", lit(scale))
     var prev: DataFrame = null
@@ -58,10 +67,16 @@ object GraphRank {
           (lit(base) + expr(
             s"($dampNum * coalesce(__in, 0L)) DIV $dampDen")).as("r"))
         .cache()
+      next.count()
       if (prev != null) prev.unpersist(blocking = false)
       prev = r
       r = next
     }
+    // final ranks are materialized above; safe to release the inputs.
+    // `r` itself stays cached for the caller's action and is released
+    // with the session (one bounded |V|-row table).
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     r
   }

@@ -32,22 +32,49 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** `salt` > 1 splits every bucket `salt` ways — points take a
+    * deterministic salt from their own value, intervals replicate
+    * across all salts (they cannot know which points will probe them;
+    * the operators/Skew.scala replicate-the-small-side trade). This is
+    * the cure for BUCKET skew, which AQE cannot see: the sf5 probe
+    * measured a 598M-match join running on ~27 single-task partitions
+    * because the time domain had ~27 live buckets — each reducer's
+    * INPUT is kilobytes (so AQE's byte-based skew split never fires)
+    * while its join OUTPUT is tens of millions of rows.
+    *
+    * `broadcastIntervals` hints the exploded interval side around the
+    * sort-merge path entirely (right whenever it fits an executor —
+    * the stats on a Generate output are too poor for Catalyst to pick
+    * this itself): the join inherits the point scan's parallelism and
+    * no `__b` exchange exists to skew.
+    */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, startCol: String, endCol: String,
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long, salt: Int = 1,
+                      broadcastIntervals: Boolean = false): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val w = lit(bucketWidth)
-    val p = points.withColumn("__b",
-      floor(col(pointCol) / w).cast("long"))
-    val i = intervals
+    val p = points
+      .withColumn("__b", floor(col(pointCol) / w).cast("long"))
+      .withColumn("__s",
+        if (salt > 1) pmod(xxhash64(col(pointCol)), lit(salt.toLong))
+        else lit(0L))
+    val i0 = intervals
       .filter(col(endCol) >= col(startCol))
       .withColumn("__bs", floor(col(startCol) / w).cast("long"))
       .withColumn("__be", floor(col(endCol) / w).cast("long"))
       .withColumn("__b", explode(expr("sequence(__bs, __be)")))
       .drop("__bs", "__be")
-    p.join(i, "__b")
+    val i1 =
+      if (salt > 1)
+        i0.withColumn("__s",
+          explode(expr(s"sequence(0L, ${salt - 1}L)")))
+      else i0.withColumn("__s", lit(0L))
+    val i = if (broadcastIntervals) broadcast(i1) else i1
+    p.join(i, Seq("__b", "__s"))
       .filter(col(pointCol) >= col(startCol) &&
         col(pointCol) <= col(endCol))
-      .drop("__b")
+      .drop("__b", "__s")
   }
 }

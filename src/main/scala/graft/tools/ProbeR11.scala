@@ -235,6 +235,73 @@ object ProbeR11 {
           .tokenIds(dd.repartition(64), "doc_id", "text", mg, vc)
           .groupBy("token_id").agg(count(lit(1))))
 
+      case "newops2" =>
+        // third-wave round-11 operators at sf5: bucketized range join
+        // (5M events x 15k windows), fixed-point PageRank (the 4-
+        // iteration shuffle chain over ~15M directed edges), and HTML
+        // extraction (regex-heavy map pass over 250k synthesized pages)
+        val ev5 = graft.core.Tables.eventsWithTsUs(spark, sfDir)
+          .select(col("event_id"), expr("ts_us DIV 3600000000").as("hr"))
+        // anchor spread scales with window count: the gate query's %600
+        // span is right for 155 windows, but replaying it with 50x the
+        // windows over the same 27-day event span makes every event
+        // TRULY match ~300 windows — a 1.5B-row correct answer (the
+        // first run of this probe sat single-core producing it). Range
+        // joins are sized by match multiplicity, not row counts; %30000
+        // keeps ~12 true matches per event at this SF.
+        val win5 = graft.core.Tables.orders(spark, sfDir)
+          .filter(pmod(col("o_orderkey"), lit(97L)) === 0L)
+          .select(col("o_orderkey"),
+            (lit(473352L) + pmod(col("o_orderkey"), lit(30000L)))
+              .as("start_hr"))
+          .withColumn("end_hr", col("start_hr") + lit(47L))
+        println(s"PROBE11 rangejoin_sizes events=${ev5.count()} " +
+          s"windows=${win5.count()} " +
+          s"matches=${graft.operators.RangeJoin.pointInInterval(ev5,
+            win5, "hr", "start_hr", "end_hr", 24L).count()}")
+        timed("x21_range_join", graft.operators.RangeJoin
+          .pointInInterval(ev5, win5, "hr", "start_hr", "end_hr", 24L)
+          .groupBy("o_orderkey").agg(count(lit(1)).as("n")))
+        // the default SMJ exchanges on __b: ~27 live time buckets hash
+        // to <=27 reducers and the hottest bucket is ONE task (AQE
+        // can't split it — reducer INPUT is kilobytes, the blowup is
+        // join OUTPUT). The two operator cures, measured:
+        timed("x21_range_join_salt8", graft.operators.RangeJoin
+          .pointInInterval(ev5, win5, "hr", "start_hr", "end_hr", 24L,
+            salt = 8)
+          .groupBy("o_orderkey").agg(count(lit(1)).as("n")))
+        timed("x21_range_join_bcast", graft.operators.RangeJoin
+          .pointInInterval(ev5, win5, "hr", "start_hr", "end_hr", 24L,
+            broadcastIntervals = true)
+          .groupBy("o_orderkey").agg(count(lit(1)).as("n")))
+        val e0 = graft.core.Tables.lineitem(spark, sfDir)
+          .join(graft.core.Tables.orders(spark, sfDir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val eAll = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        timed("x22_pagerank_4it", graft.operators.GraphRank
+          .pageRankFixedPoint(eAll, "src", "dst", iters = 4), reps = 2)
+        val docs5 = graft.core.Tables.documents(spark, sfDir)
+        val synth =
+          """concat('<html><head><script>var x = "1 < 2";</script>',
+             '<style>p { }</style></head><body><p>', text,
+             '</p><div><a href="/h">home nav</a></div>',
+             CASE WHEN doc_id % 3 = 0
+               THEN concat('<p><a href="/x">', substring(text, 1, 40),
+                           '</a></p>')
+               ELSE '' END, '</body></html>')"""
+        timed("l34_html_extract", docs5
+          .withColumn("__html", expr(synth))
+          .select(col("doc_id"),
+            expr(graft.operators.Html.cleanTextSql("__html"))
+              .as("clean"),
+            graft.operators.Html.linkDensity("__html").as("ld"))
+          .groupBy().agg(sum(length(col("clean"))),
+            sum(when(col("ld") > 0.1, 1L).otherwise(0L))))
+
       case "newops" =>
         // the second-wave round-11 operators at sf5: bloom-prefiltered
         // decontamination (the no-broadcast regime it exists for),

@@ -60,6 +60,24 @@ class RangeJoinSpec extends AnyFunSuite {
       s"bucketized form must be an equi-join:\n${plan.take(800)}")
   }
 
+  test("salting and interval-broadcast change the plan, never the " +
+    "result; the broadcast form really is a broadcast join") {
+    val (pts, ivs) = fixture()
+    val base = pairs(RangeJoin.pointInInterval(pts, ivs, "p", "st",
+      "en", bucketWidth = 50L))
+    for (salt <- Seq(2, 8)) {
+      assert(pairs(RangeJoin.pointInInterval(pts, ivs, "p", "st", "en",
+        bucketWidth = 50L, salt = salt)) == base, s"salt=$salt")
+    }
+    val bc = RangeJoin.pointInInterval(pts, ivs, "p", "st", "en",
+      bucketWidth = 50L, broadcastIntervals = true)
+    assert(pairs(bc) == base)
+    assert(bc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(pairs(RangeJoin.pointInInterval(pts, ivs, "p", "st", "en",
+      bucketWidth = 50L, salt = 4, broadcastIntervals = true)) == base)
+  }
+
   test("an interval spanning many buckets still matches exactly once " +
     "per point") {
     import s.implicits._
