@@ -633,8 +633,37 @@ object Extras {
          o_custkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey) b2""", iters = 4)))
 
+  // X23 — parquet NATIVE bloom-filter point lookup: the documents
+  // content-hash table written with a format-level bloom on `h`
+  // (Formats.writeParquetBloom), then a needle query — find every doc
+  // sharing doc 7's content hash (the planted re-crawl dups make it
+  // non-vacuous). min/max stats can't prune a point probe on a hash
+  // column (every row group spans the hash space); the bloom is what
+  // skips row groups at scale. The oracle runs the same lookup on the
+  // plain table, so the hash-match also certifies the bloom-written
+  // file is a lossless round trip; ParquetBloomSpec proves the filter
+  // actually exists in the footer and behaves one-sided, and the sf5
+  // probe measures the needle-scan payoff.
+  private val x23 = QueryDef("x23_parquet_bloom_lookup", (s, dir) => {
+    import graft.sources.Formats
+    val tmp = System.getProperty("java.io.tmpdir") + "/graft_bloom_pq"
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    Formats.writeParquetBloom(t, tmp, Seq("h"), expectedNdv = 100000L)
+    val needle = Tables.documents(s, dir)
+      .filter(col("doc_id") === 7L).select(md5(col("text")).as("h"))
+    s.read.parquet(tmp).join(broadcast(needle), "h")
+      .groupBy("h").agg(count(lit(1)).as("n_dups"),
+        min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+  }, Some("""SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_dups,
+      min(doc_id) AS first_id, max(doc_id) AS last_id
+      FROM documents
+      WHERE md5(text) = (SELECT md5(text) FROM documents
+                         WHERE doc_id = 7)
+      GROUP BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19, x20, x21, x22)
+      x16w, x16, x17, x18, x19, x20, x21, x22, x23)
 }

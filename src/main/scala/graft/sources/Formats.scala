@@ -21,6 +21,30 @@ object Formats {
 
   def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 
+  /** Parquet write with NATIVE column BLOOM FILTERS (parquet-mr ≥1.12;
+    * the format-level split-block bloom, not our query-side
+    * `bloom_might_contain`) — the third leg of the data-skipping story:
+    * z-order layouts prune RANGE filters, cell/hive partitioning prunes
+    * CATEGORY filters, and blooms prune NEEDLE lookups on
+    * high-cardinality columns where min/max stats are useless (every
+    * row group spans the whole hash space, so a `hash = x` point query
+    * decodes everything without one). Readers get the skipping for
+    * free: Spark's parquet reader consults row-group blooms for
+    * pushed-down equality predicates by default. `expectedNdv` sizes
+    * each filter (per row group) — overshooting wastes footer bytes,
+    * undershooting inflates the false-positive rate.
+    */
+  def writeParquetBloom(df: DataFrame, path: String,
+                        bloomCols: Seq[String],
+                        expectedNdv: Long): Unit = {
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c",
+          expectedNdv.toString)
+    }
+    w.parquet(path)
+  }
+
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
