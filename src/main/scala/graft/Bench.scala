@@ -172,6 +172,36 @@ object Bench {
       "org.apache.spark.sql.catalyst.csv.CSVHeaderChecker",
       org.apache.logging.log4j.Level.ERROR)
 
+    // Codegen-fallback CANARY: a native expression whose generated Java
+    // fails to compile stays CORRECT (UnsafeProjection silently demotes to
+    // interpreted eval) so no oracle catches it — round 11 shipped
+    // interleave_bits that way, with the CompileException visible only as
+    // untested log lines. Count those events here and emit the count as a
+    // first-class bench field; any nonzero "codegen_failures" in a round
+    // record is a red flag regardless of timings. (The unit-level guard is
+    // NativeCodegenCanarySpec, which compiles every native expression
+    // directly; this counter covers whatever the specs didn't construct.)
+    val codegenFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+    locally {
+      val lctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-codegen-canary", null, null, true,
+        org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+        override def append(
+            e: org.apache.logging.log4j.core.LogEvent): Unit = {
+          val m = e.getMessage.getFormattedMessage
+          if (m.contains("Failed to compile") ||
+            m.contains("falling back to interpreter mode"))
+            codegenFailures.incrementAndGet()
+        }
+      }
+      app.start()
+      lctx.getConfiguration.getRootLogger
+        .addAppender(app, org.apache.logging.log4j.Level.WARN, null)
+      lctx.updateLoggers()
+    }
+
     // Warmup: touch every input once (parquet footers, broadcast
     // machinery) so the first timed query doesn't absorb session-startup
     // cost that isn't the query's.
@@ -316,6 +346,33 @@ object Bench {
       }
     if (!e2eOnly) probe()
 
+    // Gate state, declared before the e2e block because the e2e gate
+    // below records into it; trailingHistory() only reads the history
+    // sidecar, so computing it in e2e-only dev mode too is harmless and
+    // gives the dev instrument the same history comparison.
+    val histMed = trailingHistory()
+    val gateRemeasured =
+      scala.collection.mutable.LinkedHashMap[String, Double]()
+    val gateDropped = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val gateFlags = scala.collection.mutable.LinkedHashMap[String, String]()
+    // shared with the breadth gate: drop samples sitting far above the
+    // refreshed median once enough clean samples exist to outvote them,
+    // and COUNT the drops — the record always says what was discarded
+    def trimContended(name: String): Unit =
+      samplesOf.get(name).foreach { buf =>
+        val med = median(buf.toSeq)
+        val cut = math.max(1.5 * med, med + 0.25)
+        val kept = buf.filter(_ <= cut)
+        if (kept.size >= 4 && kept.size < buf.size) {
+          gateDropped(name) =
+            gateDropped.getOrElse(name, 0) + (buf.size - kept.size)
+          buf.clear(); buf ++= kept
+          allTimings(name) = median(buf.toSeq)
+          spreads(name) = math.rint((buf.max - buf.min) * 1000) / 1000
+          if (timings.contains(name)) timings(name) = allTimings(name)
+        }
+      }
+
     // Reference-pipeline throughput: the full CSV->audit->clean->enrich->
     // conform->anomalies->star flow at the reference's own data scale, in
     // ONE session. (The reference runs the same flow as nine separate
@@ -351,7 +408,7 @@ object Bench {
         // change this pipeline sees round to round. With warm-up depth
         // matched above, the full bench now IS the instrument that
         // adjudicates the <3.0 s target (emitted as "e2e_med7").
-        time("ref_pipeline_e2e", () => {
+        val e2eBody: () => Unit = () => {
           val out = graft.pipeline.ReferenceParity.run(spark, refRaw,
             "2024-11-24")
           // the two sinks are independent noop writes — consume them
@@ -372,9 +429,44 @@ object Bench {
             scala.concurrent.Await.result(fDims,
               scala.concurrent.duration.Duration(15, "min"))
           } finally pool.shutdown()
-        }, timings, 7)
+        }
+        time("ref_pipeline_e2e", e2eBody, timings, 7)
         timings.get("ref_pipeline_e2e")
           .foreach(allTimings("ref_pipeline_e2e") = _)
+
+        // e2e contamination gate — closes the round-11 gap where the
+        // breadth gate re-measured suspect queries but never the e2e
+        // median-of-7, letting a noisy 3.73 s / spread-1.2 record ship
+        // while the same-code clean band was 2.6-3.7 s / spread ~0.3.
+        // Suspicion: spread above 0.5 s, or median >1.3x the trailing
+        // BENCH_HISTORY e2e median. Cure: up to 2 batches of 5 fresh
+        // samples (the contaminated early samples then lose the median
+        // vote), then the shared contended-sample trim; still-suspect
+        // stays in the record, flagged — never silently discarded.
+        def e2eSuspect(): Option[String] =
+          timings.get("ref_pipeline_e2e").flatMap { m =>
+            val sp = spreads.getOrElse("ref_pipeline_e2e", 0.0)
+            if (sp > 0.5) Some("spread>0.5s")
+            else if (histMed.get("ref_pipeline_e2e")
+              .exists(h => m > 1.3 * h)) Some("median>1.3x-hist")
+            else None
+          }
+        var e2ePasses = 0
+        while (e2ePasses < 2 && e2eSuspect().nonEmpty) {
+          e2ePasses += 1
+          if (!gateRemeasured.contains("ref_pipeline_e2e"))
+            gateRemeasured("ref_pipeline_e2e") = timings("ref_pipeline_e2e")
+          System.err.println(
+            s"[bench-gate] e2e pass $e2ePasses: re-measuring " +
+              s"ref_pipeline_e2e (${e2eSuspect().get}, " +
+              s"median=${timings("ref_pipeline_e2e")}, " +
+              s"spread=${spreads.getOrElse("ref_pipeline_e2e", 0.0)})")
+          time("ref_pipeline_e2e", e2eBody, timings, 5)
+          trimContended("ref_pipeline_e2e")
+          timings.get("ref_pipeline_e2e")
+            .foreach(allTimings("ref_pipeline_e2e") = _)
+        }
+        e2eSuspect().foreach(why => gateFlags("ref_pipeline_e2e") = why)
       }
     }
 
@@ -400,12 +492,6 @@ object Bench {
     // >1.5x above the refreshed median (plus a 0.25s jitter floor) are
     // trimmed as contended-machine artifacts and COUNTED in
     // "gate_dropped"; the record always says what was discarded.
-    val histMed = if (e2eOnly) Map.empty[String, Double]
-      else trailingHistory()
-    val gateRemeasured =
-      scala.collection.mutable.LinkedHashMap[String, Double]()
-    val gateDropped = scala.collection.mutable.LinkedHashMap[String, Int]()
-    val gateFlags = scala.collection.mutable.LinkedHashMap[String, String]()
     def gateSuspect(n: String): Option[String] = {
       val m = allTimings(n)
       val sp = spreads.getOrElse(n, 0.0)
@@ -431,19 +517,7 @@ object Bench {
           time(name, () => q.run(spark, sfDir)
             .write.format("noop").mode(SaveMode.Overwrite).save(),
             allTimings, 3)
-          samplesOf.get(name).foreach { buf =>
-            val med = median(buf.toSeq)
-            val cut = math.max(1.5 * med, med + 0.25)
-            val kept = buf.filter(_ <= cut)
-            if (kept.size >= 4 && kept.size < buf.size) {
-              gateDropped(name) =
-                gateDropped.getOrElse(name, 0) + (buf.size - kept.size)
-              buf.clear(); buf ++= kept
-              allTimings(name) = median(buf.toSeq)
-              spreads(name) =
-                math.rint((buf.max - buf.min) * 1000) / 1000
-            }
-          }
+          trimContended(name)
           if (timings.contains(name)) timings(name) = allTimings(name)
         }
       }
@@ -497,7 +571,7 @@ object Bench {
     //   with the numbers only recoverable from the truncated tail text.
     //   The compact line (headline medians rounded to ms + errors +
     //   calibration evidence) stays well under the window.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = false)},"errors":$errs,"spreads":${jmap(spreads, round = false)},"cold_first":${jmap(coldFirst, round = false)},"all_queries":${jmap(allTimings, round = false)},"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,$gateJson,"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = false)},"errors":$errs,"spreads":${jmap(spreads, round = false)},"cold_first":${jmap(coldFirst, round = false)},"all_queries":${jmap(allTimings, round = false)},"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,$gateJson,"codegen_failures":${codegenFailures.get},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"sf":${jstr(sfDir)}}"""
     // history append BEFORE the detail overwrite: a crash between the
     // two can lose the overwrite, never the append-only log
     val w = new java.io.FileWriter(historyFile, true)
@@ -508,7 +582,7 @@ object Bench {
       if (e2eOnly) "BENCH_E2E_ONLY.json" else "BENCH_DETAIL.json"
     val dw = new java.io.FileWriter(detailFileOut, false)
     try dw.write(detail + "\n") finally dw.close()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = true)},"errors":$errs,"all_total":${r3(allTimings.values.sum)},"gate_passes":$gatePasses,"gate_flags":${gateFlags.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"detail":${jstr(detailFileOut)},"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = true)},"errors":$errs,"all_total":${r3(allTimings.values.sum)},"gate_passes":$gatePasses,"gate_flags":${gateFlags.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")},"codegen_failures":${codegenFailures.get},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"detail":${jstr(detailFileOut)},"sf":${jstr(sfDir)}}"""
     println(line)
     spark.stop()
   }

@@ -477,11 +477,20 @@ object Dedup {
     val cSh = shingleTable(corpus, idCol, textCol, n)
     val bSh = benchmark.select(col(idCol).as("bdoc"),
         shingles(textCol, n).as("bsh"))
-      .filter(size(col("bsh")) > 0).cache()
+      .filter(size(col("bsh")) > 0)
+    // cache ONLY across the two construction-time jobs (key count +
+    // filter build), then release before returning: the returned lazy
+    // plan re-shingles the benchmark side twice (bInv join + bSizes),
+    // which is benchmark-bounded and cheap, whereas a cache entry with
+    // no owner outlives every action on the result (the round-11 leak)
+    bSh.cache()
     val bInv = bSh.select(col("bdoc"), explode(col("bsh")).as("shingle"))
-    val nKeys = math.max(1L, bInv.count())
-    val bf = bInv.select(xxhash64(col("shingle")).as("h"))
-      .stat.bloomFilter("h", nKeys, fpp)
+    val bf =
+      try {
+        val nKeys = math.max(1L, bInv.count())
+        bInv.select(xxhash64(col("shingle")).as("h"))
+          .stat.bloomFilter("h", nKeys, fpp)
+      } finally bSh.unpersist(blocking = false)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)

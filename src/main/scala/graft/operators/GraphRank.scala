@@ -73,8 +73,15 @@ object GraphRank {
       r = next
     }
     // final ranks are materialized above; safe to release the inputs.
-    // `r` itself stays cached for the caller's action and is released
-    // with the session (one bounded |V|-row table).
+    // CACHE CONTRACT: the returned frame IS cached (one bounded |V|-row
+    // table) and the caller owns the release — `result.unpersist()`
+    // after the consuming action. Unpersisting here instead would
+    // cascade-recompute every iteration on the caller's first action
+    // (all parent caches are released below), and a localCheckpoint
+    // would just move the same bytes into RDD blocks with the same
+    // ownership question. Repeated invocations in one session (bench
+    // reps) otherwise accumulate distinct entries until LRU eviction —
+    // the bench harness clears between queries via clearCache().
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)

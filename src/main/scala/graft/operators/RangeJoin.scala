@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval (range) join WITHOUT a nested-loop: Spark compiles
@@ -27,20 +27,70 @@ import org.apache.spark.sql.functions._
   * DESCENDING when `b < a` (the l13 guard), which would fabricate
   * buckets for an empty interval.
   *
-  * Floor division (not `DIV`) keeps negative domains correct: -1/86400
-  * must bucket to -1, not 0.
+  * Bucketing is EXACT integer floor division over the full BIGINT
+  * domain: `floor(p / W)` with SQL `/` is DOUBLE division, exact only
+  * while |p| < 2^53 — an epoch-NANOS domain (~2^60 today) overflows the
+  * mantissa, a boundary point rounds into the adjacent bucket, and the
+  * BETWEEN filter silently drops a true match. Subtracting the
+  * nonnegative `pmod` first makes the numerator exactly divisible, so
+  * integral `div` IS the floor — for negative domains too (-1 with
+  * W=86400 buckets to -1, not 0). Valid for p ≥ Long.MinValue + W;
+  * RangeJoinSpec pins a 2^60 epoch-nanos case on bucket edges.
   */
 object RangeJoin {
 
+  /** Pass as `salt` to have [[pointInInterval]] pick the split factor
+    * itself from a one-pass pre-aggregation (see [[chooseSalt]]).
+    */
+  val AutoSalt: Int = -1
+
+  /** Exact `floor(colName / W)` for BIGINT, as generated SQL (the
+    * integral `div` operator has no Column-API surface).
+    */
+  private def bucketOf(colName: String, w: Long): Column =
+    expr(s"(`$colName` - pmod(`$colName`, ${w}L)) div ${w}L")
+
+  /** Auto-salt pre-aggregation: ONE approx pass over the points
+    * decides how many ways to split each bucket. The skew this cures is
+    * output-blowup skew on a FEW live buckets (the sf5 probe: ~27 live
+    * hour-buckets → ~27 single-task partitions at kilobytes of reducer
+    * INPUT, so AQE's byte-based detector never fires). Two ceilings:
+    *  - enough slices that live_buckets × salt ≥ the shuffle
+    *    parallelism target (more slices than slots just multiplies
+    *    interval replication without adding concurrency);
+    *  - no finer than the mean points-per-bucket (a slice below ~1 row
+    *    is pure replication waste);
+    * capped at 64 (the manual-salt probe showed returns flat well
+    * below that). Cost: one codegen'd scan of the point side — noise
+    * next to the join it tunes, and the same spirit as
+    * DimBroadcast.hint's size-aware threshold.
+    */
+  def chooseSalt(points: DataFrame, pointCol: String,
+                 bucketWidth: Long): Int = {
+    val r = points.agg(
+      approx_count_distinct(bucketOf(pointCol, bucketWidth)).as("live"),
+      count(lit(1)).as("n")).head()
+    val live = math.max(1L, r.getLong(0))
+    val n = r.getLong(1)
+    val target = points.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val bySlots = (target + live - 1) / live
+    val byRows = math.max(1L, n / live)
+    math.max(1L, math.min(64L, math.min(bySlots, byRows))).toInt
+  }
+
   /** `salt` > 1 splits every bucket `salt` ways — points take a
-    * deterministic salt from their own value, intervals replicate
-    * across all salts (they cannot know which points will probe them;
-    * the operators/Skew.scala replicate-the-small-side trade). This is
-    * the cure for BUCKET skew, which AQE cannot see: the sf5 probe
-    * measured a 598M-match join running on ~27 single-task partitions
-    * because the time domain had ~27 live buckets — each reducer's
-    * INPUT is kilobytes (so AQE's byte-based skew split never fires)
-    * while its join OUTPUT is tens of millions of rows.
+    * deterministic salt from a hash of their WHOLE row, intervals
+    * replicate across all salts (they cannot know which points will
+    * probe them; the operators/Skew.scala replicate-the-small-side
+    * trade). Hashing the full row, not the point value: millions of
+    * events sharing one timestamp (the very hot-bucket shape this
+    * cures) would all hash to ONE salt and keep the skew; any other
+    * column distinguishes them. Correctness is salt-ASSIGNMENT-
+    * invariant by construction (every interval meets every salt), so
+    * even fully-duplicate rows sharing a slice only costs balance,
+    * never matches. `salt = AutoSalt` derives the factor from a
+    * one-pass pre-agg ([[chooseSalt]]).
     *
     * `broadcastIntervals` hints the exploded interval side around the
     * sort-merge path entirely (right whenever it fits an executor —
@@ -53,23 +103,28 @@ object RangeJoin {
                       bucketWidth: Long, salt: Int = 1,
                       broadcastIntervals: Boolean = false): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
-    require(salt >= 1, s"salt must be >= 1, got $salt")
-    val w = lit(bucketWidth)
+    require(salt >= 1 || salt == AutoSalt,
+      s"salt must be >= 1 (or AutoSalt), got $salt")
+    val nSalt =
+      if (salt == AutoSalt) chooseSalt(points, pointCol, bucketWidth)
+      else salt
     val p = points
-      .withColumn("__b", floor(col(pointCol) / w).cast("long"))
+      .withColumn("__b", bucketOf(pointCol, bucketWidth))
       .withColumn("__s",
-        if (salt > 1) pmod(xxhash64(col(pointCol)), lit(salt.toLong))
+        if (nSalt > 1)
+          pmod(xxhash64(points.columns.map(col).toIndexedSeq: _*),
+            lit(nSalt.toLong))
         else lit(0L))
     val i0 = intervals
       .filter(col(endCol) >= col(startCol))
-      .withColumn("__bs", floor(col(startCol) / w).cast("long"))
-      .withColumn("__be", floor(col(endCol) / w).cast("long"))
+      .withColumn("__bs", bucketOf(startCol, bucketWidth))
+      .withColumn("__be", bucketOf(endCol, bucketWidth))
       .withColumn("__b", explode(expr("sequence(__bs, __be)")))
       .drop("__bs", "__be")
     val i1 =
-      if (salt > 1)
+      if (nSalt > 1)
         i0.withColumn("__s",
-          explode(expr(s"sequence(0L, ${salt - 1}L)")))
+          explode(expr(s"sequence(0L, ${nSalt - 1}L)")))
       else i0.withColumn("__s", lit(0L))
     val i = if (broadcastIntervals) broadcast(i1) else i1
     p.join(i, Seq("__b", "__s"))

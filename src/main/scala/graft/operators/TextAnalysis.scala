@@ -171,6 +171,13 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val d = new java.util.zip.Deflater(6)
+        // Deflater holds NATIVE zlib memory released only by end() (or
+        // finalization, eventually) — on a long-lived executor running
+        // thousands of tasks the leaked streams accumulate off-heap, so
+        // tie the release to task completion, which fires whether the
+        // iterator is drained, the task is killed, or the row path throws
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val raw = Option(text).getOrElse("").getBytes("UTF-8")

@@ -43,6 +43,8 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   /** Deserialized once per driver/executor instance; only touched when
     * the bytes are non-null (the null contract short-circuits first).
+    * @transient so the serialized expression carries ONLY the literal
+    * bytes — executors rebuild the filter from them on first use.
     */
   @transient private lazy val filter: BloomFilter = {
     val bytes = left.eval(null).asInstanceOf[Array[Byte]]
@@ -55,12 +57,22 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (_, v) => {
-      // the left child's generated code is just the literal reference
-      // load; membership goes through the once-deserialized filter
-      val bf = ctx.addReferenceObj("bloomFilter", filter,
-        classOf[BloomFilter].getName)
-      s"${ev.value} = $bf.mightContainLong($v);"
+    nullSafeCodeGen(ctx, ev, (bytes, v) => {
+      // Deserialize LAZILY from the literal's bytes into per-instance
+      // mutable state — NOT addReferenceObj(filter): shipping the
+      // driver-deserialized filter in the codegen references while the
+      // same bytes ride along as the plan literal doubles every task's
+      // closure (~40 MB at the documented 20 MB decontamination filter).
+      // readFrom of the bit array is a cheap wrap, paid once per task.
+      val bf = ctx.addMutableState(classOf[BloomFilter].getName,
+        "graftBloomFilter")
+      s"""
+         |if ($bf == null) {
+         |  $bf = ${classOf[BloomFilter].getName}.readFrom(
+         |    new java.io.ByteArrayInputStream($bytes));
+         |}
+         |${ev.value} = $bf.mightContainLong($v);
+       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

@@ -43,25 +43,16 @@ case class InterleaveBits(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any =
     InterleaveBits.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
+  // Emit a static call rather than an inline loop: Janino cannot parse a
+  // parenthesized arithmetic expression as a shift RHS (`<< (2 * i)` fails
+  // with `Expression "2 * i" is not a type`), which silently demoted every
+  // z-order projection to interpreted mode. The JVM JIT inlines the static
+  // method, so this is as fast as the unrolled loop would have been, and
+  // range checking (with the same exception) lives in one place.
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val z = ctx.freshName("z")
-      s"""
-         |if ($a < 0L || $a > 65535L || $b < 0L || $b > 65535L) {
-         |  throw new IllegalArgumentException(
-         |    "interleave_bits coordinates must be in [0, 65535], got ("
-         |      + $a + ", " + $b + ")");
-         |}
-         |long $z = 0L;
-         |for (int $i = 0; $i < 16; $i++) {
-         |  $z |= (($a >> $i) & 1L) << (2 * $i)
-         |      | (($b >> $i) & 1L) << (2 * $i + 1);
-         |}
-         |${ev.value} = $z;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.InterleaveBits.interleave($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): InterleaveBits =

@@ -530,13 +530,20 @@ object StreamOps {
     val q = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", Similarity.norm("qv"))
+    // collect the probed assignment ONCE (queries×nProbe-bounded — the
+    // same eager job that produces the PartitionFilters cell set) and
+    // rebuild the broadcast side from the collected rows: joining the
+    // original lazy `probed` would re-run the centroid broadcast join +
+    // per-query window a second time inside the index join
     val probed = Similarity
       .assignCells(q, "qv", "qn", centroids, "cell", take = nProbe)
-    val cells = probed.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val probedRows = probed.collect()
+    val cells = probedRows.map(_.getAs[Long]("cell")).distinct.toSeq
+    val probedLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probed.schema)
     val joined = annIndex(spark, indexPath)
       .filter(col("cell").isin(cells: _*))
-      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(probedLocal), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cosine",
         Similarity.dot("qv", "cv") / (col("qn") * col("cn")))

@@ -78,6 +78,54 @@ class RangeJoinSpec extends AnyFunSuite {
       bucketWidth = 50L, salt = 4, broadcastIntervals = true)) == base)
   }
 
+  test("exact bucketing above 2^53: an epoch-nanos domain (~2^60) " +
+    "joins identically to the naive BETWEEN join on bucket edges " +
+    "where double division mis-buckets") {
+    import s.implicits._
+    val W = 3600L * 1000000000L // one hour of nanoseconds
+    val base = (1L << 60) / W * W // bucket-aligned start near 2^60
+    // at this magnitude doubles step by 256 ns, so a point 1 ns below a
+    // bucket boundary rounds ONTO the boundary — the self-check pins
+    // that the fixture really exercises the failure mode
+    assert((0L until 40L).exists { k =>
+      val p = base + k * W - 1
+      math.floor(p.toDouble / W.toDouble).toLong != Math.floorDiv(p, W)
+    }, "fixture must include a point double division mis-buckets")
+    val pts = (0L until 40L).flatMap { k =>
+      val b0 = base + k * W
+      Seq(b0 - 1, b0, b0 + 1, b0 + W / 2)
+    }.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+    val ivs = (0L until 40L by 3L).map { k =>
+      (k, base + k * W, base + (k + 2) * W - 1)
+    }.toDF("iid", "st", "en")
+    val naive = pairs(pts.join(ivs,
+      col("p") >= col("st") && col("p") <= col("en")))
+    assert(naive.nonEmpty, "fixture must produce matches")
+    val got = pairs(RangeJoin.pointInInterval(pts, ivs, "p", "st", "en",
+      bucketWidth = W))
+    assert(got == naive)
+  }
+
+  test("AutoSalt equals the manual result; the chosen factor splits a " +
+    "single-hot-bucket fixture and stays 1 for an already-spread one") {
+    val (pts, ivs) = fixture()
+    val base = pairs(RangeJoin.pointInInterval(pts, ivs, "p", "st",
+      "en", bucketWidth = 50L))
+    assert(pairs(RangeJoin.pointInInterval(pts, ivs, "p", "st", "en",
+      bucketWidth = 50L, salt = RangeJoin.AutoSalt)) == base)
+    import s.implicits._
+    // 5000 events in one day-bucket (many sharing a timestamp — the
+    // value-hash trap): live=1 bucket, so auto must split
+    val rnd = new scala.util.Random(11)
+    val hot = Seq.tabulate(5000)(i => (i.toLong, rnd.nextInt(50).toLong))
+      .toDF("pid", "p")
+    assert(RangeJoin.chooseSalt(hot, "p", 86400L) > 1)
+    // 400 points over ~40 live buckets at width 50 on [-1000, 1000]:
+    // parallelism target is already covered, salt must stay small
+    val spread = RangeJoin.chooseSalt(pts, "p", 50L)
+    assert(spread >= 1 && spread <= 64)
+  }
+
   test("an interval spanning many buckets still matches exactly once " +
     "per point") {
     import s.implicits._

@@ -33,6 +33,17 @@ class ZOrderSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("65535")))
   }
 
+  test("interleave_bits participates in whole-stage codegen") {
+    val plan = s.range(0L, 16L)
+      .select(ZOrder.zvalue(col("id"), col("id")).as("z"))
+      .queryExecution.executedPlan.toString
+    // the star prefix marks operators fused into a WholeStageCodegen
+    // stage — round 11 shipped this expression with generated code Janino
+    // could not parse, and nothing asserted it (NativeCodegenCanarySpec
+    // now pins the compile itself for every native expression)
+    assert(plan.contains("*(1) Project [interleave_bits"), plan)
+  }
+
   /** Files of `path` whose [min, max] of `c` intersects [lo, hi]. */
   private def filesTouched(path: String, c: String,
                            lo: Long, hi: Long): (Int, Int) = {
