@@ -155,6 +155,80 @@ object Bpe {
     merges.result()
   }
 
+  /** BATCHED merge learning — the production-vocab scale path. [[train]]
+    * is exact Sennrich order but pays one Spark job + driver round-trip
+    * PER MERGE: measured 1.96 merges/s on the sf5 text-diverse corpus
+    * (SCALE_r12.md), i.e. a real 32k-merge vocabulary is ~4.5 h of pure
+    * scheduler floor regardless of cluster size. Here each driver round
+    * counts pairs ONCE and adopts up to `batch` merges from the frozen
+    * snapshot, walking candidates in exact argmax order (count desc,
+    * pair lexicographic) and keeping a candidate only if it is SYMBOL-
+    * DISJOINT from every merge already adopted this round — neither of
+    * its symbols appears in an earlier adoption's inputs or output, nor
+    * its output in theirs. Disjointness is what keeps the batch
+    * semantically clean: applying (a,b)→ab cannot create, destroy, or
+    * overlap an occurrence of a disjoint (c,d), so the adopted pairs'
+    * counts are all exact at adoption time and the `batch` replaces
+    * commute (applied in rank order regardless).
+    *
+    * DOCUMENTED DEVIATION from exact Sennrich order: a pair created by
+    * an earlier merge of the SAME round (e.g. (x, ab) after (a,b)) can
+    * only be adopted next round, so between rounds the learned order
+    * can differ from [[train]]'s whenever such a pair would have
+    * out-counted a frozen-snapshot candidate. `batch = 1` is exactly
+    * [[train]] (BpeSpec pins this on real corpora), ranks stay
+    * deterministic, and every adopted pair still carries its true count
+    * at adoption time — the standard block-greedy trade.
+    */
+  def trainBatched(docs: DataFrame, textCol: String, nMerges: Int,
+                   batch: Int): Seq[Merge] = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val merges = Vector.newBuilder[Merge]
+    val base = wordCounts(docs, textCol).cache()
+    base.count()
+    val snapshotEvery = 64 // merges between lineage snapshots
+    var sinceSnapshot = 0
+    var cur = base.select(col("cnt"), col("seq"))
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - r + 1)
+      // over-fetch: disjointness rejects some candidates, and a
+      // rejected candidate stays available next round with a count at
+      // least as accurate. 4x covers heavy symbol-sharing rounds; a
+      // short fetch just means a smaller adopted batch, never a wrong
+      // one.
+      val top = pairCounts(cur)
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(4 * want).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set[String]()
+        val adopted = top.iterator
+          .map(row => (row.getString(0), row.getString(1)))
+          .filter { case (a, b) =>
+            val ok = !used(a) && !used(b) && !used(a + b)
+            if (ok) { used += a; used += b; used += (a + b) }
+            ok
+          }
+          .take(want).toVector
+        adopted.foreach { case (a, b) =>
+          merges += Merge(r, a, b)
+          cur = cur.withColumn("seq", expr(
+            s"replace(seq, '${searchLit(a, b)}', '${replaceLit(a, b)}')"))
+          r += 1
+        }
+        sinceSnapshot += adopted.size
+        if (sinceSnapshot >= snapshotEvery) {
+          cur = cur.localCheckpoint(true)
+          sinceSnapshot = 0
+        }
+      }
+    }
+    base.unpersist(blocking = false)
+    merges.result()
+  }
+
   /** `docs` with `n_words` and `bpe_tokens` columns: the document's
     * token count under the trained merges. One codegen'd projection —
     * the per-doc symbol stream is the concatenation of its delimited

@@ -54,17 +54,24 @@ object RangeJoin {
     * decides how many ways to split each bucket. The skew this cures is
     * output-blowup skew on a FEW live buckets (the sf5 probe: ~27 live
     * hour-buckets → ~27 single-task partitions at kilobytes of reducer
-    * INPUT, so AQE's byte-based detector never fires). Two ceilings:
-    *  - enough slices that live_buckets × salt ≥ the shuffle
-    *    parallelism target (more slices than slots just multiplies
-    *    interval replication without adding concurrency);
+    * INPUT, so AQE's byte-based detector never fires). Sizing:
+    *  - slices per bucket so that live_buckets × salt ≈
+    *    `Oversub` × the shuffle parallelism target. Matching the
+    *    target 1:1 is NOT enough here: a range-join reducer's cost is
+    *    its join OUTPUT, which AQE cannot rebalance after the fact, so
+    *    several slices per core is what keeps the tail task short
+    *    (measured on the sf5 fixture: 1×-target salt=2 → maxTask
+    *    2.9 s; 8× salt → maxTask 1.2 s, total 2.4 s vs 4.3 s);
     *  - no finer than the mean points-per-bucket (a slice below ~1 row
-    *    is pure replication waste);
-    * capped at 64 (the manual-salt probe showed returns flat well
-    * below that). Cost: one codegen'd scan of the point side — noise
+    *    is pure interval-replication waste);
+    *  - capped at 64 (replication of the exploded interval side scales
+    *    linearly with salt — the probe showed returns flat well below
+    *    the cap). Cost: one codegen'd scan of the point side — noise
     * next to the join it tunes, and the same spirit as
     * DimBroadcast.hint's size-aware threshold.
     */
+  private val Oversub = 8L
+
   def chooseSalt(points: DataFrame, pointCol: String,
                  bucketWidth: Long): Int = {
     val r = points.agg(
@@ -74,7 +81,7 @@ object RangeJoin {
     val n = r.getLong(1)
     val target = points.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
-    val bySlots = (target + live - 1) / live
+    val bySlots = (Oversub * target + live - 1) / live
     val byRows = math.max(1L, n / live)
     math.max(1L, math.min(64L, math.min(bySlots, byRows))).toInt
   }

@@ -1,0 +1,218 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+
+/** Dev-only: the round-12 scale-evidence runs behind SCALE_r12.md.
+  *
+  * Modes (arg 1), sfDir (arg 2):
+  *  - `zwrite`: the x20 z-order write premium, re-measured after the
+  *    interleave_bits codegen fix (round 11 measured 10.1 s vs 4.9 s
+  *    plain with the Morton key silently evaluated INTERPRETED — the
+  *    premium should now be mostly the range-sort, not per-row eval).
+  *  - `pqbloom`: x23 parquet native blooms at scale — a 30M-row
+  *    high-cardinality hash table, needle point-probe. Reports ROW
+  *    GROUPS READ with the bloom consulted vs not (direct
+  *    parquet-hadoop measurement: the same footer, the same equality
+  *    predicate, useBloomFilter on/off), plus the Spark-side needle
+  *    scan wall on the bloom-written vs plain layout.
+  *  - `autosalt`: RangeJoin.AutoSalt on the round-11 output-blowup
+  *    skew fixture vs the hand-picked salt=8 — the chosen factor and
+  *    whether auto matches manual's cure.
+  *  - `bpe1k`: BPE merge-learning rate at a REAL vocabulary size —
+  *    1000 merges over the text-diverse sf5 corpus (ScaleGen
+  *    `textdiv`), the sequential-iteration ceiling the 16-merge design
+  *    point never exercised. Reports merges learned, wall, merges/sec.
+  */
+object ProbeR12 {
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Sessions.build("graft-probe-r12", Sessions.cpusFromEnv(32))
+    val metrics = TaskMetricsListener.installed(spark)
+
+    def timed(name: String, df: => DataFrame, reps: Int = 3): Unit = {
+      var out = Seq.empty[String]
+      for (i <- 1 to reps) {
+        spark.catalog.clearCache()
+        metrics.reset()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode(SaveMode.Overwrite).save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        metrics.drain()
+        out :+= f"rep$i ${secs}%.2f s shuffle=${metrics.shuffleWriteMb} MB" +
+          f" spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s"
+      }
+      println(s"PROBE12 $name ${out.mkString(" | ")}")
+    }
+
+    mode match {
+      case "zwrite" =>
+        val li = graft.core.Tables.lineitem(spark, sfDir).select(
+          col("l_orderkey"), col("l_quantity"),
+          (col("l_partkey") % 65536L).cast("long").as("zx"),
+          (col("l_suppkey") % 65536L).cast("long").as("zy"))
+        val liZ = li.withColumn("z", graft.operators.ZOrder
+          .zvalue(col("zx"), col("zy")))
+        val zDir = "/tmp/scale/probe12_zorder"
+        val pDir = "/tmp/scale/probe12_plain"
+        for (rep <- 1 to 2;
+             (name, write) <- Seq[(String, () => Unit)](
+               ("x20_zorder_write", () => graft.operators.ZOrder
+                 .writeZOrdered(liZ, "z", zDir, numFiles = 64)),
+               ("x20_plain_write", () => liZ.repartition(64)
+                 .write.mode(SaveMode.Overwrite).parquet(pDir)))) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          write()
+          metrics.drain()
+          println(f"PROBE12 $name rep$rep ${
+            (System.nanoTime() - t0) / 1e9}%.2f s" +
+            f" shuffle=${metrics.shuffleWriteMb} MB" +
+            f" maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        // pruning payoff unchanged in kind from r11 — re-pin one row so
+        // the re-probe stands alone
+        def touched(dir: String, c: String, lo: Long, hi: Long): Int =
+          new java.io.File(dir).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .count { f =>
+              val r = spark.read.parquet(f.getAbsolutePath)
+                .agg(min(col(c)), max(col(c))).head()
+              r.getLong(0) <= hi && r.getLong(1) >= lo
+            }
+        println(s"PROBE12 x20_files_touched zy<=2047: " +
+          s"zorder=${touched(zDir, "zy", 0L, 2047L)}/64 " +
+          s"plain=${touched(pDir, "zy", 0L, 2047L)}/64")
+
+      case "pqbloom" =>
+        import graft.sources.Formats
+        val n = 30000000L
+        val t = spark.range(0L, n, 1L, 32)
+          .select(col("id"), md5(col("id").cast("string")).as("h"))
+        val bDir = "/tmp/scale/probe12_bloom"
+        val pDir = "/tmp/scale/probe12_nobloom"
+        // ~1M distinct hashes per file/row group
+        Formats.writeParquetBloom(t, bDir, Seq("h"),
+          expectedNdv = n / 32)
+        t.write.mode("overwrite").parquet(pDir)
+        val needleId = 12345678L
+        val needle = t.filter(col("id") === needleId)
+          .select("h").head().getString(0)
+
+        // direct row-group measurement: same files, same equality
+        // predicate, bloom consulted vs not (stats/dictionary pruning
+        // disabled both times so the delta is the bloom alone)
+        def rowGroups(dir: String, useBloom: Boolean): (Int, Int) = {
+          import org.apache.parquet.filter2.compat.FilterCompat
+          import org.apache.parquet.filter2.predicate.FilterApi
+          import org.apache.parquet.hadoop.{ParquetFileReader}
+          import org.apache.parquet.hadoop.util.HadoopInputFile
+          import org.apache.parquet.io.api.Binary
+          val conf = spark.sparkContext.hadoopConfiguration
+          val pred = FilterCompat.get(FilterApi.eq(
+            FilterApi.binaryColumn("h"), Binary.fromString(needle)))
+          var total = 0
+          var read = 0
+          new java.io.File(dir).listFiles()
+            .filter(f => f.getName.endsWith(".parquet")).foreach { f =>
+              val in = HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+              val all = ParquetFileReader.open(in)
+              try total += all.getRowGroups.size()
+              finally all.close()
+              val opts = org.apache.parquet.HadoopReadOptions
+                .builder(conf)
+                .withRecordFilter(pred)
+                .useBloomFilter(useBloom)
+                .useStatsFilter(false)
+                .useDictionaryFilter(false)
+                .build()
+              val r = ParquetFileReader.open(in, opts)
+              try read += r.getRowGroups.size()
+              finally r.close()
+            }
+          (read, total)
+        }
+        val (withB, tot) = rowGroups(bDir, useBloom = true)
+        val (withoutB, _) = rowGroups(bDir, useBloom = false)
+        println(s"PROBE12 pqbloom_rowgroups needle-probe over $n rows: " +
+          s"bloom=$withB/$tot read, nobloom=$withoutB/$tot read")
+
+        // Spark-side needle scan wall, bloom layout vs plain layout
+        for ((name, dir) <- Seq(("pqbloom_scan_bloom", bDir),
+                                ("pqbloom_scan_plain", pDir));
+             rep <- 1 to 3) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val c = spark.read.parquet(dir)
+            .filter(col("h") === needle).count()
+          println(f"PROBE12 $name rep$rep ${
+            (System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+        }
+
+      case "autosalt" =>
+        val ev5 = graft.core.Tables.eventsWithTsUs(spark, sfDir)
+          .select(col("event_id"), expr("ts_us DIV 3600000000").as("hr"))
+        val win5 = graft.core.Tables.orders(spark, sfDir)
+          .filter(pmod(col("o_orderkey"), lit(97L)) === 0L)
+          .select(col("o_orderkey"),
+            (lit(473352L) + pmod(col("o_orderkey"), lit(30000L)))
+              .as("start_hr"))
+          .withColumn("end_hr", col("start_hr") + lit(47L))
+        val chosen = graft.operators.RangeJoin
+          .chooseSalt(ev5, "hr", 24L)
+        println(s"PROBE12 autosalt_chosen salt=$chosen")
+        timed("x21_salt8_manual", graft.operators.RangeJoin
+          .pointInInterval(ev5, win5, "hr", "start_hr", "end_hr", 24L,
+            salt = 8)
+          .groupBy("o_orderkey").agg(count(lit(1)).as("n")), reps = 2)
+        timed("x21_salt_auto", graft.operators.RangeJoin
+          .pointInInterval(ev5, win5, "hr", "start_hr", "end_hr", 24L,
+            salt = graft.operators.RangeJoin.AutoSalt)
+          .groupBy("o_orderkey").agg(count(lit(1)).as("n")), reps = 2)
+
+      case "bpe1k" =>
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val tr = docs.filter(graft.operators.TextAnalysis
+          .splitAssign("doc_id", 80, 10) === "train")
+        val nM = if (args.length > 2) args(2).toInt else 1000
+        val t0 = System.nanoTime()
+        val merges = graft.operators.Bpe.train(tr, "text", nM)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE12 bpe1k merges=${merges.size} wall=${secs}%.1f s" +
+          f" merges_per_sec=${merges.size / secs}%.2f")
+        // the learned table must be a real sub-word vocabulary, not the
+        // base alphabet: show the tail merges
+        println(s"PROBE12 bpe1k_tail ${merges.takeRight(5)
+          .map(m => s"${m.a}+${m.b}").mkString(" ")}")
+
+      case "bpebatch" =>
+        // the block-greedy cure for the sequential ceiling bpe1k
+        // measured: same corpus, same merge budget, batch=32 adoptions
+        // per driver round
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val tr = docs.filter(graft.operators.TextAnalysis
+          .splitAssign("doc_id", 80, 10) === "train")
+        val nM = if (args.length > 2) args(2).toInt else 1000
+        val bsz = if (args.length > 3) args(3).toInt else 32
+        val t0 = System.nanoTime()
+        val merges = graft.operators.Bpe.trainBatched(tr, "text", nM, bsz)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE12 bpebatch batch=$bsz merges=${merges.size} " +
+          f"wall=${secs}%.1f s merges_per_sec=${merges.size / secs}%.2f")
+        println(s"PROBE12 bpebatch_tail ${merges.takeRight(5)
+          .map(m => s"${m.a}+${m.b}").mkString(" ")}")
+
+      case other =>
+        sys.error(s"unknown ProbeR12 mode: $other")
+    }
+    spark.stop()
+  }
+}

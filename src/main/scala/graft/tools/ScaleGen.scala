@@ -51,6 +51,33 @@ object ScaleGen {
   private val HotKeys = 8
   private val HotShare = 0.5
 
+  /** `textdiv` word generator (see main's flag doc): per-token Zipf rank
+    * from a seeded hash, rank -> 2-3 syllables by base-40 digits. HOF
+    * lambdas evaluate interpreted per element — fine HERE because
+    * ScaleGen is a one-shot dev generator, not a benched operator; the
+    * nested transform binds each rank once so the 3 syllable lookups
+    * don't re-derive it (the CollapseProject re-evaluation trap).
+    */
+  private def synthTextSql(seed: Int): String = {
+    val syls = for {
+      c <- Seq("b", "d", "f", "g", "k", "l", "m", "n", "r", "s")
+      v <- Seq("a", "e", "i", "o")
+    } yield c + v
+    val sylArr = syls.map("'" + _ + "'").mkString("array(", ",", ")")
+    val lnV = math.log(50000.0)
+    s"""array_join(transform(
+          transform(sequence(1, greatest(8,
+              size(regexp_extract_all(lower(text), '[a-z]+', 0)))),
+            j -> CAST(exp((pmod(xxhash64(doc_id, j, $seed), 1000000L)
+                 / 1000000.0D) * ${lnV}D) AS BIGINT) - 1),
+          r -> concat(
+            element_at($sylArr, CAST(1 + r % 40 AS INT)),
+            element_at($sylArr, CAST(1 + (r DIV 40) % 40 AS INT)),
+            IF(r % 7 < 3,
+              element_at($sylArr, CAST(1 + (r DIV 1600) % 40 AS INT)),
+              ''))), ' ')"""
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(baseDir, outDir, factorStr) = args.take(3)
     val k = factorStr.toInt
@@ -66,9 +93,27 @@ object ScaleGen {
     // deterministic jitter (the l12 planted-twin trick generalized to
     // whole clusters).
     val cluster = flags.contains("cluster")
-    // `embonly`: rewrite only the embeddings table into an existing
-    // inflated dir (probe turnaround; everything else is unchanged).
+    // `textdiv`: inflated document copies get CONTENT-DIVERSE synthetic
+    // text instead of exact replicas — the `cluster`-mode honesty trick
+    // applied to text. Exact-replica inflation makes ingest/BPE scale
+    // numbers vacuous: the span-dedup stage cuts ~100% of batch tokens
+    // (every doc is a duplicate, so the quota stage ranks all-zero
+    // counts) and BPE finds only the base corpus's ~31-word vocabulary
+    // (SCALE_r11.md §3/§4). Here copy i>0 docs are regenerated by
+    // seeded per-token sampling from a power-law vocabulary of
+    // syllable-structured words: token j of doc d draws rank
+    // r = exp(u·lnV) (P(rank) ∝ 1/rank, V=50k) from u =
+    // xxhash64(doc_id, j)/1e6, and word(r) concatenates 2-3 syllables
+    // from a 40-syllable base by the base-40 digits of r — shared
+    // sub-word structure a real tokenizer can learn (thousands of
+    // distinct learnable merges), document length preserved from the
+    // replica's token count. Copy 0 stays intact for cross-checks.
+    val textDiv = flags.contains("textdiv")
+    // `embonly`/`doconly`: rewrite only the embeddings / documents table
+    // into an existing inflated dir (probe turnaround; everything else
+    // is unchanged).
     val embOnly = flags.contains("embonly")
+    val docOnly = flags.contains("doconly")
     val spark = Sessions.build("graft-scalegen", Sessions.cpusFromEnv(32))
 
     def read(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
@@ -147,7 +192,11 @@ object ScaleGen {
       "events" -> zipfRemap("user_id", 3)(inflate(read("events"),
         Map("event_id" -> eventBase, "user_id" -> userBase))),
       "documents" -> zipfHotTexts(read("documents"))(
-        inflate(read("documents"), Map("doc_id" -> docBase))),
+        inflate(read("documents"), Map("doc_id" -> docBase),
+          perCopy = (d, i) =>
+            if (!textDiv || i == 0) d
+            else d.withColumn("text", expr(synthTextSql(1000 + i)))
+              .withColumn("n_chars", length(col("text")).cast("long")))),
       "embeddings" -> {
         val nClusters = 64
         lazy val centers = broadcast(read("embeddings")
@@ -174,7 +223,9 @@ object ScaleGen {
       })
 
     tables
-      .filter { case (name, _) => !embOnly || name == "embeddings" }
+      .filter { case (name, _) =>
+        (!embOnly || name == "embeddings") &&
+          (!docOnly || name == "documents") }
       .foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
         println(s"[scalegen] $name -> $outDir/$name.parquet")

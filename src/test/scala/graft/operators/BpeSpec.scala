@@ -107,6 +107,41 @@ class BpeSpec extends AnyFunSuite {
     assert(n == 4L, "b|b spans a word seam and must not merge")
   }
 
+  test("trainBatched: batch=1 is exactly train; larger batches keep " +
+    "the argmax head, determinism under partitioning, and encode " +
+    "consistency; the deviation stays within-round") {
+    import s.implicits._
+    val df = corpus.toDF("doc_id", "text")
+    val seq = Bpe.train(df, "text", 12)
+    assert(Bpe.trainBatched(df, "text", 12, batch = 1)
+      .map(m => (m.a, m.b)) == seq.map(m => (m.a, m.b)),
+      "batch=1 must be exact Sennrich order")
+    for (parts <- Seq(1, 7)) {
+      val b4 = Bpe.trainBatched(df.repartition(parts), "text", 12,
+        batch = 4)
+      assert(b4.map(_.rank) == (1 to 12), s"parts=$parts")
+      // the first adoption of the first round IS the global argmax —
+      // batching can only defer same-round-created pairs, never demote
+      // the head
+      assert((b4.head.a, b4.head.b) == (seq.head.a, seq.head.b),
+        s"parts=$parts")
+      // encode correctness is rank-order application, independent of
+      // how the table was learned: the dataflow encode must match the
+      // naive reference under the batched table too
+      val refMerges = b4.map(m => (m.a, m.b))
+      val got = Bpe.encodeCounts(df, "text", b4)
+        .select("doc_id", "bpe_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      corpus.foreach { case (id, text) =>
+        assert(got(id) == refEncodeCount(text, refMerges),
+          s"doc $id parts=$parts")
+      }
+    }
+    // determinism: two identical runs learn identical tables
+    assert(Bpe.trainBatched(df, "text", 12, batch = 4) ==
+      Bpe.trainBatched(df, "text", 12, batch = 4))
+  }
+
   test("training exhausts gracefully when every word is fully merged") {
     import s.implicits._
     val tiny = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
