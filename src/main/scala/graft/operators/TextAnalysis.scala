@@ -147,6 +147,47 @@ object TextAnalysis {
     * reproducible cross-engine, unlike a floating-point log). Terms
     * shorter than `minLen` are skipped (stopword screen).
     */
+  /** RE2 ∩ java.regex portable pattern for zero-width characters
+    * (ZWSP/ZWNJ/ZWJ + the BOM-as-ZWNBSP): invisible, copy-pasted into
+    * crawled text constantly, and every one of them splits an exact
+    * hash, a shingle, or a vocabulary entry that SHOULD match. Exposed
+    * so the l35 oracle SQL reuses the identical pattern.
+    */
+  val ZeroWidthPattern = "[\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  /** C0 control characters except \t \n \r, plus DEL — artifacts of
+    * binary-in-text crawl damage, never content.
+    */
+  val ControlPattern =
+    "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
+
+  /** Unicode canonicalization — the cleaning step every HASH-KEYED
+    * operator in this engine quietly depends on: crawled corpora mix
+    * composed and decomposed forms of the same visible text (`é` vs
+    * `e`+U+0301 — macOS uploads are NFD) and sprinkle zero-width/
+    * control bytes, so without this pass exact dedup (l1/l22), shingle
+    * keys (l2x/l23), fingerprints (l10) and BPE vocabularies (l30x)
+    * all treat equal text as distinct. Strip the invisibles first,
+    * then NFC-compose via the native codegen'd [[graft.plans.NfcNormalize]]
+    * (pure-ASCII fast path — the overwhelming common case pays one
+    * byte-vs-codepoint scan, no allocation). Map-only, no shuffle; the
+    * whole pass is one codegen'd projection. DuckDB's `nfc_normalize`
+    * (utf8proc) matches the JDK normalizer byte-for-byte, so l35
+    * hash-crosses engines on md5 of the cleaned text.
+    */
+  def unicodeClean(df: DataFrame, idCol: String,
+                   textCol: String): DataFrame =
+    df
+      .withColumn("__stripped", regexp_replace(
+        regexp_replace(col(textCol), ZeroWidthPattern, ""),
+        ControlPattern, ""))
+      .withColumn("text_clean",
+        call_function("nfc_normalize", col("__stripped")))
+      .select(col(idCol), col("text_clean"),
+        (length(col(textCol)) - length(col("__stripped"))).cast("long")
+          .as("removed_chars"),
+        (col("text_clean") =!= col("__stripped")).as("recomposed"))
+
   /** Per-doc zlib COMPRESSION RATIO — the Gopher/C4-family quality
     * signal the regex features can't fake: boilerplate and template
     * text compresses far below ~0.4, high-entropy natural prose sits

@@ -66,10 +66,12 @@ case class BloomMightContain(left: Expression, right: Expression)
       // readFrom of the bit array is a cheap wrap, paid once per task.
       val bf = ctx.addMutableState(classOf[BloomFilter].getName,
         "graftBloomFilter")
+      // through the static helper, not readFrom directly: readFrom
+      // throws checked IOException, which generated code can't declare
+      // — the canary spec caught exactly that as a CompileException
       s"""
          |if ($bf == null) {
-         |  $bf = ${classOf[BloomFilter].getName}.readFrom(
-         |    new java.io.ByteArrayInputStream($bytes));
+         |  $bf = graft.plans.BloomMightContain.deserialize($bytes);
          |}
          |${ev.value} = $bf.mightContainLong($v);
        """.stripMargin
@@ -78,4 +80,14 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  /** Executor-side lazy deserialization target for the generated code:
+    * wraps readFrom's CHECKED IOException (generated methods can't
+    * declare throws) — it cannot actually occur on a byte-array stream.
+    */
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    try BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+    catch { case e: java.io.IOException => throw new RuntimeException(e) }
 }

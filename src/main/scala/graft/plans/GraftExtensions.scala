@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         BloomMightContain(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -1641,6 +1641,45 @@ object LlmOps {
           AS linky
       FROM c"""))
 
+  // L35 — Unicode canonicalization (TextAnalysis.unicodeClean + the
+  // native nfc_normalize expression): the corpus is ASCII, so the
+  // fixture dirties every doc IN-QUERY with the same engine-portable
+  // construction — a decomposed `naïve café` suffix (combining U+0308/
+  // U+0301 that NFC must recompose) and, on every third doc, a
+  // zero-width space + a control byte that the strip must remove. The
+  // per-doc md5 of the cleaned text crossing engines proves the JDK
+  // normalizer and DuckDB's utf8proc agree byte-for-byte; removed_chars
+  // pins the strip count and `recomposed` the NFC-changed decision.
+  private val l35 = QueryDef("l35_unicode_clean", (s, dir) => {
+    // DECOMPOSED suffix (combining diaeresis/acute as separate code
+    // points, written as unicode escape sequences so no editor or
+    // tool silently recomposes them) + zero-width-space/control dirt
+    val dirty = concat(col("text"),
+      lit(" nai\u0308ve cafe\u0301"),
+      when(col("doc_id") % 3 === 0, lit("\u200Bzw\u0001ctl"))
+        .otherwise(lit("")))
+    TextAnalysis.unicodeClean(
+      Tables.documents(s, dir).withColumn("__dirty", dirty),
+      "doc_id", "__dirty")
+      .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+        length(col("text_clean")).cast("long").as("clean_chars"),
+        col("removed_chars"), col("recomposed"))
+  }, Some(s"""WITH d AS (SELECT doc_id,
+        text || ' nai' || chr(776) || 've cafe' || chr(769) ||
+          CASE WHEN doc_id % 3 = 0
+               THEN chr(8203) || 'zw' || chr(1) || 'ctl'
+               ELSE '' END AS t
+        FROM documents),
+      st AS (SELECT doc_id, t, regexp_replace(regexp_replace(t,
+          '${TextAnalysis.ZeroWidthPattern}', '', 'g'),
+          '${TextAnalysis.ControlPattern}', '', 'g') AS s0
+        FROM d)
+      SELECT doc_id, md5(nfc_normalize(s0)) AS clean_md5,
+        CAST(length(nfc_normalize(s0)) AS BIGINT) AS clean_chars,
+        CAST(length(t) - length(s0) AS BIGINT) AS removed_chars,
+        (nfc_normalize(s0) <> s0) AS recomposed
+      FROM st"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
@@ -1648,5 +1687,5 @@ object LlmOps {
       l13, l14, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
-      l30t, l30v, l31, l31s, l32, l33, l34, m1)
+      l30t, l30v, l31, l31s, l32, l33, l34, l35, m1)
 }

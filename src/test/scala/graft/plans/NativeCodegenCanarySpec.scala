@@ -81,6 +81,10 @@ class NativeCodegenCanarySpec extends AnyFunSuite {
     assertCompiles(NearestCell(vecA, mat, nrm, ids))
   }
 
+  test("nfc_normalize generated code compiles") {
+    assertCompiles(NfcNormalize(str))
+  }
+
   test("bloom_might_contain generated code compiles") {
     val bf = BloomFilter.create(100L)
     bf.putLong(42L)
