@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Bpe, CorpusAssembly, Dedup, Html, IngestPipeline, Multimodal, QualityClassifier, Similarity, TextAnalysis}
+import graft.operators.{Bpe, CorpusAssembly, Dedup, Html, IngestPipeline, Multimodal, QualityClassifier, Similarity, TextAnalysis, Urls}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -1680,6 +1680,41 @@ object LlmOps {
         (nfc_normalize(s0) <> s0) AS recomposed
       FROM st"""))
 
+  // L36 — URL canonicalization + registrable domain (operators/Urls):
+  // the crawl-curation step before URL-keyed dedup / per-domain quotas
+  // / blocklists. The corpus has no URL column, so the fixture
+  // synthesizes five URL shapes per doc IN-QUERY (mixed-case scheme+
+  // host, default ports, tracking params in every position, a
+  // multi-label co.uk host, a blocklisted domain, a malformed
+  // scheme-less string) from a shared template — engine-specific only
+  // in the doc_id cast spelling. Canonical form, domain, and the
+  // blocklist decision all hash-cross engines per doc.
+  private def l36UrlSynth(idStr: String) =
+    s"""CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN concat('HTTP://Example.COM:80/Path/p', $idStr,
+          '?utm_source=x&id=', $idStr, '#frag')
+        WHEN 1 THEN concat(
+          'https://Sub.Site.co.uk:443/a?b=1&utm_campaign=z&c=2&gclid=',
+          $idStr)
+        WHEN 2 THEN concat('https://tracker.spam-domain.com/x', $idStr,
+          '?fbclid=abc')
+        WHEN 3 THEN concat('http://plain.org/doc/', $idStr)
+        ELSE concat('no-scheme-here/', $idStr)
+        END"""
+  private val l36 = QueryDef("l36_url_canonicalize", (s, dir) => {
+    val src = Tables.documents(s, dir)
+      .withColumn("u", expr(l36UrlSynth("CAST(doc_id AS STRING)")))
+    Urls.canonicalize(src, "u")
+      .select(col("doc_id"), col("url_canonical"), col("url_domain"),
+        coalesce(col("url_domain") === "spam-domain.com", lit(false))
+          .as("blocked"))
+  }, Some(s"""WITH ${Urls.canonicalDuckSql(
+      s"SELECT doc_id, ${l36UrlSynth("CAST(doc_id AS VARCHAR)")} AS u " +
+        "FROM documents")}
+      SELECT doc_id, url_canonical, url_domain,
+        coalesce(url_domain = 'spam-domain.com', false) AS blocked
+      FROM c"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
@@ -1687,5 +1722,5 @@ object LlmOps {
       l13, l14, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
-      l30t, l30v, l31, l31s, l32, l33, l34, l35, m1)
+      l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, m1)
 }
