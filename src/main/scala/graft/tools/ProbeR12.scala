@@ -210,6 +210,49 @@ object ProbeR12 {
         println(s"PROBE12 bpebatch_tail ${merges.takeRight(5)
           .map(m => s"${m.a}+${m.b}").mkString(" ")}")
 
+      case "newops12" =>
+        // l35 unicode clean + l36 URL canonicalization at scale — both
+        // are map-only codegen'd projections, so the claim to verify is
+        // ZERO shuffle and linear wall, not clever distribution
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        timed("l35_unicode_clean", graft.operators.TextAnalysis
+          .unicodeClean(docs.withColumn("__dirty",
+            concat(col("text"), lit(" nai\u0308ve cafe\u0301"),
+              when(col("doc_id") % 3 === 0, lit("​zwctl"))
+                .otherwise(lit("")))), "doc_id", "__dirty")
+          .groupBy().agg(sum("removed_chars"), count(lit(1))))
+        val urls = spark.range(0L, 30000000L, 1L, 32)
+          .select(col("id").as("doc_id"),
+            concat(lit("HTTP://Host"), pmod(col("id"), lit(100000L)),
+              lit(".Example.COM:80/p/"), col("id"),
+              lit("?utm_source=x&q="), pmod(col("id"), lit(7L)),
+              lit("#f")).as("u"))
+        timed("l36_canonicalize_30m", graft.operators.Urls
+          .canonicalize(urls, "u")
+          .groupBy().agg(count(col("url_canonical")),
+            approx_count_distinct(col("url_domain"))))
+        import spark.implicits._
+        val block = (0L until 100000L).map(i => s"host$i.example.com")
+          .toDF("domain")
+        timed("l36_blocklist_100k_30m", graft.operators.Urls
+          .filterBlockedDomains(urls, "u", block)
+          .groupBy().agg(count(lit(1))))
+
+      case "urlplan" =>
+        val urls = spark.range(0L, 1000L, 1L, 4)
+          .select(col("id").as("doc_id"),
+            concat(lit("HTTP://Host"), pmod(col("id"), lit(100000L)),
+              lit(".Example.COM:80/p/"), col("id"),
+              lit("?utm_source=x&q="), pmod(col("id"), lit(7L)),
+              lit("#f")).as("u"))
+        import spark.implicits._
+        val block = (0L until 100L).map(i => s"host$i.example.com")
+          .toDF("domain")
+        val q = graft.operators.Urls.filterBlockedDomains(urls, "u",
+          block).groupBy().agg(count(lit(1)))
+        println(q.queryExecution.executedPlan.toString.take(8000))
+
       case other =>
         sys.error(s"unknown ProbeR12 mode: $other")
     }
