@@ -381,6 +381,103 @@ object Bpe {
     s"WITH ${oracleTrainCtes(textCol, trainFilterSql, nMerges)}\n$union"
   }
 
+  /** DuckDB replay of [[trainBatched]]: per round, pair counts over the
+    * round's vocab snapshot, candidates in exact argmax order (count
+    * desc, a, b — the 4×batch over-fetch mirrored), a RECURSIVE-CTE
+    * greedy walk adopting symbol-disjoint pairs (neither symbol nor the
+    * merged surface may have appeared in an earlier adoption of the
+    * round — the same `used` set the Scala side keeps), cumulative
+    * ranks across rounds, and the round's ≤`batch` replaces applied as
+    * `batch` unrolled slots guarded by a never-occurring sentinel
+    * search (symbols are `[a-z]+`, so `~i~` cannot match) for rounds
+    * that adopt fewer. The engines must land on the identical
+    * (rank, a, b) table.
+    *
+    * Round shape: conflict rejections make adoption counts corpus-
+    * dependent (the sf0.01 gate corpus adopts 5/6/4/1 across four
+    * rounds for a 16-merge budget), so the replay unrolls nMerges
+    * rounds — the worst case, since an active round adopts at least
+    * its first candidate — with each round's quota computed IN SQL as
+    * `least(batch, nMerges - merges_so_far)`, exactly the Scala
+    * side's `want`. Exhausted rounds (quota 0, or an exhausted pair
+    * stream) adopt nothing and pass the vocab through unchanged.
+    */
+  def oracleTrainBatchedSql(textCol: String, trainFilterSql: String,
+                            nMerges: Int, batch: Int): String = {
+    val rounds = nMerges
+    val head =
+      s"""tr AS (SELECT lower($textCol) AS t FROM documents
+         !  WHERE $trainFilterSql),
+         !wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         !  FROM (SELECT unnest(regexp_extract_all(t, '[a-z]+')) AS word
+         !        FROM tr)
+         !  GROUP BY word),
+         !b0 AS MATERIALIZED (SELECT cnt,
+         !  '$Sep$Sep' || regexp_replace(word, '(.)', '\\1$Sep$Sep', 'g')
+         !  AS seq FROM wc),
+         !ms0 AS (SELECT CAST(NULL AS BIGINT) AS rank,
+         !  CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b
+         !  WHERE false)""".stripMargin('!')
+    val iters = (1 to rounds).map { k =>
+      // slot i of the unrolled replace chain: the i-th adoption's
+      // search/replace literals, or an unmatchable sentinel
+      val replaced = (1 to batch).foldLeft("seq") { (acc, i) =>
+        val m = s"pk$k.picked[$i]"
+        s"""replace($acc,
+           !  CASE WHEN len(pk$k.picked) >= $i
+           !    THEN '$Sep' || $m.a || '$Sep$Sep' || $m.b || '$Sep'
+           !    ELSE '~$i~' END,
+           !  CASE WHEN len(pk$k.picked) >= $i
+           !    THEN '$Sep' || $m.a || $m.b || '$Sep'
+           !    ELSE '' END)""".stripMargin('!')
+      }
+      s"""wt$k AS (SELECT least($batch,
+         !  $nMerges - (SELECT count(*) FROM ms${k - 1})) AS w),
+         !pp$k AS (SELECT pr.a AS a, pr.b AS b, sum(cnt) AS total FROM
+         !  (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         !     i -> struct_pack(a := syms[i], b := syms[i+1]))) AS pr FROM
+         !   (SELECT cnt, list_filter(string_split(seq, '$Sep'),
+         !      x -> x <> '') AS syms FROM b${k - 1}))
+         !  GROUP BY 1, 2),
+         !cand$k AS (SELECT a, b, row_number()
+         !    OVER (ORDER BY total DESC, a, b) AS rn
+         !  FROM pp$k QUALIFY rn <= 4 * (SELECT w FROM wt$k)),
+         !sel$k AS (
+         !  SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+         !    CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[]) AS picked
+         !  UNION ALL
+         !  SELECT q.rn,
+         !    CASE WHEN q.ok THEN q.used || [q.a, q.b, q.a || q.b]
+         !         ELSE q.used END,
+         !    CASE WHEN q.ok THEN list_append(q.picked,
+         !           struct_pack(a := q.a, b := q.b))
+         !         ELSE q.picked END
+         !  FROM (
+         !    SELECT c.rn, c.a, c.b, s.used, s.picked,
+         !      (len(s.picked) < (SELECT w FROM wt$k)
+         !       AND NOT list_contains(s.used, c.a)
+         !       AND NOT list_contains(s.used, c.b)
+         !       AND NOT list_contains(s.used, c.a || c.b)) AS ok
+         !    FROM sel$k s JOIN cand$k c ON c.rn = s.rn + 1) q),
+         !pk$k AS MATERIALIZED (SELECT picked FROM sel$k
+         !  ORDER BY rn DESC LIMIT 1),
+         !ms$k AS MATERIALIZED (SELECT * FROM ms${k - 1}
+         !  UNION ALL
+         !  SELECT CAST((SELECT count(*) FROM ms${k - 1}) + u.i
+         !      AS BIGINT) AS rank,
+         !    u.p.a AS a, u.p.b AS b
+         !  FROM (SELECT unnest(list_transform(
+         !      range(1, len(picked) + 1),
+         !      i -> struct_pack(i := i, p := picked[i]))) AS u
+         !    FROM pk$k)),
+         !b$k AS MATERIALIZED (SELECT cnt, $replaced AS seq
+         !  FROM b${k - 1}, pk$k)""".stripMargin('!')
+    }
+    s"""WITH RECURSIVE ${(head +: iters).mkString(",\n")}
+       !SELECT rank, a, b, a || b AS merged FROM ms$rounds"""
+      .stripMargin('!')
+  }
+
   /** CTE chain `t0, t1, ..., tN, stream` — the encoded token stream of
     * the `docFilterSql` docs as a reusable CTE (`stream(doc_id, pos,
     * token)`, pos 1-based). Assumes [[oracleTrainCtes]] precede it.

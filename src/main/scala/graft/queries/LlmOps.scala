@@ -1469,6 +1469,22 @@ object LlmOps {
       .toDF("rank", "a", "b", "merged")
   }, Some(Bpe.oracleTrainSql("text", bpeTrainFilter, bpeMerges)))
 
+  // L30B — the BATCHED merge-learning variant (the production-vocab
+  // scale path: 9x the sequential learning rate at 1k merges,
+  // SCALE_r12.md §4). The DuckDB oracle replays the block-greedy
+  // algorithm itself — per-round pair-count snapshot, argmax-ordered
+  // candidates, a RECURSIVE-CTE symbol-disjoint greedy walk, cumulative
+  // ranks, guarded-slot replace unrolling — so the deviation from exact
+  // Sennrich order is itself pinned cross-engine, not just spec-pinned.
+  private val l30b = QueryDef("l30b_bpe_train_batched", (s, dir) => {
+    val merges = Bpe.trainBatched(bpeTrainDocs(s, dir), "text",
+      bpeMerges, batch = 8)
+    import s.implicits._
+    merges.map(m => (m.rank.toLong, m.a, m.b, m.merged))
+      .toDF("rank", "a", "b", "merged")
+  }, Some(Bpe.oracleTrainBatchedSql("text", bpeTrainFilter, bpeMerges,
+    batch = 8)))
+
   private val l30e = QueryDef("l30e_bpe_tokenize", (s, dir) => {
     val merges = bpeMemo.computeIfAbsent(dir,
       d => Bpe.train(bpeTrainDocs(s, d), "text", bpeMerges))
@@ -1721,6 +1737,6 @@ object LlmOps {
       l11, l11p, l12, l12c, l12p, l12cp,
       l13, l14, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
-      l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30e,
+      l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, m1)
 }

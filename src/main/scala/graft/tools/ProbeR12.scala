@@ -253,6 +253,14 @@ object ProbeR12 {
           block).groupBy().agg(count(lit(1)))
         println(q.queryExecution.executedPlan.toString.take(8000))
 
+      case "bpedebug" =>
+        val tr = graft.core.Tables.documents(spark, sfDir)
+          .filter(graft.operators.TextAnalysis
+            .splitAssign("doc_id", 80, 10) === "train")
+        val ms = graft.operators.Bpe.trainBatched(tr, "text", 16, 8)
+        println(s"PROBE12 bpedebug adopted=${ms.size} " +
+          ms.map(m => s"${m.rank}:${m.a}+${m.b}").mkString(" "))
+
       case other =>
         sys.error(s"unknown ProbeR12 mode: $other")
     }
