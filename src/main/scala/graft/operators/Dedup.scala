@@ -98,8 +98,9 @@ object Dedup {
     */
   private def shingleTable(df: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0).cache()
+    Barrier.filterAbove(
+      df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh")),
+      size(col("sh")) > 0).cache()
 
   /** Exploded (doc, shingle) inverted index, with shingles whose document
     * frequency exceeds `maxDocFreq` dropped BEFORE any join. The cap is
@@ -299,8 +300,9 @@ object Dedup {
                       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.2): DataFrame = {
     val k = bands * rowsPerBand
-    val sh = df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0).cache()
+    val sh = Barrier.filterAbove(
+      df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh")),
+      size(col("sh")) > 0).cache()
     // signature via explode + k min-aggregates — one shuffle on doc id,
     // map-side partial mins keep the exchange tiny. Each shingle STRING
     // is hashed exactly once (xxhash64), then the k permutations re-hash
@@ -421,9 +423,10 @@ object Dedup {
                           n: Int,
                           maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val cSh = shingleTable(corpus, idCol, textCol, n)
-    val bSh = benchmark.select(col(idCol).as("bdoc"),
-        shingles(textCol, n).as("bsh"))
-      .filter(size(col("bsh")) > 0).cache()
+    val bSh = Barrier.filterAbove(
+      benchmark.select(col(idCol).as("bdoc"),
+        shingles(textCol, n).as("bsh")),
+      size(col("bsh")) > 0).cache()
     val cInv = invertedIndex(cSh, maxDocFreq)
     val bInv = bSh.select(col("bdoc"), explode(col("bsh")).as("shingle"))
     // Same two physical paths as [[ngramJaccardPairs]]: uncapped, the
@@ -475,9 +478,10 @@ object Dedup {
                                idCol: String, textCol: String,
                                n: Int, fpp: Double = 0.03): DataFrame = {
     val cSh = shingleTable(corpus, idCol, textCol, n)
-    val bSh = benchmark.select(col(idCol).as("bdoc"),
-        shingles(textCol, n).as("bsh"))
-      .filter(size(col("bsh")) > 0)
+    val bSh = Barrier.filterAbove(
+      benchmark.select(col(idCol).as("bdoc"),
+        shingles(textCol, n).as("bsh")),
+      size(col("bsh")) > 0)
     // cache ONLY across the two construction-time jobs (key count +
     // filter build), then release before returning: the returned lazy
     // plan re-shingles the benchmark side twice (bInv join + bSizes),

@@ -101,25 +101,13 @@ object Urls {
     */
   def filterBlockedDomains(df: DataFrame, urlCol: String,
                            blocklist: DataFrame): DataFrame = {
-    // The rand() column is a PUSHDOWN BARRIER, nothing else: a
-    // deterministic filter on url_domain is pushed below the
-    // canonicalization Projects, where it re-evaluates the whole
-    // inlined regex tree per row on top of the projection's own
-    // evaluation — measured 7x wall on a 30M-row probe (160 s vs 22 s,
-    // SCALE_r12.md §7). Filter pushdown (and Project collapse) require
-    // every projected field to be deterministic, so one never-read
-    // non-deterministic column pins the filter ABOVE the projection,
-    // where it tests the already-computed attribute. Costs one PRNG
-    // draw per row; dropped immediately.
-    // the barrier must be REFERENCED by the filter: unused columns are
-    // pruned (even non-deterministic ones), which restores a fully
-    // deterministic projection and re-enables the push. rand() >= -1
-    // is always true but cannot be folded away through the attribute.
-    val withDomain = canonicalize(df, urlCol)
-      .withColumn("__pushdown_barrier", rand())
-      .filter(col("url_domain").isNotNull &&
-        col("__pushdown_barrier") >= lit(-1.0))
-      .drop("__pushdown_barrier")
+    // Barrier.filterAbove, not a bare filter: a deterministic filter on
+    // url_domain is pushed below the canonicalization Projects, where
+    // it re-evaluates the whole inlined regex tree per row on top of
+    // the projection's own evaluation — measured 7x wall on a 30M-row
+    // probe (160 s vs 12 s after the fix, SCALE_r12.md §7).
+    val withDomain = Barrier.filterAbove(canonicalize(df, urlCol),
+      col("url_domain").isNotNull)
     withDomain.join(
       broadcast(blocklist.select(col(blocklist.columns.head)
         .as("__blocked_domain"))),

@@ -253,6 +253,27 @@ object ProbeR12 {
           block).groupBy().agg(count(lit(1)))
         println(q.queryExecution.executedPlan.toString.take(8000))
 
+      case "shingleplan" =>
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        for ((label, sh) <- Seq(
+          "bare_filter" -> docs.select(col("doc_id").as("doc"),
+              graft.operators.Dedup.shingles("text", 3).as("sh"))
+            .filter(size(col("sh")) > 0),
+          "barrier" -> graft.operators.Barrier.filterAbove(
+            docs.select(col("doc_id").as("doc"),
+              graft.operators.Dedup.shingles("text", 3).as("sh")),
+            size(col("sh")) > 0))) {
+          val plan = sh.queryExecution.executedPlan.toString
+          val n = "element_at\\(transform".r.findAllIn(plan).size
+          // wall of one full materialization (the cache-fill cost)
+          val t0 = System.nanoTime()
+          sh.write.format("noop").mode(SaveMode.Overwrite).save()
+          println(f"PROBE12 shingleplan_$label " +
+            f"transform_occurrences=$n " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+
       case "bpedebug" =>
         val tr = graft.core.Tables.documents(spark, sfDir)
           .filter(graft.operators.TextAnalysis
