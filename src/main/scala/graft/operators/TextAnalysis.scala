@@ -113,6 +113,32 @@ object TextAnalysis {
   def redactDigits(textCol: String, mask: String = "#"): Column =
     expr(s"regexp_replace($textCol, '[0-9]+', '$mask')")
 
+  /** RE2 ∩ java.regex portable PII patterns (shared with the l14b
+    * oracle SQL verbatim — `[.]` instead of an escaped dot keeps the
+    * literals backslash-free across SQL string rules, the Html.scala
+    * discipline; `\\b` word boundaries are supported by both engines).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}[.]){3}[0-9]{1,3}\\b"
+
+  /** Structured PII redaction — the scrub pass real pipelines run
+    * before tokenization, beyond [[redactDigits]]' bare digit runs:
+    * emails → `<EMAIL>`, IPv4 addresses → `<IP>`, remaining digit runs
+    * → `#`. Order is load-bearing: emails first (their local parts and
+    * hosts contain digits and dots a later rule would shred), then IPs
+    * (all-digit tokens), then the digit-run catch-all — the masks
+    * themselves contain neither digits nor `@`, so later passes cannot
+    * re-match earlier masks. Map-only, three codegen'd regex passes;
+    * the Column API carries the patterns (no SQL-literal backslash
+    * parsing on the Spark side).
+    */
+  def redactPii(textCol: String): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      "[0-9]+", "#")
+
   /** Order-sensitive rolling-hash document fingerprint over tokens:
     * fold (acc * 31 + (17 * len(tok) + ascii(first char))) mod prime.
     * Portable: the DuckDB oracle reproduces it with list_reduce.

@@ -1731,12 +1731,88 @@ object LlmOps {
         coalesce(url_domain = 'spam-domain.com', false) AS blocked
       FROM c"""))
 
+  // L14B — structured PII redaction (emails -> <EMAIL>, IPv4 -> <IP>,
+  // digit runs -> #): the corpus is synthetic prose, so each doc gets a
+  // portable PII suffix built in-query (a doc-id-derived email, an IP
+  // with a doc-id octet, and a trailing account number); the per-doc
+  // md5 of the redacted text crossing engines pins all three rules and
+  // their ordering (emails before IPs before digits — the masks must
+  // never be re-matched by later passes).
+  private def l14bSynth(idStr: String, octetStr: String) =
+    s"""concat(text, ' contact bob', $idStr, '@ex-', $idStr,
+        '.com or 10.0.', $octetStr, '.7 acct 9912345')"""
+  private val l14b = QueryDef("l14b_redact_pii", (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("__dirty", expr(l14bSynth("CAST(doc_id AS STRING)",
+        "CAST(doc_id % 256 AS STRING)")))
+      .withColumn("red", TextAnalysis.redactPii("__dirty"))
+      .select(col("doc_id"), md5(col("red")).as("red_md5"),
+        length(col("red")).cast("long").as("red_chars"),
+        col("red").contains("<EMAIL>").as("has_email_mask"),
+        col("red").contains("<IP>").as("has_ip_mask"))
+  }, Some(s"""WITH d AS (SELECT doc_id,
+        ${l14bSynth("CAST(doc_id AS VARCHAR)",
+          "CAST(doc_id % 256 AS VARCHAR)")} AS t
+        FROM documents),
+      r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+          t, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+          '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+          '[0-9]+', '#', 'g') AS red
+        FROM d)
+      SELECT doc_id, md5(red) AS red_md5,
+        CAST(length(red) AS BIGINT) AS red_chars,
+        contains(red, '<EMAIL>') AS has_email_mask,
+        contains(red, '<IP>') AS has_ip_mask
+      FROM r"""))
+
+  // L37 — per-domain document cap over canonicalized URLs: the l36
+  // curation output feeding the standard per-domain balance rule (at
+  // most K docs per registrable domain, chosen as the K smallest
+  // deterministic hashes — the l29 without-replacement-sample trick,
+  // so the kept set is engine/layout/rerun-stable). The window
+  // partitions on url_domain, whose width is the per-domain doc count
+  // (the l26h histogram treatment is the giant-domain path at 100 TB).
+  private val l37 = QueryDef("l37_domain_cap", (s, dir) => {
+    val src = Tables.documents(s, dir)
+      .withColumn("u", expr(l36UrlSynth("CAST(doc_id AS STRING)")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url_domain")
+      .orderBy(col("h"), col("doc_id"))
+    Urls.canonicalize(src, "u")
+      .filter(col("url_domain").isNotNull)
+      .withColumn("h", expr(
+        "pmod(pmod(doc_id, 100000007) * 1103515245 + 12345, 1000000)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rnk") <= 40L)
+      .groupBy("url_domain").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("h")).otherwise(0L)).as("kept_h_sum"))
+  }, Some(s"""WITH ${Urls.canonicalDuckSql(
+      s"SELECT doc_id, ${l36UrlSynth("CAST(doc_id AS VARCHAR)")} AS u " +
+        "FROM documents")},
+      hshd AS (SELECT doc_id, url_domain,
+        CAST(((((doc_id % 100000007) + 100000007) % 100000007)
+          * 1103515245 + 12345) % 1000000 AS BIGINT) AS h
+        FROM c WHERE url_domain IS NOT NULL),
+      rk AS (SELECT url_domain, h,
+        CAST(row_number() OVER (PARTITION BY url_domain
+          ORDER BY h, doc_id) AS BIGINT) AS rnk
+        FROM hshd)
+      SELECT url_domain,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN rnk <= 40 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(sum(CASE WHEN rnk <= 40 THEN h ELSE 0 END) AS BIGINT)
+          AS kept_h_sum
+      FROM rk GROUP BY url_domain"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
       l11, l11p, l12, l12c, l12p, l12cp,
-      l13, l14, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
+      l13, l14, l14b, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
-      l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, m1)
+      l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, m1)
 }

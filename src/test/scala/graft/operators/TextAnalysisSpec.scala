@@ -66,6 +66,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(short.map(_.getString(0)).toSeq == Seq("only two"))
   }
 
+  test("redactPii masks emails then IPs then digit runs, in an order " +
+    "where no mask is re-matched by a later pass") {
+    import s.implicits._
+    def red(t: String): String = Seq(t).toDF("t")
+      .select(TextAnalysis.redactPii("t").as("r")).head().getString(0)
+    assert(red("mail a.b+c1@sub.ex-2.co and x9@y.io now") ==
+      "mail <EMAIL> and <EMAIL> now",
+      "digit-bearing emails must not be shredded by the digit pass")
+    assert(red("from 10.0.255.7 port 8080") == "from <IP> port #")
+    // 3-octet version strings are NOT IPs; a 5-octet string over-redacts
+    // its first four (RE2 has no lookarounds, so \b is the strongest
+    // portable guard — over-redaction of PII-shaped text is the safe
+    // direction, and both engines agree: l14b hash-matches)
+    assert(red("v1.2.3 and 1.2.3.4.5") == "v#.#.# and <IP>.#")
+    assert(red("card 4111-1111, zip 94103") == "card #-#, zip #")
+    assert(red("no pii here") == "no pii here")
+    assert(red("bob@ex.com at 192.168.0.1 acct 77") ==
+      "<EMAIL> at <IP> acct #")
+  }
+
   test("redactDigits masks every digit run; langId ties resolve to the " +
     "earliest marker") {
     import s.implicits._
