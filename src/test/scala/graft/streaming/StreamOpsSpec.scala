@@ -41,6 +41,49 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("round-12 map-only cleaning operators (unicode clean, URL " +
+    "canonicalize, PII redact) run unchanged on a stream") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    // all three are pure projections — streaming-safe by construction;
+    // this pins that no accidental agg/window/collect sneaks into them
+    val cleaned = graft.operators.TextAnalysis
+      .unicodeClean(df, "doc_id", "text")
+    val urls = graft.operators.Urls
+      .canonicalize(df.withColumnRenamed("text", "u"), "u")
+      .select("doc_id", "url_canonical", "url_domain")
+    val red = df.select(col("doc_id"),
+      graft.operators.TextAnalysis.redactPii("text").as("red"))
+    assert(cleaned.isStreaming && urls.isStreaming && red.isStreaming)
+    val q1 = cleaned.writeStream.format("memory").queryName("s12_clean")
+      .outputMode("append").start()
+    val q2 = urls.writeStream.format("memory").queryName("s12_urls")
+      .outputMode("append").start()
+    val q3 = red.writeStream.format("memory").queryName("s12_red")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "cafe\u0301 at HTTP://Ex.COM:80/a?utm_source=x mail " +
+          "bob@ex.com"),
+        (2L, "plain"))
+      Seq(q1, q2, q3).foreach(_.processAllAvailable())
+      val c = s.sql("SELECT text_clean FROM s12_clean WHERE doc_id = 1")
+        .head().getString(0)
+      assert(c.contains("caf\u00E9") && !c.contains("e\u0301"),
+        "NFC recomposition on the stream")
+      // the text is not itself a URL, so canonical is NULL — the
+      // malformed contract; a real URL column streams the same way
+      val u = s.sql("SELECT url_canonical FROM s12_urls WHERE doc_id = 2")
+        .head()
+      assert(u.isNullAt(0))
+      val r = s.sql("SELECT red FROM s12_red WHERE doc_id = 1")
+        .head().getString(0)
+      assert(r.contains("<EMAIL>") && !r.contains("bob@ex.com"))
+    } finally Seq(q1, q2, q3).foreach(_.stop())
+  }
+
   test("streaming exact dedup suppresses content duplicates within the " +
     "watermark with bounded per-key state") {
     import s.implicits._
