@@ -238,6 +238,42 @@ object ProbeR12 {
         timed("l36_blocklist_100k_30m", graft.operators.Urls
           .filterBlockedDomains(urls, "u", block)
           .groupBy().agg(count(lit(1))))
+        // l14b at 250k docs (3 regex passes, map-only)
+        timed("l14b_redact_pii", docs
+          .withColumn("__dirty", concat(col("text"),
+            lit(" contact bob"), col("doc_id"), lit("@ex-"),
+            col("doc_id"), lit(".com or 10.0."),
+            pmod(col("doc_id"), lit(256L)), lit(".7 acct 9912345")))
+          .select(col("doc_id"),
+            graft.operators.TextAnalysis.redactPii("__dirty").as("red"))
+          .groupBy().agg(sum(length(col("red")))))
+        // l37 domain-cap window at 30M rows, in BOTH distribution
+        // shapes. The rank filter becomes a WindowGroupLimit pushed
+        // BELOW the exchange (plan-verified: `l37plan`), so each map
+        // task forwards at most 40 rows per domain it sees — which
+        // makes the single-hot-domain shape (all 30M URLs under one
+        // registrable domain: the `hostN.example.com` synth collapses
+        // to example.com) cost only the map-side sort, ~zero shuffle.
+        def capQuery(src: org.apache.spark.sql.DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("url_domain")
+            .orderBy(col("h"), col("doc_id"))
+          graft.operators.Barrier.filterAbove(
+              graft.operators.Urls.canonicalize(src, "u"),
+              col("url_domain").isNotNull)
+            .withColumn("h", expr(
+              "pmod(pmod(doc_id, 100000007) * 1103515245 + 12345, " +
+                "1000000)"))
+            .withColumn("rnk", row_number().over(w).cast("long"))
+            .filter(col("rnk") <= 40L)
+            .groupBy().agg(count(lit(1)), sum("h"))
+        }
+        timed("l37_cap_30m_one_hot_domain", capQuery(urls))
+        val urlsMany = spark.range(0L, 30000000L, 1L, 32)
+          .select(col("id").as("doc_id"),
+            concat(lit("https://www.site"), pmod(col("id"), lit(100000L)),
+              lit(".org/p/"), col("id")).as("u"))
+        timed("l37_cap_30m_100k_domains", capQuery(urlsMany))
 
       case "urlplan" =>
         val urls = spark.range(0L, 1000L, 1L, 4)
@@ -273,6 +309,25 @@ object ProbeR12 {
             f"transform_occurrences=$n " +
             f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
+
+      case "l37plan" =>
+        val urls = spark.range(0L, 10000L, 1L, 4)
+          .select(col("id").as("doc_id"),
+            concat(lit("HTTP://Host"), pmod(col("id"), lit(100L)),
+              lit(".Example.COM:80/p/"), col("id")).as("u"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("url_domain")
+          .orderBy(col("h"), col("doc_id"))
+        val q = graft.operators.Barrier.filterAbove(
+            graft.operators.Urls.canonicalize(urls, "u"),
+            col("url_domain").isNotNull)
+          .withColumn("h", expr(
+            "pmod(pmod(doc_id, 100000007) * 1103515245 + 12345, 1000000)"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 40L)
+          .groupBy().agg(count(lit(1)), sum("h"))
+        q.collect()
+        println(q.queryExecution.executedPlan.toString.take(4000))
 
       case "bpedebug" =>
         val tr = graft.core.Tables.documents(spark, sfDir)
