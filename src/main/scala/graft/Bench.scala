@@ -518,7 +518,6 @@ object Bench {
             .write.format("noop").mode(SaveMode.Overwrite).save(),
             allTimings, 3)
           trimContended(name)
-          if (timings.contains(name)) timings(name) = allTimings(name)
         }
       }
     }

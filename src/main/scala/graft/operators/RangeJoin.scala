@@ -50,6 +50,16 @@ object RangeJoin {
   private def bucketOf(colName: String, w: Long): Column =
     expr(s"(`$colName` - pmod(`$colName`, ${w}L)) div ${w}L")
 
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      hasMapType(a.elementType)
+    case _ => false
+  }
+
   /** Auto-salt pre-aggregation: ONE approx pass over the points
     * decides how many ways to split each bucket. The skew this cures is
     * output-blowup skew on a FEW live buckets (the sf5 probe: ~27 live
@@ -112,15 +122,27 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     require(salt >= 1 || salt == AutoSalt,
       s"salt must be >= 1 (or AutoSalt), got $salt")
+    // under broadcastIntervals there is no __b/__s exchange for salt to
+    // rebalance — the join inherits the point scan's partitioning — so
+    // auto must choose 1 (any salt > 1 only multiplies the broadcast
+    // build). An EXPLICIT salt with broadcast is honored as requested
+    // (spec-pinned equality) but is equally pointless.
     val nSalt =
-      if (salt == AutoSalt) chooseSalt(points, pointCol, bucketWidth)
+      if (salt == AutoSalt)
+        if (broadcastIntervals) 1
+        else chooseSalt(points, pointCol, bucketWidth)
       else salt
+    // salt from the HASHABLE columns of the row (xxhash64 rejects
+    // MapType — a map-typed payload column must not break the join);
+    // pointCol is always in the set, so the degenerate all-map case
+    // cannot arise
+    val hashable = points.schema.fields
+      .filter(f => !hasMapType(f.dataType)).map(f => col(f.name))
     val p = points
       .withColumn("__b", bucketOf(pointCol, bucketWidth))
       .withColumn("__s",
         if (nSalt > 1)
-          pmod(xxhash64(points.columns.map(col).toIndexedSeq: _*),
-            lit(nSalt.toLong))
+          pmod(xxhash64(hashable.toIndexedSeq: _*), lit(nSalt.toLong))
         else lit(0L))
     val i0 = intervals
       .filter(col(endCol) >= col(startCol))

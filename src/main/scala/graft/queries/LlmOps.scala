@@ -1778,8 +1778,8 @@ object LlmOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("url_domain")
       .orderBy(col("h"), col("doc_id"))
-    Urls.canonicalize(src, "u")
-      .filter(col("url_domain").isNotNull)
+    graft.operators.Barrier.filterAbove(Urls.canonicalize(src, "u"),
+        col("url_domain").isNotNull)
       .withColumn("h", expr(
         "pmod(pmod(doc_id, 100000007) * 1103515245 + 12345, 1000000)"))
       .withColumn("rnk", row_number().over(w).cast("long"))

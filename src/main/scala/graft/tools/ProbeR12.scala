@@ -219,7 +219,7 @@ object ProbeR12 {
         timed("l35_unicode_clean", graft.operators.TextAnalysis
           .unicodeClean(docs.withColumn("__dirty",
             concat(col("text"), lit(" nai\u0308ve cafe\u0301"),
-              when(col("doc_id") % 3 === 0, lit("​zwctl"))
+              when(col("doc_id") % 3 === 0, lit("\u200Bzw\u0001ctl"))
                 .otherwise(lit("")))), "doc_id", "__dirty")
           .groupBy().agg(sum("removed_chars"), count(lit(1))))
         val urls = spark.range(0L, 30000000L, 1L, 32)

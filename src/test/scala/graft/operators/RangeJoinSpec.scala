@@ -126,6 +126,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(spread >= 1 && spread <= 64)
   }
 
+  test("salting tolerates unhashable payload columns (a map-typed " +
+    "column must not break the row-hash) and AutoSalt stands down " +
+    "under broadcastIntervals") {
+    import s.implicits._
+    val (pts0, ivs) = fixture()
+    val pts = pts0.withColumn("payload",
+      map(lit("k"), col("p"))) // xxhash64 rejects MapType
+    val base = pairs(RangeJoin.pointInInterval(pts0, ivs, "p", "st",
+      "en", bucketWidth = 50L))
+    assert(pairs(RangeJoin.pointInInterval(pts, ivs, "p", "st", "en",
+      bucketWidth = 50L, salt = 4)) == base)
+    // AutoSalt + broadcast: result equal, and the plan carries no
+    // interval replication (no sequence over salts on the build side)
+    val bc = RangeJoin.pointInInterval(pts0, ivs, "p", "st", "en",
+      bucketWidth = 50L, salt = RangeJoin.AutoSalt,
+      broadcastIntervals = true)
+    assert(pairs(bc) == base)
+    assert(bc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("an interval spanning many buckets still matches exactly once " +
     "per point") {
     import s.implicits._

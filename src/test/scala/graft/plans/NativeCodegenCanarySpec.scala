@@ -2,10 +2,13 @@ package graft.plans
 
 import java.io.ByteArrayOutputStream
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression,
   Literal}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -40,56 +43,75 @@ class NativeCodegenCanarySpec extends AnyFunSuite {
   private val arrL2 =
     BoundReference(1, ArrayType(LongType), nullable = true)
 
-  private def assertCompiles(e: Expression): Unit = {
-    // Throws (wrapped CompileException) if the generated Java is invalid;
-    // evaluating one row additionally catches verify-time errors.
+  private def assertCompiles(e: Expression, row: InternalRow): Unit = {
+    // Throws (wrapped CompileException) if the generated Java is
+    // invalid; APPLYING the projection to one row then catches
+    // execute-time breaks compilation can't see (a bad static-helper
+    // path, a mutable-state init that only runs on first eval — the
+    // BloomMightContain lazy-deserialize class of bug).
     val proj = GenerateUnsafeProjection.generate(Seq(e))
-    assert(proj != null)
+    assert(proj(row) != null)
   }
 
-  test("interleave_bits generated code compiles") {
-    assertCompiles(InterleaveBits(lngA, lngB))
+  private def arr(xs: Double*): GenericArrayData =
+    new GenericArrayData(xs.toArray)
+  private def larr(xs: Long*): GenericArrayData =
+    new GenericArrayData(xs.toArray)
+  private def sarr(xs: String*): GenericArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray)
+
+  test("interleave_bits generated code compiles and runs") {
+    assertCompiles(InterleaveBits(lngA, lngB), InternalRow(3L, 5L))
   }
 
-  test("vec_dot generated code compiles") {
-    assertCompiles(VecDot(vecA, vecB))
+  test("vec_dot generated code compiles and runs") {
+    assertCompiles(VecDot(vecA, vecB),
+      InternalRow(arr(1.0, 2.0), arr(3.0, 4.0)))
   }
 
-  test("poly_hash generated code compiles") {
-    assertCompiles(PolyHash(str))
+  test("poly_hash generated code compiles and runs") {
+    assertCompiles(PolyHash(str), InternalRow(UTF8String.fromString("abc")))
   }
 
-  test("intersect_count generated code compiles (long and string keys)") {
-    assertCompiles(IntersectCount(arrL, arrL2))
+  test("intersect_count generated code compiles and runs (long and " +
+    "string keys)") {
+    assertCompiles(IntersectCount(arrL, arrL2),
+      InternalRow(larr(1L, 2L), larr(2L, 3L)))
     assertCompiles(IntersectCount(
       BoundReference(0, ArrayType(StringType), nullable = true),
-      BoundReference(1, ArrayType(StringType), nullable = true)))
+      BoundReference(1, ArrayType(StringType), nullable = true)),
+      InternalRow(sarr("a", "b"), sarr("b")))
   }
 
-  test("lsh_buckets generated code compiles") {
+  test("lsh_buckets generated code compiles and runs") {
     assertCompiles(LshBuckets(vecA, nPlanes = 16, nTables = 8,
-      dim = 64, planeOffset = 0))
+      dim = 64, planeOffset = 0),
+      InternalRow(arr(Seq.tabulate(64)(_ * 0.1): _*)))
   }
 
-  test("nearest_cell generated code compiles") {
+  test("nearest_cell generated code compiles and runs") {
     val mat = Literal.create(Seq(1.0, 0.0, 0.0, 1.0),
       ArrayType(DoubleType, containsNull = false))
     val nrm = Literal.create(Seq(1.0, 1.0),
       ArrayType(DoubleType, containsNull = false))
     val ids = Literal.create(Seq(0L, 1L),
       ArrayType(LongType, containsNull = false))
-    assertCompiles(NearestCell(vecA, mat, nrm, ids))
+    assertCompiles(NearestCell(vecA, mat, nrm, ids),
+      InternalRow(arr(0.9, 0.1)))
   }
 
-  test("nfc_normalize generated code compiles") {
-    assertCompiles(NfcNormalize(str))
+  test("nfc_normalize generated code compiles and runs") {
+    assertCompiles(NfcNormalize(str),
+      InternalRow(UTF8String.fromString("cafe\u0301")))
   }
 
-  test("bloom_might_contain generated code compiles") {
+  test("bloom_might_contain generated code compiles and runs (the " +
+    "lazy executor-side deserialize is exercised)") {
     val bf = BloomFilter.create(100L)
     bf.putLong(42L)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
-    assertCompiles(BloomMightContain(Literal(bos.toByteArray), lngA))
+    assertCompiles(BloomMightContain(Literal(bos.toByteArray), lngA),
+      InternalRow(42L))
   }
 }
