@@ -207,6 +207,42 @@ object Similarity {
       .select(col("n_id").as("cell"), col("cv").as("centroid"),
         col("cn").as("centroid_nrm"))
 
+  /** CLUSTER-BALANCED sampling — the semantic-diversity curation step
+    * (the SemDeDup/cluster-balance family): assign every corpus vector
+    * to its nearest of `nCells` centroid cells (the IVF machinery —
+    * same deterministic centroid sample, same argmax-cosine assignment
+    * the ANN index uses), then keep at most `cap` documents per cell,
+    * chosen as the `cap` smallest portable-LCG hashes (the l29/l37
+    * without-replacement-sample trick: kept set is engine-, layout-
+    * and rerun-stable). Over-represented semantic regions are capped,
+    * the long tail survives whole — the embedding-space analogue of
+    * the l37 per-domain cap.
+    *
+    * Scale shape: one broadcast of nCells centroids, one window
+    * partitioned by cell (width = per-cell doc count; the rank cap
+    * compiles to a WindowGroupLimit below the exchange, so even a
+    * single mega-cell forwards at most ~cap rows per map task —
+    * measured on the l37 sibling, SCALE_r12.md §9). Returns
+    * (n_id, cell, h, kept).
+    */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String,
+                            vecCol: String, nCells: Int, cap: Int,
+                            centroidRank: Column => Column =
+                              id => xxhash64(id)): DataFrame = {
+    val e = corpus.select(col(idCol).cast("long").as("n_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm("v"))
+    val cents = sampleCentroids(corpus, idCol, vecCol, nCells,
+      centroidRank)
+    val w = Window.partitionBy("cell").orderBy(col("h"), col("n_id"))
+    assignCells(e, "v", "nrm", cents, "cell", take = 1)
+      .select(col("n_id"), col("cell"))
+      .withColumn("h", expr(
+        "pmod(pmod(n_id, 100000007) * 1103515245 + 12345, 1000000)"))
+      .withColumn("kept",
+        row_number().over(w).cast("long") <= cap.toLong)
+  }
+
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their
     * nearest of `nCells` centroid cells; a query probes its `nProbe`
     * nearest cells and runs exact cosine top-k over just those cells'

@@ -414,28 +414,36 @@ object LlmOps {
   // arithmetic both engines compute verbatim, so the DuckDB oracle
   // mirrors every stage and the result hash-matches (same trick as l3p
   // and l6p).
+  // The e/en/cent/sims/asg CTE prefix (portable centroid sample +
+  // argmax-cosine cell assignment) is SHARED between the l11p and l38
+  // oracles — one mirror of the IVF assignment machinery.
+  private def ivfOracleDot(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(range(1, 65), i -> $a[i] * $b[i])),
+        (x, y) -> x + y)"""
+  private def ivfAsgCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        en AS (SELECT vec_id, v,
+          sqrt(${ivfOracleDot("v", "v")}) AS nrm FROM e),
+        cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en
+          ORDER BY ${Similarity.portableCentroidRankSql("vec_id")}, vec_id
+          LIMIT 16),
+        sims AS (SELECT en.vec_id, en.v, en.nrm, c.cell,
+            ${ivfOracleDot("en.v", "c.cv")} / (en.nrm * c.cnrm) AS sim
+          FROM en CROSS JOIN cent c),
+        asg AS (SELECT vec_id AS n_id, v AS nv, nrm AS nnrm, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sim DESC, cell) AS r FROM sims) WHERE r = 1)"""
+
   private val l11p = QueryDef("l11p_ann_ivf_portable", (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
       centroidRank = Similarity.portableCentroidRank)
   }, Some {
-    def dot(a: String, b: String) =
-      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          list_transform(range(1, 65), i -> $a[i] * $b[i])),
-          (x, y) -> x + y)"""
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings),
-        en AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e),
-        cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM en
-          ORDER BY ${Similarity.portableCentroidRankSql("vec_id")}, vec_id
-          LIMIT 16),
-        sims AS (SELECT en.vec_id, en.v, en.nrm, c.cell,
-            ${dot("en.v", "c.cv")} / (en.nrm * c.cnrm) AS sim
-          FROM en CROSS JOIN cent c),
-        asg AS (SELECT vec_id AS n_id, v AS nv, nrm AS nnrm, cell FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id
-              ORDER BY sim DESC, cell) AS r FROM sims) WHERE r = 1),
+    def dot(a: String, b: String) = ivfOracleDot(a, b)
+    s"""WITH $ivfAsgCtes,
         prb AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, cell FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
               ORDER BY sim DESC, cell) AS r FROM sims
@@ -450,6 +458,35 @@ object LlmOps {
           FROM scored)
         SELECT q_id, rnk, n_id, cosine FROM ranked WHERE rnk <= 5"""
   })
+
+  // L38 — cluster-balanced sampling (the semantic-diversity curation
+  // step): IVF cell assignment over the portable centroid sample, then
+  // at most 50 kept per cell as the 50 smallest portable-LCG hashes —
+  // the l37 per-domain cap transported to embedding space.
+  // Over-represented semantic regions are capped, the tail survives
+  // whole. The oracle reuses l11p's assignment CTEs verbatim and
+  // replays the rank/cap; per-cell kept counts and kept-hash
+  // fingerprints cross engines.
+  private val l38 = QueryDef("l38_cluster_balance", (s, dir) => {
+    Similarity.clusterBalancedSample(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCells = 16, cap = 50,
+        centroidRank = Similarity.portableCentroidRank)
+      .groupBy("cell").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("h")).otherwise(0L)).as("kept_h_sum"))
+  }, Some(s"""WITH $ivfAsgCtes,
+      hshd AS (SELECT n_id, cell,
+        CAST((((n_id % 100000007 + 100000007) % 100000007)
+          * 1103515245 + 12345) % 1000000 AS BIGINT) AS h FROM asg),
+      rk AS (SELECT cell, h, CAST(row_number() OVER (PARTITION BY cell
+          ORDER BY h, n_id) AS BIGINT) AS rnk FROM hshd)
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(sum(CASE WHEN rnk <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(sum(CASE WHEN rnk <= 50 THEN h ELSE 0 END) AS BIGINT)
+          AS kept_h_sum
+      FROM rk GROUP BY cell"""))
 
   // L12 — embedding-cosine near-dup pairs, multi-table-LSH-blocked with
   // exact verification (rows-only: buckets are xxhash64-derived), run at
@@ -1810,7 +1847,7 @@ object LlmOps {
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
-      l11, l11p, l12, l12c, l12p, l12cp,
+      l11, l11p, l12, l12c, l12p, l12cp, l38,
       l13, l14, l14b, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,

@@ -356,4 +356,28 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("clusterBalancedSample: every vector lands in exactly one cell, " +
+    "the cap binds per cell, the tail survives whole, and the kept " +
+    "set is layout-invariant") {
+    val emb = Tables.embeddings(s, sf)
+    def run(parts: Int) = Similarity.clusterBalancedSample(
+        emb.repartition(parts), "vec_id", "embedding",
+        nCells = 8, cap = 20,
+        centroidRank = Similarity.portableCentroidRank)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val a = run(1)
+    assert(a.map(_._1).distinct.length == a.length,
+      "one cell per vector")
+    val perCell = a.groupBy(_._2)
+    perCell.foreach { case (cell, rows) =>
+      val kept = rows.count(_._3)
+      assert(kept == math.min(20, rows.length),
+        s"cell $cell: cap must bind exactly (kept=$kept of ${rows.length})")
+    }
+    assert(perCell.values.exists(_.length > 20),
+      "fixture must have an over-cap cell (else the cap is vacuous)")
+    assert(run(7).toSet == a.toSet, "layout invariance")
+  }
 }
