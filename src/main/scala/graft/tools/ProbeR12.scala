@@ -310,6 +310,23 @@ object ProbeR12 {
             f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
 
+      case "l38probe" =>
+        // cluster-balance at the sf5 clustered-embedding corpus (100k
+        // vectors, 64 natural clusters): 256 cells, cap 200 — the cap
+        // must bind on the dense clusters and pass the sparse tail
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+        timed("l38_cluster_balance_100k", graft.operators.Similarity
+          .clusterBalancedSample(emb, "vec_id", "embedding",
+            nCells = 256, cap = 200)
+          .groupBy().agg(count(lit(1)),
+            sum(when(col("kept"), 1L).otherwise(0L))))
+        val kept = graft.operators.Similarity
+          .clusterBalancedSample(emb, "vec_id", "embedding",
+            nCells = 256, cap = 200)
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("k")).head()
+        println(s"PROBE12 l38_kept ${kept.getLong(1)}/${kept.getLong(0)}")
+
       case "l37plan" =>
         val urls = spark.range(0L, 10000L, 1L, 4)
           .select(col("id").as("doc_id"),
