@@ -88,6 +88,124 @@ object GraphRank {
     r
   }
 
+  /** Connected components by min-label propagation with POINTER
+    * JUMPING — the transitive-closure step every production dedup
+    * pipeline needs between "near-dup PAIRS" (l2/l3/l12) and "keep one
+    * doc per dup CLUSTER" (l40): near-duplicate similarity is not
+    * transitive, so A~B and B~C must collapse into one group even when
+    * A~C was never emitted. Output: `(node, component)` where
+    * `component` is the MINIMUM node id reachable from `node` —
+    * canonical, deterministic under any partitioning, and exactly what
+    * a DuckDB recursive CTE computes for the oracle.
+    *
+    * Algorithm per round (edges symmetrized once up front):
+    *  1. neighbor-min: `L'(v) = min(L(v), min over (u,v) edges of L(u))`
+    *     — one 8-byte-key equi-join of the edge list with the |V|-row
+    *     label table plus a map-side-combinable min;
+    *  2. pointer jump: `L''(v) = min(L'(v), L'(L'(v)))` — a |V|x|V|
+    *     self-join on the label table (labels ARE node ids, so the
+    *     label table doubles as a parent-pointer forest; jumping halves
+    *     path lengths, Shiloach-Vishkin style).
+    * Rounds repeat until a changed-label count hits zero: O(diameter)
+    * without step 2, O(log |V|) with it (ComponentsSpec pins a 64-node
+    * chain converging in <= 8 rounds). Monotonicity (labels only
+    * decrease, and the component minimum is a fixpoint) makes the
+    * converged labels exactly the reachable-min, independent of
+    * iteration interleaving.
+    *
+    * Scale shape: every round is two equi-joins + one aggregate over
+    * (long, long) rows — no adjacency lists, no driver-side state
+    * beyond the converged flag; the iterative-cache discipline is
+    * [[pageRankFixedPoint]]'s (materialize `next` BEFORE releasing
+    * `prev`). At 100 TB the edge list for dedup graphs is SPARSE
+    * (bounded by the candidate generator's cap — cap^2/2 pairs per
+    * shingle under l2b's hot-shingle cap), so |E| ~ |dup docs|, not
+    * |docs|^2.
+    *
+    * CACHE CONTRACT: the returned |V|-row frame is cached; the caller
+    * owns the release (same as [[pageRankFixedPoint]]).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+                          dstCol: String, maxIters: Int = 64): DataFrame =
+    connectedComponentsWithStats(edges, srcCol, dstCol, maxIters)._1
+
+  /** [[connectedComponents]] plus the round count (spec hook for the
+    * pointer-jump convergence bound).
+    */
+  private[graft] def connectedComponentsWithStats(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 64): (DataFrame, Int) = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    // Lineage MUST be truncated per round: the label table feeds THREE
+    // of next round's operators (neighbor join, left join, pointer-jump
+    // self-join), so a cache-only discipline still nests the logical
+    // plan ~4x per round — plan construction itself blows up after ~10
+    // rounds (observed: treeString OOM). localCheckpoint materializes
+    // the |V|-row (long, long) table as RDD blocks and replaces the
+    // plan with a leaf; the per-round tables are tiny (16 bytes/node),
+    // so rounds x |V| retained blocks are negligible next to the edge
+    // list and get released by the context cleaner as handles go out of
+    // scope. (Cluster caveat, documented: localCheckpoint is lineage-
+    // free, so losing an executor mid-convergence fails the job and the
+    // caller reruns — the standard trade for iterative graph loops.)
+    var lab = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= maxIters,
+        s"connectedComponents: no fixpoint after $maxIters rounds")
+      val nbrMin = e.join(lab, e("src") === lab("node"))
+        .groupBy(col("dst").as("node")).agg(min("lbl").as("nm"))
+      val stepped = lab.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("mid"))
+        .localCheckpoint(true) // consumed twice by the self-join below
+      val parent = stepped
+        .select(col("node").as("p"), col("mid").as("plbl"))
+      val next = stepped.join(parent, stepped("mid") === parent("p"), "left")
+        .select(col("node"), col("old"),
+          least(col("mid"), coalesce(col("plbl"), col("mid"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") < col("old")).count()
+      lab = next.select("node", "lbl")
+    }
+    val result = lab.select(col("node"), col("lbl").as("component")).cache()
+    result.count()
+    e.unpersist(blocking = false)
+    (result, rounds)
+  }
+
+  /** The matching DuckDB oracle for [[connectedComponents]]:
+    * `edgesSql` must yield (doc_a, doc_b) pair rows. Returns
+    * (node, component) for every node WITH at least one edge — the
+    * registered queries LEFT-join it back to the full corpus so
+    * singletons label themselves. Propagation prunes to labels smaller
+    * than the receiving node (`r.m < eg.d`): the component minimum
+    * still reaches every member (it is smaller than every node it
+    * passes through), and the recursion's working set stays bounded by
+    * per-node smaller-reachable labels instead of full closure.
+    */
+  def componentsOracleSql(edgesSql: String,
+      tail: String = "SELECT node, component FROM cc"): String =
+    s"""WITH RECURSIVE cc_p AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($edgesSql) ccq),
+       |cc_e AS (SELECT doc_a AS s, doc_b AS d FROM cc_p
+       |  UNION ALL SELECT doc_b AS s, doc_a AS d FROM cc_p),
+       |cc_r(node, m) AS (
+       |  SELECT s, s FROM cc_e
+       |  UNION
+       |  SELECT cc_e.d, cc_r.m FROM cc_r
+       |  JOIN cc_e ON cc_e.s = cc_r.node WHERE cc_r.m < cc_e.d),
+       |cc AS (SELECT node, min(m) AS component FROM cc_r GROUP BY node)
+       |$tail""".stripMargin
+
   /** The matching DuckDB oracle: `edgesSql` must yield (src, dst). */
   def oracleSql(edgesSql: String, iters: Int, scale: Long = 1L << 20,
                 dampNum: Long = 85L, dampDen: Long = 100L): String = {

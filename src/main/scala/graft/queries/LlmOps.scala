@@ -1844,6 +1844,115 @@ object LlmOps {
           AS kept_h_sum
       FROM rk GROUP BY url_domain"""))
 
+  // L39 — near-dup CLUSTERS from near-dup PAIRS: connected components
+  // (GraphRank.connectedComponents — min-label propagation + pointer
+  // jumping) over the capped n-gram-Jaccard pair graph (l2bh's hashed
+  // 100 TB form; value-identical to l2b by the l2h contract). Near-dup
+  // similarity is NOT transitive, so A~B and B~C must collapse into
+  // one group even though A~C was never emitted — the step every
+  // production dedup pipeline runs between pair generation and keeper
+  // selection. Every corpus doc gets a row; singletons label
+  // themselves (LEFT join). The oracle replays the closure as a DuckDB
+  // recursive CTE over the SAME pair SQL, so the hash-match covers the
+  // pair graph AND the fixpoint labels.
+  private val l39 = QueryDef("l39_dup_components", (s, dir) => {
+    import graft.operators.GraphRank
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.2, maxDocFreq = 10, hashedShingles = true)
+    val comp = GraphRank.connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select("doc_id")
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }, Some(graft.operators.GraphRank.componentsOracleSql(l2bOracleSql,
+    """SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component
+       FROM documents d LEFT JOIN cc ON cc.node = d.doc_id""")))
+
+  // L40 — canonical dedup: ONE keeper per near-dup cluster, the doc
+  // with the most content (max n_chars, ties to the smaller doc_id) —
+  // the "keep the longest recrawl" rule. Composition of l39's
+  // components with a map-side-combinable max_by argmax; the keeper
+  // table is component-keyed (8-byte shuffle both sides), never
+  // broadcast (it is corpus-sized: one row per CLUSTER). Emits every
+  // doc with its cluster, the cluster's keeper, and the keep flag —
+  // the shape a downstream filter consumes.
+  private val l40 = QueryDef("l40_canonical_dedup", (s, dir) => {
+    import graft.operators.GraphRank
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.2, maxDocFreq = 10, hashedShingles = true)
+    val comp = GraphRank.connectedComponents(pairs, "doc_a", "doc_b")
+    val withComp = docs.select(col("doc_id"), col("n_chars"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val keepers = withComp.groupBy("component")
+      .agg(max_by(col("doc_id"),
+        struct(col("n_chars"), -col("doc_id"))).as("keeper"))
+    withComp.join(keepers, Seq("component"))
+      .select(col("doc_id"), col("component"), col("keeper"),
+        (col("doc_id") === col("keeper")).cast("long").as("keep"))
+  }, Some(graft.operators.GraphRank.componentsOracleSql(l2bOracleSql,
+    """, j AS (SELECT d.doc_id,
+         coalesce(cc.component, d.doc_id) AS component, d.n_chars
+         FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+       k AS (SELECT component,
+         (list(doc_id ORDER BY n_chars DESC, doc_id ASC))[1] AS keeper
+         FROM j GROUP BY component)
+       SELECT j.doc_id, j.component, k.keeper,
+         CAST(CASE WHEN j.doc_id = k.keeper THEN 1 ELSE 0 END AS BIGINT)
+           AS keep
+       FROM j JOIN k USING (component)""")))
+
+  // L41 — DSIR importance resampling (operators/Dsir): every doc scored
+  // by the integer-bits log-likelihood ratio of its hashed-unigram
+  // stream under the TARGET distribution (the English docs — the
+  // "steer the crawl toward the target domain" selection rule, Xie et
+  // al. 2023) vs the raw corpus; top-100 by (score desc, id) kept. The
+  // oracle replays the poly-hash bucketing, the one-pass raw+target
+  // counts, the bitlen weight table, and the global rank — so the
+  // hash-match pins feature hashing, smoothing, scoring, and the
+  // TakeOrderedAndProject top-k against a window-rank formulation.
+  private val l41 = QueryDef("l41_dsir_resample", (s, dir) => {
+    graft.operators.Dsir.importanceResample(Tables.documents(s, dir),
+      "doc_id", "text", targetPred = col("lang") === "en",
+      buckets = 4096, topK = 100)
+  }, Some("""WITH toks AS (SELECT doc_id, lang,
+        unnest(list_filter(string_split(text, ' '),
+          t -> length(t) > 0)) t
+        FROM documents),
+      bkt AS (SELECT doc_id, lang,
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, length(t) + 1),
+            i -> CAST(ascii(t[i]) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1073741789) % 4096 AS bk
+        FROM toks),
+      cnt AS (SELECT bk, CAST(count(*) AS BIGINT) rc,
+        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) tc0
+        FROM bkt GROUP BY bk),
+      tot AS (SELECT CAST(sum(rc) AS BIGINT) rt,
+        CAST(sum(tc0) AS BIGINT) tt0 FROM cnt),
+      w AS (SELECT bk, CAST((length(bin(rt)) - length(bin(rc)))
+          - (length(bin(tt0 + 4096)) - length(bin(tc0 + 1)))
+          AS BIGINT) wb
+        FROM cnt CROSS JOIN tot),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+        CAST(sum(wb) AS BIGINT) score_bits,
+        CAST(sum(wb) AS DOUBLE) / CAST(count(*) AS BIGINT) avg_bits
+        FROM bkt JOIN w USING (bk) GROUP BY doc_id),
+      rk AS (SELECT doc_id,
+        row_number() OVER (ORDER BY avg_bits DESC, doc_id) rn
+        FROM sc)
+      SELECT d.doc_id,
+        CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(sc.score_bits, 0) AS BIGINT) AS score_bits,
+        CAST(coalesce(sc.avg_bits, 0.0) AS DOUBLE) AS avg_bits,
+        CAST(CASE WHEN rk.rn <= 100 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM documents d
+      LEFT JOIN sc ON sc.doc_id = d.doc_id
+      LEFT JOIN rk ON rk.doc_id = d.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
@@ -1851,5 +1960,5 @@ object LlmOps {
       l13, l14, l14b, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
-      l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, m1)
+      l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41, m1)
 }

@@ -57,4 +57,67 @@ class GraphRankSpec extends AnyFunSuite {
     assert(got(0L) > got(1L) && got(0L) > got(50L), "center dominates")
     assert(got(50L) > base, "dangling node still RECEIVES rank")
   }
+
+  /** Union-find reference for component minima. */
+  private def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by MIN root so the root IS the component min
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    (edges.map(_._1) ++ edges.map(_._2)).distinct
+      .map(n => n -> find(n)).toMap
+  }
+
+  private def runCc(edges: Seq[(Long, Long)], parts: Int) = {
+    import s.implicits._
+    val (df, rounds) = GraphRank.connectedComponentsWithStats(
+      edges.toDF("src", "dst").repartition(parts), "src", "dst")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    df.unpersist(blocking = false)
+    (got, rounds)
+  }
+
+  test("connected components match a union-find reference on a random " +
+    "graph, under any partitioning") {
+    val rnd = new scala.util.Random(11)
+    // sparse: 120 edges over 300 node ids -> many components of mixed size
+    val edges = Seq.fill(120)(
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    val want = refComponents(edges)
+    assert(runCc(edges, 7)._1 == want)
+    assert(runCc(edges, 1)._1 == want && runCc(edges, 32)._1 == want,
+      "layout invariance")
+  }
+
+  test("pointer jumping: a 64-node chain converges in <= 8 rounds, " +
+    "labels collapse to the chain minimum") {
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val (got, rounds) = runCc(chain, 5)
+    assert(got.values.toSet == Set(1L), "one component labeled by its min")
+    assert(rounds <= 8,
+      s"pointer jumping should converge in O(log n) rounds, took $rounds")
+  }
+
+  test("components: two cliques stay separate; duplicate and self-loop " +
+    "edges are absorbed; transitivity closes A~B~C chains") {
+    val cliqueA = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val cliqueB = for (a <- 20L to 22L; b <- 20L to 22L if a < b) yield (a, b)
+    val edges = cliqueA ++ cliqueB ++
+      Seq((10L, 10L), (10L, 11L), (11L, 10L), // self-loop + dup + reverse
+        (30L, 31L), (31L, 32L)) // pair-chain: 30~31, 31~32 => one group
+    val (got, _) = runCc(edges, 3)
+    assert((10L to 13L).forall(got(_) == 10L))
+    assert((20L to 22L).forall(got(_) == 20L))
+    assert(Seq(30L, 31L, 32L).forall(got(_) == 30L),
+      "near-dup transitivity: pairwise edges close into one cluster")
+  }
 }
