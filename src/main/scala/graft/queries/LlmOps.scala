@@ -589,13 +589,10 @@ object LlmOps {
   // representative) fire and are verified against a DuckDB mirror of
   // the cap logic (arg_min = min_by). l12c keeps the production cap
   // (64) and its under-cap-equals-l12 spec.
-  private val l12cp = QueryDef("l12cp_cosine_near_dup_capped_portable",
-    (s, dir) => {
-      Similarity.cosineNearDupPairsCapped(twinnedEmbeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
-        nTables = 8, maxBucket = 2)
-    }, Some {
-      s"""WITH ${l12OracleBucketing},
+  // ONE pair SQL for l12cp AND l42's edge set (same value-identity
+  // contract as l2b/l2bh sharing l2bOracleSql).
+  private def l12cpOracleSql: String =
+    s"""WITH ${l12OracleBucketing},
         stats AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) cnt,
             min(doc) rep, arg_min(v, doc) repv, arg_min(nrm, doc) repn
           FROM cells GROUP BY tbl, bucket),
@@ -614,7 +611,48 @@ object LlmOps {
         uni AS (SELECT * FROM small UNION ALL SELECT * FROM star)
         SELECT DISTINCT doc_a, doc_b, cosine FROM uni
         WHERE cosine >= CAST(0.9 AS DOUBLE)"""
-    })
+
+  private val l12cp = QueryDef("l12cp_cosine_near_dup_capped_portable",
+    (s, dir) => {
+      Similarity.cosineNearDupPairsCapped(twinnedEmbeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
+        nTables = 8, maxBucket = 2)
+    }, Some(l12cpOracleSql))
+
+  // L42 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+  // dedup over EMBEDDINGS — bucket vectors into cells, flag
+  // cosine >= tau pairs within a cell, close the pairs into clusters,
+  // keep ONE representative per cluster. Exactly the l12cp pair stage
+  // (hyperplane-LSH cells with the hot-cell cap — the paper's k-means
+  // cells done with the engine's portable bucketing) composed with
+  // l39's connected components; the representative is the cluster's
+  // min id, so `keep = (vec_id == component)` — the paper keeps the
+  // member farthest from the cluster centroid instead, a scoring rule
+  // l40's max_by keeper shows how to swap in. The oracle replays pair
+  // generation AND the closure (recursive CTE over the SAME pair SQL),
+  // so the hash-match pins the whole semantic-dedup decision per
+  // vector.
+  private val l42 = QueryDef("l42_semantic_dedup", (s, dir) => {
+    import graft.operators.GraphRank
+    val corpus = twinnedEmbeddings(s, dir)
+    val pairs = Similarity.cosineNearDupPairsCapped(corpus, "vec_id",
+      "embedding", threshold = 0.9, dim = 64, nPlanes = 12,
+      nTables = 8, maxBucket = 2)
+    val comp = GraphRank.connectedComponents(pairs, "doc_a", "doc_b")
+    corpus.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("keep",
+        (col("vec_id") === col("component")).cast("long"))
+  }, Some(graft.operators.GraphRank.componentsOracleSql(l12cpOracleSql,
+    """, ids AS (SELECT vec_id FROM embeddings
+         UNION ALL SELECT vec_id + 1000000 FROM embeddings)
+       SELECT i.vec_id,
+         coalesce(cc.component, i.vec_id) AS component,
+         CAST(CASE WHEN coalesce(cc.component, i.vec_id) = i.vec_id
+           THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM ids i LEFT JOIN cc ON cc.node = i.vec_id""")))
 
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
@@ -1960,5 +1998,6 @@ object LlmOps {
       l13, l14, l14b, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
-      l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41, m1)
+      l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
+      l42, m1)
 }
