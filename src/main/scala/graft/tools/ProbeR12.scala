@@ -346,6 +346,74 @@ object ProbeR12 {
         q.collect()
         println(q.queryExecution.executedPlan.toString.take(4000))
 
+      case "ccprobe" =>
+        // connected components at the 100 TB dedup-graph shape:
+        // 3M 10-member dup clusters as stars (27M edges, diameter 2 —
+        // the shape near-dup pair graphs actually have), plus a 1M-leaf
+        // hot star (join-key skew on the hub), plus (separately timed)
+        // a 10k chain — the adversarial-diameter case that drives the
+        // round count, isolated so its cost is attributable.
+        import graft.operators.GraphRank
+        val stars = spark.range(0L, 27000000L, 1L, 32)
+          .select((col("id") / 9L).cast("long").as("c"),
+            col("id").as("i"))
+          .select((col("c") * 10L).as("src"),
+            (col("c") * 10L + pmod(col("i"), lit(9L)) + 1L).as("dst"))
+        val hot = spark.range(0L, 1000000L, 1L, 32)
+          .select(lit(900000000L).as("src"),
+            (lit(900000001L) + col("id")).as("dst"))
+        val big = stars.union(hot)
+        for (rep <- 1 to 2) {
+          spark.catalog.clearCache()
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val (cc, rounds) = GraphRank
+            .connectedComponentsWithStats(big, "src", "dst")
+          val n = cc.groupBy().agg(countDistinct("component")).head()
+          val secs = (System.nanoTime() - t0) / 1e9
+          metrics.drain()
+          println(f"PROBE12 cc_28m_edges rep$rep ${secs}%.1f s " +
+            f"rounds=$rounds comps=${n.getLong(0)} " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s")
+          cc.unpersist(blocking = false)
+        }
+        val chain = spark.range(0L, 10000L, 1L, 8)
+          .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+        val t1 = System.nanoTime()
+        val (cc2, rounds2) = GraphRank
+          .connectedComponentsWithStats(chain, "src", "dst")
+        val c2 = cc2.groupBy().agg(countDistinct("component")).head()
+        println(f"PROBE12 cc_chain_10k ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+          f"rounds=$rounds2 comps=${c2.getLong(0)}")
+        cc2.unpersist(blocking = false)
+
+      case "dsirscale" =>
+        // DSIR at the honest regime: the sf5textdiv corpus mixes the
+        // ORIGINAL sf0.1 docs (copy 0, shared engine-word vocabulary)
+        // with power-law regenerated copies — two genuinely different
+        // token distributions. Target = the originals; DSIR should
+        // pull the kept set overwhelmingly from the original
+        // distribution (the "steer the crawl toward the target" claim,
+        // measured, not asserted).
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        // copy 0 keeps the original sf0.1 ids; copies shift by i*base
+        val origMax = graft.core.Tables
+          .documents(spark, "/root/testdata/sf0.1")
+          .agg(max("doc_id")).head().getLong(0)
+        val pred = col("doc_id") <= lit(origMax)
+        timed("l41_dsir_250k", graft.operators.Dsir.importanceResample(
+          docs, "doc_id", "text", targetPred = pred,
+          buckets = 65536, topK = 5000))
+        val kept = graft.operators.Dsir.importanceResample(
+            docs, "doc_id", "text", targetPred = pred,
+            buckets = 65536, topK = 5000)
+          .filter(col("keep") === 1L)
+          .agg(count(lit(1)).as("n"),
+            sum(when(pred, 1L).otherwise(0L)).as("orig")).head()
+        println(s"PROBE12 l41_kept_from_target ${kept.getLong(1)}/" +
+          s"${kept.getLong(0)}")
+
       case "bpedebug" =>
         val tr = graft.core.Tables.documents(spark, sfDir)
           .filter(graft.operators.TextAnalysis
