@@ -299,7 +299,6 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                       threshold: Double = 0.2): DataFrame = {
-    val k = bands * rowsPerBand
     val sh = Barrier.filterAbove(
       df.select(col(idCol).as("doc"), shingles(textCol, n).as("sh")),
       size(col("sh")) > 0).cache()
@@ -313,15 +312,7 @@ object Dedup {
     // tensor per downstream reference — see minHashSignature's note.)
     val exploded = sh.select(col("doc"), explode(col("sh")).as("shingle"))
       .withColumn("h", xxhash64(col("shingle")))
-    val minAggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
-    val sig = exploded.groupBy("doc").agg(minAggs.head, minAggs.tail: _*)
-    val banded = sig.select(col("doc"),
-      posexplode(expr((0 until bands).map { b =>
-        val slice = (0 until rowsPerBand)
-          .map(r => s"h${b * rowsPerBand + r}").mkString(", ")
-        s"xxhash64($b, array($slice))"
-      }.mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
+    val banded = bandedFromHashes(exploded, bands, rowsPerBand)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -333,13 +324,37 @@ object Dedup {
     verifiedJaccard(cand, sh, threshold)
   }
 
+  /** MinHash signatures + LSH (band, bucket) rows from the exploded
+    * per-shingle hash stream `(doc, h)`: k = bands x rowsPerBand
+    * min-aggregates (one doc-keyed shuffle, map-side partial mins),
+    * then the per-band bucket fold. Shared by [[minHashLshPairs]] and
+    * the STREAMING near-dup index
+    * ([[graft.streaming.StreamOps.nearDupIndexForeachBatch]]), so
+    * batch and streamed candidate generation are value-identical by
+    * construction — the streamed store keeps 8-byte shingle hashes and
+    * re-derives nothing.
+    */
+  private[graft] def bandedFromHashes(exploded: DataFrame, bands: Int,
+                                      rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val minAggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"h$i"))
+    val sig = exploded.groupBy("doc").agg(minAggs.head, minAggs.tail: _*)
+    sig.select(col("doc"),
+      posexplode(expr((0 until bands).map { b =>
+        val slice = (0 until rowsPerBand)
+          .map(r => s"h${b * rowsPerBand + r}").mkString(", ")
+        s"xxhash64($b, array($slice))"
+      }.mkString("array(", ", ", ")"))).as(Seq("band", "bucket")))
+  }
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     * the full shingle table: the common final stage of every blocked
     * near-dup variant (LSH recall is probabilistic, precision is made
     * exact here).
     */
-  private def verifiedJaccard(cand: DataFrame, sh: DataFrame,
-                              threshold: Double): DataFrame =
+  private[graft] def verifiedJaccard(cand: DataFrame, sh: DataFrame,
+                                     threshold: Double): DataFrame =
     cand
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -434,6 +434,161 @@ object StreamOps {
     } else spark.read.parquet(deltas.toIndexedSeq: _*)
   }
 
+  /** Streaming incremental NEAR-dup dedup — the MinHash-LSH pair
+    * pipeline (l3) maintained against a standing corpus, closing the
+    * fuzzy half of the streaming dedup story
+    * ([[dedupIndexForeachBatch]] covers exact content hashes only; a
+    * production crawl ingest needs each batch checked for NEAR
+    * duplicates of everything already kept).
+    *
+    * State is the [[dedupIndexForeachBatch]] APPEND-ONLY DELTA LOG,
+    * two stores under `indexPath`:
+    *  - `shingles/d=<batchId>`: (doc, sh ARRAY<LONG>, first_batch) —
+    *    each doc's xxhash64-hashed shingle set (the l2bh 8-byte
+    *    convention), what exact verification joins against;
+    *  - `buckets/d=<batchId>`: (doc, band, bucket, first_batch) — the
+    *    doc's LSH cells, what candidate generation joins against.
+    * Both per-batch writes are O(batch); the standing corpus is never
+    * rewritten or re-signed (signatures derive from the STORED hashes
+    * via the same [[graft.operators.Dedup.bandedFromHashes]] the batch
+    * operator uses, so batch and streamed candidates are
+    * value-identical by construction).
+    *
+    * Each batch emits to `pairsPath/batch=<id>` every verified pair
+    * (doc_a, doc_b, jaccard) whose LATER member arrived in this batch:
+    * batch x standing bucket collisions plus within-batch collisions,
+    * exact-verified against full shingle sets. The union over batches
+    * equals the one-shot [[graft.operators.Dedup.minHashLshPairs]]
+    * over the final corpus (StreamOpsSpec pins this), because a pair
+    * collides in the stream exactly when it collides in batch and is
+    * attributed to the arrival batch of its later member — decided AT
+    * ARRIVAL, the l22 semantics.
+    *
+    * Idempotency by construction: reads filter `first_batch <
+    * batchId`, a retried batch sees exactly the pre-batch state and
+    * overwrites its own three directories.
+    */
+  def nearDupIndexForeachBatch(indexPath: String, pairsPath: String,
+                               idCol: String, textCol: String,
+                               n: Int = 3, bands: Int = 16,
+                               rowsPerBand: Int = 4,
+                               threshold: Double = 0.2)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import graft.operators.{Barrier, Dedup}
+      val bsh = Barrier.filterAbove(
+          batch.select(col(idCol).cast("long").as("doc"),
+            Dedup.shingles(textCol, n).as("s0")),
+          size(col("s0")) > 0)
+        .select(col("doc"),
+          expr("transform(s0, t -> xxhash64(t))").as("sh"))
+        .cache()
+      val banded = Dedup.bandedFromHashes(
+        bsh.select(col("doc"), explode(col("sh")).as("h")),
+        bands, rowsPerBand).cache()
+      val standingSh = nearDupShingles(spark, indexPath)
+        .filter(col("first_batch") < batchId)
+      val standingBk = nearDupBuckets(spark, indexPath)
+        .filter(col("first_batch") < batchId)
+      val cross = banded.as("a").join(standingBk.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket"))
+        .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+          greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      val within = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      val cand = cross.union(within).distinct()
+      val allSh = standingSh.select("doc", "sh")
+        .union(bsh.select("doc", "sh"))
+      Dedup.verifiedJaccard(cand, allSh, threshold)
+        .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+      bsh.withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite")
+        .parquet(s"$indexPath/shingles/d=$batchId")
+      banded.withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite")
+        .parquet(s"$indexPath/buckets/d=$batchId")
+      bsh.unpersist(blocking = false)
+      banded.unpersist(blocking = false)
+    }
+  }
+
+  /** The standing hashed-shingle store: union of published deltas
+    * (empty frame with the right schema before the first batch).
+    */
+  def nearDupShingles(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String): DataFrame =
+    readDeltaDirs(spark, s"$indexPath/shingles").getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Seq[Long], Long)].toDF("doc", "sh", "first_batch")
+    }
+
+  /** The standing LSH bucket store (empty-schema frame when absent). */
+  def nearDupBuckets(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String): DataFrame =
+    readDeltaDirs(spark, s"$indexPath/buckets").getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Long, Long)]
+        .toDF("doc", "band", "bucket", "first_batch")
+    }
+
+  /** LSM compaction of the near-dup index: merges every published
+    * delta with max first_batch <= `upTo` in BOTH stores, preserving
+    * per-row `first_batch` (so retry reads are byte-unchanged — purely
+    * physical, same contract/publish order as [[compactDedupIndex]]).
+    * Crash leftovers (a doc present in an old delta AND a compacted
+    * dir) dedup by key; their payloads are identical by construction.
+    */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, upTo: Long): Unit = {
+    def compactStore(root: String, keyCols: Seq[String]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return
+      val all = fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
+          !s.getPath.getName.contains("__staging"))
+        .map(_.getPath)
+      val eligible = all.filter { d =>
+        val top = spark.read.parquet(d.toString)
+          .agg(max("first_batch")).head()
+        !top.isNullAt(0) && top.getLong(0) <= upTo
+      }
+      if (eligible.length < 2) return
+      val merged = spark.read
+        .parquet(eligible.map(_.toString).toIndexedSeq: _*)
+        .dropDuplicates(keyCols)
+      val staging = new org.apache.hadoop.fs.Path(s"$root/d=c${upTo}__staging")
+      val target = new org.apache.hadoop.fs.Path(s"$root/d=c$upTo")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      fs.delete(target, true)
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(s"compact: cannot publish $target")
+      eligible.filterNot(_ == target).foreach(fs.delete(_, true))
+    }
+    compactStore(s"$indexPath/shingles", Seq("doc"))
+    compactStore(s"$indexPath/buckets", Seq("doc", "band"))
+  }
+
+  private def readDeltaDirs(spark: org.apache.spark.sql.SparkSession,
+                            root: String)
+      : Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
+          !s.getPath.getName.contains("__staging"))
+        .map(_.getPath.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+  }
+
   /** STREAMING vector-index maintenance — the IVF corpus index as an
     * append-only delta log (the dedup-index LSM shape applied to ANN
     * serving): the index STRUCTURE (the centroid table) is fixed at

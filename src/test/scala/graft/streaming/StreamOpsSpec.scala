@@ -696,4 +696,73 @@ class StreamOpsSpec extends AnyFunSuite {
       planned.contains("cell"),
       s"probed cells must prune the scan:\n${planned.take(1200)}")
   }
+
+  test("streaming near-dup index: the union of per-batch pair logs " +
+    "equals one-shot MinHash-LSH, pairs land in the later member's " +
+    "arrival batch; retry and compaction are inert") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_neardup_stream").toString
+    val indexPath = root + "/index"
+    val pairsPath = root + "/pairs"
+    // ten-token docs: 1~2~5 one near-dup family, 3~4 another, 6 alone
+    val t1 = "a b c d e f g h i j"
+    val t3 = "p q r s t u v w x y"
+    val standing = Seq((1L, t1), (3L, t3)).toDF("doc_id", "text")
+    val b1 = Seq((2L, t1 + " k"), (6L, "m n o zz q2 r2 s2 t2 u2 v2"))
+    val b2 = Seq((5L, t1 + " l"), (4L, t3 + " z"))
+    val all = Seq((1L, t1), (3L, t3)) ++ b1 ++ b2
+
+    val sink = StreamOps.nearDupIndexForeachBatch(indexPath, pairsPath,
+      "doc_id", "text")
+    sink(standing, 0L)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(df, id + 1)
+      }.start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def pairsOf(path: String) = s.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p1 = pairsOf(s"$pairsPath/batch=1")
+    val p2 = pairsOf(s"$pairsPath/batch=2")
+    val oneShot = graft.operators.Dedup
+      .minHashLshPairs(all.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(p1.union(p2) == oneShot,
+      s"streamed pair log must equal the one-shot operator: " +
+        s"streamed=${p1.union(p2)} oneShot=$oneShot")
+    assert(p1.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      "batch 1 pairs = exactly those whose later member arrived in it")
+    assert(p2.map(p => (p._1, p._2)) == Set((1L, 5L), (2L, 5L), (3L, 4L)),
+      "batch 2 pairs = cross-batch AND within-family closures")
+
+    // RETRY batch 2: byte-identical pair log, no state double-insert
+    sink(b2.toDF("doc_id", "text"), 2L)
+    assert(pairsOf(s"$pairsPath/batch=2") == p2,
+      "retried batch changed its pairs")
+
+    // compaction is purely physical: standing reads unchanged, a later
+    // batch still finds its near-dups against the compacted index
+    val shBefore = StreamOps.nearDupShingles(s, indexPath)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSet
+    StreamOps.compactNearDupIndex(s, indexPath, upTo = 1L)
+    val shAfter = StreamOps.nearDupShingles(s, indexPath)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .toSet
+    assert(shAfter == shBefore, "compaction changed the logical index")
+    sink(Seq((7L, t3 + " z2")).toDF("doc_id", "text"), 3L)
+    val p3 = pairsOf(s"$pairsPath/batch=3").map(p => (p._1, p._2))
+    assert(p3 == Set((3L, 7L), (4L, 7L)),
+      s"post-compaction batch must still match the standing corpus: $p3")
+  }
 }
