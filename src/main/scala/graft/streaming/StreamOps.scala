@@ -467,12 +467,28 @@ object StreamOps {
     * Idempotency by construction: reads filter `first_batch <
     * batchId`, a retried batch sees exactly the pre-batch state and
     * overwrites its own three directories.
+    *
+    * `maxBucket` is the HOT-BUCKET cap, the l12c star scheme applied
+    * to the stream: a bucket whose standing+batch membership exceeds
+    * the cap generates only (batch doc, bucket representative) pairs
+    * — the representative is the bucket's all-time min id, so it is
+    * stable across batches — instead of all pairs. Without it, one
+    * boilerplate-heavy bucket (N standing members, m batch arrivals)
+    * emits N*m candidates per batch forever: the probed pathological
+    * batch (5k mutually-near-dup docs) generated 11M verified pairs
+    * in 174 s; the same batch under the cap is bounded by
+    * membership, not membership^2. Precision stays exact (every
+    * candidate is still verified); recall weakens to pairs reachable
+    * through a representative — the standard trade, and the default
+    * stays uncapped so the pair-log == one-shot-l3 parity contract
+    * holds exactly.
     */
   def nearDupIndexForeachBatch(indexPath: String, pairsPath: String,
                                idCol: String, textCol: String,
                                n: Int = 3, bands: Int = 16,
                                rowsPerBand: Int = 4,
-                               threshold: Double = 0.2)
+                               threshold: Double = 0.2,
+                               maxBucket: Int = Int.MaxValue)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     if (!batch.isEmpty) {
       val spark = batch.sparkSession
@@ -491,17 +507,46 @@ object StreamOps {
         .filter(col("first_batch") < batchId)
       val standingBk = nearDupBuckets(spark, indexPath)
         .filter(col("first_batch") < batchId)
-      val cross = banded.as("a").join(standingBk.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket"))
-        .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
-          greatest(col("a.doc"), col("b.doc")).as("doc_b"))
-      val within = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.doc") < col("b.doc"))
-        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      val cand = cross.union(within).distinct()
+      val cand0 =
+        if (maxBucket == Int.MaxValue) {
+          val cross = banded.as("a").join(standingBk.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket"))
+            .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+              greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+          val within = banded.as("a").join(banded.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") &&
+                col("a.doc") < col("b.doc"))
+            .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          cross.union(within)
+        } else {
+          // per-bucket membership over standing UNION batch: one
+          // map-side-combinable aggregate on the scan already paid
+          val stats = standingBk.select("doc", "band", "bucket")
+            .union(banded.select("doc", "band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(count(lit(1)).as("cnt"), min("doc").as("rep"))
+          val bb = banded.join(stats, Seq("band", "bucket"))
+          val underB = bb.filter(col("cnt") <= maxBucket)
+            .select("doc", "band", "bucket")
+          val crossU = underB.as("a").join(standingBk.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket"))
+            .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+              greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+          val withinU = underB.as("a").join(underB.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") &&
+                col("a.doc") < col("b.doc"))
+            .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          val star = bb
+            .filter(col("cnt") > maxBucket && col("doc") =!= col("rep"))
+            .select(least(col("doc"), col("rep")).as("doc_a"),
+              greatest(col("doc"), col("rep")).as("doc_b"))
+          crossU.union(withinU).union(star)
+        }
+      val cand = cand0.distinct()
       val allSh = standingSh.select("doc", "sh")
         .union(bsh.select("doc", "sh"))
       Dedup.verifiedJaccard(cand, allSh, threshold)

@@ -414,6 +414,64 @@ object ProbeR12 {
         println(s"PROBE12 l41_kept_from_target ${kept.getLong(1)}/" +
           s"${kept.getLong(0)}")
 
+      case "neardupstream" =>
+        // streaming near-dup index at a 250k-doc standing corpus:
+        // batch 0 seeds the index (one-time O(corpus) signature build),
+        // batch 1 is 10k planted near-dups (standing docs + one token)
+        // + 5k fresh docs — the daily-crawl shape. The batch cost is
+        // what scales: the candidate join broadcasts the batch's bands
+        // over ONE standing bucket scan, verification broadcasts the
+        // candidate ids over standing shingle scans — no
+        // standing-sized shuffle anywhere (asserted by metrics).
+        val root = "/tmp/scale/probe12_neardup"
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val sink = graft.streaming.StreamOps.nearDupIndexForeachBatch(
+          s"$root/index", s"$root/pairs", "doc_id", "text")
+        metrics.reset()
+        val t0 = System.nanoTime()
+        sink(docs, 0L)
+        println(f"PROBE12 neardup_seed_250k ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          f"shuffle=${metrics.shuffleWriteMb} MB spill=${metrics.spillMb} MB " +
+          f"maxTask=${metrics.maxTaskSec}%.1f s")
+        val planted = docs.filter(pmod(col("doc_id"), lit(25L)) === 0L)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" xqz")).as("text"))
+        // fresh docs with per-doc-unique tokens (no cross-doc shingles)
+        val fresh = spark.range(0L, 5000L, 1L, 8)
+          .select((col("id") + 20000000L).as("doc_id"),
+            expr("""concat_ws(' ', transform(sequence(0, 9),
+              j -> concat('w', id, 'x', j)))""").as("text"))
+        val batch = planted.unionByName(fresh)
+        metrics.reset()
+        val t1 = System.nanoTime()
+        sink(batch, 1L)
+        val secs1 = (System.nanoTime() - t1) / 1e9
+        val nPairs1 = spark.read.parquet(s"$root/pairs/batch=1").count()
+        println(f"PROBE12 neardup_batch_15k ${secs1}%.1f s " +
+          f"pairs=$nPairs1 shuffle=${metrics.shuffleWriteMb} MB " +
+          f"spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s")
+        // the PATHOLOGICAL batch (5k mutually-near-dup docs — one hot
+        // bucket family) under the cap: bounded star pairs, not m^2
+        val hotSink = graft.streaming.StreamOps.nearDupIndexForeachBatch(
+          s"$root/index", s"$root/pairs", "doc_id", "text",
+          maxBucket = 16)
+        val hotBatch = spark.range(0L, 5000L, 1L, 8)
+          .select((col("id") + 30000000L).as("doc_id"),
+            concat(lit("hot boiler plate qa qb qc qd qe qf qg qh tail "),
+              col("id")).as("text"))
+        metrics.reset()
+        val t2 = System.nanoTime()
+        hotSink(hotBatch, 2L)
+        val secs2 = (System.nanoTime() - t2) / 1e9
+        val nPairs2 = spark.read.parquet(s"$root/pairs/batch=2").count()
+        println(f"PROBE12 neardup_hot5k_capped ${secs2}%.1f s " +
+          f"pairs=$nPairs2 shuffle=${metrics.shuffleWriteMb} MB " +
+          f"spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s")
+
       case "bpedebug" =>
         val tr = graft.core.Tables.documents(spark, sfDir)
           .filter(graft.operators.TextAnalysis

@@ -765,4 +765,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(p3 == Set((3L, 7L), (4L, 7L)),
       s"post-compaction batch must still match the standing corpus: $p3")
   }
+
+  test("near-dup index hot-bucket cap: over-cap buckets emit only " +
+    "star-against-representative pairs; a generous cap equals uncapped") {
+    import s.implicits._
+    def freshRoot() = java.nio.file.Files
+      .createTempDirectory("graft_neardup_cap").toString
+    val hotFamily = (10L to 17L).map(i => (i, "hot boiler plate a b c d e"))
+    val distinctDocs = Seq((1L, "k l m n o p q r"),
+      (2L, "s2 t2 u2 v2 w2 x2 y2 z2"))
+    val batch = (hotFamily ++ distinctDocs).toDF("doc_id", "text")
+
+    def pairsWith(cap: Int): Set[(Long, Long)] = {
+      val root = freshRoot()
+      StreamOps.nearDupIndexForeachBatch(s"$root/i", s"$root/p",
+        "doc_id", "text", maxBucket = cap)(batch, 0L)
+      s.read.parquet(s"$root/p/batch=0").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val uncapped = pairsWith(Int.MaxValue)
+    assert(uncapped.size == 28, s"8 identical docs -> 28 pairs: $uncapped")
+    val capped = pairsWith(4)
+    assert(capped == (11L to 17L).map(i => (10L, i)).toSet,
+      s"over-cap bucket must collapse to star-against-min-id: $capped")
+    assert(pairsWith(100) == uncapped,
+      "a cap nothing exceeds must change nothing")
+  }
 }
