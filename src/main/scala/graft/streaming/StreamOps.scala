@@ -581,6 +581,81 @@ object StreamOps {
         .toDF("doc", "band", "bucket", "first_batch")
     }
 
+  /** Streaming dup-CLUSTER maintenance — incremental connected
+    * components over an arriving near-dup pair stream (the
+    * [[nearDupIndexForeachBatch]] pair log, or any (doc_a, doc_b)
+    * batch), so the standing corpus always carries resolved cluster
+    * labels, not just pairs. Labels = component MINIMUM over every
+    * pair seen so far — identical to the one-shot
+    * [[graft.operators.GraphRank.connectedComponents]] on the
+    * cumulative pair set (StreamOpsSpec pins this), including the hard
+    * case where a new pair MERGES two standing clusters.
+    *
+    * Incrementality: existing clusters are STARS in label space (every
+    * member points at the cluster min), so merging new pairs needs
+    * only the AFFECTED subgraph — the batch pairs, plus one star edge
+    * (member -> old label) for every member of a cluster the batch
+    * touches. Components over that small graph yields the new labels;
+    * everything untouched keeps its label by construction. Per-batch
+    * work: one latest-label resolve over the label log (combinable
+    * max_by — the one O(index) aggregate, same class as the near-dup
+    * index's bucket scan), two broadcast semi-joins to find touched
+    * members, and an iterative closure sized by the touched clusters
+    * only.
+    *
+    * State is the same delta-log discipline: `ccPath/d=<batchId>`
+    * appends (node, component, as_of) for AFFECTED nodes only
+    * (O(touched) per batch); the current label of a node is its
+    * max-as_of row; reads filter `as_of < batchId` so retries are
+    * idempotent by construction.
+    */
+  def dupClusterForeachBatch(ccPath: String)
+      : (DataFrame, Long) => Unit = { (pairs, batchId) =>
+    if (!pairs.isEmpty) {
+      val spark = pairs.sparkSession
+      val p = pairs.select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b")).distinct().cache()
+      val cur = latestLabels(
+        dupClusterLog(spark, ccPath).filter(col("as_of") < batchId))
+      val touched = p.select(col("a").as("node"))
+        .union(p.select(col("b").as("node"))).distinct()
+      // labels the batch touches (absent nodes are their own label)
+      val touchedLbl = touched.join(cur, Seq("node"), "left")
+        .select(coalesce(col("component"), col("node")).as("lbl"))
+        .distinct()
+      // every standing member of a touched cluster, as star edges
+      val members = cur.join(
+        broadcast(touchedLbl),
+        cur("component") === touchedLbl("lbl"))
+      val starEdges = members
+        .select(col("node").as("a"), col("component").as("b"))
+      val subgraph = p.select("a", "b").union(starEdges)
+      val relabeled = graft.operators.GraphRank
+        .connectedComponents(subgraph, "a", "b")
+      relabeled.withColumn("as_of", lit(batchId))
+        .write.mode("overwrite").parquet(s"$ccPath/d=$batchId")
+      relabeled.unpersist(blocking = false)
+      p.unpersist(blocking = false)
+    }
+  }
+
+  /** The raw label delta log (possibly several rows per node). */
+  def dupClusterLog(spark: org.apache.spark.sql.SparkSession,
+                    ccPath: String): DataFrame =
+    readDeltaDirs(spark, ccPath).getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("node", "component", "as_of")
+    }
+
+  /** Current cluster labels: each node's max-as_of row. */
+  def dupClusters(spark: org.apache.spark.sql.SparkSession,
+                  ccPath: String): DataFrame =
+    latestLabels(dupClusterLog(spark, ccPath))
+
+  private def latestLabels(log: DataFrame): DataFrame =
+    log.groupBy("node")
+      .agg(max_by(col("component"), col("as_of")).as("component"))
+
   /** LSM compaction of the near-dup index: merges every published
     * delta with max first_batch <= `upTo` in BOTH stores, preserving
     * per-row `first_batch` (so retry reads are byte-unchanged — purely

@@ -791,4 +791,42 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(pairsWith(100) == uncapped,
       "a cap nothing exceeds must change nothing")
   }
+
+  test("streaming dup clusters: incremental labels equal one-shot " +
+    "components over the cumulative pair stream; a late pair merges " +
+    "two standing clusters; retry is inert") {
+    import s.implicits._
+    val ccPath = java.nio.file.Files
+      .createTempDirectory("graft_dupcc_stream").toString + "/cc"
+    val sink = StreamOps.dupClusterForeachBatch(ccPath)
+    val b1 = Seq((1L, 2L), (5L, 6L))
+    val b2 = Seq((7L, 8L), (2L, 3L)) // grows {1,2} by 3
+    val b3 = Seq((3L, 5L)) // MERGES {1,2,3} with {5,6} -> min 1
+
+    def streamed(): Map[Long, Long] =
+      StreamOps.dupClusters(s, ccPath).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def oneShot(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val cc = graft.operators.GraphRank.connectedComponents(
+        pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      val got = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cc.unpersist(blocking = false)
+      got
+    }
+
+    var seen = Seq.empty[(Long, Long)]
+    for ((b, id) <- Seq(b1, b2, b3).zipWithIndex) {
+      sink(b.toDF("doc_a", "doc_b"), id.toLong)
+      seen ++= b
+      assert(streamed() == oneShot(seen),
+        s"after batch $id the incremental labels must equal one-shot " +
+          s"components over all ${seen.size} pairs")
+    }
+    assert(streamed()(6L) == 1L, "the merge must relabel the absorbed " +
+      "cluster's members, not just the touched endpoints")
+
+    val before = streamed()
+    sink(b3.toDF("doc_a", "doc_b"), 2L) // retry the merge batch
+    assert(streamed() == before, "retried batch changed labels")
+  }
 }
