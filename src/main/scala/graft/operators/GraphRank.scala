@@ -107,17 +107,18 @@ object GraphRank {
     *     label table doubles as a parent-pointer forest; jumping halves
     *     path lengths, Shiloach-Vishkin style).
     * Rounds repeat until a changed-label count hits zero: O(diameter)
-    * without step 2, O(log |V|) with it (ComponentsSpec pins a 64-node
+    * without step 2, O(log |V|) with it (GraphRankSpec pins a 64-node
     * chain converging in <= 8 rounds). Monotonicity (labels only
     * decrease, and the component minimum is a fixpoint) makes the
     * converged labels exactly the reachable-min, independent of
     * iteration interleaving.
     *
-    * Scale shape: every round is two equi-joins + one aggregate over
-    * (long, long) rows — no adjacency lists, no driver-side state
-    * beyond the converged flag; the iterative-cache discipline is
-    * [[pageRankFixedPoint]]'s (materialize `next` BEFORE releasing
-    * `prev`). At 100 TB the edge list for dedup graphs is SPARSE
+    * Scale shape: every round is three 8-byte-key equi-joins + one
+    * map-side-combinable aggregate over (long, long) rows — no
+    * adjacency lists, no driver-side state beyond the converged count;
+    * label-table lineage is localCheckpoint-truncated per round (see
+    * the in-body comment — a cache-only discipline OOMs plan
+    * construction). At 100 TB the edge list for dedup graphs is SPARSE
     * (bounded by the candidate generator's cap — cap^2/2 pairs per
     * shingle under l2b's hot-shingle cap), so |E| ~ |dup docs|, not
     * |docs|^2.

@@ -1947,7 +1947,8 @@ object LlmOps {
   // by the integer-bits log-likelihood ratio of its hashed-unigram
   // stream under the TARGET distribution (the English docs — the
   // "steer the crawl toward the target domain" selection rule, Xie et
-  // al. 2023) vs the raw corpus; top-100 by (score desc, id) kept. The
+  // al. 2023) vs the raw corpus; top-100 by (avg_bits desc, id) kept
+  // (per-token average — the length-debiased ranking, see Dsir). The
   // oracle replays the poly-hash bucketing, the one-pass raw+target
   // counts, the bitlen weight table, and the global rank — so the
   // hash-match pins feature hashing, smoothing, scoring, and the

@@ -615,8 +615,11 @@ object StreamOps {
       val spark = pairs.sparkSession
       val p = pairs.select(col("doc_a").cast("long").as("a"),
         col("doc_b").cast("long").as("b")).distinct().cache()
+      // the O(index) latest-label resolve feeds TWO consumers (the
+      // touched-label lookup and the member scan) — resolve once
       val cur = latestLabels(
         dupClusterLog(spark, ccPath).filter(col("as_of") < batchId))
+        .cache()
       val touched = p.select(col("a").as("node"))
         .union(p.select(col("b").as("node"))).distinct()
       // labels the batch touches (absent nodes are their own label)
@@ -635,6 +638,7 @@ object StreamOps {
       relabeled.withColumn("as_of", lit(batchId))
         .write.mode("overwrite").parquet(s"$ccPath/d=$batchId")
       relabeled.unpersist(blocking = false)
+      cur.unpersist(blocking = false)
       p.unpersist(blocking = false)
     }
   }
