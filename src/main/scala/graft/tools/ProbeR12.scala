@@ -471,6 +471,21 @@ object ProbeR12 {
         println(f"PROBE12 neardup_hot5k_capped ${secs2}%.1f s " +
           f"pairs=$nPairs2 shuffle=${metrics.shuffleWriteMb} MB " +
           f"spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s")
+        // fold each batch's pair log into standing cluster labels —
+        // the downstream dupClusterForeachBatch at the same scale
+        val ccSink = graft.streaming.StreamOps
+          .dupClusterForeachBatch(s"$root/cc")
+        for (b <- 1L to 2L) {
+          metrics.reset()
+          val t3 = System.nanoTime()
+          ccSink(spark.read.parquet(s"$root/pairs/batch=$b"), b)
+          val secs3 = (System.nanoTime() - t3) / 1e9
+          val nLbl = graft.streaming.StreamOps.dupClusters(spark,
+            s"$root/cc").count()
+          println(f"PROBE12 dupcc_fold_batch$b ${secs3}%.1f s " +
+            f"labels=$nLbl shuffle=${metrics.shuffleWriteMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
 
       case "bpedebug" =>
         val tr = graft.core.Tables.documents(spark, sfDir)
