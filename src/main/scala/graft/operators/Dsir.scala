@@ -98,4 +98,70 @@ object Dsir {
         coalesce(col("avg_bits"), lit(0.0d)).as("avg_bits"),
         col("kdoc").isNotNull.cast("long").as("keep"))
   }
+
+  /** The hashed-unigram bucket stream of a corpus: (doc, is_tgt, bk).
+    * Shared by [[importanceResample]]'s one-shot path and the
+    * streaming sink's per-batch count/score stages.
+    */
+  def bucketedTokens(docs: DataFrame, idCol: String, textCol: String,
+                     targetPred: Column, buckets: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc"), targetPred.as("is_tgt"),
+        explode(TextAnalysis.tokens(textCol)).as("t"))
+      .select(col("doc"), col("is_tgt"),
+        pmod(expr("poly_hash(t)"), lit(buckets.toLong)).as("bk"))
+
+  /** Score `docs` against an EXTERNAL counts table `(bk, rc, tc)` —
+    * the at-arrival path of the STREAMING sink
+    * ([[graft.streaming.StreamOps.dsirForeachBatch]]): the prior
+    * corpus's distribution decides, the batch's own tokens don't move
+    * it. Smoothing is symmetric add-one on BOTH sides
+    * (`wb = (bitlen(rt+B) - bitlen(rc+1)) - (bitlen(tt+B) -
+    * bitlen(tc+1))`), because unlike [[importanceResample]] — where
+    * every scored bucket was observed in the raw corpus by
+    * construction — a batch token can hit a bucket the prior corpus
+    * never saw; such NO-EVIDENCE tokens contribute exactly 0 (the
+    * left-join-miss path — neutrality, deliberately NOT the add-one
+    * prior `bitlen(rt+B) - bitlen(tt+B)`, which would reward unseen
+    * garbage just because the target corpus is the smaller one).
+    * Against EMPTY counts every token is unseen, every score is 0,
+    * and the ranking degenerates to id order — score only after the
+    * state holds a corpus.
+    *
+    * Output: (idCol, n_tokens, score_bits, avg_bits, keep) with the
+    * top `topK` of THESE docs kept by (avg_bits desc, id asc).
+    */
+  def scoreAgainstCounts(docs: DataFrame, idCol: String, textCol: String,
+                         counts: DataFrame, buckets: Int,
+                         topK: Int): DataFrame = {
+    val toks = bucketedTokens(docs, idCol, textCol, lit(false), buckets)
+      .select("doc", "bk")
+    val tot = counts.agg(
+      coalesce(sum("rc"), lit(0L)).cast("long").as("rt"),
+      coalesce(sum("tc"), lit(0L)).cast("long").as("tt"))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("bk"),
+        ((length(bin(col("rt") + lit(buckets.toLong)))
+          - length(bin(col("rc") + lit(1L))))
+          - (length(bin(col("tt") + lit(buckets.toLong)))
+            - length(bin(col("tc") + lit(1L)))))
+          .cast("long").as("wb"))
+    val scored = toks.join(broadcast(w), Seq("bk"), "left")
+      .groupBy("doc").agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("wb"), lit(0L))).as("score_bits"))
+      .withColumn("avg_bits",
+        col("score_bits").cast("double") / col("n_tokens"))
+    val kept = scored
+      .orderBy(col("avg_bits").desc, col("doc").asc)
+      .limit(topK)
+      .select(col("doc").as("kdoc"))
+    docs.select(col(idCol).cast("long").as("doc"))
+      .join(scored, Seq("doc"), "left")
+      .join(broadcast(kept), col("doc") === col("kdoc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_bits"), lit(0L)).as("score_bits"),
+        coalesce(col("avg_bits"), lit(0.0d)).as("avg_bits"),
+        col("kdoc").isNotNull.cast("long").as("keep"))
+  }
 }

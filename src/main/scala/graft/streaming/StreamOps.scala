@@ -581,6 +581,52 @@ object StreamOps {
         .toDF("doc", "band", "bucket", "first_batch")
     }
 
+  /** Streaming DSIR — importance scoring AT INGEST: each arriving
+    * batch is scored against the raw/target hashed-unigram
+    * distributions of everything that arrived BEFORE it
+    * ([[graft.operators.Dsir.scoreAgainstCounts]] — at-arrival
+    * semantics, the l22 discipline), then its tokens fold into the
+    * standing counts. State is one O(buckets) (bk, rc, tc) table —
+    * bounded, so the rewrite-per-batch histogram-sink pattern (staged
+    * atomic publish + batch marker) is the right shape, unlike the
+    * corpus-sized delta-log indexes. Per-batch score files land at
+    * `scoresPath/batch=<id>` BEFORE the state publish, so a retry in
+    * any crash window recomputes byte-identical scores from the
+    * still-pre-batch state, and a retry after publish is skipped
+    * whole (marker) with the score file already in place.
+    */
+  def dsirForeachBatch(statePath: String, scoresPath: String,
+                       idCol: String, textCol: String,
+                       targetPred: org.apache.spark.sql.Column,
+                       buckets: Int = 4096, topKPerBatch: Int = 100)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        import graft.operators.Dsir
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (fs.exists(live)) spark.read.parquet(statePath)
+          else {
+            import spark.implicits._
+            Seq.empty[(Long, Long, Long)].toDF("bk", "rc", "tc")
+          }
+        Dsir.scoreAgainstCounts(batch, idCol, textCol, prior,
+            buckets, topKPerBatch)
+          .write.mode("overwrite").parquet(s"$scoresPath/batch=$batchId")
+        val part = Dsir
+          .bucketedTokens(batch, idCol, textCol, targetPred, buckets)
+          .groupBy("bk").agg(count(lit(1)).as("rc"),
+            sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tc"))
+        val merged = prior.unionByName(part).groupBy("bk")
+          .agg(sum("rc").cast("long").as("rc"),
+            sum("tc").cast("long").as("tc"))
+        publishAtomic(spark, statePath, merged, Some(batchId))
+      }
+    }
+  }
+
   /** Streaming dup-CLUSTER maintenance — incremental connected
     * components over an arriving near-dup pair stream (the
     * [[nearDupIndexForeachBatch]] pair log, or any (doc_a, doc_b)

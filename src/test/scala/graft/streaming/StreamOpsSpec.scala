@@ -829,4 +829,55 @@ class StreamOpsSpec extends AnyFunSuite {
     sink(b3.toDF("doc_a", "doc_b"), 2L) // retry the merge batch
     assert(streamed() == before, "retried batch changed labels")
   }
+
+  test("streaming DSIR scores each batch against the PRE-batch " +
+    "distribution (at-arrival); counts fold additively; a retried " +
+    "published batch is skipped whole") {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dsir_stream").toString
+    val statePath = root + "/state"
+    val scoresPath = root + "/scores"
+    val sink = StreamOps.dsirForeachBatch(statePath, scoresPath,
+      "doc_id", "text", col("is_tgt"), buckets = 512, topKPerBatch = 2)
+
+    // seed: target speaks alpha/beta, raw-only docs speak zeta/eta
+    val b0 = Seq((1L, "alpha beta alpha beta", true),
+      (2L, "zeta eta zeta eta", false), (3L, "zeta eta", false))
+      .toDF("doc_id", "text", "is_tgt")
+    sink(b0, 0L)
+    def scoresOf(b: Long) = s.read.parquet(s"$scoresPath/batch=$b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    val s0 = scoresOf(0L)
+    assert(s0.values.forall(_._1 == 0.0),
+      "against an empty state every score is the degenerate 0")
+
+    // batch 1 scored against b0's distribution: raw-exclusive vocab
+    // scores negative, target vocab ~0 (raw contains the target), an
+    // unseen token contributes exactly 0 (no-evidence neutrality)
+    val b1 = Seq((10L, "alpha beta", false), (11L, "zeta eta", false),
+      (12L, "qq rr", false)).toDF("doc_id", "text", "is_tgt")
+    sink(b1, 1L)
+    val s1 = scoresOf(1L)
+    assert(s1(11L)._1 < 0.0, "raw-exclusive vocab must score negative")
+    assert(s1(10L)._1 == 0.0 && s1(12L)._1 == 0.0,
+      s"target-shared and unseen vocab are neutral here: $s1")
+    assert(s1(10L)._2 == 1L && s1(12L)._2 == 1L && s1(11L)._2 == 0L,
+      "top-2 of the batch by (avg, id)")
+
+    // state = cumulative counts over both batches
+    val state = s.read.parquet(statePath)
+      .agg(sum("rc").cast("long"), sum("tc").cast("long")).head()
+    assert(state.getLong(0) == 16L, s"raw tokens 10+6: $state")
+    assert(state.getLong(1) == 4L, "target tokens from doc 1 only")
+
+    // retry after publish: the marker short-circuits the whole batch
+    val bytes = new java.io.File(s"$scoresPath/batch=1")
+      .listFiles().map(_.lastModified()).toSet
+    sink(b1, 1L)
+    assert(new java.io.File(s"$scoresPath/batch=1")
+      .listFiles().map(_.lastModified()).toSet == bytes,
+      "retried published batch must not rewrite its scores")
+  }
 }
