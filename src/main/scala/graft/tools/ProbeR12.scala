@@ -487,6 +487,43 @@ object ProbeR12 {
             f"maxTask=${metrics.maxTaskSec}%.1f s")
         }
 
+      case "semdedupscale" =>
+        // the FULL l42 SemDeDup pipeline at 100k clustered vectors
+        // (sf5 `cluster` mode — 64 natural clusters, the honest ANN
+        // regime): capped cosine pair stage -> connected components ->
+        // min-id keeper. Stage-split timing so the closure's share is
+        // attributable; kept fraction shows the dedup genuinely bites
+        // on a clustered corpus.
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        metrics.reset()
+        val tp = System.nanoTime()
+        val pr = graft.operators.Similarity.cosineNearDupPairsCapped(
+          emb, "vec_id", "embedding", threshold = 0.9, dim = 64,
+          nPlanes = 12, nTables = 8, maxBucket = 64)
+          .cache()
+        val nPairs = pr.count()
+        val pSec = (System.nanoTime() - tp) / 1e9
+        println(f"PROBE12 semdedup_pairs_100k ${pSec}%.1f s " +
+          f"pairs=$nPairs shuffle=${metrics.shuffleWriteMb} MB " +
+          f"spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s")
+        metrics.reset()
+        val tc = System.nanoTime()
+        val (cc, rounds) = graft.operators.GraphRank
+          .connectedComponentsWithStats(pr, "doc_a", "doc_b")
+        val stats = cc.agg(count(lit(1)).as("n"),
+          countDistinct("component").as("k")).head()
+        val cSec = (System.nanoTime() - tc) / 1e9
+        val total = emb.count()
+        val kept = total - stats.getLong(0) + stats.getLong(1)
+        println(f"PROBE12 semdedup_closure_100k ${cSec}%.1f s " +
+          f"rounds=$rounds clustered=${stats.getLong(0)} " +
+          f"clusters=${stats.getLong(1)} kept=$kept/$total " +
+          f"shuffle=${metrics.shuffleWriteMb} MB " +
+          f"maxTask=${metrics.maxTaskSec}%.1f s")
+        cc.unpersist(blocking = false)
+        pr.unpersist(blocking = false)
+
       case "bpedebug" =>
         val tr = graft.core.Tables.documents(spark, sfDir)
           .filter(graft.operators.TextAnalysis
