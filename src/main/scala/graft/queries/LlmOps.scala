@@ -1992,6 +1992,71 @@ object LlmOps {
       LEFT JOIN sc ON sc.doc_id = d.doc_id
       LEFT JOIN rk ON rk.doc_id = d.doc_id"""))
 
+  // L41B — DSIR weights TRAINED on one corpus, scoring ANOTHER (the
+  // deploy shape, and the batch oracle for the streaming sink's
+  // scoring path): counts from the deterministic l19 train split,
+  // scores over the holdout. Exercises scoreAgainstCounts' symmetric
+  // add-one smoothing AND the unseen-bucket exact-0 neutrality (the
+  // holdout contains tokens the train split never saw), all replayed
+  // by the oracle.
+  private val l41b = QueryDef("l41b_dsir_score_holdout", (s, dir) => {
+    import graft.operators.Dsir
+    val docs = Tables.documents(s, dir)
+    val split = TextAnalysis.splitAssign("doc_id", 80, 10)
+    val counts = Dsir.bucketedTokens(docs.filter(split === "train"),
+        "doc_id", "text", col("lang") === "en", 4096)
+      .groupBy("bk").agg(count(lit(1)).as("rc"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tc"))
+    Dsir.scoreAgainstCounts(docs.filter(split =!= "train"),
+      "doc_id", "text", counts, buckets = 4096, topK = 20)
+  }, Some("""WITH sp AS (SELECT doc_id, lang, text,
+        ((((doc_id % 100000007) + 100000007) % 100000007)
+          * 1103515245 + 12345) % 100 AS h
+        FROM documents),
+      toks AS (SELECT doc_id, lang,
+        unnest(list_filter(string_split(text, ' '),
+          t -> length(t) > 0)) t
+        FROM sp WHERE h < 80),
+      bkt AS (SELECT doc_id, lang,
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, length(t) + 1),
+            i -> CAST(ascii(t[i]) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1073741789) % 4096 AS bk
+        FROM toks),
+      cnt AS (SELECT bk, CAST(count(*) AS BIGINT) rc,
+        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) tc
+        FROM bkt GROUP BY bk),
+      tot AS (SELECT CAST(coalesce(sum(rc), 0) AS BIGINT) rt,
+        CAST(coalesce(sum(tc), 0) AS BIGINT) tt FROM cnt),
+      w AS (SELECT bk, CAST((length(bin(rt + 4096)) - length(bin(rc + 1)))
+          - (length(bin(tt + 4096)) - length(bin(tc + 1))) AS BIGINT) wb
+        FROM cnt CROSS JOIN tot),
+      htoks AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '),
+          t -> length(t) > 0)) t
+        FROM sp WHERE h >= 80),
+      hbkt AS (SELECT doc_id,
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, length(t) + 1),
+            i -> CAST(ascii(t[i]) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1073741789) % 4096 AS bk
+        FROM htoks),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+        CAST(sum(coalesce(wb, 0)) AS BIGINT) score_bits,
+        CAST(sum(coalesce(wb, 0)) AS DOUBLE) / count(*) avg_bits
+        FROM hbkt LEFT JOIN w USING (bk) GROUP BY doc_id),
+      rk AS (SELECT doc_id,
+        row_number() OVER (ORDER BY avg_bits DESC, doc_id) rn
+        FROM sc)
+      SELECT d.doc_id,
+        CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(coalesce(sc.score_bits, 0) AS BIGINT) AS score_bits,
+        CAST(coalesce(sc.avg_bits, 0.0) AS DOUBLE) AS avg_bits,
+        CAST(CASE WHEN rk.rn <= 20 THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM (SELECT doc_id FROM sp WHERE h >= 80) d
+      LEFT JOIN sc ON sc.doc_id = d.doc_id
+      LEFT JOIN rk ON rk.doc_id = d.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
@@ -2000,5 +2065,5 @@ object LlmOps {
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l42, m1)
+      l41b, l42, m1)
 }
