@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an embedding column — the dimensionality-reduction
+  * stage a 100 TB embedding pipeline needs before ANN / SemDeDup (project
+  * 64-d to 8–16-d, then bucket/search in the cheap space).
+  *
+  * Scale shape: ONE map-side-combinable aggregation computes the exact
+  * second-moment sums (the d(d+1)/2 upper triangle, 2 080 cells for d=64);
+  * the per-partition hash-agg collapses the per-row O(d²) pair stream to
+  * 2 080 rows before the shuffle, so shuffle bytes are O(partitions · d²)
+  * regardless of corpus size. The eigensolve then runs DRIVER-SIDE on the
+  * tiny d×d matrix (cyclic Jacobi, deterministic), and projection is a
+  * map-only pass of k codegen'd [[graft.plans.VecDot]] calls against
+  * literal component arrays — the same literal-plane trick the LSH family
+  * uses. No RDDs, no BLAS, no driver-side data pass.
+  *
+  * Determinism: moments are integerized per row ([[graft.functions.Exact]]
+  * scaled-long trick) so the sums are exact integers under ANY partitioning
+  * / AQE plan; the covariance doubles derived from them — and therefore the
+  * eigenvectors — are bit-stable run to run. The moment table is the
+  * DuckDB-oracle-checked query (l43); the eigensolve itself is pinned by
+  * PcaSpec (orthonormality, A·v = λ·v residual, trace preservation,
+  * projected variance = eigenvalue).
+  *
+  * Reference scope note: the reference pipeline (BBT-ETL-DW) has no
+  * embedding operators at all — this extends the engine's LLM-data family
+  * (SURVEY §2.14), composing with IVF/SemDeDup the way l42 composes l12cp
+  * with l39.
+  */
+object Pca {
+
+  /** Exact scaled-integer moment sums over `vecCol` (array<float|double>,
+    * length `dim`): one row per upper-triangle cell (i ≤ j) with
+    * {{{ sxy = Σ ⌊x_i·10^digits⌉·⌊x_j·10^digits⌉,  sx = Σ ⌊x_i·10^digits⌉,
+    *     sy = Σ ⌊x_j·10^digits⌉,  n = row count }}}
+    * — everything a covariance (or uncentered Gram) needs, all exact
+    * BIGINTs.
+    *
+    * Overflow envelope (long path): unit-scale components at digits=6
+    * give per-row products ≤ 10¹²; the long sum holds ~9·10⁶ rows. Set
+    * `wide = true` beyond that — same semantics through a decimal(38,0)
+    * accumulator (the [[graft.functions.Exact.exactSumBig]] pattern, the
+    * 100 TB default), or drop `digits`.
+    *
+    * The scaled vector is bound ONCE as a lambda variable (the
+    * transform-over-singleton trick — Catalyst would otherwise inline the
+    * d-element scaling transform into both of its uses), and the pair
+    * stream exists only inside whole-stage codegen: explode feeds the
+    * partial hash-agg row by row, nothing materializes.
+    */
+  def momentSums(df: DataFrame, vecCol: String, dim: Int, digits: Int = 6,
+                 wide: Boolean = false): DataFrame = {
+    val scale = math.pow(10, digits)
+    val pairsSql =
+      s"""element_at(transform(
+            array(transform($vecCol,
+                    x -> CAST(round(CAST(x AS DOUBLE) * $scale, 0)
+                              AS BIGINT))),
+            sv -> flatten(transform(sv, (xi, i) ->
+              transform(slice(sv, i + 1, $dim - i), (xj, k) ->
+                named_struct(
+                  'i', CAST(i AS BIGINT), 'j', CAST(i + k AS BIGINT),
+                  'x', xi, 'y', xj, 'p', xi * xj))))), 1)"""
+    def s(c: Column) =
+      if (wide) sum(c.cast("decimal(38,0)")) else sum(c)
+    df.select(explode(expr(pairsSql)).as("pr"))
+      .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
+      .agg(s(col("pr.p")).as("sxy"), s(col("pr.x")).as("sx"),
+        s(col("pr.y")).as("sy"), count(lit(1)).as("n"))
+  }
+
+  /** DuckDB mirror of [[momentSums]] (long path) over table `table`'s
+    * column `vecCol` — kept adjacent so the two sides can't drift.
+    */
+  def momentSumsOracleSql(table: String, vecCol: String, dim: Int,
+                          digits: Int = 6): String = {
+    val scale = math.pow(10, digits)
+    s"""WITH sv AS (SELECT list_transform($vecCol,
+          x -> CAST(round(CAST(x AS DOUBLE) * $scale, 0) AS BIGINT)) AS v
+        FROM $table)
+      SELECT r1.i AS i, r2.j AS j,
+        CAST(sum(v[r1.i + 1] * v[r2.j + 1]) AS BIGINT) AS sxy,
+        CAST(sum(v[r1.i + 1]) AS BIGINT) AS sx,
+        CAST(sum(v[r2.j + 1]) AS BIGINT) AS sy,
+        CAST(count(*) AS BIGINT) AS n
+      FROM sv, range(0, $dim) r1(i), range(0, $dim) r2(j)
+      WHERE r2.j >= r1.i
+      GROUP BY 1, 2"""
+  }
+
+  /** Fitted model. `components(c)` is the c-th principal axis (unit norm,
+    * descending `eigenvalues`, sign fixed so the largest-|·| coordinate is
+    * positive — first index wins ties); `eigenvalues(c)` is the population
+    * variance along it.
+    */
+  final case class PcaModel(dim: Int, n: Long, mean: Array[Double],
+                            eigenvalues: Array[Double],
+                            components: Array[Array[Double]]) {
+    /** Fraction of total variance captured by the first k components. */
+    def varianceExplained(k: Int): Double = {
+      val tot = eigenvalues.sum
+      if (tot == 0.0) 0.0 else eigenvalues.take(k).sum / tot
+    }
+  }
+
+  /** One exact distributed moment pass + a driver-side d×d eigensolve.
+    * The collect is d(d+1)/2 rows — bounded by DIMENSION, not data.
+    */
+  def fit(df: DataFrame, vecCol: String, dim: Int, digits: Int = 6,
+          wide: Boolean = false): PcaModel = {
+    val scale = math.pow(10, digits)
+    val rows = momentSums(df, vecCol, dim, digits, wide).collect()
+    require(rows.nonEmpty, "PCA fit on an empty dataset")
+    val n = rows.head.getLong(rows.head.fieldIndex("n"))
+    def asD(r: org.apache.spark.sql.Row, field: String): Double = r.get(
+      r.fieldIndex(field)) match {
+      case l: java.lang.Long => l.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+    }
+    val mean = new Array[Double](dim)
+    val cov = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val i = r.getLong(r.fieldIndex("i")).toInt
+      val j = r.getLong(r.fieldIndex("j")).toInt
+      if (i == j) mean(i) = asD(r, "sx") / n / scale
+      val c = (asD(r, "sxy") / n -
+        (asD(r, "sx") / n) * (asD(r, "sy") / n)) / (scale * scale)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    PcaModel(dim, n, mean, values, vectors)
+  }
+
+  /** Cyclic-by-rows Jacobi eigendecomposition of a symmetric matrix:
+    * deterministic (fixed sweep order, pure double ops, no pivoting on
+    * magnitude), O(d³) per sweep — microseconds at d=64. Returns
+    * (eigenvalues desc, row-per-eigenvector) with the sign convention of
+    * [[PcaModel]]. Converges when the off-diagonal Frobenius mass falls
+    * below 1e-14 of the diagonal mass (or 64 sweeps).
+    */
+  def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    val tol = 1e-14 * math.max(1e-300, (0 until d).map(i =>
+      a(i)(i) * a(i)(i)).sum)
+    while (off > tol && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            // Rutishauser rotation: tan via the stable quadratic root
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0
+              case s => s / (math.abs(theta) +
+                math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    // sort desc by eigenvalue, stable on original index; fix signs
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map { i =>
+      val col = Array.tabulate(d)(k => v(k)(i))
+      val mx = col.indices.maxBy(k => (math.abs(col(k)), -k))
+      if (col(mx) < 0.0) col.map(x => -x) else col
+    }.toArray
+    (values, vectors)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += 2.0 * a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** Map-only projection of `vecCol` onto the first `k` principal axes:
+    * out(c) = vec_dot(x, comp_c) − ⟨mean, comp_c⟩ (the centering dot is a
+    * driver-side constant, so the per-row work is k compiled dot loops —
+    * no per-element lambdas, no shuffle). Output column `outCol` is
+    * array<double> of length k.
+    */
+  def project(df: DataFrame, model: PcaModel, k: Int,
+              vecCol: String, outCol: String = "proj"): DataFrame = {
+    require(k <= model.components.length, s"k=$k > fitted ${model.dim}")
+    val xd = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
+    val comps = (0 until k).map { c =>
+      val comp = model.components(c)
+      val center = comp.zip(model.mean).map { case (w, mu) => w * mu }.sum
+      call_function("vec_dot", xd, lit(comp)) - lit(center)
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+}

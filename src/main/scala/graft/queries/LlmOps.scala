@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Bpe, CorpusAssembly, Dedup, Html, IngestPipeline, Multimodal, QualityClassifier, Similarity, TextAnalysis, Urls}
+import graft.operators.{Bpe, CorpusAssembly, Dedup, Html, IngestPipeline, Multimodal, Pca, QualityClassifier, Similarity, TextAnalysis, Urls}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -653,6 +653,35 @@ object LlmOps {
          CAST(CASE WHEN coalesce(cc.component, i.vec_id) = i.vec_id
            THEN 1 ELSE 0 END AS BIGINT) AS keep
        FROM ids i LEFT JOIN cc ON cc.node = i.vec_id""")))
+
+  // L43 — distributed PCA, the oracle-checked half: the exact
+  // scaled-integer second-moment sums (d(d+1)/2 = 2 080 cells at d=64)
+  // that the driver-side eigensolve consumes. One map-side-combinable
+  // aggregation; shuffle is O(partitions · d²) regardless of corpus
+  // size. Integer sums are order-independent, so the hash-match holds
+  // under any partitioning — and pins the exact inputs every
+  // [[Pca.fit]] consumer (l44, the pca probe) derives from.
+  private val l43 = QueryDef("l43_pca_moments", (s, dir) => {
+    Pca.momentSums(Tables.embeddings(s, dir), "embedding", dim = 64)
+  }, Some(Pca.momentSumsOracleSql("embeddings", "embedding", dim = 64)))
+
+  // L44 — the projection half: fit on the moment table (driver-side
+  // 64×64 cyclic Jacobi — deterministic: exact-integer moments → bit-
+  // stable covariance doubles → fixed sweep order), then a MAP-ONLY
+  // pass of k=8 codegen'd vec_dot calls against literal component
+  // arrays. Eigenvectors are iteratively computed engine-side floats —
+  // no SQL mirror by nature (same class as l33's zlib); the math is
+  // pinned by PcaSpec (orthonormality, A·v=λ·v, trace preservation,
+  // projected variance = eigenvalue, bit-determinism across
+  // partitionings) and the moment inputs are l43-hash-green. Output
+  // explodes to scalars (vec_id, c, coord) so the driver's rows check
+  // sees the full k·N projection surface.
+  private val l44 = QueryDef("l44_pca_project", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val model = Pca.fit(emb, "embedding", dim = 64)
+    Pca.project(emb, model, k = 8, "embedding")
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("c", "coord")))
+  }, None)
 
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
@@ -2065,5 +2094,5 @@ object LlmOps {
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, m1)
+      l41b, l42, l43, l44, m1)
 }

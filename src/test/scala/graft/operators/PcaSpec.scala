@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+class PcaSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("jacobiEigen solves a hand-checkable 2x2 exactly") {
+    val (vals, vecs) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-12)
+    assert(math.abs(vals(1) - 1.0) < 1e-12)
+    val r = 1.0 / math.sqrt(2.0)
+    assert(math.abs(vecs(0)(0) - r) < 1e-12 &&
+      math.abs(vecs(0)(1) - r) < 1e-12)
+    // sign convention: largest-|coordinate| (first on tie) positive
+    assert(math.abs(vecs(1)(0) - r) < 1e-12 &&
+      math.abs(vecs(1)(1) + r) < 1e-12)
+  }
+
+  test("jacobiEigen: orthonormal vectors, A*v = λ*v, trace preserved " +
+    "on a seeded random symmetric matrix") {
+    val d = 16
+    val rnd = new scala.util.Random(7)
+    val m = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextDouble() - 0.5
+      m(i)(j) = x; m(j)(i) = x
+    }
+    val (vals, vecs) = Pca.jacobiEigen(m)
+    assert(vals.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      "eigenvalues must be descending")
+    assert(math.abs(vals.sum - (0 until d).map(i => m(i)(i)).sum) < 1e-9,
+      "trace must be preserved")
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(k => vecs(a)(k) * vecs(b)(k)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"orthonormality violated at ($a,$b): $dot")
+    }
+    for (a <- 0 until d; i <- 0 until d) {
+      val av = (0 until d).map(k => m(i)(k) * vecs(a)(k)).sum
+      assert(math.abs(av - vals(a) * vecs(a)(i)) < 1e-8,
+        s"A*v != λ*v at vector $a row $i")
+    }
+  }
+
+  test("fit is bit-deterministic across partitionings (exact integer " +
+    "moments)") {
+    val emb = Tables.embeddings(s, dir)
+    val m1 = Pca.fit(emb, "embedding", dim = 64)
+    val m2 = Pca.fit(emb.repartition(13), "embedding", dim = 64)
+    assert(m1.n == m2.n)
+    assert(m1.mean.sameElements(m2.mean))
+    assert(m1.eigenvalues.sameElements(m2.eigenvalues))
+    assert(m1.components.zip(m2.components).forall {
+      case (a, b) => a.sameElements(b)
+    })
+  }
+
+  test("projected population variance matches the eigenvalue and " +
+    "reconstruction error shrinks with k") {
+    val emb = Tables.embeddings(s, dir)
+    val model = Pca.fit(emb, "embedding", dim = 64)
+    val k = 8
+    // per-component variance via one pass on (c, coord)
+    val rows = Pca.project(emb, model, k, "embedding")
+      .select(posexplode(col("proj")).as(Seq("c", "x")))
+      .groupBy("c")
+      .agg(avg(col("x")).as("mu"), avg(col("x") * col("x")).as("m2"))
+      .collect()
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      val varc = r.getDouble(2) - r.getDouble(1) * r.getDouble(1)
+      val ev = model.eigenvalues(c)
+      assert(math.abs(varc - ev) <= 1e-3 * math.max(ev, 1e-9),
+        s"component $c: projected variance $varc vs eigenvalue $ev")
+      // projection is centered: mean ≈ 0 (quantization-level residual)
+      assert(math.abs(r.getDouble(1)) < 1e-5)
+    }
+    // variance explained is monotone in k and complete at k = dim
+    val ve = (1 to 64).map(model.varianceExplained)
+    assert(ve.sliding(2).forall(p => p(0) <= p(1) + 1e-12))
+    assert(math.abs(ve.last - 1.0) < 1e-9)
+    assert(ve.head > 0.0)
+  }
+}
