@@ -264,6 +264,73 @@ object TextAnalysis {
       .toDF(idCol, "raw_bytes", "compressed_bytes", "compression_ratio")
   }
 
+  /** Feature hashing (Weinberger et al. 2009, the hashing trick): embed
+    * text into a `dim`-bucket vector with no trained vocabulary — token
+    * `t` adds ±1 to bucket `poly_hash(t) % dim`, sign from the next hash
+    * bit (`(h DIV dim) % 2`). The engine-native way to get an embedding
+    * column for the similarity/dedup/PCA family when none was shipped
+    * with the corpus.
+    *
+    * SPARSE output (doc, bucket, weight≠0): tokens explode through the
+    * codegen'd [[graft.plans.PolyHash]] into a (doc, bucket) hash-agg.
+    * Deliberately NOT the `aggregate(...)`-HOF dense formulation — that
+    * evaluates an interpreted lambda per (token × bucket), the exact
+    * 10× cliff the LSH family hit; here every per-token op is compiled,
+    * and the map-side partial agg bounds the shuffle at ≤ `dim` rows per
+    * doc regardless of document length. Cross-engine exact: integer
+    * hashes, integer sums.
+    */
+  def featureHashSparse(docs: DataFrame, idCol: String, textCol: String,
+                        dim: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc"),
+        explode(expr(toksSql(textCol))).as("t"))
+      .select(col("doc"), expr("poly_hash(t)").as("h"))
+      .select(col("doc"), (col("h") % dim).as("bucket"),
+        when(expr(s"(h DIV $dim) % 2 = 0"), lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+      .groupBy("doc", "bucket").agg(sum("s").as("weight"))
+      .filter(col("weight") =!= 0L)
+
+  /** DuckDB mirror of [[featureHashSparse]] over `documents(doc_id,
+    * text)` — kept adjacent so the two sides can't drift.
+    */
+  def featureHashSparseOracleSql(dim: Int): String =
+    s"""WITH toks AS (SELECT doc_id AS doc,
+          unnest(list_filter(string_split(text, ' '),
+            t -> length(t) > 0)) AS t
+        FROM documents),
+      h AS (SELECT doc, list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, length(t) + 1),
+            i -> CAST(ascii(t[i]) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1073741789) AS h
+        FROM toks)
+      SELECT doc, h % $dim AS bucket,
+        CAST(sum(CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END)
+          AS BIGINT) AS weight
+      FROM h GROUP BY 1, 2
+      HAVING sum(CASE WHEN (h // $dim) % 2 = 0 THEN 1 ELSE -1 END) <> 0"""
+
+  /** [[featureHashSparse]] pivoted to a dense array<double> column (for
+    * the vector consumers: PCA, cosine near-dup, ANN). The pivot is
+    * map-free on the sparse frame side (map_from_entries over the
+    * per-doc collected buckets, then a `dim`-element fill — O(dim) per
+    * DOC, not per token, so the interpreted-lambda cost stays bounded).
+    * Docs with zero tokens keep an all-zero vector via the left join.
+    */
+  def featureHashDense(docs: DataFrame, idCol: String, textCol: String,
+                       dim: Int, outCol: String = "fh_vec"): DataFrame = {
+    val sparse = featureHashSparse(docs, idCol, textCol, dim)
+      .groupBy(col("doc"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"),
+        col("weight")))).as("m"))
+    docs.join(sparse, docs(idCol) === sparse("doc"), "left")
+      .select(docs("*"),
+        expr(s"""transform(sequence(0, ${dim - 1}),
+          b -> CAST(coalesce(element_at(m, CAST(b AS BIGINT)), 0)
+                    AS DOUBLE))""").as(outCol))
+  }
+
   def topTfidfTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, k: Int,
                     minLen: Int): org.apache.spark.sql.DataFrame = {

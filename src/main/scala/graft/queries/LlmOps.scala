@@ -683,6 +683,20 @@ object LlmOps {
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("c", "coord")))
   }, None)
 
+  // L45 — feature hashing (the hashing trick): embed text into a
+  // 64-bucket signed-count vector with no trained vocabulary — the
+  // engine-native bridge from the text family to the vector family
+  // (PCA l43/l44, cosine near-dup l12, ANN l5/l6/l11) when a corpus
+  // ships without embeddings. Sparse (doc, bucket, weight) output;
+  // every per-token op is the codegen'd poly_hash, and the map-side
+  // partial agg bounds the shuffle at ≤ dim rows per doc. The dense
+  // pivot ([[TextAnalysis.featureHashDense]]) is pinned equal in
+  // TextAnalysisSpec.
+  private val l45 = QueryDef("l45_feature_hash_embed", (s, dir) => {
+    TextAnalysis.featureHashSparse(Tables.documents(s, dir), "doc_id",
+      "text", dim = 64)
+  }, Some(TextAnalysis.featureHashSparseOracleSql(dim = 64)))
+
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
       "zh" -> "window")
@@ -2094,5 +2108,5 @@ object LlmOps {
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, m1)
+      l41b, l42, l43, l44, l45, m1)
 }
