@@ -37,22 +37,33 @@ object Pca {
     * {{{ sxy = Σ ⌊x_i·10^digits⌉·⌊x_j·10^digits⌉,  sx = Σ ⌊x_i·10^digits⌉,
     *     sy = Σ ⌊x_j·10^digits⌉,  n = row count }}}
     * — everything a covariance (or uncentered Gram) needs, all exact
-    * BIGINTs.
-    *
-    * Overflow envelope (long path): unit-scale components at digits=6
-    * give per-row products ≤ 10¹²; the long sum holds ~9·10⁶ rows. Set
-    * `wide = true` beyond that — same semantics through a decimal(38,0)
-    * accumulator (the [[graft.functions.Exact.exactSumBig]] pattern, the
-    * 100 TB default), or drop `digits`.
-    *
-    * The scaled vector is bound ONCE as a lambda variable (the
-    * transform-over-singleton trick — Catalyst would otherwise inline the
-    * d-element scaling transform into both of its uses), and the pair
-    * stream exists only inside whole-stage codegen: explode feeds the
-    * partial hash-agg row by row, nothing materializes.
+    * BIGINTs, via the fused [[graft.functions.MomentAgg]] buffer: one
+    * compiled d² loop per row, one ~17 KB buffer per partition through
+    * the merge, no interpreted per-pair lambdas (the HOF formulation
+    * below measured 8.7–10.9 s at 100k×64-d; this is the compiled
+    * replacement, spec-pinned bit-equal). Long-sum overflow envelope:
+    * see [[graft.functions.MomentAgg]]; beyond it use
+    * [[momentSumsHof]] with `wide = true`.
     */
-  def momentSums(df: DataFrame, vecCol: String, dim: Int, digits: Int = 6,
-                 wide: Boolean = false): DataFrame = {
+  def momentSums(df: DataFrame, vecCol: String, dim: Int,
+                 digits: Int = 6): DataFrame =
+    df.select(udaf(new graft.functions.MomentAgg(dim, digits))
+        .apply(col(vecCol).cast("array<double>")).as("cells"))
+      .select(inline(col("cells")))
+      .filter(col("n") > 0L)
+
+  /** The higher-order-function formulation of [[momentSums]] — kept for
+    * the beyond-long-envelope regime (`wide = true` sums through a
+    * decimal(38,0) accumulator, the [[graft.functions.Exact.exactSumBig]]
+    * pattern) and as the independent reference the spec pins the fused
+    * buffer against. The scaled vector is bound ONCE as a lambda
+    * variable (the transform-over-singleton trick), and the pair stream
+    * exists only inside whole-stage codegen — but each pair struct is an
+    * interpreted lambda eval, which is why the fused buffer replaced it
+    * on the hot path.
+    */
+  def momentSumsHof(df: DataFrame, vecCol: String, dim: Int,
+                    digits: Int = 6, wide: Boolean = false): DataFrame = {
     val scale = math.pow(10, digits)
     val pairsSql =
       s"""element_at(transform(
@@ -94,11 +105,19 @@ object Pca {
   /** Fitted model. `components(c)` is the c-th principal axis (unit norm,
     * descending `eigenvalues`, sign fixed so the largest-|·| coordinate is
     * positive — first index wins ties); `eigenvalues(c)` is the population
-    * variance along it.
+    * variance (centered fit) or mean squared norm share (uncentered fit)
+    * along it. `centered = false` means the axes diagonalize the RAW
+    * second-moment matrix E[xxᵀ] — the variant for cosine/dot-product
+    * consumers (ANN, near-dup): a truncated orthonormal rotation of the
+    * raw vectors preserves dot products up to the dropped energy, whereas
+    * centering shifts the origin and wrecks angles (measured recall@10
+    * 0.05 centered vs the uncentered variant on the clustered 100k
+    * fixture — SCALE_r12 §9).
     */
   final case class PcaModel(dim: Int, n: Long, mean: Array[Double],
                             eigenvalues: Array[Double],
-                            components: Array[Array[Double]]) {
+                            components: Array[Array[Double]],
+                            centered: Boolean = true) {
     /** Fraction of total variance captured by the first k components. */
     def varianceExplained(k: Int): Double = {
       val tot = eigenvalues.sum
@@ -108,13 +127,22 @@ object Pca {
 
   /** One exact distributed moment pass + a driver-side d×d eigensolve.
     * The collect is d(d+1)/2 rows — bounded by DIMENSION, not data.
+    *
+    * `center = true` diagonalizes the covariance (statistics semantics:
+    * eigenvalue = variance along the axis); `center = false`
+    * diagonalizes the raw second moment E[xxᵀ] — use this for
+    * cosine/dot-product consumers (see [[PcaModel]]). `wide` routes the
+    * moment pass through [[momentSumsHof]]'s decimal accumulator for
+    * corpora beyond the long-sum envelope.
     */
   def fit(df: DataFrame, vecCol: String, dim: Int, digits: Int = 6,
-          wide: Boolean = false): PcaModel = {
+          wide: Boolean = false, center: Boolean = true): PcaModel = {
     val scale = math.pow(10, digits)
-    val rows = momentSums(df, vecCol, dim, digits, wide).collect()
+    val rows = (if (wide) momentSumsHof(df, vecCol, dim, digits, wide)
+                else momentSums(df, vecCol, dim, digits)).collect()
     require(rows.nonEmpty, "PCA fit on an empty dataset")
     val n = rows.head.getLong(rows.head.fieldIndex("n"))
+    require(n > 0, "PCA fit on an empty dataset")
     def asD(r: org.apache.spark.sql.Row, field: String): Double = r.get(
       r.fieldIndex(field)) match {
       case l: java.lang.Long => l.toDouble
@@ -126,13 +154,16 @@ object Pca {
       val i = r.getLong(r.fieldIndex("i")).toInt
       val j = r.getLong(r.fieldIndex("j")).toInt
       if (i == j) mean(i) = asD(r, "sx") / n / scale
-      val c = (asD(r, "sxy") / n -
-        (asD(r, "sx") / n) * (asD(r, "sy") / n)) / (scale * scale)
+      val c =
+        if (center)
+          (asD(r, "sxy") / n -
+            (asD(r, "sx") / n) * (asD(r, "sy") / n)) / (scale * scale)
+        else asD(r, "sxy") / n / (scale * scale)
       cov(i)(j) = c
       cov(j)(i) = c
     }
     val (values, vectors) = jacobiEigen(cov)
-    PcaModel(dim, n, mean, values, vectors)
+    PcaModel(dim, n, mean, values, vectors, centered = center)
   }
 
   /** Cyclic-by-rows Jacobi eigendecomposition of a symmetric matrix:
@@ -216,9 +247,10 @@ object Pca {
 
   /** Map-only projection of `vecCol` onto the first `k` principal axes:
     * out(c) = vec_dot(x, comp_c) − ⟨mean, comp_c⟩ (the centering dot is a
-    * driver-side constant, so the per-row work is k compiled dot loops —
-    * no per-element lambdas, no shuffle). Output column `outCol` is
-    * array<double> of length k.
+    * driver-side constant — and zero for an uncentered model, so the
+    * dot-product geometry survives), so the per-row work is k compiled
+    * dot loops — no per-element lambdas, no shuffle. Output column
+    * `outCol` is array<double> of length k.
     */
   def project(df: DataFrame, model: PcaModel, k: Int,
               vecCol: String, outCol: String = "proj"): DataFrame = {
@@ -226,7 +258,9 @@ object Pca {
     val xd = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
     val comps = (0 until k).map { c =>
       val comp = model.components(c)
-      val center = comp.zip(model.mean).map { case (w, mu) => w * mu }.sum
+      val center =
+        if (!model.centered) 0.0
+        else comp.zip(model.mean).map { case (w, mu) => w * mu }.sum
       call_function("vec_dot", xd, lit(comp)) - lit(center)
     }
     df.withColumn(outCol, array(comps: _*))

@@ -524,6 +524,154 @@ object ProbeR12 {
         cc.unpersist(blocking = false)
         pr.unpersist(blocking = false)
 
+      case "pca" =>
+        // distributed PCA at 100k clustered vectors (sf5 `cluster`
+        // fixture): (1) the exact moment pass — the only distributed
+        // cost, shuffle must stay O(partitions·d²); (2) fit wall incl.
+        // the driver eigensolve; (3) map-only projection; (4) the
+        // honesty row: ANN recall@10 of exact search in PCA-k space vs
+        // exact search in the full 64-d space, for k = 8/16/32 — what
+        // the cheap space actually loses on a clustered corpus.
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")).cache()
+        val total = emb.count()
+        timed("pca_moments_100k",
+          graft.operators.Pca.momentSums(emb, "embedding", 64))
+        val tf = System.nanoTime()
+        val model = graft.operators.Pca.fit(emb, "embedding", 64)
+        val fitSec = (System.nanoTime() - tf) / 1e9
+        // eigensolve-only wall: re-solve the fitted covariance
+        // (reconstructed from the spectrum — same matrix, same work)
+        val cov = Array.tabulate(64, 64)((i, j) =>
+          (0 until 64).map(c => model.eigenvalues(c) *
+            model.components(c)(i) * model.components(c)(j)).sum)
+        val te = System.nanoTime()
+        graft.operators.Pca.jacobiEigen(cov)
+        val eigSec = (System.nanoTime() - te) / 1e9
+        println(f"PROBE12 pca_fit_100k n=$total fit=${fitSec}%.1f s " +
+          f"eigensolve_only=${eigSec * 1000}%.0f ms " +
+          f"ve8=${model.varianceExplained(8)}%.3f " +
+          f"ve16=${model.varianceExplained(16)}%.3f " +
+          f"ve32=${model.varianceExplained(32)}%.3f")
+        timed("pca_project16_100k",
+          graft.operators.Pca.project(emb, model, 16, "embedding"))
+        val q = emb.filter(col("vec_id") < 100)
+        def topk(df: DataFrame, vc: String): Map[(Long, Long), Boolean] =
+          graft.operators.Similarity.bruteForceTopK(
+            df, df.filter(col("vec_id") < 100), "vec_id", vc, k = 10)
+            .select(col("q_id"), col("n_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> true).toMap
+        val base = topk(emb, "embedding")
+        val gram = graft.operators.Pca.fit(emb, "embedding", 64,
+          center = false)
+        for ((label, m) <- Seq("centered" -> model, "gram" -> gram);
+             k <- Seq(8, 16, 32)) {
+          val proj = graft.operators.Pca.project(emb, m, k,
+            "embedding").select(col("vec_id"), col("proj")).cache()
+          proj.count()
+          val t0 = System.nanoTime()
+          val got = topk(proj, "proj")
+          val sec = (System.nanoTime() - t0) / 1e9
+          val hit = base.keys.count(got.contains)
+          println(f"PROBE12 pca_ann_recall_$label k=$k " +
+            f"recall@10=${hit.toDouble / base.size}%.3f " +
+            f"search=${sec}%.1f s")
+          proj.unpersist(blocking = false)
+        }
+        // the two production-relevant readings of a reduced space:
+        // (a) retrieval effectiveness — the FULL-space cosine of what
+        //     reduced-space search returns, relative to the exact
+        //     top-10's: set-recall can collapse just because ranks
+        //     scramble among near-equal neighbors, while a ratio ≈ 1
+        //     means the returned neighbors are as close as the true
+        //     ones for every downstream thresholded consumer
+        //     (near-dup, SemDeDup);
+        // (b) two-stage retrieval — top-C candidates in PCA-k space,
+        //     re-ranked exactly in full space: recall of the final
+        //     top-10 vs exact full-space top-10 (the ANN production
+        //     pattern; candidate generation is where the 4x-8x byte
+        //     cut pays, the re-rank touches only C vectors/query).
+        val baseCos: Map[(Long, Long), Double] =
+          graft.operators.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+            k = 10).select(col("q_id"), col("n_id"), col("cosine"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+            .toMap
+        val baseAvg = baseCos.values.sum / baseCos.size
+        for (k <- Seq(8, 16)) {
+          val proj = graft.operators.Pca.project(emb, gram, k,
+            "embedding").select(col("vec_id"), col("proj")).cache()
+          proj.count()
+          val red10 = graft.operators.Similarity.bruteForceTopK(
+            proj, proj.filter(col("vec_id") < 100), "vec_id", "proj",
+            k = 10).select(col("q_id"), col("n_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          // full-space cosine of the reduced-space picks, via one
+          // bounded lookup of the touched vectors
+          val ids = (red10.map(_._1) ++ red10.map(_._2)).distinct
+          val vecs = emb.filter(col("vec_id").isin(ids: _*))
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+          def cos(a: Array[Double], b: Array[Double]): Double = {
+            var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+            while (i < a.length) {
+              d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+              i += 1
+            }
+            d / (math.sqrt(na) * math.sqrt(nb))
+          }
+          val redAvg = red10.map { case (q, n) =>
+            cos(vecs(q), vecs(n)) }.sum / red10.length
+          val c = 100
+          val cand = graft.operators.Similarity.bruteForceTopK(
+            proj, proj.filter(col("vec_id") < 100), "vec_id", "proj",
+            k = c).select(col("q_id"), col("n_id"))
+          // exact full-space re-rank keeps any true top-10 member that
+          // is IN the candidate set, so candidate coverage of the full
+          // top-10 IS the two-stage recall
+          val candSet = cand.collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val covered = base.keys.count(candSet.contains)
+          println(f"PROBE12 pca_reduced_regimes k=$k " +
+            f"ret_cosine=${redAvg}%.4f exact_cosine=${baseAvg}%.4f " +
+            f"ratio=${redAvg / baseAvg}%.3f " +
+            f"twostage_cand$c${"_recall@10="}${covered.toDouble / base.size}%.3f")
+          proj.unpersist(blocking = false)
+        }
+        emb.unpersist(blocking = false)
+
+      case "fhash" =>
+        // feature hashing at 250k diverse-text docs (sf5textdiv): the
+        // sparse pass (explode -> native poly_hash -> (doc,bucket)
+        // hash-agg), the dense pivot, and the full no-embeddings-shipped
+        // composition: hash-embed -> PCA fit -> project. Shuffle must
+        // stay <= dim rows/doc for the sparse pass.
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")).cache()
+        val nd = docs.count()
+        println(s"PROBE12 fhash_docs n=$nd")
+        timed("fhash_sparse_250k", graft.operators.TextAnalysis
+          .featureHashSparse(docs, "doc_id", "text", 64))
+        val dense = graft.operators.TextAnalysis
+          .featureHashDense(docs, "doc_id", "text", 64).cache()
+        timed("fhash_dense_250k", dense, reps = 2)
+        // timed()'s clearCache dropped the dense cache — rematerialize
+        // so the fit/project rows measure THEIR work, not the pivot's
+        dense.cache().count()
+        val tc = System.nanoTime()
+        // hashed weights are integer-valued: digits = 0 is already exact
+        val m = graft.operators.Pca.fit(dense, "fh_vec", 64, digits = 0)
+        val cSec = (System.nanoTime() - tc) / 1e9
+        println(f"PROBE12 fhash_pca_fit ${cSec}%.1f s " +
+          f"ve16=${m.varianceExplained(16)}%.3f")
+        timed("fhash_pca_project16", graft.operators.Pca
+          .project(dense, m, 16, "fh_vec"), reps = 2)
+        dense.unpersist(blocking = false)
+        docs.unpersist(blocking = false)
+
       case "bpedebug" =>
         val tr = graft.core.Tables.documents(spark, sfDir)
           .filter(graft.operators.TextAnalysis

@@ -49,6 +49,42 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("fused MomentAgg equals the HOF formulation bit-for-bit, on real " +
+    "embeddings and on negatives/rounding-tie values") {
+    import s.implicits._
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val emb = Tables.embeddings(s, dir)
+    assert(cells(Pca.momentSums(emb, "embedding", 64)) ==
+      cells(Pca.momentSumsHof(emb, "embedding", 64)))
+    val tricky = Seq(
+      Seq(-1.4999995, 2.5e-6, -2.5e-6, 0.0),
+      Seq(0.9999995, -0.9999995, 1.0000005, -1.0000005),
+      Seq(-0.25, 0.125, -0.0625, 0.03125)).toDF("v").repartition(3)
+    assert(cells(Pca.momentSums(tricky, "v", 4)) ==
+      cells(Pca.momentSumsHof(tricky, "v", 4)))
+  }
+
+  test("uncentered (Gram) fit: full-rank projection preserves pairwise " +
+    "dot products — the ANN-safe variant") {
+    val emb = Tables.embeddings(s, dir)
+    val m = Pca.fit(emb, "embedding", 64, center = false)
+    assert(!m.centered)
+    val rows = Pca.project(emb.filter(col("vec_id") < 12), m, 64,
+      "embedding")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("x"),
+        col("proj")).collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+    for (a <- rows; b <- rows) {
+      val raw = a._1.zip(b._1).map { case (x, y) => x * y }.sum
+      val rot = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+      assert(math.abs(raw - rot) < 1e-9,
+        s"rotation must preserve dots: $raw vs $rot")
+    }
+  }
+
   test("fit is bit-deterministic across partitionings (exact integer " +
     "moments)") {
     val emb = Tables.embeddings(s, dir)
