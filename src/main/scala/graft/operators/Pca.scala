@@ -137,9 +137,22 @@ object Pca {
     */
   def fit(df: DataFrame, vecCol: String, dim: Int, digits: Int = 6,
           wide: Boolean = false, center: Boolean = true): PcaModel = {
-    val scale = math.pow(10, digits)
     val rows = (if (wide) momentSumsHof(df, vecCol, dim, digits, wide)
                 else momentSums(df, vecCol, dim, digits)).collect()
+    modelFromMoments(rows, dim, digits, center)
+  }
+
+  /** Build a model from collected moment cells — the shared tail of
+    * [[fit]] and the streaming standing-state reader
+    * ([[graft.streaming.StreamOps]] maintains the cells incrementally:
+    * the sums are a MONOID, so a batch's cells fold into the standing
+    * state by elementwise addition and a model is available at any time
+    * without a corpus pass).
+    */
+  def modelFromMoments(rows: Array[org.apache.spark.sql.Row], dim: Int,
+                       digits: Int = 6,
+                       center: Boolean = true): PcaModel = {
+    val scale = math.pow(10, digits)
     require(rows.nonEmpty, "PCA fit on an empty dataset")
     val n = rows.head.getLong(rows.head.fieldIndex("n"))
     require(n > 0, "PCA fit on an empty dataset")

@@ -627,6 +627,57 @@ object StreamOps {
     }
   }
 
+  /** Streaming PCA moment maintenance — keep the exact second-moment
+    * cells of [[graft.operators.Pca.momentSums]] as a standing state
+    * folded at ingest, so a current PCA model (for projection /
+    * reduced-space indexing of everything seen so far) is available at
+    * ANY time from a dimension-bounded read, never a corpus pass.
+    *
+    * The cells are a MONOID: scaled-integer sums merge by elementwise
+    * addition, exactly the [[graft.functions.MomentAgg]] merge — so a
+    * batch contributes ONE O(d²) frame (2 080 rows at d=64) and the
+    * fold is a groupBy-sum over state∪batch. Same histogram-sink
+    * rewrite discipline as the DSIR state: atomic publish + batch
+    * marker makes retries idempotent, and state size is O(d²)
+    * regardless of rows streamed. Exactness makes the streamed state
+    * bit-identical to a one-shot [[graft.operators.Pca.momentSums]]
+    * over the cumulative corpus (StreamOpsSpec pins this), so the
+    * derived model is the same model — no drift between the streaming
+    * and batch paths.
+    */
+  def pcaMomentForeachBatch(statePath: String, vecCol: String, dim: Int,
+                            digits: Int = 6)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val part = graft.operators.Pca.momentSums(batch, vecCol, dim,
+          digits)
+        val merged =
+          if (!fs.exists(live)) part
+          else spark.read.parquet(statePath).unionByName(part)
+            .groupBy("i", "j")
+            .agg(sum("sxy").as("sxy"), sum("sx").as("sx"),
+              sum("sy").as("sy"), sum("n").as("n"))
+        publishAtomic(spark, statePath, merged, Some(batchId))
+      }
+    }
+  }
+
+  /** Current PCA model from the standing moment state — a 2 080-row
+    * read plus the driver-side eigensolve; no corpus pass.
+    */
+  def pcaModelFromState(spark: org.apache.spark.sql.SparkSession,
+                        statePath: String, dim: Int, digits: Int = 6,
+                        center: Boolean = true)
+      : graft.operators.Pca.PcaModel =
+    graft.operators.Pca.modelFromMoments(
+      spark.read.parquet(statePath)
+        .select("i", "j", "sxy", "sx", "sy", "n").collect(),
+      dim, digits, center)
+
   /** Streaming dup-CLUSTER maintenance — incremental connected
     * components over an arriving near-dup pair stream (the
     * [[nearDupIndexForeachBatch]] pair log, or any (doc_a, doc_b)

@@ -880,4 +880,43 @@ class StreamOpsSpec extends AnyFunSuite {
       .listFiles().map(_.lastModified()).toSet == bytes,
       "retried published batch must not rewrite its scores")
   }
+
+  test("pcaMomentForeachBatch: streamed state is bit-identical to " +
+    "one-shot momentSums over the cumulative corpus, the derived model " +
+    "equals the batch fit, and retries are inert") {
+    import s.implicits._
+    import graft.operators.Pca
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_pca_stream").toString + "/state"
+    val dim = 4
+    val sink = StreamOps.pcaMomentForeachBatch(statePath, "v", dim)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "sxy", "sx", "sy", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val b0 = Seq(Seq(0.1, 0.2, -0.3, 0.4), Seq(-1.0, 0.5, 0.25, 0.0),
+      Seq(0.125, -0.0625, 0.5, -0.5)).map(Tuple1(_)).toDF("v")
+    val b1 = Seq(Seq(0.9, -0.8, 0.7, -0.6)).map(Tuple1(_)).toDF("v")
+    sink(b0, 0L)
+    assert(cells(s.read.parquet(statePath)) ==
+      cells(Pca.momentSums(b0, "v", dim)),
+      "state after one batch == that batch's moments")
+    sink(b1, 1L)
+    val cum = b0.unionByName(b1)
+    val want = cells(Pca.momentSums(cum, "v", dim))
+    assert(cells(s.read.parquet(statePath)) == want,
+      "folded state == one-shot moments over everything streamed")
+    sink(b1, 1L) // retry after publish: marker short-circuits
+    assert(cells(s.read.parquet(statePath)) == want, "retry inert")
+    val sm = StreamOps.pcaModelFromState(s, statePath, dim)
+    val bm = Pca.fit(cum, "v", dim)
+    assert(sm.n == bm.n && sm.mean.sameElements(bm.mean) &&
+      sm.eigenvalues.sameElements(bm.eigenvalues) &&
+      sm.components.zip(bm.components).forall {
+        case (a, b) => a.sameElements(b) },
+      "streaming-state model is THE batch model, bit for bit")
+    sink(Seq.empty[Tuple1[Seq[Double]]].toDF("v"), 2L)
+    assert(cells(s.read.parquet(statePath)) == want,
+      "empty batch is a no-op")
+  }
 }
