@@ -697,6 +697,20 @@ object LlmOps {
       "text", dim = 64)
   }, Some(TextAnalysis.featureHashSparseOracleSql(dim = 64)))
 
+  // L46 — two-stage ANN: candidates in the PCA-16 reduced space
+  // (kReduced/dim of the scan bytes), exact full-space re-rank of the
+  // kCand per query. Model floats are engine-side (no SQL mirror —
+  // same class as l44); the recall-==-coverage contract, the
+  // degenerate-to-brute identity, and the centered-model rejection are
+  // SimilaritySpec-pinned, and the reduced-space regime economics are
+  // priced in SCALE_r12 §16.
+  private val l46 = QueryDef("l46_two_stage_ann", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val gram = Pca.fit(emb, "embedding", 64, center = false)
+    Similarity.twoStageTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", gram, kReduced = 16, kCand = 50, k = 5)
+  }, None)
+
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
       "zh" -> "window")
@@ -2108,5 +2122,5 @@ object LlmOps {
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, l45, m1)
+      l41b, l42, l43, l44, l45, l46, m1)
 }

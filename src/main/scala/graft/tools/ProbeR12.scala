@@ -641,7 +641,98 @@ object ProbeR12 {
             f"twostage_cand$c${"_recall@10="}${covered.toDouble / base.size}%.3f")
           proj.unpersist(blocking = false)
         }
+        // the operator-ized two-stage path (l46 shape) vs one full-space
+        // brute pass, wall-to-wall at 100 queries
+        val projStore = graft.operators.Pca.project(emb, gram, 16,
+          "embedding", "__r").select(col("vec_id"), col("__r")).cache()
+        projStore.count() // the ingest-time projection, amortized
+        for ((nm, df) <- Seq(
+          "brute64" -> graft.operators.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+            k = 10),
+          "twostage_inline" -> graft.operators.Similarity.twoStageTopK(
+            emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+            gram, kReduced = 16, kCand = 100, k = 10),
+          "twostage_preproj" -> graft.operators.Similarity
+            .twoStageFromProjected(projStore, emb,
+              emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+              gram, kReduced = 16, kCand = 100, k = 10))) {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode(SaveMode.Overwrite).save()
+          println(f"PROBE12 pca_search_wall $nm " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        projStore.unpersist(blocking = false)
         emb.unpersist(blocking = false)
+
+      case "pcawide" =>
+        // the dim regime where reduction PAYS: 100k synthetic 512-d
+        // vectors (real text embeddings are 768-4096-d; 64-d was too
+        // cheap for two-stage to beat one brute pass — §16). Spectrum
+        // decays with dim index so a 32-d cut is meaningful; vectors
+        // are deterministic (hash-folded), so the row reproduces.
+        val dimW = 512
+        val wide = spark.range(100000).select(col("id").as("vec_id"),
+          expr(s"""transform(sequence(0, ${dimW - 1}), j ->
+            CAST((pmod(xxhash64(id * $dimW + j), 1000000) - 500000)
+              AS DOUBLE) / 1000000.0D / (1.0D + CAST(j AS DOUBLE) / 32.0D)
+          )""").as("embedding")).cache()
+        wide.count()
+        val tw = System.nanoTime()
+        val gw = graft.operators.Pca.fit(wide, "embedding", dimW,
+          center = false)
+        println(f"PROBE12 pcawide_fit_512d " +
+          f"${(System.nanoTime() - tw) / 1e9}%.1f s " +
+          f"ve32=${gw.varianceExplained(32)}%.3f " +
+          f"ve64=${gw.varianceExplained(64)}%.3f")
+        val store = graft.operators.Pca.project(wide, gw, 32,
+          "embedding", "__r").select(col("vec_id"), col("__r")).cache()
+        store.count()
+        val qs = wide.filter(col("vec_id") < 100)
+        def wall(nm: String, df: => DataFrame): Unit = {
+          for (i <- 1 to 2) {
+            val t0 = System.nanoTime()
+            df.write.format("noop").mode(SaveMode.Overwrite).save()
+            println(f"PROBE12 pcawide_$nm rep$i " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+          }
+        }
+        wall("brute512", graft.operators.Similarity.bruteForceTopK(
+          wide, qs, "vec_id", "embedding", k = 10))
+        wall("twostage32_preproj", graft.operators.Similarity
+          .twoStageFromProjected(store, wide, qs, "vec_id", "embedding",
+            gw, kReduced = 32, kCand = 100, k = 10))
+        // stage 1 as an INDEX over the reduced store (ivf in 32-d),
+        // stage 2 the pluggable exact re-rank — the shape the reduction
+        // is FOR (the brute reduced scan pays the same pair-stream
+        // machinery as full brute; the index avoids the scan entirely)
+        val pq32 = graft.operators.Pca.project(qs, gw, 32, "embedding",
+          "__r").select(col("vec_id"), col("__r")).cache()
+        pq32.count()
+        def ivfRerank = {
+          val cand = graft.operators.Similarity.ivfTopK(store, pq32,
+            "vec_id", "__r", k = 100, nCells = 64, nProbe = 8)
+            .select(col("q_id"), col("n_id"))
+          graft.operators.Similarity.rerankTopK(cand, wide, qs,
+            "vec_id", "embedding", 10)
+        }
+        wall("ivf32x8_rerank", ivfRerank)
+        val iv = ivfRerank.select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        // recall of the two-stage against brute (coverage == recall)
+        val b512 = graft.operators.Similarity.bruteForceTopK(wide, qs,
+          "vec_id", "embedding", k = 10).select("q_id", "n_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val t512 = graft.operators.Similarity.twoStageFromProjected(
+          store, wide, qs, "vec_id", "embedding", gw, 32, 100, 10)
+          .select("q_id", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(f"PROBE12 pcawide_recall@10 " +
+          f"twostage=${b512.count(t512.contains).toDouble / b512.size}%.3f " +
+          f"ivf_rerank=${b512.count(iv.contains).toDouble / b512.size}%.3f")
+        pq32.unpersist(blocking = false)
+        store.unpersist(blocking = false)
+        wide.unpersist(blocking = false)
 
       case "fhash" =>
         // feature hashing at 250k diverse-text docs (sf5textdiv): the

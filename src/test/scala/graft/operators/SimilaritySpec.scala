@@ -380,4 +380,44 @@ class SimilaritySpec extends AnyFunSuite {
       "fixture must have an over-cap cell (else the cap is vacuous)")
     assert(run(7).toSet == a.toSet, "layout invariance")
   }
+
+  test("twoStageTopK: all-corpus candidates degenerate to bruteForceTopK " +
+    "exactly; recall equals candidate coverage and is monotone in kCand; " +
+    "a centered model is rejected") {
+    val emb = graft.core.Tables.embeddings(s, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 5)
+    val gram = Pca.fit(emb, "embedding", 64, center = false)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rnk", "n_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 5))
+    // kCand = everything: stage 1 passes the whole corpus through, the
+    // exact re-rank must reproduce brute force bit for bit — even in a
+    // TRUNCATED stage-1 space, because candidate ORDER is irrelevant
+    val all16 = pairs(Similarity.twoStageTopK(emb, queries, "vec_id",
+      "embedding", gram, kReduced = 16, kCand = n - 1, k = 5))
+    assert(all16 == brute,
+      "exact re-rank over all candidates must equal brute force")
+    // narrow candidates: recall == coverage, monotone in kCand
+    val trueIds = brute.map(t => (t._1, t._3))
+    def recallAt(kCand: Int): Double = {
+      val got = pairs(Similarity.twoStageTopK(emb, queries, "vec_id",
+        "embedding", gram, kReduced = 16, kCand = kCand, k = 5))
+        .map(t => (t._1, t._3))
+      trueIds.count(got.contains).toDouble / trueIds.size
+    }
+    val r10 = recallAt(10)
+    val r50 = recallAt(50)
+    assert(r10 <= r50 + 1e-12, s"recall must be monotone: $r10 vs $r50")
+    assert(r50 > 0.5, s"kCand=50 over a 16-dim rotation of this corpus " +
+      s"must recover most of the top-5: $r50")
+    val centered = Pca.fit(emb, "embedding", 64)
+    intercept[IllegalArgumentException] {
+      Similarity.twoStageTopK(emb, queries, "vec_id", "embedding",
+        centered, 16, 10, 5)
+    }
+  }
 }
