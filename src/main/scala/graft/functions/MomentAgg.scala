@@ -42,10 +42,20 @@ final class MomentAgg(dim: Int, digits: Int)
   /** round half away from zero — matches Spark's round(x, 0) (BigDecimal
     * HALF_UP) and DuckDB's round on every non-tie, and on ties for all
     * |x·scale| < 2^52 (the entire embedding domain).
+    *
+    * NOT the naive floor(s + 0.5): that misrounds the
+    * 0.49999999999999994 class (the largest double below 0.5 — s + 0.5
+    * rounds to exactly 1.0 in IEEE, the same defect pre-Java-7
+    * Math.round had). The correction term detects the only possible
+    * misround — t landed MORE than 0.5 above s, i.e. the addition
+    * carried across the boundary — and steps back.
     */
   @inline private def rnd(x: Double): Long = {
     val s = x * scale
-    if (s >= 0) math.floor(s + 0.5).toLong else math.ceil(s - 0.5).toLong
+    val a = math.abs(s)
+    var t = math.floor(a + 0.5)
+    if (t - a > 0.5) t -= 1.0
+    if (s < 0) -t.toLong else t.toLong
   }
 
   override def reduce(buf: Array[Long], xs: Seq[Double]): Array[Long] = {

@@ -77,7 +77,15 @@ object Pca {
                   'x', xi, 'y', xj, 'p', xi * xj))))), 1)"""
     def s(c: Column) =
       if (wide) sum(c.cast("decimal(38,0)")) else sum(c)
-    df.select(explode(expr(pairsSql)).as("pr"))
+    // fail FAST on ragged vectors, matching MomentAgg's require: a
+    // short vector would otherwise contribute cells only for its own
+    // indices, leaving per-cell n inconsistent and the fitted model
+    // silently wrong in the wide regime. Null rows still skip (the
+    // fused path and SQL sums both skip them).
+    df.filter(coalesce(expr(
+        s"""assert_true($vecCol IS NULL OR size($vecCol) = $dim,
+            'momentSumsHof: vector length <> dim')"""), lit(true)))
+      .select(explode(expr(pairsSql)).as("pr"))
       .groupBy(col("pr.i").as("i"), col("pr.j").as("j"))
       .agg(s(col("pr.p")).as("sxy"), s(col("pr.x")).as("sx"),
         s(col("pr.y")).as("sy"), count(lit(1)).as("n"))
@@ -96,7 +104,7 @@ object Pca {
         CAST(sum(v[r1.i + 1] * v[r2.j + 1]) AS BIGINT) AS sxy,
         CAST(sum(v[r1.i + 1]) AS BIGINT) AS sx,
         CAST(sum(v[r2.j + 1]) AS BIGINT) AS sy,
-        CAST(count(*) AS BIGINT) AS n
+        CAST(count(v) AS BIGINT) AS n
       FROM sv, range(0, $dim) r1(i), range(0, $dim) r2(j)
       WHERE r2.j >= r1.i
       GROUP BY 1, 2"""
@@ -112,7 +120,7 @@ object Pca {
     * raw vectors preserves dot products up to the dropped energy, whereas
     * centering shifts the origin and wrecks angles (measured recall@10
     * 0.05 centered vs the uncentered variant on the clustered 100k
-    * fixture — SCALE_r12 §9).
+    * fixture — SCALE_r12 §16).
     */
   final case class PcaModel(dim: Int, n: Long, mean: Array[Double],
                             eigenvalues: Array[Double],

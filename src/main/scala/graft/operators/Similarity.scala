@@ -48,18 +48,14 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("n_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", norm("cv"))
-    val q = queries.select(col(idCol).as("q_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", norm("qv"))
     // per-query candidates = the ENTIRE corpus (that is what brute
     // force means), so the ranking must be the bounded mergeable top-k:
     // a q_id window would funnel a full corpus copy per query into one
     // task. With BoundedTopK the scan stays embarrassingly parallel and
     // only partitions*k (cosine, id) rows per query ever shuffle.
-    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+    val scored = corpusSide(corpus, idCol, vecCol)
+      .join(broadcast(querySide(queries, idCol, vecCol)),
+        col("q_id") =!= col("n_id"))
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
     rankTopKByCosine(scored, k)
   }
@@ -110,7 +106,16 @@ object Similarity {
       "twoStageTopK needs the uncentered (Gram) fit: Pca.fit(center = false)")
     val pq = Pca.project(queries, model, kReduced, vecCol, "__r")
       .select(col(idCol), col("__r"))
-    val cand = bruteForceTopK(corpusProj, pq, idCol, "__r", kCand)
+    // fail FAST on a stored-projection width that doesn't match
+    // kReduced: vec_dot silently truncates to the shorter array, so a
+    // k=32 store probed at kReduced=16 would produce garbage stage-1
+    // cosines with no error. assert_true rides the filter (not a
+    // prunable select column); per-row cost is one size().
+    val pcChecked = corpusProj.filter(coalesce(expr(
+      s"""assert_true(size(__r) = $kReduced,
+          'twoStageFromProjected: stored projection width <> kReduced')"""),
+      lit(true)))
+    val cand = bruteForceTopK(pcChecked, pq, idCol, "__r", kCand)
       .select(col("q_id"), col("n_id"))
     rerankTopK(cand, corpus, queries, idCol, vecCol, k)
   }
@@ -121,7 +126,7 @@ object Similarity {
     * brute, [[ivfTopK]] over a projected corpus, [[lshTopK]], a bloom
     * prefilter...). Cost is candidate-sized: one id-join against the
     * corpus plus a (queries × kCand) scored stream — never a corpus
-    * scan. The honest stage-1 guidance from SCALE_r12 §16: a BRUTE scan
+    * scan. The honest stage-1 guidance from SCALE_r12 §16a: a BRUTE scan
     * of the reduced space never beats one brute full-space pass here,
     * because the scored-pair machinery (join + bounded ranking), not
     * the dot width, dominates — reduce to make the INDEX cheaper, then
@@ -129,17 +134,34 @@ object Similarity {
     */
   def rerankTopK(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
-    val cv = corpus.select(col(idCol).as("n_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", norm("cv"))
-    val qv = queries.select(col(idCol).as("q_id"),
-        col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("qn", norm("qv"))
-    val scored = cand.select(col("q_id"), col("n_id"))
-      .join(cv, "n_id").join(broadcast(qv), "q_id")
+    // any-generator hygiene, candidate-sized so effectively free:
+    // duplicate pairs (e.g. a multi-table LSH union) would occupy two
+    // rank slots, and a self-pair would park cosine 1.0 at rank 1 —
+    // both would break recall == coverage
+    val cs = cand.select(col("q_id"), col("n_id"))
+      .filter(col("q_id") =!= col("n_id")).distinct()
+    val scored = cs
+      .join(corpusSide(corpus, idCol, vecCol), "n_id")
+      .join(broadcast(querySide(queries, idCol, vecCol)), "q_id")
       .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
     rankTopKByCosine(scored, k)
   }
+
+  /** Shared scored-stream sides — ONE place owns the cast + precomputed
+    * norm, so every cosine path ([[bruteForceTopK]], [[rerankTopK]])
+    * stays bit-identical by construction.
+    */
+  private def corpusSide(corpus: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm("cv"))
+
+  private def querySide(queries: DataFrame, idCol: String,
+                        vecCol: String): DataFrame =
+    queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm("qv"))
 
   /** Deterministic pseudo-random hyperplane for LSH: component d of plane
     * p is splitmix64(p, d) folded into [-0.5, 0.5). Planes are generated

@@ -537,6 +537,9 @@ object ProbeR12 {
         val total = emb.count()
         timed("pca_moments_100k",
           graft.operators.Pca.momentSums(emb, "embedding", 64))
+        // timed()'s clearCache dropped the emb cache — rematerialize so
+        // every later stage reads memory, not parquet
+        emb.cache().count()
         val tf = System.nanoTime()
         val model = graft.operators.Pca.fit(emb, "embedding", 64)
         val fitSec = (System.nanoTime() - tf) / 1e9
@@ -555,13 +558,24 @@ object ProbeR12 {
           f"ve32=${model.varianceExplained(32)}%.3f")
         timed("pca_project16_100k",
           graft.operators.Pca.project(emb, model, 16, "embedding"))
-        val q = emb.filter(col("vec_id") < 100)
+        emb.cache().count() // timed() cleared it again
         def topk(df: DataFrame, vc: String): Map[(Long, Long), Boolean] =
           graft.operators.Similarity.bruteForceTopK(
             df, df.filter(col("vec_id") < 100), "vec_id", vc, k = 10)
             .select(col("q_id"), col("n_id")).collect()
             .map(r => (r.getLong(0), r.getLong(1)) -> true).toMap
-        val base = topk(emb, "embedding")
+        // ONE full brute pass feeds both the recall base and the
+        // effectiveness base (it was run twice before — the first
+        // collect just dropped the cosine column)
+        val baseCos: Map[(Long, Long), Double] =
+          graft.operators.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+            k = 10).select(col("q_id"), col("n_id"), col("cosine"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+            .toMap
+        val base: Map[(Long, Long), Boolean] =
+          baseCos.map { case (k, _) => k -> true }
         val gram = graft.operators.Pca.fit(emb, "embedding", 64,
           center = false)
         for ((label, m) <- Seq("centered" -> model, "gram" -> gram);
@@ -591,13 +605,6 @@ object ProbeR12 {
         //     top-10 vs exact full-space top-10 (the ANN production
         //     pattern; candidate generation is where the 4x-8x byte
         //     cut pays, the re-rank touches only C vectors/query).
-        val baseCos: Map[(Long, Long), Double] =
-          graft.operators.Similarity.bruteForceTopK(
-            emb, emb.filter(col("vec_id") < 100), "vec_id", "embedding",
-            k = 10).select(col("q_id"), col("n_id"), col("cosine"))
-            .collect()
-            .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-            .toMap
         val baseAvg = baseCos.values.sum / baseCos.size
         for (k <- Seq(8, 16)) {
           val proj = graft.operators.Pca.project(emb, gram, k,

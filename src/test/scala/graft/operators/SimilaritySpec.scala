@@ -420,4 +420,25 @@ class SimilaritySpec extends AnyFunSuite {
         centered, 16, 10, 5)
     }
   }
+
+  test("rerankTopK: duplicate candidate pairs and self-pairs cannot " +
+    "occupy rank slots (any-generator hygiene)") {
+    val emb = graft.core.Tables.embeddings(s, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 3)
+    val base = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rnk", "n_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // poison the candidate set: every true pair TWICE, plus a cosine-1
+    // self-pair per query — a sloppy generator's worst case
+    val ids = base.select("q_id", "n_id")
+    val poisoned = ids.unionAll(ids).unionAll(
+      queries.select(col("vec_id").as("q_id"), col("vec_id").as("n_id")))
+    val got = Similarity.rerankTopK(poisoned, emb, queries, "vec_id",
+      "embedding", k = 3)
+    assert(pairs(got) == pairs(base),
+      "dup pairs / self-pairs must not displace true neighbors")
+  }
 }
