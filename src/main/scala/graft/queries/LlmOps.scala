@@ -533,11 +533,17 @@ object LlmOps {
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         list_transform(range(1, 65), i -> $a[i] * $b[i])),
         (x, y) -> x + y)"""
-  private def l12OracleBucketing: String = {
+  /** [[l12OracleBucketing]] generalized over the corpus source: the
+    * caller supplies CTEs ending in `e(vec_id, v: DOUBLE[])` and gets
+    * the shared norm/plane/bucket chain (planes are the same global
+    * literals the native lsh_buckets uses for any (12, 8, 64) design
+    * point — the l47 hashed-text corpus buckets with the identical
+    * geometry the l12 family does).
+    */
+  private def lshOracleBucketing(corpusCtes: String): String = {
     val planeRows = (0 until 96).map(g =>
       s"($g, ${Similarity.planeSqlLiteral(g, 64)})").mkString(",\n        ")
-    s"""$twinnedSql,
-      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM tw),
+    s"""$corpusCtes,
       en AS (SELECT vec_id, v,
           sqrt(${l12OracleDot("v", "v")}) AS nrm FROM e),
       planes AS (SELECT * FROM (VALUES $planeRows) t(g, pl)),
@@ -551,6 +557,10 @@ object LlmOps {
       cells AS (SELECT b.vec_id AS doc, en.v, en.nrm, b.tbl, b.bucket
         FROM buck b JOIN en ON en.vec_id = b.vec_id)"""
   }
+
+  private def l12OracleBucketing: String = lshOracleBucketing(
+    s"""$twinnedSql,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM tw)""")
 
   // L12P — the SAME cosineNearDupPairs call as l12, with a full DuckDB
   // oracle (closing the one operator family that had no hash-matched
@@ -710,6 +720,47 @@ object LlmOps {
     Similarity.twoStageTopK(emb, emb.filter(col("vec_id") < 10),
       "vec_id", "embedding", gram, kReduced = 16, kCand = 50, k = 5)
   }, None)
+
+  // L47 — the cross-family composition, fully oracle-checked end to
+  // end: documents → feature-hash embedding (l45's trick, dense form) →
+  // hyperplane-LSH cosine near-dup (l12p's geometry — SAME global plane
+  // literals at the (12, 8, 64) design point). This is the
+  // no-embeddings-shipped dedup path: a text corpus gets a vector
+  // column and the whole vector-dedup machinery, and DuckDB replays
+  // every stage — tokenize, poly-hash, signed bucket sums, dense pivot,
+  // plane dots, bucket collision, cosine verify — to the same bits.
+  // Zero-norm docs (no tokens, or all buckets cancelled) are excluded
+  // on both sides before bucketing (cosine is undefined there).
+  private val l47 = QueryDef("l47_fhash_near_dup", (s, dir) => {
+    val dense = TextAnalysis.featureHashDense(
+        Tables.documents(s, dir), "doc_id", "text", 64)
+      .select(col("doc_id"), col("fh_vec"))
+      .filter(call_function("vec_dot", col("fh_vec"), col("fh_vec")) >
+        lit(0.0))
+    Similarity.cosineNearDupPairs(dense, "doc_id", "fh_vec",
+      threshold = 0.9, dim = 64, nPlanes = 12, nTables = 8)
+  }, Some {
+    val corpus =
+      s"""sp AS (SELECT * FROM
+          (${TextAnalysis.featureHashSparseOracleSql(64)})),
+      dd AS (SELECT DISTINCT doc FROM sp),
+      e AS (SELECT d.doc AS vec_id,
+          list(CAST(coalesce(s.weight, 0) AS DOUBLE) ORDER BY r.b) AS v
+        FROM dd d CROSS JOIN range(0, 64) r(b)
+        LEFT JOIN sp s ON s.doc = d.doc AND s.bucket = r.b
+        GROUP BY d.doc)"""
+    s"""WITH ${lshOracleBucketing(corpus)},
+      pr AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM cells a JOIN cells b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.doc < b.doc),
+      scored AS (SELECT doc_a, doc_b,
+          ${l12OracleDot("ea.v", "eb.v")} / (ea.nrm * eb.nrm) AS cosine
+        FROM pr JOIN en ea ON ea.vec_id = doc_a
+        JOIN en eb ON eb.vec_id = doc_b)
+      SELECT doc_a, doc_b, cosine FROM scored
+      WHERE cosine >= CAST(0.9 AS DOUBLE)"""
+  })
 
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
@@ -2122,5 +2173,5 @@ object LlmOps {
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, l45, l46, m1)
+      l41b, l42, l43, l44, l45, l46, l47, m1)
 }

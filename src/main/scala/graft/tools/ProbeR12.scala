@@ -770,6 +770,40 @@ object ProbeR12 {
         dense.unpersist(blocking = false)
         docs.unpersist(blocking = false)
 
+      case "pcastream" =>
+        // the standing moment state folded over 10 batches of 10k
+        // vectors: per-batch cost must be flat (each batch contributes
+        // ONE 2,080-cell frame; the fold is state∪batch groupBy-sum on
+        // 4,160 rows), and the any-time model read is state-sized.
+        val root = "/tmp/scale/probe12_pcastream"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val sink = graft.streaming.StreamOps.pcaMomentForeachBatch(
+          s"$root/state", "embedding", 64)
+        val all = graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")).cache()
+        all.count()
+        for (b <- 0 until 10) {
+          val batch = all.filter(pmod(col("vec_id"), lit(10L)) === b)
+          val t0 = System.nanoTime()
+          sink(batch, b.toLong)
+          println(f"PROBE12 pcastream_batch$b " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        val tm = System.nanoTime()
+        val sm = graft.streaming.StreamOps.pcaModelFromState(spark,
+          s"$root/state", 64)
+        println(f"PROBE12 pcastream_model_read " +
+          f"${(System.nanoTime() - tm) / 1e9}%.1f s " +
+          f"n=${sm.n} ve16=${sm.varianceExplained(16)}%.3f")
+        val bm = graft.operators.Pca.fit(all, "embedding", 64)
+        println(s"PROBE12 pcastream_parity model_bitequal=" +
+          (sm.n == bm.n && sm.eigenvalues.sameElements(bm.eigenvalues) &&
+            sm.components.zip(bm.components)
+              .forall { case (a, c) => a.sameElements(c) }))
+        all.unpersist(blocking = false)
+
       case "bpedebug" =>
         val tr = graft.core.Tables.documents(spark, sfDir)
           .filter(graft.operators.TextAnalysis
