@@ -804,6 +804,65 @@ object ProbeR12 {
               .forall { case (a, c) => a.sameElements(c) }))
         all.unpersist(blocking = false)
 
+      case "pcasemdedup" =>
+        // does reduction make the PAIR STAGE cheaper? §15 ran the full
+        // l42 SemDeDup pipeline in 64-d (pairs 10.0 s / 600,900 pairs).
+        // Here: candidates in PCA-16 space at a slacked threshold, then
+        // FULL-space verify at tau=0.9 — the candidate economics of the
+        // two-stage pattern applied to the engine's heaviest semantic
+        // op, with cluster recovery as the ground truth.
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")).cache()
+        val total = emb.count()
+        val gram = graft.operators.Pca.fit(emb, "embedding", 64,
+          center = false)
+        val proj = graft.operators.Pca.project(emb, gram, 16,
+          "embedding").select(col("vec_id"), col("proj")).cache()
+        proj.count()
+        metrics.reset()
+        val tp = System.nanoTime()
+        val candRed = graft.operators.Similarity.cosineNearDupPairsCapped(
+          proj, "vec_id", "proj", threshold = 0.7, dim = 16,
+          nPlanes = 12, nTables = 8, maxBucket = 64).cache()
+        val nCand = candRed.count()
+        val pSec = (System.nanoTime() - tp) / 1e9
+        println(f"PROBE12 pcasemdedup_cand16 ${pSec}%.1f s " +
+          f"cand=$nCand shuffle=${metrics.shuffleWriteMb} MB " +
+          f"maxTask=${metrics.maxTaskSec}%.1f s")
+        metrics.reset()
+        val tv = System.nanoTime()
+        val ev = emb.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", graft.operators.Similarity.norm("v"))
+        val verified = candRed
+          .join(ev.select(col("vec_id").as("doc_a"), col("v").as("va"),
+            col("nrm").as("na")), "doc_a")
+          .join(ev.select(col("vec_id").as("doc_b"), col("v").as("vb"),
+            col("nrm").as("nb")), "doc_b")
+          .withColumn("full_cos", graft.operators.Similarity
+            .dot("va", "vb") / (col("na") * col("nb")))
+          .filter(col("full_cos") >= 0.9)
+          .select(col("doc_a"), col("doc_b")).cache()
+        val nVer = verified.count()
+        val vSec = (System.nanoTime() - tv) / 1e9
+        println(f"PROBE12 pcasemdedup_verify ${vSec}%.1f s " +
+          f"pairs=$nVer shuffle=${metrics.shuffleWriteMb} MB")
+        val tc = System.nanoTime()
+        val (cc, rounds) = graft.operators.GraphRank
+          .connectedComponentsWithStats(verified, "doc_a", "doc_b")
+        val st = cc.agg(count(lit(1)).as("n"),
+          countDistinct("component").as("k")).head()
+        val cSec = (System.nanoTime() - tc) / 1e9
+        println(f"PROBE12 pcasemdedup_closure ${cSec}%.1f s " +
+          f"rounds=$rounds clustered=${st.getLong(0)} " +
+          f"clusters=${st.getLong(1)} " +
+          f"kept=${total - st.getLong(0) + st.getLong(1)}/$total")
+        cc.unpersist(blocking = false)
+        verified.unpersist(blocking = false)
+        candRed.unpersist(blocking = false)
+        proj.unpersist(blocking = false)
+        emb.unpersist(blocking = false)
+
       case "bpedebug" =>
         val tr = graft.core.Tables.documents(spark, sfDir)
           .filter(graft.operators.TextAnalysis
