@@ -550,6 +550,49 @@ object Similarity {
       .distinct()
   }
 
+  /** [[cosineNearDupPairsCapped]] with the CANDIDATE stage in a
+    * PCA-reduced space: bucket + pre-filter at `candThreshold` over the
+    * `kReduced`-dim projections (the expensive fan-out runs on
+    * kReduced/dim of the vector bytes), then verify every surviving
+    * pair with FULL-space cosine at `threshold` — so output precision
+    * is exact by construction (every emitted pair truly has full-space
+    * cosine ≥ threshold), and recall is the candidate stage's.
+    * Measured on the 100k clustered fixture (SCALE_r12 §16c): ~45%
+    * cheaper pair generation than all-full-space bucketing AND more
+    * true pairs found (the slack threshold widens bucket recall).
+    * `candThreshold` < `threshold` is the slack absorbing projection
+    * error; requires the uncentered (Gram) model. Output schema matches
+    * the near-dup family — composes with the l42-style closure
+    * unchanged.
+    */
+  def cosineNearDupPairsReduced(corpus: DataFrame, idCol: String,
+                                vecCol: String, model: Pca.PcaModel,
+                                kReduced: Int, threshold: Double,
+                                candThreshold: Double,
+                                nPlanes: Int = 4, nTables: Int = 8,
+                                maxBucket: Int = 64): DataFrame = {
+    require(!model.centered,
+      "cosineNearDupPairsReduced needs Pca.fit(center = false)")
+    require(candThreshold <= threshold,
+      s"candThreshold $candThreshold must not exceed threshold $threshold")
+    val proj = Pca.project(corpus, model, kReduced, vecCol, "__r")
+      .select(col(idCol), col("__r"))
+    val cand = cosineNearDupPairsCapped(proj, idCol, "__r",
+      candThreshold, kReduced, nPlanes, nTables, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+    val ev = corpus.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", norm("__v"))
+    cand
+      .join(ev.select(col("__id").as("doc_a"), col("__v").as("__va"),
+        col("__n").as("__na")), "doc_a")
+      .join(ev.select(col("__id").as("doc_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (dot("__va", "__vb") / (col("__na") * col("__nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** L2-normalize + symmetric int8 quantization summary of an
     * array<double> vector column: per-vector scale = max|x_i|/127 over
     * the normalized components, q_i = round(x_i / norm / scale) in

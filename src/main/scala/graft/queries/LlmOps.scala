@@ -762,6 +762,20 @@ object LlmOps {
       WHERE cosine >= CAST(0.9 AS DOUBLE)"""
   })
 
+  // L48 — near-dup pairs with the candidate stage in PCA-16 space and
+  // exact full-space verification (the §16c-measured ~45%-cheaper,
+  // higher-recall form of l12c). Model floats are engine-side (rows —
+  // same class as l44/l46); precision-exactness, twin recall,
+  // determinism, and the guard rails are SimilaritySpec-pinned.
+  private val l48 = QueryDef("l48_near_dup_reduced", (s, dir) => {
+    val corpus = twinnedEmbeddings(s, dir)
+    val gram = graft.operators.Pca.fit(corpus, "embedding", 64,
+      center = false)
+    Similarity.cosineNearDupPairsReduced(corpus, "vec_id", "embedding",
+      gram, kReduced = 16, threshold = 0.9, candThreshold = 0.6,
+      nPlanes = 12, nTables = 8)
+  }, None)
+
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
       "zh" -> "window")
@@ -2173,5 +2187,5 @@ object LlmOps {
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, l45, l46, l47, m1)
+      l41b, l42, l43, l44, l45, l46, l47, l48, m1)
 }

@@ -421,6 +421,54 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosineNearDupPairsReduced: exact precision by construction, " +
+    "near-full recall on the twin fixture, deterministic, and guarded " +
+    "against a centered model / inverted thresholds") {
+    val emb = graft.queries.LlmOps.twinnedEmbeddings(s,
+      "/root/testdata/sf0.001")
+    val gram = Pca.fit(emb, "embedding", 64, center = false)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reduced = Similarity.cosineNearDupPairsReduced(emb, "vec_id",
+      "embedding", gram, kReduced = 16, threshold = 0.9,
+      candThreshold = 0.6, nPlanes = 12, nTables = 8)
+    val got = pairSet(reduced)
+    // exact ground truth: all pairs at full cosine >= 0.9, in-JVM
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.9
+    } yield {
+      val (a, b) = (vecs(i)._1, vecs(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(got.subsetOf(truth),
+      "full-space verify makes every emitted pair a true pair")
+    assert(got.size >= (truth.size * 0.9).toInt,
+      s"twin-fixture recall must stay high: ${got.size}/${truth.size}")
+    assert(pairSet(Similarity.cosineNearDupPairsReduced(emb, "vec_id",
+      "embedding", gram, 16, 0.9, 0.6, 12, 8)) == got, "deterministic")
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsReduced(emb, "vec_id", "embedding",
+        Pca.fit(emb, "embedding", 64), 16, 0.9, 0.6)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsReduced(emb, "vec_id", "embedding",
+        gram, 16, 0.9, 0.95)
+    }
+  }
+
   test("rerankTopK: duplicate candidate pairs and self-pairs cannot " +
     "occupy rank slots (any-generator hygiene)") {
     val emb = graft.core.Tables.embeddings(s, "/root/testdata/sf0.001")
