@@ -134,4 +134,40 @@ class QueryPlanSpec extends AnyFunSuite {
         !sc.contains("lang"), s"x18 scan reads unused columns: $sc")
     }
   }
+
+  test("round-12 PCA/retrieval ops keep their scale shapes") {
+    // l43: the fused moment buffer must PARTIALLY aggregate before the
+    // exchange (one ~17 KB buffer per partition — the whole point), and
+    // the scan must prune to the embedding column alone
+    val p43 = plan("l43_pca_moments")
+    assert(p43.contains("ObjectHashAggregate"),
+      "l43 lost the typed-Aggregator path")
+    assert(p43.contains("partial_momentagg"),
+      "l43's map-side partial aggregation is gone — the shuffle would " +
+        "carry rows, not buffers")
+    val scan43 = p43.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scan43.nonEmpty && scan43.forall(sc =>
+      sc.contains("embedding") && !sc.contains("label")),
+      s"l43 scan reads unused columns: $scan43")
+    // l44: projection is map-only — no exchange anywhere in the plan
+    // up to the output (the fit's jobs run at build time, separately)
+    val p44 = plan("l44_pca_project")
+    assert(!p44.contains("Exchange"),
+      "l44's projection must stay map-only (k vec_dot calls, no shuffle)")
+    // l45: exactly the one (doc, bucket) aggregation exchange; the
+    // per-token work must be the native poly_hash, not an interpreted
+    // lambda per (token × bucket)
+    val p45 = plan("l45_feature_hash_embed")
+    assert(p45.contains("poly_hash"), "l45 lost the native hash")
+    assert("Exchange".r.findAllIn(p45).size == 1,
+      "l45 must shuffle exactly once (the (doc,bucket) partial agg)")
+    // l46/l48: the query/candidate side broadcasts; never a cartesian
+    for (name <- Seq("l46_two_stage_ann", "l48_near_dup_reduced")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its broadcast join")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
 }
