@@ -742,6 +742,103 @@ object Dedup {
                        1, -1)) > 0,
               CAST(power(2, j) AS BIGINT), CAST(0 AS BIGINT)))), 1)""")
 
+  /** Edit-distance similarity join (Ed-Join, Xiao et al. VLDB'08): every
+    * pair of documents with `levenshtein(text_a, text_b) <= k`, found
+    * WITHOUT an all-pairs comparison and with EXACT recall (blocking is
+    * a theorem, not a heuristic — unlike the Jaccard/LSH family above,
+    * nothing here trades recall for cost).
+    *
+    * Stage 1 — exact prefix-signature blocking. Each document's
+    * character q-grams are occurrence-indexed ((gram, i-th occurrence),
+    * turning the gram multiset into a set), and one edit operation can
+    * destroy at most `q` of them, so two strings within edit distance k
+    * share >= max(S_a, S_b) - q*k elements (Gravano et al. VLDB'01
+    * count filter; S = gram count). By the prefix-filter lemma, under
+    * ANY global total order over elements the pair must then share an
+    * element inside each side's first q*k + 1 elements. The order used
+    * is global gram frequency ASCENDING (rarest first, computed by one
+    * map-combinable gram-keyed count): signatures are each document's
+    * RAREST grams, so the inverted index the candidates join through is
+    * shallow by construction — boilerplate grams never enter it. The
+    * exactness never depends on that (a pathological corpus only grows
+    * buckets, not false negatives).
+    *
+    * Stage 2 — length filter: |len_a - len_b| <= k (each edit changes
+    * length by at most 1), applied inside the candidate join.
+    *
+    * Stage 3 — banded verify: Spark's threshold form
+    * `levenshtein(a, b, k)` computes only the 2k+1-wide diagonal band
+    * (O(k*len) per pair, not O(len^2)) and returns -1 past the bound.
+    *
+    * Short-string tier: strings with S <= q*k grams (len <= q*k + q - 1)
+    * get no count-filter guarantee AMONG THEMSELVES (max(S) - q*k <= 0),
+    * so short x short pairs are generated by a length-bucket equi-join
+    * instead (bucket width k+1, probe side fans to the 3 adjacent
+    * buckets — no cartesian, no nested loop; the tier is bounded-length
+    * by definition, and short x LONG pairs are still covered by the
+    * signature join because a short document's signature is all of its
+    * grams while the pair bound only needs the LONGER side to clear
+    * q*k). Documents with fewer than q characters have no grams and can
+    * only match inside the short tier, which is where they are routed.
+    *
+    * Scale shape: one gram-keyed count, one per-document window (bounded
+    * by document length), one rare-gram equi-join, banded verification
+    * on candidates only. No crossJoin in any plan.
+    */
+  def editDistanceJoin(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, q: Int = 3): DataFrame = {
+    require(k >= 1, s"editDistanceJoin needs k >= 1, got $k")
+    require(q >= 1, s"editDistanceJoin needs q >= 1, got $q")
+    val qk = q * k
+    val base = df.select(col(idCol).as("doc"), col(textCol).as("txt"),
+      length(col(textCol)).as("len")).cache()
+
+    // Long tier: occurrence-indexed q-grams -> global-rarity signatures.
+    val grams = base.filter(col("len") >= q)
+      .select(col("doc"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, length(txt) - ${q - 1}), " +
+            s"i -> substring(txt, i, $q))")).as(Seq("pos", "gram")))
+      .withColumn("occ", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc", "gram").orderBy("pos")))
+      .select("doc", "len", "gram", "occ")
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("gfreq"))
+    val sig = grams.join(freq, Seq("gram"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc").orderBy(col("gfreq"), col("gram"), col("occ"))))
+      .filter(col("rnk") <= qk + 1)
+      .select("doc", "len", "gram", "occ")
+    val longCand = sig.as("a")
+      .join(sig.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
+          col("a.doc") < col("b.doc") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+
+    // Short tier: length-bucket equi-join among gram-starved documents.
+    val shorts = base.filter(col("len") <= qk + q - 1)
+      .withColumn("bkt", floor(col("len") / (k + 1)))
+    val probe = shorts.select(col("doc"), col("len"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    val shortCand = probe.as("a")
+      .join(shorts.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.doc") < col("b.doc") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+
+    val cand = longCand.union(shortCand).distinct()
+    cand
+      .join(base.select(col("doc").as("doc_a"), col("txt").as("ta")),
+        Seq("doc_a"))
+      .join(base.select(col("doc").as("doc_b"), col("txt").as("tb")),
+        Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
+      .filter(col("dist") =!= -1L)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("dist"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance <= `maxDist`, banded on
     * the two fingerprint bytes (pigeonhole-complete for maxDist 0; a
     * recall-bound heuristic above that — finer bands buy completeness).
