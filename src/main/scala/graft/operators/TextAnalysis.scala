@@ -693,6 +693,49 @@ object TextAnalysis {
       summary.n, phi)
   }
 
+  /** Count-Min sketch of the whitespace-token stream: ONE row holding
+    * the row-major `depth * width` counter grid
+    * ([[graft.functions.CountMin]]). Tokens hash through the codegen'd
+    * poly_hash before the aggregate, so the per-token work is compiled
+    * and the aggregator input is a primitive long. The grid is a
+    * LINEAR sketch: partition merges are elementwise adds, so the
+    * result is bit-deterministic under any partitioning and the
+    * streaming form is a per-batch fold (StreamOps.cmsForeachBatch).
+    */
+  def cmsTokenSketch(docs: DataFrame, textCol: String, depth: Int,
+                     width: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = docs.select(explode(tokens(textCol)).as("t"))
+      .select(expr("poly_hash(t)").as("h")).as[Long]
+    // typed select (the untyped overload rejects TypedColumn aggregates)
+    val grid: org.apache.spark.sql.Dataset[Array[Long]] = hashed.select(
+      new graft.functions.CountMin(depth, width).toColumn.name("sk"))
+    grid.toDF()
+  }
+
+  /** Exact-vs-sketch frequency check table: the `topK` exact-heaviest
+    * tokens (count desc, token asc — deterministic at the boundary)
+    * with their Count-Min point estimates. The exact side is the
+    * CHECK; the sketch column is the artifact a 100 TB run would keep
+    * (bounded state, any-token point queries). est >= exact always —
+    * collisions only inflate — which the l51 oracle's hash match
+    * verifies counter by counter.
+    */
+  def cmsTopFrequencies(docs: DataFrame, textCol: String, depth: Int,
+                        width: Int, topK: Int): DataFrame = {
+    val sketch = cmsTokenSketch(docs, textCol, depth, width)
+    val top = docs.select(explode(tokens(textCol)).as("t"))
+      .select(col("t"), expr("poly_hash(t)").as("h"))
+      .groupBy("t", "h").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("t"))
+      .limit(topK)
+    top.crossJoin(broadcast(sketch))
+      .select(col("t").as("token"), col("exact"),
+        graft.functions.CountMin.estimate(col("sk"), "h", depth, width)
+          .as("est"))
+  }
+
   /** Pass 2 of [[heavyHitters]], shared with the streaming form
     * (StreamOps.heavyHittersFromState): exact recount of a BOUNDED
     * candidate term set over the corpus, thresholded at phi * n. The

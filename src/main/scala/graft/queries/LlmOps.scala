@@ -800,6 +800,47 @@ object LlmOps {
         CAST(levenshtein(ta, tb) AS BIGINT) AS dist
       FROM cand WHERE levenshtein(ta, tb) <= 8"""))
 
+  // L51 — Count-Min sketch frequency estimation (4 x 16 grid over the
+  // token stream): the linear mergeable sketch for ad-hoc frequency
+  // point queries at corpus scale (O(depth*width) state, elementwise-
+  // add merges — bit-deterministic under any partitioning, unlike
+  // Misra-Gries whose counters are arrival-order-dependent and need
+  // x18's recount pass). Output = the 20 exact-heaviest tokens with
+  // their sketch estimates; the oracle mirrors every counter through
+  // the portable affine row hashes over poly_hash (exact BIGINT both
+  // engines), so the hash match checks est >= exact collision behavior
+  // counter by counter — width 16 is chosen to put the fixture in the
+  // collision regime (11 of the 20 top tokens inflate at sf0.01; at
+  // width 64 none did and the est side was vacuous).
+  // The generic (r+1)*2654435761 % P formula below
+  // mirrors CountMin.aCoef/bCoef — CountMinSpec pins the JVM and SQL
+  // sides against each other.
+  private val l51 = QueryDef("l51_cms_freq", (s, dir) => {
+    TextAnalysis.cmsTopFrequencies(Tables.documents(s, dir), "text",
+      depth = 4, width = 16, topK = 20)
+  }, Some {
+    val P = graft.functions.CountMin.P
+    def bucket(h: String) =
+      s"""(((($h % $P) + $P) % $P * (((rr.r + 1) * 2654435761) % $P)
+          + (rr.r * 40503 + 7)) % $P) % 16"""
+    s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+          t -> length(t) > 0)) AS t FROM documents),
+      hh AS (SELECT t, list_reduce(list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, length(t) + 1),
+            i -> CAST(ascii(t[i]) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1073741789) AS h FROM toks),
+      cells AS (SELECT rr.r AS r, ${bucket("h")} AS bucket,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM hh CROSS JOIN range(0, 4) rr(r) GROUP BY 1, 2),
+      top AS (SELECT t, h, CAST(count(*) AS BIGINT) AS exact FROM hh
+        GROUP BY 1, 2 ORDER BY exact DESC, t LIMIT 20),
+      est AS (SELECT top.t, top.exact, min(c.cnt) AS est
+        FROM top CROSS JOIN range(0, 4) rr(r)
+        JOIN cells c ON c.r = rr.r AND c.bucket = ${bucket("top.h")}
+        GROUP BY 1, 2)
+      SELECT t AS token, exact, CAST(est AS BIGINT) AS est FROM est"""
+  })
+
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
       "zh" -> "window")
@@ -2211,5 +2252,5 @@ object LlmOps {
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, l45, l46, l47, l48, l49, m1)
+      l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, m1)
 }

@@ -245,6 +245,70 @@ object StreamOps {
     }
   }
 
+  /** Streaming Count-Min frequency state (l51's sketch, maintained
+    * incrementally): each micro-batch reduces to its own depth x width
+    * grid through [[graft.operators.TextAnalysis.cmsTokenSketch]], and
+    * the grids ADD — CM is a linear sketch, so the folded state after
+    * any number of batches is BIT-EQUAL to the one-shot sketch of their
+    * union (StreamOpsSpec pins it), unlike the Misra-Gries state above
+    * whose guarantee (not value) survives merging. State is (r, bucket,
+    * cnt) rows, at most depth*width of them however much text streams
+    * through, published with the crash-safe staged rename and
+    * batch-marker idempotence.
+    */
+  def cmsForeachBatch(statePath: String, textCol: String, depth: Int,
+                      width: Int): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        import spark.implicits._
+        if (!appliedBatch(spark, statePath).contains(batchId)) {
+          val grid = graft.operators.TextAnalysis
+            .cmsTokenSketch(batch, textCol, depth, width)
+            .head().getSeq[Long](0)
+          val part = (for {
+            r <- 0 until depth; b <- 0 until width
+            c = grid(r * width + b) if c != 0L
+          } yield (r, b, c)).toDF("r", "bucket", "cnt")
+          val live = new org.apache.hadoop.fs.Path(statePath)
+          val fs = live.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (fs.exists(live))
+              spark.read.parquet(statePath).unionByName(part)
+                .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+            else part
+          publishAtomic(spark, statePath, merged, Some(batchId))
+        }
+      }
+  }
+
+  /** Any-time point estimates from the [[cmsForeachBatch]] state: one
+    * row per input token with its min-over-rows counter (absent cells
+    * count 0 — a token the stream never saw estimates 0 unless it
+    * collides everywhere). Tokens fan out to `depth` (r, bucket) keys
+    * and left-join the state — O(tokens * depth) work, state-sized
+    * reads, nothing corpus-sized anywhere.
+    */
+  def cmsEstimateFromState(spark: org.apache.spark.sql.SparkSession,
+                           statePath: String, tokens: Seq[String],
+                           depth: Int, width: Int): DataFrame = {
+    import spark.implicits._
+    val state = spark.read.parquet(statePath)
+    val probes = tokens.toDF("token")
+      .withColumn("h", expr("poly_hash(token)"))
+      .select(col("token"), col("h"),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn("bucket", (0 until depth).foldLeft(lit(-1L)) {
+        case (acc, r) => when(col("r") === r,
+          expr(graft.functions.CountMin.bucketSql("h", r, width)))
+          .otherwise(acc)
+      })
+    probes.join(state, Seq("r", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Streaming per-source quality quota: the l26h histogram, maintained
     * incrementally. Each micro-batch reduces to its own (source,
     * quality) token histogram — O(distinct qualities) rows, however

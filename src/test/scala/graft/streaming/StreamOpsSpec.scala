@@ -395,6 +395,64 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batchAnswer == brute, "batch x18 diverged from brute force")
   }
 
+  test("streaming Count-Min state: the folded grid is BIT-EQUAL to the " +
+    "one-shot sketch of all batches (linear sketch), estimates match, " +
+    "and a retried batch id is a no-op") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_cms_stream").toString + "/cms"
+    val (depth, width) = (4, 16)
+    val rnd = new scala.util.Random(47)
+    val tokens = (1 to 25).flatMap(i => Seq.fill(400 / i)(s"tok$i"))
+    val docs = rnd.shuffle(tokens).grouped(15).zipWithIndex
+      .map { case (tk, i) => (i.toLong, tk.mkString(" ")) }.toSeq
+    val batches = docs.grouped((docs.size + 2) / 3).toSeq
+    def doc(d: (Long, String)) =
+      Doc(d._1, Timestamp.valueOf("2024-01-01 00:00:01"), d._2)
+    val sink = StreamOps.cmsForeachBatch(statePath, "text", depth, width)
+    val input = MemoryStream[Doc]
+    val q = input.toDF().writeStream.foreachBatch(sink).start()
+    try batches.foreach { b =>
+      input.addData(b.map(doc): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // retried LAST batch id is a no-op (marker idempotence — the only
+    // retry shape foreachBatch produces)
+    val before = s.read.parquet(statePath)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    sink(batches.last.map(d => doc(d)).toDF(), (batches.size - 1).toLong)
+    val after = s.read.parquet(statePath)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(after == before, "retried batchId must not re-fold")
+
+    // folded state == one-shot grid over the whole corpus, cell by cell
+    val corpus = docs.toDF("doc_id", "text")
+    val oneShot = graft.operators.TextAnalysis
+      .cmsTokenSketch(corpus, "text", depth, width)
+      .head().getSeq[Long](0)
+    (0 until depth).foreach { r =>
+      (0 until width).foreach { b =>
+        assert(before.getOrElse((r, b), 0L) == oneShot(r * width + b),
+          s"cell ($r,$b) diverged")
+      }
+    }
+
+    // any-time estimates: est >= exact for seen tokens, 0-floor works
+    val exact = tokens.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val est = StreamOps.cmsEstimateFromState(s, statePath,
+        exact.keys.toSeq :+ "never-seen-token", depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"estimate undercounts $t")
+    }
+    assert(est("never-seen-token") >= 0L)
+  }
+
   test("streaming quality quota: the (source, quality) histogram merges " +
     "by addition across micro-batches, the state decision equals the " +
     "one-shot l26h form, and a retried batch id is a no-op") {
