@@ -53,6 +53,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBuckets].getName, "lsh_buckets"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LshBuckets.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode_all"),
+      new ExpressionInfo(classOf[PqEncodeAll].getName, "pq_encode_all"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqEncodeAll(children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "pq_lut"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqLut(children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_lut_score"),
+      new ExpressionInfo(classOf[PqLutScore].getName, "pq_lut_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PqLutScore(children(0), children(1), children(2))))
     ext.injectOptimizerRule(_ => new DimBroadcastRule)
   }
 }

@@ -841,6 +841,92 @@ object LlmOps {
       SELECT t AS token, exact, CAST(est AS BIGINT) AS est FROM est"""
   })
 
+  /** Shared CTE prefix for the l52 family: the portable PQ model
+    * (rank-ordered 16-vector sample, 8 subspaces x 8 elements) and the
+    * per-(vector, subspace) argmin-L2 codes — the DuckDB mirror of
+    * [[graft.operators.Pq.fit]] + [[graft.plans.PqEncodeAll]] at the
+    * (dim=64, m=8, ksub=16) design point. Distances fold (v_i - cw_i)^2
+    * left-to-right exactly as the fused expression accumulates, so the
+    * code assignment (row_number by d2 asc, c asc == strict < walking c
+    * ascending) hash-matches bit for bit.
+    */
+  private def pqEncCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      cent AS (SELECT v,
+          row_number() OVER (ORDER BY
+            ${graft.operators.Similarity.portableCentroidRankSql("vec_id")},
+            vec_id) - 1 AS c
+        FROM e
+        ORDER BY
+          ${graft.operators.Similarity.portableCentroidRankSql("vec_id")},
+          vec_id
+        LIMIT 16),
+      cb AS (SELECT ss.s AS s, cent.c AS c,
+          list_transform(range(1, 9), i -> v[ss.s * 8 + i]) AS cw
+        FROM cent CROSS JOIN range(0, 8) ss(s)),
+      dist AS (SELECT e.vec_id, cb.s, cb.c,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 9),
+              i -> (e.v[cb.s * 8 + i] - cb.cw[i])
+                 * (e.v[cb.s * 8 + i] - cb.cw[i]))),
+            (a, b) -> a + b) AS d2
+        FROM e CROSS JOIN cb),
+      enc AS (SELECT vec_id, s, c AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+            ORDER BY d2, c) AS r FROM dist) WHERE r = 1)"""
+
+  // L52 — product-quantization encode (Jégou et al. 2011): every
+  // embedding stored as 8 codes over 16-codeword subspace codebooks —
+  // the 64x-compressed form a 100 TB vector store scans. Codebooks are
+  // the deterministic rank-ordered sample (the IVF centroid trick), so
+  // the DuckDB oracle replays fit + encode end to end and hash-matches
+  // the fused pq_encode_all expression bit for bit.
+  private val l52 = QueryDef("l52_pq_encode", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.operators.Pq.fit(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16,
+      rank = Similarity.portableCentroidRank)
+    graft.operators.Pq.encodeExploded(emb, "vec_id", "embedding", model)
+  }, Some(s"""WITH $pqEncCtes
+      SELECT vec_id, CAST(s AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+      FROM enc"""))
+
+  // L52A — asymmetric-distance (ADC) top-k by inner product over the
+  // PQ codes: the full-precision query builds one per-subspace lookup
+  // table (pq_lut), every corpus row scores with m lookups + adds
+  // (pq_lut_score), ranking through the mergeable BoundedTopK like the
+  // rest of the ANN family. The oracle replays the EXACT float order —
+  // per-subspace partial dots summed in ascending-s list_reduce order,
+  // which is NOT the same rounding as one concatenated dot.
+  private val l52a = QueryDef("l52a_pq_adc_topk", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.operators.Pq.fit(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16,
+      rank = Similarity.portableCentroidRank)
+    val codes = graft.operators.Pq.encode(emb, "vec_id", "embedding",
+      model)
+    graft.operators.Pq.adcTopK(codes, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", model, k = 5)
+  }, Some(s"""WITH $pqEncCtes,
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      sds AS (SELECT q.q_id, n.vec_id AS n_id, n.s,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 9),
+              i -> q.qv[n.s * 8 + i] * cb.cw[i])),
+            (a, b) -> a + b) AS sd
+        FROM enc n JOIN cb ON cb.s = n.s AND cb.c = n.code
+        CROSS JOIN q
+        WHERE q.q_id <> n.vec_id),
+      sc AS (SELECT q_id, n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(sd ORDER BY s)), (a, b) -> a + b) AS adc_ip
+        FROM sds GROUP BY q_id, n_id),
+      rk AS (SELECT q_id, n_id, adc_ip,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY adc_ip DESC, n_id) AS BIGINT) AS rnk FROM sc)
+      SELECT q_id, rnk, n_id, adc_ip FROM rk WHERE rnk <= 5"""))
+
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
       "zh" -> "window")
@@ -2252,5 +2338,5 @@ object LlmOps {
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, m1)
+      l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, m1)
 }

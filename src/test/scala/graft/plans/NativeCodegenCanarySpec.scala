@@ -114,4 +114,20 @@ class NativeCodegenCanarySpec extends AnyFunSuite {
     assertCompiles(BloomMightContain(Literal(bos.toByteArray), lngA),
       InternalRow(42L))
   }
+
+  test("pq_encode_all / pq_lut / pq_lut_score generated code compiles " +
+    "and runs") {
+    // 2 subspaces x 2 codewords x 2 elements
+    val flat = Literal.create(
+      Seq(0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0),
+      ArrayType(DoubleType, containsNull = false))
+    val dsub = Literal(2L)
+    val ksub = Literal(2L)
+    assertCompiles(PqEncodeAll(vecA, flat, dsub, ksub),
+      InternalRow(arr(0.9, 1.1, 2.4, 2.6)))
+    assertCompiles(PqLut(vecA, flat, dsub, ksub),
+      InternalRow(arr(0.9, 1.1, 2.4, 2.6)))
+    assertCompiles(PqLutScore(vecA, arrL2, ksub),
+      InternalRow(arr(0.5, 1.5, 2.5, 3.5), larr(1L, 0L)))
+  }
 }
