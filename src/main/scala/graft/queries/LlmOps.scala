@@ -788,7 +788,7 @@ object LlmOps {
   // scan, 24 s vs 1.9 s measured at sf0.01.)
   private val l49 = QueryDef("l49_edit_distance_join", (s, dir) => {
     Dedup.editDistanceJoin(Tables.documents(s, dir), "doc_id", "text",
-      k = 8, q = 3)
+      k = 8, q = 6)
   }, Some("""WITH lb AS (SELECT doc_id, text, length(text) AS ln,
         CAST(floor(length(text) / 9) AS BIGINT) AS bkt FROM documents),
       cand AS (SELECT a.doc_id ia, b.doc_id ib, a.text ta, b.text tb
