@@ -880,6 +880,128 @@ object Dedup {
     longCand.union(shortCand).distinct()
   }
 
+  /** PassJoin edit-distance similarity join (Li, Deng & Feng, ICDE
+    * 2011) — the SCALE path for `levenshtein <= k` pairs on
+    * self-similar corpora, where [[editDistanceJoin]]'s q-gram prefix
+    * signatures go hot (measured at 260k power-law docs: 27-55M
+    * candidates, 15-30 GB spill, 31-139 s max task — fixed-length
+    * grams on text built from a shared vocabulary carry no rarity at
+    * ANY q).
+    *
+    * Exact-recall blocking by the segment pigeonhole: split every
+    * document into k+1 contiguous segments (lengths len/(k+1) rounded,
+    * LAST len mod (k+1) segments one char longer). k edits transforming
+    * a into b touch at most k of a's k+1 segments, so some segment
+    * survives VERBATIM as a substring of b, shifted by the net
+    * insert/delete balance before it: shift d satisfies
+    * |d| + |Δ - d| <= k with Δ = len_b - len_a (prefix edits produce
+    * |d| of it, suffix edits must absorb the remaining Δ - d).
+    *
+    * Plan shape: the index is (k+1) segment keys per document —
+    * xxhash64(i, len, segment) so a key only matches probes aimed at
+    * exactly this segment index AND this partner length; the probe
+    * side enumerates, per document, each (segment index i, length gap
+    * Δ in [0, k], shift d in the exact window above) and emits the
+    * hashed substring at the arithmetically determined position — all
+    * codegen'd generators and substring/hash calls, no windows, no
+    * interpreted lambdas. Segment keys are ~len/(k+1) chars long
+    * (whole phrases), so buckets are near-singleton on any corpus that
+    * is not literally duplicated — the heat that kills gram blocking
+    * cannot occur. Probe volume is (k+1) * (k+1) * ~(k+1) rows per
+    * document — O(k^2 * N) 16-byte rows, uniform keys, no skew.
+    *
+    * Documents with len < k+1 have empty segments and route through
+    * the same length-bucket short tier as [[editDistanceJoin]]; their
+    * partners (len <= 2k+1) are included in the tier, and mid-size
+    * documents covered by both tiers dedupe in the candidate distinct.
+    * Verification is the banded threshold levenshtein. Exactness
+    * (== brute force) is EditDistanceJoinSpec-pinned on the same
+    * corpora as the prefix form.
+    */
+  def editDistanceJoinPass(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, broadcastIndex: Boolean = false
+                          ): DataFrame = {
+    require(k >= 1, s"editDistanceJoinPass needs k >= 1, got $k")
+    val kp1 = k + 1
+    val base = df.select(col(idCol).as("doc"), col(textCol).as("txt"),
+      length(col(textCol)).as("len")).cache()
+
+    // Index: the k+1 segments of every document long enough to have
+    // non-empty segments everywhere.
+    val segs = base.filter(col("len") >= kp1)
+      .select(col("doc").as("doc_a"), col("txt"), col("len"),
+        posexplode(expr(
+          s"""transform(sequence(0, $k), i -> named_struct(
+              'st', i * (len DIV $kp1)
+                    + greatest(0, i - ($kp1 - len % $kp1)) + 1,
+              'sl', (len DIV $kp1)
+                    + IF(i >= $kp1 - len % $kp1, 1, 0)))"""))
+          .as(Seq("i", "seg")))
+      .select(col("doc_a"),
+        xxhash64(col("i"), col("len"),
+          expr("substring(txt, seg.st, seg.sl)")).as("key"))
+
+    // Probes: for every (i, gap, shift) against a hypothetical partner
+    // of length len - gap, the substring the pigeonhole theorem says a
+    // surviving segment must equal.
+    val probes = base.filter(col("len") >= kp1)
+      .select(col("doc").as("doc_b"), col("txt"), col("len"),
+        explode(expr(s"sequence(0, $k)")).as("i"))
+      .select(col("doc_b"), col("txt"), col("len"), col("i"),
+        explode(expr(s"sequence(0, $k)")).as("gap"))
+      .filter(col("len") - col("gap") >= kp1)
+      .withColumn("pl", expr(s"(len - gap) DIV $kp1"))
+      .withColumn("pr", expr(s"(len - gap) % $kp1"))
+      .withColumn("sl", expr(s"pl + IF(i >= $kp1 - pr, 1, 0)"))
+      .withColumn("p",
+        expr(s"i * pl + greatest(0, i - ($kp1 - pr)) + 1"))
+      .select(col("doc_b"), col("txt"), col("len"), col("i"),
+        col("gap"), col("sl"), col("p"),
+        explode(expr(
+          s"sequence(-(($k - gap) DIV 2), (gap + $k) DIV 2)")).as("d"))
+      .withColumn("start", col("p") + col("d"))
+      .filter(col("start") >= 1 &&
+        col("start") + col("sl") - 1 <= col("len"))
+      .select(col("doc_b"),
+        xxhash64(col("i"), col("len") - col("gap"),
+          expr("substring(txt, start, sl)")).as("key"))
+
+    // The index is two longs per segment — (k+1)*16 bytes per document
+    // — so up to the low-GB corpus range it broadcasts, which removes
+    // the probe-side sort entirely (the probes are the 100x-heavier
+    // side: O(k^2) rows per doc; sort-merge spills sorting them —
+    // measured 7 GB spill / 21 s vs 0 spill / 9 s broadcast at 260k
+    // docs). Default stays sort-merge: at true corpus scale the index
+    // is corpus-sized and the uniform 16-byte keys shuffle cleanly.
+    val idx = if (broadcastIndex) broadcast(segs) else segs
+    val longCand = probes.join(idx, Seq("key"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+
+    // Short tier: partners of sub-(k+1) documents all have len <= 2k+1;
+    // bucket-join that set (same machinery as editDistanceJoin).
+    val shorts = base.filter(col("len") <= 2 * k + 1)
+      .withColumn("bkt", floor(col("len") / (k + 1)))
+    val sprobe = shorts.select(col("doc"), col("len"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    val shortCand = sprobe.as("a")
+      .join(shorts.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.doc") < col("b.doc") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+
+    val cand = longCand.union(shortCand).distinct()
+    cand
+      .join(base.select(col("doc").as("doc_a"), col("txt").as("ta")),
+        Seq("doc_a"))
+      .join(base.select(col("doc").as("doc_b"), col("txt").as("tb")),
+        Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
+      .filter(col("dist") =!= -1L)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("dist"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance <= `maxDist`, banded on
     * the two fingerprint bytes (pigeonhole-complete for maxDist 0; a
     * recall-bound heuristic above that — finer bands buy completeness).

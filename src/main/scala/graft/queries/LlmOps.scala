@@ -776,19 +776,22 @@ object LlmOps {
       nPlanes = 12, nTables = 8)
   }, None)
 
-  // L49 — edit-distance similarity join (Ed-Join): all document pairs
-  // within levenshtein <= 8, via exact occurrence-indexed q-gram
-  // prefix-signature blocking (q=3 -> 25-gram rarest-first signatures)
-  // + banded threshold verify. The oracle is SEMANTIC, not a replay:
-  // DuckDB computes the same pair set by length-bucketed brute-force
-  // levenshtein, so the hash match checks the blocking theorem itself —
-  // a false negative in the signature stage would drop a pair the
-  // oracle has. (The bucketed-CTE shape matters oracle-side: the bare
-  // inequality join fuses the levenshtein filter into a nested-loop
-  // scan, 24 s vs 1.9 s measured at sf0.01.)
+  // L49 — edit-distance similarity join: all document pairs within
+  // levenshtein <= 8, via PassJoin segment-pigeonhole blocking
+  // (exact recall by theorem, near-singleton buckets by construction —
+  // the q-gram prefix form Dedup.editDistanceJoin is kept for corpora
+  // where grams ARE discriminating, but on self-similar text it goes
+  // hot: 94 s / 24 GB spill vs 11 s / 0 spill at 260k docs,
+  // SCALE_r12 §18) + banded threshold verify. The oracle is SEMANTIC,
+  // not a replay: DuckDB computes the same pair set by length-bucketed
+  // brute-force levenshtein, so the hash match checks the blocking
+  // theorem itself — a false negative in either tier would drop a pair
+  // the oracle has. (The bucketed-CTE shape matters oracle-side: the
+  // bare inequality join fuses the levenshtein filter into a
+  // nested-loop scan, 24 s vs 1.9 s measured at sf0.01.)
   private val l49 = QueryDef("l49_edit_distance_join", (s, dir) => {
-    Dedup.editDistanceJoin(Tables.documents(s, dir), "doc_id", "text",
-      k = 8, q = 6)
+    Dedup.editDistanceJoinPass(Tables.documents(s, dir), "doc_id",
+      "text", k = 8, broadcastIndex = true)
   }, Some("""WITH lb AS (SELECT doc_id, text, length(text) AS ln,
         CAST(floor(length(text) / 9) AS BIGINT) AS bkt FROM documents),
       cand AS (SELECT a.doc_id ia, b.doc_id ib, a.text ta, b.text tb

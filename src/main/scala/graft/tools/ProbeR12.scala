@@ -871,6 +871,179 @@ object ProbeR12 {
         println(s"PROBE12 bpedebug adopted=${ms.size} " +
           ms.map(m => s"${m.rank}:${m.a}+${m.b}").mkString(" "))
 
+      // Edit-distance join at the 250k-doc diverse-text corpus: the
+      // corpus is unioned with 10k deterministic edited twins (3 chars
+      // substituted) so the verify stage has true pairs to find.
+      // Reports candidate volume, pairs, and the stage walls.
+      case "edjoin" =>
+        import graft.operators.Dedup
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val twins = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("zq"),
+              expr("substring(text, 3, length(text) - 3)"),
+              lit("x")).as("text"))
+        val corpus = docs.unionByName(twins).cache()
+        val n = corpus.count()
+        val q = if (args.length > 2) args(2).toInt else 7
+        val base = Dedup.edJoinBase(corpus, "doc_id", "text", k = 8, q = q)
+        var t0 = System.nanoTime()
+        base.count()
+        println(f"PROBE12 edjoin_base docs=$n " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        metrics.reset()
+        t0 = System.nanoTime()
+        val cand = Dedup.editDistanceCandidates(base, k = 8, q = q).cache()
+        val nc = cand.count()
+        metrics.drain()
+        println(f"PROBE12 edjoin_cand_q$q candidates=$nc " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          f"shuffle=${metrics.shuffleWriteMb} MB spill=${metrics.spillMb} MB " +
+          f"maxTask=${metrics.maxTaskSec}%.1f s")
+        metrics.reset()
+        t0 = System.nanoTime()
+        val np = Dedup.editDistanceJoin(corpus, "doc_id", "text",
+          k = 8, q = q).count()
+        metrics.drain()
+        println(f"PROBE12 edjoin_full_q$q pairs=$np " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          f"shuffle=${metrics.shuffleWriteMb} MB spill=${metrics.spillMb} MB " +
+          f"maxTask=${metrics.maxTaskSec}%.1f s")
+
+      // The PassJoin form on the same twinned corpus — the scale path.
+      case "edjoinpass" =>
+        import graft.operators.Dedup
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val twins = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("zq"),
+              expr("substring(text, 3, length(text) - 3)"),
+              lit("x")).as("text"))
+        val corpus = docs.unionByName(twins).cache()
+        val n = corpus.count()
+        for (bc <- Seq(false, true); rep <- 1 to 2) {
+          spark.catalog.clearCache()
+          corpus.count()
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val np = Dedup.editDistanceJoinPass(corpus, "doc_id", "text",
+            k = 8, broadcastIndex = bc).count()
+          metrics.drain()
+          println(f"PROBE12 edjoinpass_k8 bc=$bc rep$rep docs=$n " +
+            f"pairs=$np ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"spill=${metrics.spillMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+
+      // Count-Min sketch over the full diverse-text token stream:
+      // one pass, O(partitions * depth * width) shuffle regardless of
+      // corpus size; estimate quality reported against the exact top
+      // tokens.
+      case "cms" =>
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        val (depth, width) = (4, 65536)
+        for (rep <- 1 to 3) {
+          spark.catalog.clearCache()
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val grid = graft.operators.TextAnalysis
+            .cmsTokenSketch(docs, "text", depth, width)
+            .head().getSeq[Long](0)
+          metrics.drain()
+          println(f"PROBE12 cms_sketch rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s " +
+            f"cells=${grid.count(_ != 0L)}/${grid.size}")
+        }
+        val top = graft.operators.TextAnalysis
+          .cmsTopFrequencies(docs, "text", depth, width, topK = 20)
+          .collect()
+        val worst = top.map(r => r.getAs[Long]("est") -
+          r.getAs[Long]("exact")).max
+        val total = top.map(r => r.getAs[Long]("exact")).sum
+        println(s"PROBE12 cms_estimates top20_worst_overcount=$worst " +
+          s"top20_exact_total=$total")
+
+      // Product quantization at 100k clustered vectors (sf5cluster):
+      // fit + encode walls, stored-bytes compression vs raw vectors,
+      // ADC search wall vs brute, and ADC recall vs exact-IP top-10.
+      case "pqscale" =>
+        import graft.operators.{Pq, Similarity}
+        val emb = graft.core.Tables.embeddings(spark, sfDir)
+          .select("vec_id", "embedding").cache()
+        val nv = emb.count()
+        var t0 = System.nanoTime()
+        val model = Pq.fit(emb, "vec_id", "embedding", dim = 64,
+          m = 8, ksub = 256, lloydIters = 2)
+        println(f"PROBE12 pq_fit_lloyd2 vectors=$nv " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        val codesDir = "/tmp/scale/probe12_pq_codes"
+        val rawDir = "/tmp/scale/probe12_pq_raw"
+        metrics.reset()
+        t0 = System.nanoTime()
+        Pq.encode(emb, "vec_id", "embedding", model)
+          .write.mode(SaveMode.Overwrite).parquet(codesDir)
+        println(f"PROBE12 pq_encode_write " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        emb.write.mode(SaveMode.Overwrite).parquet(rawDir)
+        def dirBytes(p: String): Long = {
+          val fs = new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+        }
+        println(s"PROBE12 pq_bytes codes=${dirBytes(codesDir)} " +
+          s"raw=${dirBytes(rawDir)} " +
+          f"ratio=${dirBytes(rawDir).toDouble / dirBytes(codesDir)}%.1f x")
+        val queries = emb.filter(col("vec_id") < 100).cache()
+        queries.count()
+        val codes = spark.read.parquet(codesDir)
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          t0 = System.nanoTime()
+          Pq.adcTopK(codes, queries, "vec_id", "embedding", model, k = 10)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+          metrics.drain()
+          println(f"PROBE12 pq_adc_top10 rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        for (rep <- 1 to 2) {
+          metrics.reset()
+          t0 = System.nanoTime()
+          Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+              k = 10)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+          metrics.drain()
+          println(f"PROBE12 brute_top10 rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        // recall of ADC top-10 vs exact INNER-PRODUCT top-10 (the
+        // objective ADC approximates)
+        val qv = queries.select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        val cv = emb.select(col("vec_id").as("n_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        val exact = Similarity.rankTopKByCosine(
+          cv.join(broadcast(qv), col("q_id") =!= col("n_id"))
+            .withColumn("cosine", expr("vec_dot(qv, cv)"))
+            .select("q_id", "n_id", "cosine"), 10)
+          .select(col("q_id"), col("n_id")).withColumn("hit", lit(1L))
+        val adc = Pq.adcTopK(codes, queries, "vec_id", "embedding",
+          model, k = 10).select("q_id", "n_id")
+        val rec = adc.join(exact, Seq("q_id", "n_id"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+            count(lit(1))).as("recall"))
+          .head().getDouble(0)
+        println(f"PROBE12 pq_adc_recall@10_vs_exact_ip $rec%.3f")
+        emb.unpersist(); queries.unpersist()
+
       case other =>
         sys.error(s"unknown ProbeR12 mode: $other")
     }

@@ -125,6 +125,36 @@ class EditDistanceJoinSpec extends AnyFunSuite {
     assert(out.contains((2L, 3L, 1L)))
   }
 
+  private def runPass(docs: Seq[(Long, String)],
+                      k: Int): Set[(Long, Long, Long)] =
+    Dedup.editDistanceJoinPass(docs.toDF("doc_id", "text"), "doc_id",
+        "text", k = k)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist")))
+      .toSet
+
+  test("PassJoin equals brute force on the random planted-edit corpus " +
+    "(k=5)") {
+    val docs = randomEditCorpus(7)
+    assert(runPass(docs, k = 5) == brute(docs, 5))
+  }
+
+  test("PassJoin equals brute force at k=3 and k=8") {
+    val docs = randomEditCorpus(11)
+    assert(runPass(docs, k = 3) == brute(docs, 3))
+    assert(runPass(docs, k = 8) == brute(docs, 8))
+  }
+
+  test("PassJoin short tier: sub-(k+1) documents and their bounded " +
+    "partners join exactly") {
+    val docs = Seq[(Long, String)](
+      (1L, ""), (2L, "ab"), (3L, "abcd"), (4L, "abcdefg"),
+      (5L, "abcdefgzzzz"), (6L, "xy"), (7L, "abcdefghijklmnopqr"),
+      (8L, "abcdefghijklmnopqrstuvwx"), (9L, "abcdefghijklmnopqrstuvwxyz"))
+    assert(runPass(docs, k = 4) == brute(docs, 4))
+  }
+
   test("plan: no cartesian product or nested-loop join in either tier") {
     val docs = randomEditCorpus(3) ++
       Seq((9000L, "ab"), (9001L, "abc")) // populate the short tier
