@@ -1042,6 +1042,31 @@ object ProbeR12 {
             count(lit(1))).as("recall"))
           .head().getDouble(0)
         println(f"PROBE12 pq_adc_recall@10_vs_exact_ip $rec%.3f")
+        // two-stage coverage: exact-IP top-10 found inside the ADC
+        // top-N candidate set (== final recall after an exact re-rank,
+        // the rerankTopK contract)
+        for (nCand <- Seq(50, 200)) {
+          val candN = Pq.adcTopK(codes, queries, "vec_id", "embedding",
+            model, k = nCand).select("q_id", "n_id").withColumn("c", lit(1L))
+          val cov = exact.join(candN, Seq("q_id", "n_id"), "left")
+            .agg((sum(coalesce(col("c"), lit(0L))).cast("double") /
+              count(lit(1))).as("cov"))
+            .head().getDouble(0)
+          println(f"PROBE12 pq_twostage_cand${nCand}_recall@10 $cov%.3f")
+        }
+        // what a thresholded consumer sees: mean IP of the ADC picks
+        // vs mean IP of the exact picks (the §16 ratio reading)
+        val qv2 = queries.select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        val cv2 = emb.select(col("vec_id").as("n_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        def meanIp(pairs: org.apache.spark.sql.DataFrame): Double = pairs
+          .join(qv2, "q_id").join(cv2, "n_id")
+          .agg(avg(expr("vec_dot(qv, cv)"))).head().getDouble(0)
+        val ipAdc = meanIp(adc)
+        val ipExact = meanIp(exact.select("q_id", "n_id"))
+        println(f"PROBE12 pq_pick_quality adc_ip=$ipAdc%.4f " +
+          f"exact_ip=$ipExact%.4f ratio=${ipAdc / ipExact}%.3f")
         emb.unpersist(); queries.unpersist()
 
       case other =>
