@@ -422,6 +422,63 @@ object Similarity {
     rankTopKByCosine(joined, k)
   }
 
+  /** IVF-PQ top-k (the FAISS-standard production ANN composition,
+    * Jégou et al. 2011 §IV): the inverted-file stage prunes the scan to
+    * `nProbe` of `nCells` cells, and inside the probed cells every
+    * member is scored from its `m`-byte PQ CODE via the ADC lookup
+    * table — so a query touches nProbe/nCells of the corpus and reads
+    * codes, not vectors (33.7x fewer stored bytes measured,
+    * SCALE_r12 §20). This is the shape that holds at 100 TB: the
+    * index stores centroids + codes; full-precision vectors are only
+    * needed by an optional exact re-rank of the k survivors
+    * ([[rerankTopK]] — recall == coverage from there).
+    *
+    * Variant note: codes come from ONE corpus-global codebook
+    * ([[Pq.fit]]) applied to raw vectors, not per-cell residual
+    * codebooks — the residual refinement is a quality option real
+    * systems sometimes add; the global form keeps the model replayable
+    * by the l53 oracle (portable centroid rank for BOTH stages) and
+    * the encode stage cell-independent.
+    *
+    * Plan shape: corpus assignment is the fused map-only
+    * `nearest_cell` (bit-equal to the window form, NearestCellSpec);
+    * the corpus side carries only (cell, id, codes); queries build
+    * their ADC tables once ([[graft.plans.PqLut]]) and broadcast;
+    * per-pair scoring is m lookups+adds; ranking is the mergeable
+    * BoundedTopK — no q_id window, no corpus-sized shuffle.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, model: Pq.Model,
+                nCells: Int = 16, nProbe: Int = 4,
+                centroidRank: Column => Column =
+                  id => xxhash64(id)): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", norm("cv"))
+    val q = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm("qv"))
+    val centroids = c.orderBy(centroidRank(col("n_id")), col("n_id"))
+      .limit(nCells)
+      .select(col("n_id").as("cell"), col("cv").as("centroid"),
+        col("cn").as("centroid_nrm"))
+    val cc = collectCentroids(centroids)
+    val assigned = c.select(col("n_id"),
+      nearestCellCol(col("cv"), cc).as("cell"),
+      Pq.encodeCol(col("cv"), model).as("codes"))
+    val probed = assignCells(q, "qv", "qn", centroids, "cell", nProbe)
+      .select(col("cell"), col("q_id"),
+        call_function("pq_lut", col("qv"), model.flatLit,
+          lit(model.dsub), lit(model.ksub)).as("lut"))
+    val joined = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        call_function("pq_lut_score", col("lut"), col("codes"),
+          lit(model.ksub)))
+    rankTopKByCosine(joined.select("q_id", "n_id", "cosine"), k)
+      .withColumnRenamed("cosine", "adc_ip")
+  }
+
   /** Embedding-cosine near-dup pairs: corpus-x-corpus, blocked by
     * MULTI-TABLE sign-pattern LSH, then EXACT cosine verifies candidates
     * at `threshold`.

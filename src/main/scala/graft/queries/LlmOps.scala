@@ -853,31 +853,36 @@ object LlmOps {
     * code assignment (row_number by d2 asc, c asc == strict < walking c
     * ascending) hash-matches bit for bit.
     */
-  private def pqEncCtes: String =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  private def pqEncCtes: String = pqEncCtesNamed("")
+
+  /** Same CTEs with a name prefix, so they compose with the l11p IVF
+    * assignment CTEs (which also define `e`/`cent`) in one query (l53).
+    */
+  private def pqEncCtesNamed(p: String): String =
+    s"""${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings),
-      cent AS (SELECT v,
+      ${p}cent AS (SELECT v,
           row_number() OVER (ORDER BY
             ${graft.operators.Similarity.portableCentroidRankSql("vec_id")},
             vec_id) - 1 AS c
-        FROM e
+        FROM ${p}e
         ORDER BY
           ${graft.operators.Similarity.portableCentroidRankSql("vec_id")},
           vec_id
         LIMIT 16),
-      cb AS (SELECT ss.s AS s, cent.c AS c,
+      ${p}cb AS (SELECT ss.s AS s, ${p}cent.c AS c,
           list_transform(range(1, 9), i -> v[ss.s * 8 + i]) AS cw
-        FROM cent CROSS JOIN range(0, 8) ss(s)),
-      dist AS (SELECT e.vec_id, cb.s, cb.c,
+        FROM ${p}cent CROSS JOIN range(0, 8) ss(s)),
+      ${p}dist AS (SELECT ${p}e.vec_id, ${p}cb.s, ${p}cb.c,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(range(1, 9),
-              i -> (e.v[cb.s * 8 + i] - cb.cw[i])
-                 * (e.v[cb.s * 8 + i] - cb.cw[i]))),
+              i -> (${p}e.v[${p}cb.s * 8 + i] - ${p}cb.cw[i])
+                 * (${p}e.v[${p}cb.s * 8 + i] - ${p}cb.cw[i]))),
             (a, b) -> a + b) AS d2
-        FROM e CROSS JOIN cb),
-      enc AS (SELECT vec_id, s, c AS code FROM (
+        FROM ${p}e CROSS JOIN ${p}cb),
+      ${p}enc AS (SELECT vec_id, s, c AS code FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id, s
-            ORDER BY d2, c) AS r FROM dist) WHERE r = 1)"""
+            ORDER BY d2, c) AS r FROM ${p}dist) WHERE r = 1)"""
 
   // L52 — product-quantization encode (Jégou et al. 2011): every
   // embedding stored as 8 codes over 16-codeword subspace codebooks —
@@ -924,6 +929,48 @@ object LlmOps {
       sc AS (SELECT q_id, n_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list(sd ORDER BY s)), (a, b) -> a + b) AS adc_ip
+        FROM sds GROUP BY q_id, n_id),
+      rk AS (SELECT q_id, n_id, adc_ip,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY adc_ip DESC, n_id) AS BIGINT) AS rnk FROM sc)
+      SELECT q_id, rnk, n_id, adc_ip FROM rk WHERE rnk <= 5"""))
+
+  // L53 — IVF-PQ top-k (the FAISS-standard production ANN composition):
+  // probed-cell pruning from the l11p inverted file + ADC scoring from
+  // the l52 PQ codes, BOTH stages on the portable deterministic sample,
+  // so ONE DuckDB query replays centroid sample -> cell assignment ->
+  // codebook -> encode -> probe -> ADC -> rank and hash-matches the
+  // fused engine pipeline end to end. At 100 TB this is the shape that
+  // ships: a query touches nProbe/nCells of the corpus and reads m-byte
+  // codes, not vectors; exact re-rank of survivors restores
+  // full-precision ranks where needed (rerankTopK).
+  private val l53 = QueryDef("l53_ivf_pq_topk", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.operators.Pq.fit(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16,
+      rank = Similarity.portableCentroidRank)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, model, nCells = 16, nProbe = 4,
+      centroidRank = Similarity.portableCentroidRank)
+  }, Some(s"""WITH $ivfAsgCtes,
+      ${pqEncCtesNamed("p")},
+      prb AS (SELECT vec_id AS q_id, v AS qv, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cell) AS r FROM sims
+          WHERE vec_id < 10) WHERE r <= 4),
+      sds AS (SELECT prb.q_id, a.n_id, n.s,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 9),
+              i -> prb.qv[n.s * 8 + i] * pcb.cw[i])),
+            (x, y) -> x + y) AS sd
+        FROM prb
+        JOIN asg a ON a.cell = prb.cell
+        JOIN penc n ON n.vec_id = a.n_id
+        JOIN pcb ON pcb.s = n.s AND pcb.c = n.code
+        WHERE prb.q_id <> a.n_id),
+      sc AS (SELECT q_id, n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(sd ORDER BY s)), (x, y) -> x + y) AS adc_ip
         FROM sds GROUP BY q_id, n_id),
       rk AS (SELECT q_id, n_id, adc_ip,
           CAST(row_number() OVER (PARTITION BY q_id
@@ -2341,5 +2388,6 @@ object LlmOps {
       l24,
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, m1)
+      l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
+      m1)
 }

@@ -1067,6 +1067,31 @@ object ProbeR12 {
         val ipExact = meanIp(exact.select("q_id", "n_id"))
         println(f"PROBE12 pq_pick_quality adc_ip=$ipAdc%.4f " +
           f"exact_ip=$ipExact%.4f ratio=${ipAdc / ipExact}%.3f")
+        // IVF-PQ: probed-cell pruning on top of the codes (256 cells,
+        // probe 16 = 1/16th of the corpus scanned)
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          t0 = System.nanoTime()
+          Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+              k = 10, model, nCells = 256, nProbe = 16)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+          metrics.drain()
+          println(f"PROBE12 ivfpq_c256_p16_top10 rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        val ivfpq = Similarity.ivfPqTopK(emb, queries, "vec_id",
+            "embedding", k = 10, model, nCells = 256, nProbe = 16)
+          .select("q_id", "n_id")
+        val ipIvf = meanIp(ivfpq)
+        val covIvf = exact.join(ivfpq.withColumn("c", lit(1L)),
+            Seq("q_id", "n_id"), "left")
+          .agg((sum(coalesce(col("c"), lit(0L))).cast("double") /
+            count(lit(1))).as("cov")).head().getDouble(0)
+        println(f"PROBE12 ivfpq_pick_quality ip=$ipIvf%.4f " +
+          f"ratio_vs_exact=${ipIvf / ipExact}%.3f " +
+          f"recall@10_vs_exact_ip=$covIvf%.3f")
         emb.unpersist(); queries.unpersist()
 
       case other =>

@@ -153,4 +153,28 @@ class PqSpec extends AnyFunSuite {
     val m = Pq.fit(corpus, "vec_id", "embedding", dim, m = 4, ksub = 1)
     assert(engineCodes(m).values.forall(_.forall(_ == 0L)))
   }
+
+  test("IVF-PQ degenerate identity: probing ALL cells equals the plain " +
+    "ADC scan bit for bit (every vector lives in exactly one cell)") {
+    val m = Pq.fit(corpus, "vec_id", "embedding", dim, m = 8, ksub = 16,
+      rank = Similarity.portableCentroidRank)
+    val queries = corpus.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("adc_ip"))).toSet
+    val full = rows(Similarity.ivfPqTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, m, nCells = 16, nProbe = 16,
+      centroidRank = Similarity.portableCentroidRank))
+    val adc = rows(Pq.adcTopK(
+      Pq.encode(corpus, "vec_id", "embedding", m), queries,
+      "vec_id", "embedding", m, k = 5))
+    assert(full == adc)
+    // pruning actually prunes: nProbe=1 returns a (possibly different)
+    // well-formed top-5 per query
+    val pruned = Similarity.ivfPqTopK(corpus, queries, "vec_id",
+      "embedding", k = 5, m, nCells = 16, nProbe = 1,
+      centroidRank = Similarity.portableCentroidRank)
+    val byQ = pruned.collect().groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty && byQ.values.forall(_.length <= 5))
+  }
 }
