@@ -990,6 +990,99 @@ object StreamOps {
     Similarity.rankTopKByCosine(joined, k)
   }
 
+  /** Streaming IVF-PQ index (the l53 composition as a standing index):
+    * like [[annIndexForeachBatch]] but the cell-partitioned delta log
+    * stores (n_id, codes) — m SMALL INTEGERS per vector instead of the
+    * full-precision array, the 33.7x stored-byte cut measured in
+    * SCALE_r12 §20, which at index scale is also the READ cut every
+    * probe pays. Assignment is the fused nearest_cell against the
+    * sink's fixed centroid table; encoding is the fused pq_encode_all
+    * against the sink's fixed PQ model — both map-only, one small
+    * cell-clustered shuffle before the partitioned write.
+    */
+  def annPqIndexForeachBatch(indexPath: String, centroids: DataFrame,
+                             model: graft.operators.Pq.Model,
+                             idCol: String, vecCol: String)
+      : (DataFrame, Long) => Unit = {
+    val cc = graft.operators.Similarity.collectCentroids(centroids)
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        batch.select(col(idCol).as("n_id"),
+            col(vecCol).cast("array<double>").as("cv"))
+          .withColumn("cell", graft.operators.Similarity
+            .nearestCellCol(col("cv"), cc))
+          .withColumn("codes",
+            graft.operators.Pq.encodeCol(col("cv"), model))
+          .drop("cv")
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexPath/d=$batchId")
+      }
+  }
+
+  /** The streamed code index: union of all published deltas,
+    * `(n_id, codes, cell)`. */
+  def annPqIndex(spark: org.apache.spark.sql.SparkSession,
+                 indexPath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d="))
+        .map(_.getPath.toString)
+    if (deltas.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("n_id"),
+          lit(Array.empty[Long]).as("codes"), lit(0L).as("cell"))
+        .limit(0)
+    else spark.read.option("basePath", indexPath)
+      .parquet(deltas.toIndexedSeq: _*)
+      .drop("d")
+  }
+
+  /** ADC top-k over the streamed code index: probes prune the scan to
+    * their cell directories (PartitionFilters, as in
+    * [[annSearchFromIndex]]), queries broadcast their ADC lookup
+    * tables, every index row scores with m lookups + adds from its
+    * codes, and the mergeable BoundedTopK ranks. The scan reads codes
+    * only — no full-precision vector is touched anywhere on the probe
+    * path; exact re-rank of survivors (Similarity.rerankTopK against
+    * the vector store) is the optional final stage. Equals the batch
+    * [[graft.operators.Similarity.ivfPqTopK]] over the same corpus,
+    * centroids and model (StreamOpsSpec pins it bit for bit).
+    */
+  def annPqSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, queries: DataFrame,
+                           idCol: String, vecCol: String,
+                           centroids: DataFrame,
+                           model: graft.operators.Pq.Model, k: Int,
+                           nProbe: Int): DataFrame = {
+    import graft.operators.Similarity
+    val q = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.norm("qv"))
+    val probed = Similarity
+      .assignCells(q, "qv", "qn", centroids, "cell", take = nProbe)
+      .select(col("cell"), col("q_id"),
+        call_function("pq_lut", col("qv"), model.flatLit,
+          lit(model.dsub), lit(model.ksub)).as("lut"))
+    val probedRows = probed.collect()
+    val cells = probedRows.map(_.getAs[Long]("cell")).distinct.toSeq
+    val probedLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probed.schema)
+    val joined = annPqIndex(spark, indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(probedLocal), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        call_function("pq_lut_score", col("lut"), col("codes"),
+          lit(model.ksub)))
+    Similarity.rankTopKByCosine(
+        joined.select("q_id", "n_id", "cosine"), k)
+      .withColumnRenamed("cosine", "adc_ip")
+  }
+
   /** The quota decision for everything streamed so far: classifies the
     * merged (source, quality) histogram state against `budgetPerSource`
     * and resolves the per-doc kept flags over `corpus` (the

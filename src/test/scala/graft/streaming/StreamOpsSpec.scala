@@ -755,6 +755,70 @@ class StreamOpsSpec extends AnyFunSuite {
       s"probed cells must prune the scan:\n${planned.take(1200)}")
   }
 
+  test("streaming IVF-PQ index: the codes-only delta log search equals " +
+    "the batch ivfPqTopK bit for bit, stores NO vectors, and prunes to " +
+    "the probed cells") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft_annpq_stream").toString + "/index"
+    val all = graft.core.Tables
+      .embeddings(s, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => EmbRow(r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_.vec_id)
+    val allDf = all.toSeq.toDF("vec_id", "embedding")
+    // structure fixed at bootstrap: centroids AND the PQ model — both
+    // from the full fixture corpus with the portable rank so the batch
+    // comparison below shares them exactly
+    val centroids = graft.operators.Similarity.sampleCentroids(
+      allDf, "vec_id", "embedding", nCells = 6,
+      centroidRank = graft.operators.Similarity.portableCentroidRank)
+      .cache()
+    val model = graft.operators.Pq.fit(allDf, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 8,
+      rank = graft.operators.Similarity.portableCentroidRank)
+    val sink = StreamOps.annPqIndexForeachBatch(indexPath, centroids,
+      model, "vec_id", "embedding")
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val input = MemoryStream[EmbRow]
+    val q = input.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(df, id)
+      }.start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the log stores codes, not vectors
+    val idx = StreamOps.annPqIndex(s, indexPath)
+    assert(idx.columns.toSet == Set("n_id", "codes", "cell"))
+    assert(idx.count() == all.length)
+
+    val queries = all.take(5).toSeq.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("adc_ip"))).toSet
+    val got = StreamOps.annPqSearchFromIndex(s, indexPath, queries,
+      "vec_id", "embedding", centroids, model, k = 3, nProbe = 2)
+    val gotRows = rows(got)
+    // batch reference: ivfPqTopK over the same corpus shares the
+    // centroid sample (portable rank over the same ids) and the model
+    val want = rows(graft.operators.Similarity.ivfPqTopK(allDf, queries,
+      "vec_id", "embedding", k = 3, model, nCells = 6, nProbe = 2,
+      centroidRank = graft.operators.Similarity.portableCentroidRank))
+    assert(gotRows == want,
+      "streamed-index ADC search must equal the batch IVF-PQ path")
+    val planned = got.queryExecution.executedPlan.toString
+    assert(planned.contains("PartitionFilters") &&
+      planned.contains("cell"),
+      s"probed cells must prune the scan:\n${planned.take(1200)}")
+  }
+
   test("streaming near-dup index: the union of per-batch pair logs " +
     "equals one-shot MinHash-LSH, pairs land in the later member's " +
     "arrival batch; retry and compaction are inert") {
