@@ -918,18 +918,16 @@ object Dedup {
     * (== brute force) is EditDistanceJoinSpec-pinned on the same
     * corpora as the prefix form.
     */
-  def editDistanceJoinPass(df: DataFrame, idCol: String, textCol: String,
-                           k: Int, broadcastIndex: Boolean = false
-                          ): DataFrame = {
-    require(k >= 1, s"editDistanceJoinPass needs k >= 1, got $k")
+  /** The PassJoin SEGMENT keys of a (doc, txt, len) frame: one
+    * `xxhash64(i, len, segment)` per segment — the indexed side.
+    * Shared by the batch join and the streaming index
+    * (StreamOps.edDistIndexForeachBatch), which also PERSISTS them as
+    * its standing state.
+    */
+  private[graft] def passSegments(base: DataFrame, k: Int): DataFrame = {
     val kp1 = k + 1
-    val base = df.select(col(idCol).as("doc"), col(textCol).as("txt"),
-      length(col(textCol)).as("len")).cache()
-
-    // Index: the k+1 segments of every document long enough to have
-    // non-empty segments everywhere.
-    val segs = base.filter(col("len") >= kp1)
-      .select(col("doc").as("doc_a"), col("txt"), col("len"),
+    base.filter(col("len") >= kp1)
+      .select(col("doc"), col("txt"), col("len"),
         posexplode(expr(
           s"""transform(sequence(0, $k), i -> named_struct(
               'st', i * (len DIV $kp1)
@@ -937,17 +935,27 @@ object Dedup {
               'sl', (len DIV $kp1)
                     + IF(i >= $kp1 - len % $kp1, 1, 0)))"""))
           .as(Seq("i", "seg")))
-      .select(col("doc_a"),
+      .select(col("doc"),
         xxhash64(col("i"), col("len"),
           expr("substring(txt, seg.st, seg.sl)")).as("key"))
+  }
 
-    // Probes: for every (i, gap, shift) against a hypothetical partner
-    // of length len - gap, the substring the pigeonhole theorem says a
-    // surviving segment must equal.
-    val probes = base.filter(col("len") >= kp1)
-      .select(col("doc").as("doc_b"), col("txt"), col("len"),
+  /** The PassJoin PROBE keys of a (doc, txt, len) frame: for every
+    * (segment index i, length gap in [0, k], shift d in the exact
+    * |d| + |gap - d| <= k window), `xxhash64(i, len - gap, substring)`
+    * — the keys that hit a (shorter-or-equal) partner's segment when
+    * the pair is within edit distance k. Shared with the streaming
+    * index, where the SYMMETRIC theorem (a segment of the shorter side
+    * also survives in the longer) makes persisted probe keys the way a
+    * new arrival finds its LONGER standing partners without rescanning
+    * them.
+    */
+  private[graft] def passProbes(base: DataFrame, k: Int): DataFrame = {
+    val kp1 = k + 1
+    base.filter(col("len") >= kp1)
+      .select(col("doc"), col("txt"), col("len"),
         explode(expr(s"sequence(0, $k)")).as("i"))
-      .select(col("doc_b"), col("txt"), col("len"), col("i"),
+      .select(col("doc"), col("txt"), col("len"), col("i"),
         explode(expr(s"sequence(0, $k)")).as("gap"))
       .filter(col("len") - col("gap") >= kp1)
       .withColumn("pl", expr(s"(len - gap) DIV $kp1"))
@@ -955,16 +963,50 @@ object Dedup {
       .withColumn("sl", expr(s"pl + IF(i >= $kp1 - pr, 1, 0)"))
       .withColumn("p",
         expr(s"i * pl + greatest(0, i - ($kp1 - pr)) + 1"))
-      .select(col("doc_b"), col("txt"), col("len"), col("i"),
+      .select(col("doc"), col("txt"), col("len"), col("i"),
         col("gap"), col("sl"), col("p"),
         explode(expr(
           s"sequence(-(($k - gap) DIV 2), (gap + $k) DIV 2)")).as("d"))
       .withColumn("start", col("p") + col("d"))
       .filter(col("start") >= 1 &&
         col("start") + col("sl") - 1 <= col("len"))
-      .select(col("doc_b"),
+      .select(col("doc"),
         xxhash64(col("i"), col("len") - col("gap"),
           expr("substring(txt, start, sl)")).as("key"))
+  }
+
+  /** The length-bucket short-tier candidates among documents with
+    * len <= 2k+1 (partners of sub-(k+1) docs all land there) — shared
+    * by both batch forms and the streaming index.
+    */
+  private[graft] def shortTierCandidates(base: DataFrame,
+                                         k: Int): DataFrame = {
+    val shorts = base.filter(col("len") <= 2 * k + 1)
+      .withColumn("bkt", floor(col("len") / (k + 1)))
+    val sprobe = shorts.select(col("doc"), col("len"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    sprobe.as("a")
+      .join(shorts.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.doc") < col("b.doc") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+  }
+
+  def editDistanceJoinPass(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, broadcastIndex: Boolean = false
+                          ): DataFrame = {
+    require(k >= 1, s"editDistanceJoinPass needs k >= 1, got $k")
+    val base = df.select(col(idCol).as("doc"), col(textCol).as("txt"),
+      length(col(textCol)).as("len")).cache()
+
+    // Index: the k+1 segments of every document long enough to have
+    // non-empty segments everywhere.
+    val segs = passSegments(base, k).withColumnRenamed("doc", "doc_a")
+
+    // Probes: for every (i, gap, shift) against a hypothetical partner
+    // of length len - gap, the substring the pigeonhole theorem says a
+    // surviving segment must equal.
+    val probes = passProbes(base, k).withColumnRenamed("doc", "doc_b")
 
     // The index is two longs per segment — (k+1)*16 bytes per document
     // — so up to the low-GB corpus range it broadcasts, which removes
@@ -981,15 +1023,7 @@ object Dedup {
 
     // Short tier: partners of sub-(k+1) documents all have len <= 2k+1;
     // bucket-join that set (same machinery as editDistanceJoin).
-    val shorts = base.filter(col("len") <= 2 * k + 1)
-      .withColumn("bkt", floor(col("len") / (k + 1)))
-    val sprobe = shorts.select(col("doc"), col("len"),
-      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
-    val shortCand = sprobe.as("a")
-      .join(shorts.as("b"),
-        col("a.bkt") === col("b.bkt") && col("a.doc") < col("b.doc") &&
-          abs(col("a.len") - col("b.len")) <= k)
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    val shortCand = shortTierCandidates(base, k)
 
     val cand = longCand.union(shortCand).distinct()
     cand

@@ -1083,6 +1083,108 @@ object StreamOps {
       .withColumnRenamed("cosine", "adc_ip")
   }
 
+  /** STREAMING edit-distance dedup index (the PassJoin join as a
+    * standing index — the near-dup delta-log shape applied to
+    * `levenshtein <= k`): state is three append-only delta logs,
+    * `segs/` and `probes/` ((doc, key, first_batch) — the PassJoin
+    * segment and probe keys of every indexed doc) and `texts/` (the
+    * verification store). A new batch finds
+    *
+    *  - its shorter-or-equal standing partners: batch PROBES x
+    *    standing SEGS (the batch form's direction);
+    *  - its LONGER standing partners: batch SEGS x standing PROBES —
+    *    the symmetric pigeonhole (a segment of the shorter side also
+    *    survives in the longer), where the standing doc's PERSISTED
+    *    probe keys are exactly its substrings aimed at partners of the
+    *    batch doc's length, so no standing text is rescanned;
+    *  - within-batch pairs: batch PROBES x batch SEGS;
+    *  - the short tier: batch docs with len <= 2k+1 length-bucket-join
+    *    the standing-and-batch shorts;
+    *
+    * then verifies candidates with the banded threshold levenshtein
+    * against the text store and writes (doc_a, doc_b, dist) to
+    * `pairsPath/batch=<id>`. Every join involves a batch side, so a
+    * pair is emitted exactly once — in the later member's arrival
+    * batch — and the cumulative pair log equals the one-shot
+    * [[graft.operators.Dedup.editDistanceJoinPass]] over everything
+    * seen (StreamOpsSpec pins it). Retries are idempotent: standing
+    * reads filter first_batch < batchId and every output dir is
+    * overwritten whole. Per-batch state growth: (k+1) segment keys +
+    * O(k^2) probe keys + the text row per doc.
+    */
+  def edDistIndexForeachBatch(indexPath: String, pairsPath: String,
+                              k: Int, idCol: String, textCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import graft.operators.Dedup
+      val base = batch.select(col(idCol).cast("long").as("doc"),
+          col(textCol).as("txt"), length(col(textCol)).as("len"))
+        .cache()
+      val bSegs = Dedup.passSegments(base, k).cache()
+      val bProbes = Dedup.passProbes(base, k)
+      def standing(sub: String): Option[DataFrame] =
+        readDeltaDirs(spark, s"$indexPath/$sub")
+          .map(_.filter(col("first_batch") < batchId))
+
+      def ordered(j: DataFrame): DataFrame = j
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      val within = ordered(
+        bProbes.withColumnRenamed("doc", "doc_b")
+          .join(bSegs.withColumnRenamed("doc", "doc_a"), Seq("key")))
+      val vsShorter = standing("segs").map(ss => ordered(
+        bProbes.withColumnRenamed("doc", "doc_b")
+          .join(ss.select(col("doc").as("doc_a"), col("key")),
+            Seq("key"))))
+      val vsLonger = standing("probes").map(sp => ordered(
+        bSegs.withColumnRenamed("doc", "doc_a")
+          .join(sp.select(col("doc").as("doc_b"), col("key")),
+            Seq("key"))))
+
+      val sTexts = standing("texts")
+        .map(_.select("doc", "txt", "len"))
+      val allTexts = sTexts.map(_.unionByName(base)).getOrElse(base)
+      val bShort = base.filter(col("len") <= 2 * k + 1)
+        .withColumn("bkt", floor(col("len") / (k + 1)))
+        .select(col("doc"), col("len"),
+          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
+            .as("bkt"))
+      val aShort = allTexts.filter(col("len") <= 2 * k + 1)
+        .withColumn("bkt", floor(col("len") / (k + 1)))
+      val shortCand = ordered(bShort.as("a")
+        .join(aShort.as("b"),
+          col("a.bkt") === col("b.bkt") &&
+            col("a.doc") =!= col("b.doc") &&
+            abs(col("a.len") - col("b.len")) <= k)
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")))
+
+      val cand = (Seq(within, shortCand) ++ vsShorter ++ vsLonger)
+        .reduce(_ unionByName _).distinct()
+      val pairs = cand
+        .join(allTexts.select(col("doc").as("doc_a"),
+          col("txt").as("ta")), Seq("doc_a"))
+        .join(allTexts.select(col("doc").as("doc_b"),
+          col("txt").as("tb")), Seq("doc_b"))
+        .withColumn("dist",
+          levenshtein(col("ta"), col("tb"), k).cast("long"))
+        .filter(col("dist") =!= -1L)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+          col("dist"))
+      pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+
+      bSegs.withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$indexPath/segs/d=$batchId")
+      bProbes.withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$indexPath/probes/d=$batchId")
+      base.withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$indexPath/texts/d=$batchId")
+      bSegs.unpersist(blocking = false)
+      base.unpersist(blocking = false)
+    }
+  }
+
   /** The quota decision for everything streamed so far: classifies the
     * merged (source, quality) histogram state against `budgetPerSource`
     * and resolves the per-doc kept flags over `corpus` (the

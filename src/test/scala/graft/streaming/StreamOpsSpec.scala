@@ -819,6 +819,60 @@ class StreamOpsSpec extends AnyFunSuite {
       s"probed cells must prune the scan:\n${planned.take(1200)}")
   }
 
+  test("streaming edit-distance index: the cumulative pair log equals " +
+    "one-shot PassJoin, including longer-partner-arrives-later and " +
+    "short-tier pairs; retry is inert") {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_eddist_stream").toString
+    val indexPath = root + "/index"
+    val pairsPath = root + "/pairs"
+    val k = 4
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark query planning"),
+      (10L, "ab")) // short doc
+    val b1 = Seq(
+      // near-dup of 1 (3 substitutions: dog -> cat), SAME length
+      (3L, "the quick brown fox jumps over the lazy cat tonight"),
+      // LONGER near-dup of 1 (3 inserts) — standing partner is shorter
+      (4L, "the quick brown fox jumps over the lazy dog tonight!!!"),
+      (11L, "abx")) // short near-dup of 10
+    val b2 = Seq(
+      // SHORTER near-dup of 4 (arrives after its longer partner):
+      // 4's pairs with this doc need batch-PROBES x standing-SEGS,
+      // while 4 itself found 1 via batch-SEGS x standing-PROBES
+      (5L, "the quick brown fox jumps over the lazy dog tonight!"),
+      (12L, "a")) // short, pairs with 10 and 11
+    val sink = StreamOps.edDistIndexForeachBatch(indexPath, pairsPath,
+      k, "doc_id", "text")
+    val batches = Seq(b0, b1, b2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      sink(b.toDF("doc_id", "text"), i.toLong)
+    }
+    def pairLog(): Set[(Long, Long, Long)] = s.read.parquet(pairsPath)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist"))).toSet
+    val streamed = pairLog()
+    val allDocs = batches.flatten.toDF("doc_id", "text")
+    val oneShot = graft.operators.Dedup
+      .editDistanceJoinPass(allDocs, "doc_id", "text", k)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist"))).toSet
+    assert(streamed == oneShot,
+      s"streamed=$streamed\noneShot=$oneShot")
+    // the interesting pairs actually exist (the test is non-vacuous)
+    def has(a: Long, b: Long) = streamed.exists(p =>
+      (p._1, p._2) == ((a, b)))
+    assert(has(1L, 4L), "longer partner arriving later")
+    assert(has(4L, 5L), "shorter partner arriving later")
+    assert(has(1L, 3L) && has(10L, 11L) && has(10L, 12L),
+      "same-length, and short-tier cross-batch pairs")
+    // retry of the last batch is byte-identical
+    sink(b2.toDF("doc_id", "text"), 2L)
+    assert(pairLog() == streamed, "retried batch changed the pair log")
+  }
+
   test("streaming near-dup index: the union of per-batch pair logs " +
     "equals one-shot MinHash-LSH, pairs land in the later member's " +
     "arrival batch; retry and compaction are inert") {
