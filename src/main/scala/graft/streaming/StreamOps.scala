@@ -1111,6 +1111,14 @@ object StreamOps {
     * reads filter first_batch < batchId and every output dir is
     * overwritten whole. Per-batch state growth: (k+1) segment keys +
     * O(k^2) probe keys + the text row per doc.
+    *
+    * Cost model (the same honest shape as the near-dup index): the
+    * standing SEG and PROBE logs are each SCANNED once per batch
+    * (map-side — the batch sides join broadcast-small), no
+    * standing-sized shuffle exists anywhere, and everything else is
+    * batch-sized. The probe log is the big one (O(k^2) keys/doc), so
+    * the per-batch floor grows with corpus KEY VOLUME, not corpus
+    * text — SCALE_r12 §21 prices it at a 260k-doc standing corpus.
     */
   def edDistIndexForeachBatch(indexPath: String, pairsPath: String,
                               k: Int, idCol: String, textCol: String)
@@ -1131,16 +1139,20 @@ object StreamOps {
         .filter(col("doc_a") =!= col("doc_b"))
         .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
           greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      // Both standing joins BROADCAST the batch side (batch-size
+      // bounded: (k+1) seg keys and O(k^2) probe keys per batch doc),
+      // so the standing logs are scanned map-side, never shuffled —
+      // the near-dup index's bands-over-bucket-scan discipline.
       val within = ordered(
         bProbes.withColumnRenamed("doc", "doc_b")
           .join(bSegs.withColumnRenamed("doc", "doc_a"), Seq("key")))
       val vsShorter = standing("segs").map(ss => ordered(
-        bProbes.withColumnRenamed("doc", "doc_b")
-          .join(ss.select(col("doc").as("doc_a"), col("key")),
+        ss.select(col("doc").as("doc_a"), col("key"))
+          .join(broadcast(bProbes.withColumnRenamed("doc", "doc_b")),
             Seq("key"))))
       val vsLonger = standing("probes").map(sp => ordered(
-        bSegs.withColumnRenamed("doc", "doc_a")
-          .join(sp.select(col("doc").as("doc_b"), col("key")),
+        sp.select(col("doc").as("doc_b"), col("key"))
+          .join(broadcast(bSegs.withColumnRenamed("doc", "doc_a")),
             Seq("key"))))
 
       val sTexts = standing("texts")

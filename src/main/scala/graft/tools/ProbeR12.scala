@@ -938,6 +938,62 @@ object ProbeR12 {
             f"maxTask=${metrics.maxTaskSec}%.1f s")
         }
 
+      // Streaming edit-distance index at a 260k-doc standing corpus:
+      // seed = the whole twinned corpus as batch 0 (prices the log
+      // build), batch 1 = 5k docs (2.5k planted twins of standing docs
+      // + 2.5k fresh) — prices the steady-state per-batch cost against
+      // the standing key logs.
+      case "eddiststream" =>
+        val root = "/tmp/scale/probe12_eddist"
+        val fs0 = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs0.delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val twins0 = docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("zq"),
+              expr("substring(text, 3, length(text) - 3)"),
+              lit("x")).as("text"))
+        val seed = docs.unionByName(twins0).cache()
+        val nSeed = seed.count()
+        val sink = graft.streaming.StreamOps.edDistIndexForeachBatch(
+          s"$root/index", s"$root/pairs", k = 8, "doc_id", "text")
+        metrics.reset()
+        var t0 = System.nanoTime()
+        sink(seed, 0L)
+        metrics.drain()
+        println(f"PROBE12 eddist_seed docs=$nSeed " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          f"shuffle=${metrics.shuffleWriteMb} MB " +
+          f"spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s")
+        val batch1 = docs.filter(col("doc_id") % 100 === 1)
+          .limit(2500)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(lit("xx"), expr("substring(text, 3, length(text))"))
+              .as("text"))
+          .unionByName(docs.filter(col("doc_id") % 100 === 2)
+            .limit(2500)
+            .select((col("doc_id") + 30000000L).as("doc_id"),
+              expr("translate(text, 'aeiou', '01234')").as("text")))
+          .cache()
+        val nB1 = batch1.count()
+        metrics.reset()
+        t0 = System.nanoTime()
+        sink(batch1, 1L)
+        metrics.drain()
+        val nPairs1 = spark.read
+          .parquet(s"$root/pairs/batch=1").count()
+        println(f"PROBE12 eddist_batch docs=$nB1 pairs=$nPairs1 " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          f"shuffle=${metrics.shuffleWriteMb} MB " +
+          f"spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s")
+        def du(p: String): Long = fs0.getContentSummary(
+          new org.apache.hadoop.fs.Path(p)).getLength
+        println(s"PROBE12 eddist_state_bytes segs=${du(s"$root/index/segs")} " +
+          s"probes=${du(s"$root/index/probes")} " +
+          s"texts=${du(s"$root/index/texts")}")
+
       // Count-Min sketch over the full diverse-text token stream:
       // one pass, O(partitions * depth * width) shuffle regardless of
       // corpus size; estimate quality reported against the exact top
