@@ -795,7 +795,13 @@ object Dedup {
       .join(base.select(col("doc").as("doc_b"), col("txt").as("tb")),
         Seq("doc_b"))
       .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
-      .filter(col("dist") =!= -1L)
+      // barrier: a bare filter on the derived column gets pushed into
+      // the join condition by substitution and the banded levenshtein
+      // runs TWICE per candidate (the SCALE_r12 §7/§8 trap, seen live
+      // in this plan) — the referenced non-deterministic column pins it
+      // above the projection
+      .transform(df => graft.operators.Barrier.filterAbove(df,
+        col("dist") =!= -1L))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("dist"))
   }
 
@@ -1032,7 +1038,13 @@ object Dedup {
       .join(base.select(col("doc").as("doc_b"), col("txt").as("tb")),
         Seq("doc_b"))
       .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
-      .filter(col("dist") =!= -1L)
+      // barrier: a bare filter on the derived column gets pushed into
+      // the join condition by substitution and the banded levenshtein
+      // runs TWICE per candidate (the SCALE_r12 §7/§8 trap, seen live
+      // in this plan) — the referenced non-deterministic column pins it
+      // above the projection
+      .transform(df => graft.operators.Barrier.filterAbove(df,
+        col("dist") =!= -1L))
       .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("dist"))
   }
 

@@ -1181,7 +1181,8 @@ object StreamOps {
           col("txt").as("tb")), Seq("doc_b"))
         .withColumn("dist",
           levenshtein(col("ta"), col("tb"), k).cast("long"))
-        .filter(col("dist") =!= -1L)
+        .transform(df => graft.operators.Barrier.filterAbove(df,
+          col("dist") =!= -1L))
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
           col("dist"))
       pairs.write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
