@@ -1130,7 +1130,10 @@ object StreamOps {
           col(textCol).as("txt"), length(col(textCol)).as("len"))
         .cache()
       val bSegs = Dedup.passSegments(base, k).cache()
-      val bProbes = Dedup.passProbes(base, k)
+      // cached: consumed by the within-batch join, the standing-segs
+      // join (as the broadcast side) and the probes-log append — three
+      // O(k^2)-per-doc explode evaluations otherwise
+      val bProbes = Dedup.passProbes(base, k).cache()
       def standing(sub: String): Option[DataFrame] =
         readDeltaDirs(spark, s"$indexPath/$sub")
           .map(_.filter(col("first_batch") < batchId))
@@ -1194,6 +1197,7 @@ object StreamOps {
       base.withColumn("first_batch", lit(batchId))
         .write.mode("overwrite").parquet(s"$indexPath/texts/d=$batchId")
       bSegs.unpersist(blocking = false)
+      bProbes.unpersist(blocking = false)
       base.unpersist(blocking = false)
     }
   }
