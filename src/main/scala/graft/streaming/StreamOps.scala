@@ -830,33 +830,49 @@ object StreamOps {
     */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String, upTo: Long): Unit = {
-    def compactStore(root: String, keyCols: Seq[String]): Unit = {
-      val p = new org.apache.hadoop.fs.Path(root)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) return
-      val all = fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
-          !s.getPath.getName.contains("__staging"))
-        .map(_.getPath)
-      val eligible = all.filter { d =>
-        val top = spark.read.parquet(d.toString)
-          .agg(max("first_batch")).head()
-        !top.isNullAt(0) && top.getLong(0) <= upTo
-      }
-      if (eligible.length < 2) return
-      val merged = spark.read
-        .parquet(eligible.map(_.toString).toIndexedSeq: _*)
-        .dropDuplicates(keyCols)
-      val staging = new org.apache.hadoop.fs.Path(s"$root/d=c${upTo}__staging")
-      val target = new org.apache.hadoop.fs.Path(s"$root/d=c$upTo")
-      merged.write.mode("overwrite").parquet(staging.toString)
-      fs.delete(target, true)
-      if (!fs.rename(staging, target))
-        throw new java.io.IOException(s"compact: cannot publish $target")
-      eligible.filterNot(_ == target).foreach(fs.delete(_, true))
+    compactStore(spark, s"$indexPath/shingles", Seq("doc"), upTo)
+    compactStore(spark, s"$indexPath/buckets", Seq("doc", "band"), upTo)
+  }
+
+  /** LSM compaction for the edit-distance index's three delta logs
+    * ([[edDistIndexForeachBatch]]): purely physical — the logical
+    * seg/probe/text sets are unchanged, rows keep their original
+    * first_batch, and subsequent batches read the compacted dirs
+    * through the same delta union (StreamOpsSpec pins inertness).
+    */
+  def compactEdDistIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, upTo: Long): Unit = {
+    compactStore(spark, s"$indexPath/segs", Seq("doc", "key"), upTo)
+    compactStore(spark, s"$indexPath/probes", Seq("doc", "key"), upTo)
+    compactStore(spark, s"$indexPath/texts", Seq("doc"), upTo)
+  }
+
+  private def compactStore(spark: org.apache.spark.sql.SparkSession,
+                           root: String, keyCols: Seq[String],
+                           upTo: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val all = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
+        !s.getPath.getName.contains("__staging"))
+      .map(_.getPath)
+    val eligible = all.filter { d =>
+      val top = spark.read.parquet(d.toString)
+        .agg(max("first_batch")).head()
+      !top.isNullAt(0) && top.getLong(0) <= upTo
     }
-    compactStore(s"$indexPath/shingles", Seq("doc"))
-    compactStore(s"$indexPath/buckets", Seq("doc", "band"))
+    if (eligible.length < 2) return
+    val merged = spark.read
+      .parquet(eligible.map(_.toString).toIndexedSeq: _*)
+      .dropDuplicates(keyCols)
+    val staging = new org.apache.hadoop.fs.Path(s"$root/d=c${upTo}__staging")
+    val target = new org.apache.hadoop.fs.Path(s"$root/d=c$upTo")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"compact: cannot publish $target")
+    eligible.filterNot(_ == target).foreach(fs.delete(_, true))
   }
 
   private def readDeltaDirs(spark: org.apache.spark.sql.SparkSession,

@@ -871,6 +871,27 @@ class StreamOpsSpec extends AnyFunSuite {
     // retry of the last batch is byte-identical
     sink(b2.toDF("doc_id", "text"), 2L)
     assert(pairLog() == streamed, "retried batch changed the pair log")
+
+    // compaction is purely physical: deltas 0..1 merge, and a
+    // subsequent batch still finds its standing partners through the
+    // compacted dirs
+    StreamOps.compactEdDistIndex(s, indexPath, upTo = 1L)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val segDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$indexPath/segs"))
+      .map(_.getPath.getName).filter(_.startsWith("d=")).sorted
+    assert(segDirs.toSeq == Seq("d=2", "d=c1"), segDirs.mkString(","))
+    val b3 = Seq( // another same-length near-dup of 1 (in batch 0)
+      (6L, "the quick brown fox jumps over the hazy dog tonight"))
+    sink(b3.toDF("doc_id", "text"), 3L)
+    val allDocs4 = (batches.flatten ++ b3).toDF("doc_id", "text")
+    val oneShot4 = graft.operators.Dedup
+      .editDistanceJoinPass(allDocs4, "doc_id", "text", k)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("dist"))).toSet
+    assert(pairLog() == oneShot4,
+      "post-compaction batch lost standing partners")
   }
 
   test("streaming near-dup index: the union of per-batch pair logs " +
