@@ -120,6 +120,93 @@ object Pq {
         posexplode(col("codes")).as(Seq("sub", "code")))
       .select(col(idCol), col("sub").cast("long").as("sub"), col("code"))
 
+  /** Residual fit (the true FAISS IVFPQ refinement of
+    * [[Similarity.ivfPqTopK]]'s global-codebook form): vectors are
+    * first assigned to their IVF cell, and the PQ codebooks are
+    * trained on the RESIDUALS `vec - centroid[cell]`. The residual
+    * step is the native codegen'd `vec_sub` (a zip_with HOF here would
+    * run an interpreted lambda per element on the encode hot path);
+    * the centroid lookup is a broadcast join on the nCells-bounded
+    * table.
+    *
+    * When it pays — measured both ways: residual refinement presumes
+    * residual STRUCTURE. On the structured-jitter PqSpec fixture the
+    * residual reconstruction beats the global codebook by two orders
+    * of magnitude at the same ksub; on the isotropic-jitter 100k
+    * probe corpus the residuals are unquantizable noise and the
+    * global form's pick quality is HIGHER (0.968 vs 0.940,
+    * SCALE_r12 §20). Both forms share every kernel and cost the same
+    * — measure per corpus.
+    */
+  def fitResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, ksub: Int,
+                  centroids: DataFrame,
+                  rank: Column => Column = c => xxhash64(c),
+                  lloydIters: Int = 0): Model = {
+    val res = residuals(corpus, idCol, vecCol, centroids)
+    fit(res, idCol, "rv", dim, m, ksub, rank, lloydIters)
+  }
+
+  /** (idCol, cell, rv = vec - centroid[cell]) — shared by the residual
+    * fit, encode, and probes. Map-only: fused nearest_cell assignment
+    * + broadcast centroid lookup + native vec_sub.
+    */
+  private[graft] def residuals(corpus: DataFrame, idCol: String,
+                               vecCol: String,
+                               centroids: DataFrame): DataFrame = {
+    val cc = Similarity.collectCentroids(centroids)
+    corpus.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("cell", Similarity.nearestCellCol(col("__cv"), cc))
+      .join(broadcast(centroids.select(col("cell"), col("centroid"))),
+        Seq("cell"))
+      .select(col(idCol), col("cell"),
+        call_function("vec_sub", col("__cv"), col("centroid")).as("rv"))
+  }
+
+  /** (id, cell, codes) with codes over the RESIDUAL codebook. */
+  def encodeResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, model: Model): DataFrame =
+    residuals(corpus, idCol, vecCol, centroids)
+      .select(col(idCol), col("cell"),
+        encodeCol(col("rv"), model).as("codes"))
+
+  /** Residual IVF-PQ top-k by inner product: since
+    * IP(q, centroid + residual) = IP(q, centroid) + IP(q, residual),
+    * each (query, probed cell) pair carries one exact centroid dot and
+    * the residual part is the standard ADC lookup — same per-pair cost
+    * (m lookups + adds + one add) as the global form, same plan shape
+    * (fused assignment, broadcast query LUTs, BoundedTopK), finer
+    * quantization. Output (q_id, rnk, n_id, adc_ip).
+    */
+  def ivfPqTopKResidual(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        model: Model, centroids: DataFrame,
+                        nProbe: Int = 4): DataFrame = {
+    val assigned = encodeResidual(corpus, idCol, vecCol, centroids,
+        model)
+      .withColumnRenamed(idCol, "n_id")
+    val q = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.norm("qv"))
+    val probed = Similarity
+      .assignCells(q, "qv", "qn", centroids, "cell", take = nProbe)
+      .join(broadcast(centroids.select(col("cell"), col("centroid"))),
+        Seq("cell"))
+      .select(col("cell"), col("q_id"),
+        call_function("vec_dot", col("qv"), col("centroid")).as("qc"),
+        call_function("pq_lut", col("qv"), model.flatLit,
+          lit(model.dsub), lit(model.ksub)).as("lut"))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine",
+        col("qc") + call_function("pq_lut_score", col("lut"),
+          col("codes"), lit(model.ksub)))
+    Similarity.rankTopKByCosine(
+        scored.select("q_id", "n_id", "cosine"), k)
+      .withColumnRenamed("cosine", "adc_ip")
+  }
+
   /** ADC top-k by inner product (MIPS): full-precision queries against
     * the CODES table. Per query one LUT (ksub*dim multiplies), per
     * (query, code-row) pair m lookups+adds; ranking through the

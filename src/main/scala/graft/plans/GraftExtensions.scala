@@ -64,6 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PqLut(children(0), children(1), children(2), children(3))))
     ext.injectFunction((
+      FunctionIdentifier("vec_sub"),
+      new ExpressionInfo(classOf[VecSub].getName, "vec_sub"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecSub(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("pq_lut_score"),
       new ExpressionInfo(classOf[PqLutScore].getName, "pq_lut_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -1148,7 +1148,41 @@ object ProbeR12 {
         println(f"PROBE12 ivfpq_pick_quality ip=$ipIvf%.4f " +
           f"ratio_vs_exact=${ipIvf / ipExact}%.3f " +
           f"recall@10_vs_exact_ip=$covIvf%.3f")
-        emb.unpersist(); queries.unpersist()
+        // residual IVF-PQ (the FAISS IVFPQ form): same cells, codebook
+        // trained on residuals — measures what the residual refinement
+        // buys on clustered data at the same ksub budget
+        val rCentroids = Similarity.sampleCentroids(emb, "vec_id",
+          "embedding", nCells = 256).cache()
+        rCentroids.count()
+        t0 = System.nanoTime()
+        val rModel = Pq.fitResidual(emb, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 256, rCentroids, lloydIters = 2)
+        println(f"PROBE12 ivfpq_residual_fit " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          t0 = System.nanoTime()
+          Pq.ivfPqTopKResidual(emb, queries, "vec_id", "embedding",
+              k = 10, rModel, rCentroids, nProbe = 16)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+          metrics.drain()
+          println(f"PROBE12 ivfpq_residual_top10 rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        val resTop = Pq.ivfPqTopKResidual(emb, queries, "vec_id",
+            "embedding", k = 10, rModel, rCentroids, nProbe = 16)
+          .select("q_id", "n_id")
+        val ipRes = meanIp(resTop)
+        val covRes = exact.join(resTop.withColumn("c", lit(1L)),
+            Seq("q_id", "n_id"), "left")
+          .agg((sum(coalesce(col("c"), lit(0L))).cast("double") /
+            count(lit(1))).as("cov")).head().getDouble(0)
+        println(f"PROBE12 ivfpq_residual_quality ip=$ipRes%.4f " +
+          f"ratio_vs_exact=${ipRes / ipExact}%.3f " +
+          f"recall@10_vs_exact_ip=$covRes%.3f")
+        emb.unpersist(); queries.unpersist(); rCentroids.unpersist()
 
       case other =>
         sys.error(s"unknown ProbeR12 mode: $other")

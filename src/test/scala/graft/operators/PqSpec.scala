@@ -154,6 +154,90 @@ class PqSpec extends AnyFunSuite {
     assert(engineCodes(m).values.forall(_.forall(_ == 0L)))
   }
 
+  test("residual IVF-PQ: the score is dot(q, centroid) + residual ADC " +
+    "exactly, and residual quantization beats the global codebook on " +
+    "clustered data") {
+    import s.implicits._
+    // controlled clustered fixture: 4 well-separated centers, small
+    // deterministic jitter
+    val vecs = (0 until 200).map { i =>
+      val center = i % 4
+      val v = Array.tabulate(dim) { d =>
+        (if (d % 4 == center) 1.0 else 0.0) +
+          0.05 * (((i.toLong * 31 + d) * 2654435761L % 1000) / 1000.0)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // identity rank: ids 0..3 are one vector per cluster, so the 4-cell
+    // structure matches the generative clusters (a scrambled sample can
+    // double-draw a cluster and miss another, which makes residuals of
+    // the missed cluster's vectors centroid-DIFFERENCE sized and the
+    // beats-global assertion meaningless)
+    val centroids = Similarity.sampleCentroids(df, "vec_id", "embedding",
+      nCells = 4, centroidRank = c => c).cache()
+    val resModel = Pq.fitResidual(df, "vec_id", "embedding", dim,
+      m = 8, ksub = 8, centroids,
+      rank = Similarity.portableCentroidRank)
+    val globModel = Pq.fit(df, "vec_id", "embedding", dim, m = 8,
+      ksub = 8, rank = Similarity.portableCentroidRank)
+
+    // score contract vs a JVM mirror
+    val queries = df.filter(col("vec_id") < 3)
+    val out = Pq.ivfPqTopKResidual(df, queries, "vec_id", "embedding",
+        k = 5, resModel, centroids, nProbe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Double]("adc_ip")).toMap
+    assert(out.size == 15)
+    val cents = centroids.collect().map(r =>
+      r.getAs[Long]("cell") -> r.getSeq[Double](1).toArray).toMap
+    val resRows = Pq.encodeResidual(df, "vec_id", "embedding",
+        centroids, resModel)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cell"), r.getSeq[Long](2).toArray)).toMap
+    val vmap = vecs.map { case (id, v) => id -> v.toArray }.toMap
+    out.foreach { case ((qid, nid), score) =>
+      val (cell, codes) = resRows(nid)
+      val qv = vmap(qid)
+      var acc = qv.zip(cents(cell)).map { case (a, b) => a * b }.sum
+      for (sub <- 0 until resModel.m) {
+        val cw = resModel.codeword(sub, codes(sub).toInt)
+        var sd = 0.0
+        for (i <- 0 until resModel.dsub)
+          sd += qv(sub * resModel.dsub + i) * cw(i)
+        acc += sd
+      }
+      assert(math.abs(score - acc) < 1e-9,
+        s"pair ($qid, $nid): engine $score vs jvm $acc")
+    }
+
+    // residual reconstruction beats global at the same ksub budget
+    def reconErr(decode: Long => Array[Double]): Double =
+      vmap.map { case (id, v) =>
+        v.zip(decode(id)).map { case (a, b) =>
+          val d = a - b; d * d
+        }.sum
+      }.sum
+    val globCodes = Pq.encode(df, "vec_id", "embedding", globModel)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    def decodeWith(m: Pq.Model, codes: Array[Long],
+                   base: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { d =>
+        base(d) + m.codeword(d / m.dsub, codes(d / m.dsub).toInt)(d % m.dsub)
+      }
+    val zero = Array.fill(dim)(0.0)
+    val eGlob = reconErr(id =>
+      decodeWith(globModel, globCodes(id), zero))
+    val eRes = reconErr { id =>
+      val (cell, codes) = resRows(id)
+      decodeWith(resModel, codes, cents(cell))
+    }
+    assert(eRes < eGlob,
+      f"residual recon $eRes%.4f should beat global $eGlob%.4f")
+  }
+
   test("IVF-PQ degenerate identity: probing ALL cells equals the plain " +
     "ADC scan bit for bit (every vector lives in exactly one cell)") {
     val m = Pq.fit(corpus, "vec_id", "embedding", dim, m = 8, ksub = 16,

@@ -115,6 +115,11 @@ class NativeCodegenCanarySpec extends AnyFunSuite {
       InternalRow(42L))
   }
 
+  test("vec_sub generated code compiles and runs") {
+    assertCompiles(VecSub(vecA, vecB),
+      InternalRow(arr(1.0, 2.0), arr(0.5, 0.25)))
+  }
+
   test("pq_encode_all / pq_lut / pq_lut_score generated code compiles " +
     "and runs") {
     // 2 subspaces x 2 codewords x 2 elements
