@@ -977,6 +977,74 @@ object LlmOps {
             ORDER BY adc_ip DESC, n_id) AS BIGINT) AS rnk FROM sc)
       SELECT q_id, rnk, n_id, adc_ip FROM rk WHERE rnk <= 5"""))
 
+  // L53R — RESIDUAL IVF-PQ top-k (the FAISS IVFPQ form): codebooks
+  // trained on vec - centroid[cell], score = dot(q, centroid) +
+  // residual ADC (inner product is linear). With the portable rank on
+  // both samples and no Lloyd, every stage is exact double arithmetic
+  // both engines compute verbatim, so the oracle replays assignment ->
+  // residuals -> residual codebook -> encode -> probe -> score -> rank
+  // and the hash match covers the native vec_sub residual step too.
+  private val l53r = QueryDef("l53r_ivf_pq_residual", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = Similarity.sampleCentroids(emb, "vec_id",
+      "embedding", nCells = 16,
+      centroidRank = Similarity.portableCentroidRank)
+    val model = graft.operators.Pq.fitResidual(emb, "vec_id",
+      "embedding", dim = 64, m = 8, ksub = 16, centroids,
+      rank = Similarity.portableCentroidRank)
+    graft.operators.Pq.ivfPqTopKResidual(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      model, centroids, nProbe = 4)
+  }, Some {
+    val rankSql = graft.operators.Similarity.portableCentroidRankSql _
+    s"""WITH $ivfAsgCtes,
+      rs AS (SELECT a.n_id, a.cell,
+          list_transform(range(1, 65), i -> a.nv[i] - c.cv[i]) AS rv
+        FROM asg a JOIN cent c ON c.cell = a.cell),
+      pcent AS (SELECT rv AS v,
+          row_number() OVER (ORDER BY ${rankSql("n_id")}, n_id) - 1 AS c
+        FROM rs ORDER BY ${rankSql("n_id")}, n_id LIMIT 16),
+      pcb AS (SELECT ss.s AS s, pcent.c AS c,
+          list_transform(range(1, 9), i -> v[ss.s * 8 + i]) AS cw
+        FROM pcent CROSS JOIN range(0, 8) ss(s)),
+      pdist AS (SELECT rs.n_id, pcb.s, pcb.c,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 9),
+              i -> (rs.rv[pcb.s * 8 + i] - pcb.cw[i])
+                 * (rs.rv[pcb.s * 8 + i] - pcb.cw[i]))),
+            (x, y) -> x + y) AS d2
+        FROM rs CROSS JOIN pcb),
+      penc AS (SELECT n_id, s, c AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY n_id, s
+            ORDER BY d2, c) AS r FROM pdist) WHERE r = 1),
+      prb AS (SELECT p.vec_id AS q_id, p.v AS qv, p.cell,
+          ${ivfOracleDot("p.v", "c.cv")} AS qc
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cell) AS r FROM sims
+          WHERE vec_id < 10) p
+        JOIN cent c ON c.cell = p.cell
+        WHERE p.r <= 4),
+      nn AS (SELECT n_id, cell FROM rs),
+      sds AS (SELECT prb.q_id, nn.n_id, en.s, prb.qc,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, 9),
+              i -> prb.qv[en.s * 8 + i] * pcb.cw[i])),
+            (x, y) -> x + y) AS sd
+        FROM prb
+        JOIN nn ON nn.cell = prb.cell
+        JOIN penc en ON en.n_id = nn.n_id
+        JOIN pcb ON pcb.s = en.s AND pcb.c = en.code
+        WHERE prb.q_id <> nn.n_id),
+      sc AS (SELECT q_id, n_id,
+          qc + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(sd ORDER BY s)), (x, y) -> x + y) AS adc_ip
+        FROM sds GROUP BY q_id, n_id, qc),
+      rk AS (SELECT q_id, n_id, adc_ip,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY adc_ip DESC, n_id) AS BIGINT) AS rnk FROM sc)
+      SELECT q_id, rnk, n_id, adc_ip FROM rk WHERE rnk <= 5"""
+  })
+
   private val langMarkers =
     Seq("en" -> "the", "de" -> "table", "es" -> "data", "fr" -> "filter",
       "zh" -> "window")
@@ -2389,5 +2457,5 @@ object LlmOps {
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
-      m1)
+      l53r, m1)
 }
