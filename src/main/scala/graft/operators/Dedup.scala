@@ -273,6 +273,102 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact near-dup pairs by `n`-gram Jaccard >= `threshold` via PREFIX
+    * FILTERING (AllPairs / PPJoin: Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08) — the COMPLETE scale path that [[ngramJaccardPairs]]'s
+    * `maxDocFreq` cap only approximates. The cap buys a bounded
+    * candidate volume by dropping hot shingles, weakening recall to
+    * "pairs sharing a non-hot shingle"; the prefix filter gets a far
+    * smaller candidate set WITHOUT losing a single true pair:
+    *
+    *  - order every document's shingle set by a global total order
+    *    (document frequency ascending, shingle as tiebreak — rarest
+    *    first, the order that makes prefixes selective);
+    *  - a document with `m` shingles needs overlap `t = ceil(tau*m)`
+    *    with any valid partner (J >= tau implies inter >= tau*union >=
+    *    tau*m), so by pigeonhole two qualifying documents MUST collide
+    *    within their first `m - t + 1` shingles — index only that
+    *    prefix;
+    *  - the candidate join adds the length filter (J >= tau implies
+    *    tau*m_a <= m_b <= m_a/tau), and every candidate is verified
+    *    against the FULL shingle sets, so precision is exact and
+    *    completeness is the theorem above.
+    *
+    * The registered l54 query pins that theorem cross-engine every
+    * round: its DuckDB oracle is the plain quadratic Jaccard join — a
+    * hash match IS a proof that prefix filtering lost nothing on that
+    * corpus. `ceil(tau*m)` is computed with a 1e-9 slack so a float
+    * rounding error can only LENGTHEN a prefix (extra candidates),
+    * never shorten one (lost pairs).
+    *
+    * Scale shape: df count (one combinable groupBy), prefix selection
+    * (one per-doc window — partitions are doc-sized, never corpus-
+    * sized), prefix self-join (the candidate volume bound: hot shingles
+    * sit at the END of the order, so they are indexed only by docs
+    * whose prefix reaches them — a df=10^6 boilerplate shingle
+    * generates ~zero candidates instead of 5*10^11), then an
+    * intersect_count verify per candidate. `hashedShingles` maps
+    * shingles through xxhash64 before any shuffle (8-byte keys; the
+    * global order becomes (df, hash) — completeness holds under ANY
+    * total order).
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String,
+                               textCol: String, n: Int, threshold: Double,
+                               hashedShingles: Boolean = false): DataFrame = {
+    val (sh, cand) = prefixStage(df, idCol, textCol, n, threshold,
+      hashedShingles)
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", expr("intersect_count(sh_a, sh_b)"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
+          - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Candidate pairs of [[prefixFilterJaccardPairs]] (before the exact
+    * verify), exposed so the prefix filter's candidate-set reduction vs
+    * the full inverted index is observable/testable.
+    */
+  def prefixFilterCandidates(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, threshold: Double,
+                             hashedShingles: Boolean = false): DataFrame =
+    prefixStage(df, idCol, textCol, n, threshold, hashedShingles)._2
+
+  /** (shingle table, candidate pairs) for the prefix-filter family. */
+  private def prefixStage(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, threshold: Double,
+                          hashedShingles: Boolean): (DataFrame, DataFrame) = {
+    val sh0 = shingleTable(df, idCol, textCol, n)
+    val sh =
+      if (hashedShingles)
+        sh0.withColumn("sh", expr("transform(sh, t -> xxhash64(t))"))
+      else sh0
+    val inv = sh.select(col("doc"), size(col("sh")).cast("long").as("m"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    // prefix length p = m - ceil(tau*m) + 1 (slack: see scaladoc)
+    val p = (col("m") - ceil(lit(threshold) * col("m") - lit(1e-9))
+      .cast("long") + lit(1L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("dfreq"), col("shingle"))
+    val prefix = inv.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= p)
+      .select("doc", "m", "shingle")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc") < col("b.doc") &&
+          col("b.m") >= lit(threshold) * col("a.m") - lit(1e-9) &&
+          col("a.m") >= lit(threshold) * col("b.m") - lit(1e-9))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    (sh, cand)
+  }
+
   /** MinHash signature over the array column `shingleCol`: element i is
     * min over shingles of xxhash64(i, shingle) — k seeded permutations.
     *

@@ -490,6 +490,112 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal in integer log2 bits —
+    * the principled-smoothing upgrade of [[bigramSurprisal]]'s stupid
+    * backoff (Kneser & Ney, ICASSP'95; Chen & Goodman 1999's
+    * interpolated form — the smoothing every production n-gram LM
+    * filter, KenLM included, actually ships). Same train/score shape:
+    * model on the deterministic `train` split, scored over every
+    * document.
+    *
+    * The KN probability with absolute discount D = 3/4 is a ratio of
+    * exact integers once denominators are cleared:
+    *
+    *   P(w|v) = max(c(vw)-D, 0)/c(v.) + (D*N1(v.)/c(v.)) * N1(.w)/N1(..)
+    *          = (max(4*c(vw)-3, 0)*N1(..) + 3*N1(v.)*N1(.w))
+    *            / (4*c(v.)*N1(..))
+    *
+    * where c(v.) = train bigrams starting with v, N1(v.) = distinct
+    * continuations of v, N1(.w) = distinct left-contexts of w (the
+    * "novel-context" count that makes KN work — "Francisco" is frequent
+    * but follows only "San", so its continuation probability is tiny),
+    * N1(..) = distinct bigram types. Numerator and denominator are
+    * exact BIGINTs, so bits = bitlen(den) - bitlen(num) is -log2 P to
+    * within a bit in arithmetic that hash-matches any engine — the same
+    * reason [[unigramSurprisal]] banned ln(). num <= den always
+    * (interpolated KN is a proper distribution), so bits >= 0.
+    *
+    * Per-token arms:
+    *  - doc-initial (no context): unigram bits, as [[bigramSurprisal]];
+    *  - context v seen as a train bigram starter: the cleared-fraction
+    *    formula above (c(vw) = 0 and N1(.w) = 0 both fold in; a zero
+    *    numerator — unseen w in an unseen-continuation slot — takes
+    *    bitlen(den) + 1, the one-bit OOV penalty convention);
+    *  - context v never a starter (OOV or final-only): back off to the
+    *    continuation distribution alone, bits = bitlen(N1(..)) -
+    *    bitlen(N1(.w)) (+1-penalty form when N1(.w) = 0).
+    *
+    * Scale shape is [[bigramSurprisal]]'s exactly: context from the
+    * token array (map-only scoring), combinable training aggregations,
+    * model tables broadcast. Counts are assumed to satisfy
+    * 4*c(v.)*N1(..) < 2^63 — at larger corpora scale the training
+    * sample, not the formula (the discount ratio is scale-free).
+    */
+  def knBigramSurprisal(docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        keepBelowBits: Double): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc"), expr(toksSql(textCol)).as("arr"))
+      .select(col("doc"), col("arr"),
+        posexplode(col("arr")).as(Seq("pos", "t")))
+      .withColumn("prev", get(col("arr"), col("pos") - 1))
+      .drop("arr", "pos")
+      .withColumn("is_train", splitAssign("doc", 80, 10) === "train")
+    val c1 = toks.filter(col("is_train"))
+      .groupBy(col("t").as("u_t")).agg(count(lit(1)).as("c1"))
+    val total = c1.agg(sum("c1").cast("long").as("tt"))
+    val big = toks.filter(col("is_train") && col("prev").isNotNull)
+    val c2 = big.groupBy(col("prev").as("b_prev"), col("t").as("b_cur"))
+      .agg(count(lit(1)).as("c2"))
+    // per-context: total starts c(v.) and distinct continuations N1(v.)
+    val ctx = c2.groupBy(col("b_prev").as("v_t"))
+      .agg(sum("c2").cast("long").as("cv"), count(lit(1)).as("n1v"))
+    // per-word: distinct left contexts N1(.w)
+    val cont = c2.groupBy(col("b_cur").as("w_t"))
+      .agg(count(lit(1)).as("n1w"))
+    val n1all = c2.agg(count(lit(1)).as("n1all"))
+    val num = greatest(lit(4L) * coalesce(col("c2"), lit(0L)) - lit(3L),
+      lit(0L)) * col("n1all") +
+      lit(3L) * col("n1v") * coalesce(col("n1w"), lit(0L))
+    val den = lit(4L) * col("cv") * col("n1all")
+    val contOnlyNum = coalesce(col("n1w"), lit(0L))
+    val scored = toks
+      .join(broadcast(c2),
+        col("prev") === col("b_prev") && col("t") === col("b_cur"), "left")
+      .join(broadcast(ctx), col("prev") === col("v_t"), "left")
+      .join(broadcast(cont), col("t") === col("w_t"), "left")
+      .join(broadcast(c1), col("t") === col("u_t"), "left")
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(n1all))
+      .select(col("doc"),
+        when(col("prev").isNull && col("c1").isNotNull,
+            length(expr("bin(tt)")) - length(expr("bin(c1)")))
+        .when(col("prev").isNull, length(expr("bin(tt)")))
+        .when(col("cv").isNotNull,
+          when(num >= 1L,
+              length(bin(den)) - length(bin(num)))
+            .otherwise(length(bin(den)) + lit(1)))
+        .otherwise(
+          when(contOnlyNum >= 1L,
+              length(expr("bin(n1all)")) - length(bin(contOnlyNum)))
+            .otherwise(length(expr("bin(n1all)")) + lit(1)))
+        .cast("long").as("bits"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("total_bits"))
+    docs.select(col(idCol).as("doc"))
+      .join(scored, Seq("doc"), "left")
+      .select(
+        col("doc").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0d))
+          .otherwise(col("total_bits").cast("double") / col("n_tokens"))
+          .as("avg_bits"))
+      .withColumn("keep",
+        (col("n_tokens") > 0 && col("avg_bits") < keepBelowBits)
+          .cast("long"))
+  }
+
   /** BM25 top-k retrieval over the corpus for a FIXED set of query
     * terms (Robertson et al., TREC-3 Okapi weighting) — the lexical
     * side of the similarity-search family (l5/l6/l11 are the dense

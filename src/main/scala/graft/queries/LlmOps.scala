@@ -803,6 +803,51 @@ object LlmOps {
         CAST(levenshtein(ta, tb) AS BIGINT) AS dist
       FROM cand WHERE levenshtein(ta, tb) <= 8"""))
 
+  // L54 — prefix-filter (AllPairs/PPJoin) exact Jaccard join at
+  // tau=0.5: the COMPLETE scale path for set-similarity dedup, vs
+  // l2b's hot-shingle cap (bounded but recall-weakened) and l3's LSH
+  // (probabilistic recall). The oracle is SEMANTIC — the plain
+  // quadratic Jaccard join — so the hash match re-proves the prefix-
+  // filter completeness theorem (J >= tau pairs MUST collide in their
+  // rarest-first prefixes) on real data every round. ONE oracle for
+  // l54 AND l54h (xxhash64 shingle keys): value-identical output is
+  // the hashed path's contract, exactly as l2/l2h.
+  private val l54OracleSql = """WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) s
+        FROM toks WHERE len(tk) >= 3),
+      sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) n FROM sh),
+      ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+      cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          CAST(count(*) AS BIGINT) inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+          AS jaccard
+      FROM cand JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+        >= 0.5"""
+
+  private val l54 = QueryDef("l54_prefix_filter_jaccard", (s, dir) => {
+    Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), "doc_id",
+      "text", n = 3, threshold = 0.5)
+  }, Some(l54OracleSql))
+
+  // L54H — hashed-shingle-key form (8-byte keys through every exchange;
+  // the global prefix order becomes (df, hash), and completeness holds
+  // under any total order). Same oracle: value-identity is the contract.
+  private val l54h = QueryDef("l54h_prefix_filter_jaccard_hashed",
+    (s, dir) => {
+      Dedup.prefixFilterJaccardPairs(Tables.documents(s, dir), "doc_id",
+        "text", n = 3, threshold = 0.5, hashedShingles = true)
+    }, Some(l54OracleSql))
+
   // L51 — Count-Min sketch frequency estimation (4 x 16 grid over the
   // token stream): the linear mergeable sketch for ad-hoc frequency
   // point queries at corpus scale (O(depth*width) state, elementwise-
@@ -1515,6 +1560,80 @@ object LlmOps {
              ELSE CAST(total_bits AS DOUBLE) / n_tokens END AS avg_bits,
         CAST(CASE WHEN coalesce(n_tokens, 0) > 0 AND
              CAST(total_bits AS DOUBLE) / n_tokens < 4.93 THEN 1 ELSE 0
+             END AS BIGINT) AS keep
+      FROM documents d LEFT JOIN agg USING (doc_id)"""))
+
+  // L55 — interpolated Kneser-Ney bigram surprisal (the principled-
+  // smoothing upgrade of l24b's stupid backoff — what KenLM-class
+  // perplexity filters actually ship). The KN mix with D=3/4 is a
+  // ratio of exact integers once denominators are cleared (see
+  // TextAnalysis.knBigramSurprisal), so the whole model — discounted
+  // bigram mass, continuation probabilities, novel-context counts —
+  // hash-matches DuckDB in integer bitlen arithmetic. Trained on the
+  // deterministic l19 train split, scored over every document; keep
+  // threshold 5.06 sits at the sf0.01 median so both outcomes occur.
+  private val l55 = QueryDef("l55_kn_surprisal", (s, dir) => {
+    TextAnalysis.knBigramSurprisal(Tables.documents(s, dir), "doc_id",
+      "text", keepBelowBits = 5.06)
+  }, Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), s -> length(s) > 0) tk
+        FROM documents),
+      tok AS (SELECT doc_id, u['pos'] pos, u['t'] t
+              FROM (SELECT doc_id, unnest(list_transform(
+                     range(1, len(tk) + 1),
+                     i -> {'pos': i, 't': tk[i]})) u
+                    FROM t WHERE len(tk) > 0)),
+      lg AS (SELECT doc_id, pos, t,
+              lag(t) OVER (PARTITION BY doc_id ORDER BY pos) prev,
+              CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
+                * 1103515245 + 12345) % 100 < 80 THEN 1 ELSE 0 END
+                is_train
+             FROM tok),
+      c1 AS (SELECT t u_t, CAST(count(*) AS BIGINT) c1 FROM lg
+             WHERE is_train = 1 GROUP BY t),
+      tot AS (SELECT CAST(sum(c1) AS BIGINT) tt FROM c1),
+      c2 AS (SELECT prev b_prev, t b_cur, CAST(count(*) AS BIGINT) c2
+             FROM lg WHERE is_train = 1 AND prev IS NOT NULL
+             GROUP BY prev, t),
+      ctx AS (SELECT b_prev v_t, CAST(sum(c2) AS BIGINT) cv,
+               CAST(count(*) AS BIGINT) n1v FROM c2 GROUP BY b_prev),
+      cont AS (SELECT b_cur w_t, CAST(count(*) AS BIGINT) n1w
+               FROM c2 GROUP BY b_cur),
+      na AS (SELECT CAST(count(*) AS BIGINT) n1all FROM c2),
+      sc AS (SELECT lg.doc_id,
+              CASE
+                WHEN lg.prev IS NULL AND c1.c1 IS NOT NULL
+                  THEN length(bin(tot.tt)) - length(bin(c1.c1))
+                WHEN lg.prev IS NULL THEN length(bin(tot.tt))
+                WHEN ctx.cv IS NOT NULL THEN
+                  CASE WHEN greatest(4 * coalesce(c2.c2, 0) - 3, 0)
+                        * na.n1all + 3 * ctx.n1v * coalesce(cont.n1w, 0)
+                        >= 1
+                    THEN length(bin(4 * ctx.cv * na.n1all))
+                      - length(bin(greatest(4 * coalesce(c2.c2, 0) - 3, 0)
+                        * na.n1all + 3 * ctx.n1v * coalesce(cont.n1w, 0)))
+                    ELSE length(bin(4 * ctx.cv * na.n1all)) + 1 END
+                ELSE
+                  CASE WHEN coalesce(cont.n1w, 0) >= 1
+                    THEN length(bin(na.n1all)) - length(bin(cont.n1w))
+                    ELSE length(bin(na.n1all)) + 1 END
+              END AS bits
+             FROM lg
+             LEFT JOIN c2 ON lg.prev = c2.b_prev AND lg.t = c2.b_cur
+             LEFT JOIN ctx ON lg.prev = ctx.v_t
+             LEFT JOIN cont ON lg.t = cont.w_t
+             LEFT JOIN c1 ON lg.t = c1.u_t
+             CROSS JOIN tot CROSS JOIN na),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens,
+               CAST(sum(bits) AS BIGINT) total_bits
+              FROM sc GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        coalesce(total_bits, CAST(0 AS BIGINT)) AS total_bits,
+        CASE WHEN coalesce(n_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(total_bits AS DOUBLE) / n_tokens END AS avg_bits,
+        CAST(CASE WHEN coalesce(n_tokens, 0) > 0 AND
+             CAST(total_bits AS DOUBLE) / n_tokens < 5.06 THEN 1 ELSE 0
              END AS BIGINT) AS keep
       FROM documents d LEFT JOIN agg USING (doc_id)"""))
 
@@ -2457,5 +2576,5 @@ object LlmOps {
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
-      l53r, m1)
+      l53r, l54, l54h, l55, m1)
 }

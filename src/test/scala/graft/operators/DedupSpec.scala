@@ -70,6 +70,95 @@ class DedupSpec extends AnyFunSuite {
     assert(found.contains((0L, 1L)), s"planted dup lost: ${found.toSeq}")
   }
 
+  test("prefix filter: equals the full inverted-index join at several " +
+    "thresholds on testdata (the completeness theorem), string and " +
+    "hashed keys alike") {
+    val docs = Tables.documents(s, sf)
+    for (tau <- Seq(0.2, 0.5, 0.8)) {
+      val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = tau)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      val pf = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = tau)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      val pfh = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = tau, hashedShingles = true)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(pf == full, s"tau=$tau: prefix filter lost/added pairs: " +
+        s"missing=${full.diff(pf).take(5)} extra=${pf.diff(full).take(5)}")
+      assert(pfh == full, s"tau=$tau hashed diverged")
+    }
+  }
+
+  test("prefix filter: hot boilerplate shingles generate ~no candidates " +
+    "(they sit at the end of the rarest-first order) yet the planted " +
+    "dup pair is still found — the cap's win without the cap's recall " +
+    "loss") {
+    val boiler = "copyright license header text"
+    val docs = (0L until 200L).map { i =>
+      val body = if (i <= 1) "payload for row zero alpha beta"
+        else s"payload for row $i alpha beta"
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val fullCand = Dedup.ngramCandidates(docs, "doc_id", "text", n = 3)
+      .count()
+    // tau=0.8: the inter-doc boilerplate overlap (J~0.45) is far below
+    // threshold, so the rarest-first prefixes (the per-doc shingles)
+    // stop indexing the hot boilerplate entirely. (At a tau close to
+    // the boilerplate similarity every complete method must consider
+    // those near-miss pairs — the filter's power is threshold-relative.)
+    val pfCand = Dedup.prefixFilterCandidates(docs, "doc_id", "text",
+      n = 3, threshold = 0.8).count()
+    assert(fullCand >= 19900, s"boilerplate should force all-pairs: $fullCand")
+    assert(pfCand < fullCand / 100,
+      s"prefix filter must cut candidates by orders of magnitude: " +
+        s"$fullCand -> $pfCand")
+    val found = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(found.contains((0L, 1L)), s"planted dup lost: ${found.toSeq}")
+    // and unlike the df cap, a pair similar ONLY through "hot" content
+    // is still found: 50 identical docs (every shingle df=50) must all
+    // pair up under the prefix filter, where maxDocFreq=10 finds none
+    val hotDocs = (0L until 50L).map(i => (i, "alpha beta gamma delta " +
+      "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val pfHot = Dedup.prefixFilterJaccardPairs(hotDocs, "doc_id", "text",
+      n = 3, threshold = 0.9).count()
+    val cappedHot = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text",
+      n = 3, threshold = 0.9, maxDocFreq = 10).count()
+    assert(pfHot == 50L * 49 / 2, s"prefix filter must keep all-dup " +
+      s"corpus complete: $pfHot")
+    assert(cappedHot == 0L, "df cap drops pairs similar only through " +
+      "hot shingles (the documented recall trade this operator removes)")
+  }
+
+  test("prefix filter: random fuzz vs brute force at tau=0.6") {
+    val rng = new scala.util.Random(41)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0L until 60L).map { i =>
+      val len = 3 + rng.nextInt(10)
+      (i, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val pf = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(pf == full,
+      s"missing=${full.diff(pf).take(5)} extra=${pf.diff(full).take(5)}")
+  }
+
   test("contamination scores: cap engaged leaves testdata scores exact") {
     val docs = Tables.documents(s, sf)
     val corpus = docs.filter(col("doc_id") >= 25)

@@ -251,6 +251,90 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("knBigramSurprisal matches a brute-force interpolated-KN " +
+    "reference on random corpora (discounted bigram, continuation " +
+    "backoff, unseen-context, OOV, doc-initial paths all exercised)") {
+    import s.implicits._
+    def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    def isTrain(id: Long): Boolean =
+      ((id % 100000007L) * 1103515245L + 12345L) % 100L < 80L
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7")
+    (1 to 3).foreach { trial =>
+      val docs = (0L until 20L).map { id =>
+        id -> Vector.fill(rnd.nextInt(15))(
+          vocab(math.min(rnd.nextInt(vocab.size), rnd.nextInt(vocab.size))))
+          .mkString(" ")
+      }
+      val trainToks = docs.filter(d => isTrain(d._1))
+        .map(_._2.split(" ").filter(_.nonEmpty).toVector)
+      val c1 = trainToks.flatten.groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val total = trainToks.map(_.size.toLong).sum
+      val c2 = trainToks.flatMap(tk => tk.zip(tk.drop(1)))
+        .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      val cv = c2.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+      val n1v = c2.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+      val n1w = c2.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+      val n1all = c2.size.toLong
+      val expected = docs.map { case (id, t) =>
+        val tk = t.split(" ").filter(_.nonEmpty).toVector
+        val bits = tk.zipWithIndex.map { case (cur, i) =>
+          if (i == 0)
+            c1.get(cur).map(c => bitlen(total) - bitlen(c))
+              .getOrElse(bitlen(total))
+          else {
+            val prev = tk(i - 1)
+            cv.get(prev) match {
+              case Some(cvv) =>
+                val num = math.max(4L * c2.getOrElse((prev, cur), 0L) - 3L,
+                  0L) * n1all + 3L * n1v(prev) * n1w.getOrElse(cur, 0L)
+                val den = 4L * cvv * n1all
+                if (num >= 1L) bitlen(den) - bitlen(num)
+                else bitlen(den) + 1L
+              case None =>
+                val nw = n1w.getOrElse(cur, 0L)
+                if (nw >= 1L) bitlen(n1all) - bitlen(nw)
+                else bitlen(n1all) + 1L
+            }
+          }
+        }.sum
+        id -> ((tk.length.toLong, bits))
+      }.toMap
+      val got = TextAnalysis.knBigramSurprisal(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          keepBelowBits = 2.0)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits")))).toMap
+      assert(got == expected, s"trial $trial diverged from brute force")
+      // interpolated KN is a proper distribution: bits are never negative
+      assert(expected.values.forall(_._2 >= 0L))
+    }
+  }
+
+  test("knBigramSurprisal: the novel-context property — a word frequent " +
+    "after ONE context only (the 'Francisco' case) costs more in a " +
+    "fresh context than an equally-frequent word with many contexts") {
+    import s.implicits._
+    // train docs (ids chosen in the 80% bucket): "francisco" always and
+    // only after "san" (8x); "things" equally frequent but after 8
+    // DIFFERENT contexts. Score doc: both words after the fresh
+    // context "green" (seen as a starter, so the KN arm fires with
+    // c2=0 -> pure continuation term, where N1(.w) decides).
+    val train = (0 until 8).map { i =>
+      (2L + 2 * i, s"san francisco c$i things green ok")
+    }
+    val score = Seq((1L, "green francisco"), (3L, "green things"))
+    val docs = (train ++ score).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramSurprisal(docs, "doc_id", "text",
+        keepBelowBits = 0.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("total_bits")).toMap
+    assert(out(1L) > out(3L),
+      s"single-context 'francisco' must cost more than multi-context " +
+        s"'things' in a novel context: ${out(1L)} vs ${out(3L)}")
+  }
+
   test("bm25TopK matches a bit-exact brute-force reference on random " +
     "corpora (idf bits, dl normalization, sorted-term sum, tie-break)") {
     import s.implicits._
