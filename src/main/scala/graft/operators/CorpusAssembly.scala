@@ -241,6 +241,72 @@ object CorpusAssembly {
         col(idCol))
   }
 
+  /** Per-id portable sampling key — [[epochHashSql]]'s LCG family
+    * without the epoch term. Shared verbatim by the Spark plan and the
+    * DuckDB oracle (the x14 shared-fragment discipline).
+    */
+  def sampleHashSql(idCol: String, seed: Long): String =
+    s"(((($idCol + $seed) % 100000007 + 100000007) % 100000007)" +
+      s" * 1103515245 + 12345) % 1000000007"
+
+  /** Deterministic SYSTEMATIC weighted sampling: exactly `k` draws with
+    * per-document inclusion proportional to an integer weight — the
+    * classic survey-sampling scheme (systematic PPS, Madow 1949) in a
+    * form that is bit-reproducible on any engine or cluster layout,
+    * unlike rejection or exponential-key (Efraimidis-Spirakis) sampling
+    * whose ln()/pow() keys inherit libm last-ulp skew. The mixture-
+    * assembly complement of [[quotaExact]] (budgeted top-quality) and
+    * [[TextAnalysis.splitAssign]] (unweighted rates): "sample k
+    * documents proportional to token count" is how a training mix
+    * draws from an over-large source without flattening its length
+    * distribution.
+    *
+    * Scheme: lay documents on an integer line in a seed-salted
+    * pseudo-random order (the [[sampleHashSql]] LCG — systematic
+    * sampling is only unbiased under an order uncorrelated with the
+    * weights), each covering `[cum_w - w, cum_w)`; draw at positions
+    * `offset + m*step` for `m = 0..k-1` with `step = total div k`,
+    * `offset = step div 2`. `n_draws` = draw positions inside the
+    * document's interval — a document with `w > step` can legitimately
+    * be drawn multiple times (sampling WITH multiplicity; callers
+    * wanting at-most-once should cap weights at `step`). Exactly `k`
+    * total draws, guaranteed by construction (spec-pinned).
+    *
+    * All arithmetic is exact-integer (guarded `div` — no floor-vs-
+    * truncation divergence on any engine since every dividend is
+    * positive). Requires `k <= sum(weights)`; zero/negative-weight rows
+    * never draw and are excluded up front.
+    *
+    * Scale shape: the cumulative line runs through [[prefixSumCols]]
+    * (range partition + bounded offsets table — no global window
+    * funnel); the totals frame is one broadcast row. Map-only after
+    * that: at 100 TB the cost is one sort-shuffle of (id, w) pairs,
+    * never the corpus payload.
+    */
+  def systematicWeightedSample(df: DataFrame, idCol: String,
+                               weightCol: String, k: Long,
+                               seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralId(df, idCol)
+    val keyed = df
+      .select(col(idCol), col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("__h", expr(sampleHashSql(idCol, seed)))
+    val cum = prefixSumCols(keyed, Seq("__h", idCol), "w", "cum_w")
+    val tot = keyed.agg(sum("w").cast("long").as("__tot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__step", expr(s"__tot div ${k}L"))
+      .withColumn("__off", expr("__step div 2L"))
+      .withColumn("n_draws",
+        when(col("cum_w") <= col("__off"), lit(0L))
+          .otherwise(least(lit(k),
+            expr("(cum_w - __off + __step - 1) div __step")))
+        - when(col("cum_w") - col("w") <= col("__off"), lit(0L))
+          .otherwise(least(lit(k),
+            expr("(cum_w - w - __off + __step - 1) div __step"))))
+      .select(col(idCol), col("w"), col("cum_w"), col("n_draws"))
+  }
+
   /** Quality scoring shared by both quota forms: `n_tokens` =
     * whitespace token count, `quality` = distinct-token count (lexical
     * diversity) — both exact integers, so every downstream decision is

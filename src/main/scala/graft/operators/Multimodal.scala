@@ -458,4 +458,68 @@ object Multimodal {
       }
     } finally iis.close()
   }
+
+  /** Interleaved multimodal SEQUENCE ASSEMBLY — the step between a
+    * cleaned text+media lake and a VLM training loader: each document's
+    * token stream is cut into `chunkTokens`-token text elements, its
+    * media items are spliced in at deterministic positions (item `j`
+    * lands after text chunk `j`, clamped to the end — the
+    * markup-position slot an HTML-derived corpus would carry), every
+    * image costs a fixed `imageTokens` (the patch-token budget of a
+    * ViT-style encoder), and the element stream is laid out with exact
+    * cumulative token offsets plus a `within_budget` flag marking the
+    * prefix a `budget`-token sample keeps (the l25 straddle
+    * convention, per document).
+    *
+    * `media` carries one row per (document, media index) — metadata
+    * only. The payload bytes stay in the lake: assembly decides LAYOUT,
+    * and only the kept elements' payloads are ever fetched/decoded
+    * (by [[extractFeatures]]/[[resizeImages]] downstream) — at 100 TB
+    * the difference between shuffling token counts and shuffling the
+    * images themselves.
+    *
+    * Every quantity is an exact integer, so the full element layout
+    * hash-matches a SQL mirror (the m2 gate query). Scale shape: one
+    * join on the doc id, per-doc bounded windows (a document's element
+    * count, never the corpus), no corpus-sized exchange.
+    */
+  def interleaveSequences(docs: DataFrame, idCol: String, textCol: String,
+                          media: DataFrame, mediaIdCol: String,
+                          mediaIdxCol: String, chunkTokens: Int,
+                          imageTokens: Int, budget: Long): DataFrame = {
+    require(chunkTokens >= 1 && imageTokens >= 0 && budget >= 1)
+    val base = docs.select(col(idCol).as("doc"),
+      TextAnalysis.tokenCount(textCol).as("n_tokens"))
+      .withColumn("n_chunks",
+        expr(s"(n_tokens + ${chunkTokens - 1}) div $chunkTokens"))
+    // text elements: chunk i carries min(chunkTokens, remaining) tokens.
+    // sequence(0, -1) is DESCENDING in Spark, so empty docs are guarded.
+    val textElems = base.filter(col("n_chunks") >= 1)
+      .select(col("doc"), col("n_tokens"), col("n_chunks"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("pos"))
+      .select(col("doc"), col("pos").cast("long").as("pos"),
+        lit(0L).as("kind_rank"), lit(-1L).as("media_idx"),
+        least(lit(chunkTokens.toLong),
+          col("n_tokens") - col("pos") * chunkTokens).as("elem_tokens"))
+    val mediaElems = media
+      .select(col(mediaIdCol).as("doc"),
+        col(mediaIdxCol).cast("long").as("media_idx"))
+      .join(base.select(col("doc"), col("n_chunks")), Seq("doc"))
+      .select(col("doc"),
+        least(col("media_idx") + 1L, col("n_chunks")).as("pos"),
+        lit(1L).as("kind_rank"), col("media_idx"),
+        lit(imageTokens.toLong).as("elem_tokens"))
+    val Win = org.apache.spark.sql.expressions.Window
+    val w = Win.partitionBy("doc")
+      .orderBy(col("pos"), col("kind_rank"), col("media_idx"))
+    textElems.unionByName(mediaElems)
+      .withColumn("elem_idx", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum("elem_tokens").over(w.rowsBetween(Win.unboundedPreceding, 0)))
+      .withColumn("kind",
+        when(col("kind_rank") === 0L, lit("text")).otherwise(lit("image")))
+      .withColumn("within_budget", (col("cum_tokens") <= budget).cast("long"))
+      .select(col("doc"), col("elem_idx"), col("kind"), col("media_idx"),
+        col("elem_tokens"), col("cum_tokens"), col("within_budget"))
+  }
 }

@@ -1305,6 +1305,58 @@ object LlmOps {
       lower(hex(encode(substring(text, 1, 4)))) AS header_hex
       FROM documents"""))
 
+  // M2 — interleaved multimodal sequence assembly: each doc's token
+  // stream chunked at 16 tokens, synthetic image metadata (one item
+  // per 120 chars — docs under 120 chars carry none, so the no-media
+  // path is non-vacuous) spliced after chunk j at 32 patch-tokens
+  // each, 96-token sample budget. The FULL element layout — order,
+  // token costs, cumulative offsets, budget flags — hash-matches the
+  // SQL mirror; payload bytes never enter the layout decision (see
+  // Multimodal.interleaveSequences).
+  private val m2 = QueryDef("m2_interleave_assembly", (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val media = docs
+      .filter(expr("n_chars div 120 >= 1"))
+      .select(col("doc_id"), explode(
+        expr("sequence(0, cast(n_chars div 120 as int) - 1)"))
+        .as("media_idx"))
+    Multimodal.interleaveSequences(docs, "doc_id", "text", media,
+      "doc_id", "media_idx", chunkTokens = 16, imageTokens = 32,
+      budget = 96L)
+  }, Some("""WITH t AS (SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '),
+          x -> length(x) > 0)) AS BIGINT) n_tokens, n_chars
+        FROM documents),
+      base AS (SELECT doc_id, n_tokens,
+          (n_tokens + 15) // 16 AS n_chunks FROM t),
+      te AS (SELECT doc_id, CAST(unnest(range(0, n_chunks)) AS BIGINT) pos,
+          CAST(0 AS BIGINT) kind_rank, CAST(-1 AS BIGINT) media_idx,
+          n_tokens, n_chunks
+        FROM base WHERE n_chunks >= 1),
+      te2 AS (SELECT doc_id, pos, kind_rank, media_idx,
+          least(16, n_tokens - pos * 16) AS elem_tokens FROM te),
+      m AS (SELECT doc_id, CAST(unnest(range(0, n_chars // 120)) AS BIGINT)
+          media_idx FROM t),
+      me AS (SELECT m.doc_id, least(m.media_idx + 1, b.n_chunks) AS pos,
+          CAST(1 AS BIGINT) kind_rank, m.media_idx,
+          CAST(32 AS BIGINT) elem_tokens
+        FROM m JOIN base b ON b.doc_id = m.doc_id),
+      u AS (SELECT * FROM te2 UNION ALL SELECT * FROM me),
+      laid AS (SELECT doc_id AS doc,
+          CAST(row_number() OVER w AS BIGINT) elem_idx,
+          CASE WHEN kind_rank = 0 THEN 'text' ELSE 'image' END kind,
+          media_idx, elem_tokens,
+          CAST(sum(elem_tokens) OVER (PARTITION BY doc_id
+            ORDER BY pos, kind_rank, media_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            cum_tokens
+        FROM u
+        WINDOW w AS (PARTITION BY doc_id
+          ORDER BY pos, kind_rank, media_idx))
+      SELECT doc, elem_idx, kind, media_idx, elem_tokens, cum_tokens,
+        CAST(cum_tokens <= 96 AS BIGINT) AS within_budget
+      FROM laid"""))
+
   // L16 — the training-corpus cleaning funnel END TO END, composed from
   // the primitive stages and fully oracle-checked: quality gate
   // (alpha-ratio + min length) -> prefix-fingerprint dedup (sha256 of the
@@ -1636,6 +1688,39 @@ object LlmOps {
              CAST(total_bits AS DOUBLE) / n_tokens < 5.06 THEN 1 ELSE 0
              END AS BIGINT) AS keep
       FROM documents d LEFT JOIN agg USING (doc_id)"""))
+
+  // L56 — systematic weighted sampling: exactly k=100 draws with
+  // inclusion proportional to token count, over the seed-salted LCG
+  // order (CorpusAssembly.systematicWeightedSample). Everything is
+  // exact-integer — the cumulative weight line, the step/offset grid,
+  // the per-doc draw counts — so the full 500-row assignment
+  // hash-matches DuckDB's windowed mirror. The spec pins sum(n_draws)
+  // == k and the proportionality bound.
+  private val l56 = QueryDef("l56_weighted_sample", (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("w_tokens", TextAnalysis.tokenCount("text"))
+    CorpusAssembly.systematicWeightedSample(docs, "doc_id", "w_tokens",
+      k = 100L, seed = 0L)
+  }, Some("""WITH w AS (SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '),
+          t -> length(t) > 0)) AS BIGINT) w
+        FROM documents),
+      f AS (SELECT doc_id, w,
+          ((((doc_id + 0) % 100000007 + 100000007) % 100000007)
+            * 1103515245 + 12345) % 1000000007 AS h
+        FROM w WHERE w > 0),
+      c AS (SELECT doc_id, w,
+          CAST(sum(w) OVER (ORDER BY h, doc_id) AS BIGINT) cum_w
+        FROM f),
+      t AS (SELECT CAST(sum(w) AS BIGINT) tot FROM f),
+      p AS (SELECT tot // 100 AS step, (tot // 100) // 2 AS off FROM t)
+      SELECT doc_id, w, cum_w,
+        (CASE WHEN cum_w <= off THEN 0
+              ELSE least(100, (cum_w - off + step - 1) // step) END)
+        - (CASE WHEN cum_w - w <= off THEN 0
+              ELSE least(100, (cum_w - w - off + step - 1) // step) END)
+          AS n_draws
+      FROM c CROSS JOIN p"""))
 
   // L25 — sequence packing (concat-and-chunk): the token stream in
   // doc_id order cut into 2048-token bins, reported per bin. The global
@@ -2576,5 +2661,5 @@ object LlmOps {
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
-      l53r, l54, l54h, l55, m1)
+      l53r, l54, l54h, l55, l56, m1, m2)
 }

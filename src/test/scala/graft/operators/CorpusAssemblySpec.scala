@@ -341,4 +341,44 @@ class CorpusAssemblySpec extends AnyFunSuite {
     assert(orderOf(got, 2L) != orderOf(got, 3L))
     assert(orderOf(runAt(7, 8L), 1L) != orderOf(got, 1L))
   }
+
+  test("systematicWeightedSample: exactly k draws, per-doc multiplicity " +
+    "within one of proportional, layout-independent, heavy docs draw " +
+    "multiple times, zero weights never draw") {
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = ((0L until 200L).map(i => (i, 1L + rnd.nextInt(50).toLong))
+      :+ (200L, 0L) :+ (201L, 5000L)) // a zero weight and a whale
+      .toDF("doc_id", "wt")
+    val k = 40L
+    val out = CorpusAssembly.systematicWeightedSample(docs, "doc_id",
+      "wt", k = k, seed = 3L)
+    val rows = out.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("w"), r.getAs[Long]("n_draws")))
+    val total = rows.map(_._2).sum
+    val step = total / k
+    assert(rows.map(_._3).sum == k, "systematic sampling must emit " +
+      s"exactly k draws, got ${rows.map(_._3).sum}")
+    assert(!rows.exists(_._1 == 200L), "zero-weight rows are excluded")
+    // every doc's multiplicity is within 1 of w/step (the systematic
+    // grid can't skip or double-count an interval by more)
+    rows.foreach { case (id, w, d) =>
+      assert(d >= w / step - 1 && d <= w / step + 1,
+        s"doc $id w=$w drew $d times, step=$step")
+    }
+    assert(rows.find(_._1 == 201L).get._3 >= 2,
+      "a doc heavier than step must draw with multiplicity")
+    // layout independence: same assignment at any partitioning
+    val re = CorpusAssembly.systematicWeightedSample(
+        docs.repartition(13), "doc_id", "wt", k = k, seed = 3L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("w"), r.getAs[Long]("n_draws"))).toSet
+    assert(re == rows.toSet)
+    // and the seed genuinely moves the sample
+    val other = CorpusAssembly.systematicWeightedSample(docs, "doc_id",
+        "wt", k = k, seed = 4L)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_draws"))).toSet
+    assert(other != rows.map(r => (r._1, r._3)).toSet)
+  }
 }

@@ -363,4 +363,40 @@ class MultimodalSpec extends AnyFunSuite {
     val deep = bos.toByteArray
     assert(Multimodal.AviDemux.frames(deep).isEmpty) // degrades, no throw
   }
+
+  test("interleaveSequences: hand-computed layout — chunk splits, image " +
+    "splice positions incl. end-clamp, cumulative offsets, budget cut, " +
+    "doc without media, media on an empty doc") {
+    import s.implicits._
+    // doc 1: 20 tokens -> chunks of 16+4; imgs 0,1 -> after chunks 1,2
+    // doc 2: 5 tokens, no media -> one 5-token chunk
+    // doc 3: empty text, one image -> image at pos 0, nothing else
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c d e"),
+      (3L, "")).toDF("doc_id", "text")
+    val media = Seq((1L, 0L), (1L, 1L), (3L, 0L))
+      .toDF("doc_id", "media_idx")
+    val out = Multimodal.interleaveSequences(docs, "doc_id", "text",
+        media, "doc_id", "media_idx", chunkTokens = 16, imageTokens = 32,
+        budget = 50L)
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("elem_idx"),
+        r.getAs[String]("kind"), r.getAs[Long]("media_idx"),
+        r.getAs[Long]("elem_tokens"), r.getAs[Long]("cum_tokens"),
+        r.getAs[Long]("within_budget"))).toSet
+    // doc 1, ordered by (pos, kind_rank text-before-image, media_idx):
+    //  pos 0: text chunk 0 (16)          -> cum 16
+    //  pos 1: text chunk 1 (4)           -> cum 20
+    //  pos 1: image 0 (32)               -> cum 52 (> 50 -> outside budget)
+    //  pos 2 (clamped to n_chunks=2): image 1 (32) -> cum 84
+    val expectedDoc1 = Set(
+      (1L, 1L, "text", -1L, 16L, 16L, 1L),
+      (1L, 2L, "text", -1L, 4L, 20L, 1L),
+      (1L, 3L, "image", 0L, 32L, 52L, 0L),
+      (1L, 4L, "image", 1L, 32L, 84L, 0L))
+    assert(out.filter(_._1 == 1L) == expectedDoc1,
+      s"doc1 layout: ${out.filter(_._1 == 1L).toSeq.sortBy(_._2)}")
+    assert(out.filter(_._1 == 2L) == Set((2L, 1L, "text", -1L, 5L, 5L, 1L)))
+    assert(out.filter(_._1 == 3L) == Set((3L, 1L, "image", 0L, 32L, 32L, 1L)))
+  }
 }
