@@ -530,10 +530,22 @@ object TextAnalysis {
     * model tables broadcast. Counts are assumed to satisfy
     * 4*c(v.)*N1(..) < 2^63 — at larger corpora scale the training
     * sample, not the formula (the discount ratio is scale-free).
+    *
+    * `minCount` prunes the BROADCAST bigram table to counts >=
+    * minCount — the model-size knob a content-diverse corpus needs: on
+    * real text most bigram TYPES are singletons, so the unpruned table
+    * grows with the corpus (not the vocabulary) and its broadcast is
+    * the one piece of this plan that would not hold at 100 TB. Pruning
+    * follows deployed-LM semantics: the smoothing statistics (c(v.),
+    * N1(v.), N1(.w), N1(..)) stay EXACT — they are vocabulary-sized
+    * aggregates, never broadcast-bound — and a pruned bigram simply
+    * scores through the c(vw)=0 continuation arm. `minCount = 1` is
+    * the exact model (the oracle-checked default).
     */
   def knBigramSurprisal(docs: org.apache.spark.sql.DataFrame,
                         idCol: String, textCol: String,
-                        keepBelowBits: Double): org.apache.spark.sql.DataFrame = {
+                        keepBelowBits: Double,
+                        minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc"), expr(toksSql(textCol)).as("arr"))
       .select(col("doc"), col("arr"),
@@ -545,15 +557,20 @@ object TextAnalysis {
       .groupBy(col("t").as("u_t")).agg(count(lit(1)).as("c1"))
     val total = c1.agg(sum("c1").cast("long").as("tt"))
     val big = toks.filter(col("is_train") && col("prev").isNotNull)
-    val c2 = big.groupBy(col("prev").as("b_prev"), col("t").as("b_cur"))
+    val c2full = big.groupBy(col("prev").as("b_prev"), col("t").as("b_cur"))
       .agg(count(lit(1)).as("c2"))
-    // per-context: total starts c(v.) and distinct continuations N1(v.)
-    val ctx = c2.groupBy(col("b_prev").as("v_t"))
+    // smoothing statistics from the FULL bigram table (exact at any
+    // minCount — vocabulary-sized aggregate outputs, never broadcast):
+    // per-context total starts c(v.) + distinct continuations N1(v.),
+    // per-word distinct left contexts N1(.w), total types N1(..)
+    val ctx = c2full.groupBy(col("b_prev").as("v_t"))
       .agg(sum("c2").cast("long").as("cv"), count(lit(1)).as("n1v"))
-    // per-word: distinct left contexts N1(.w)
-    val cont = c2.groupBy(col("b_cur").as("w_t"))
+    val cont = c2full.groupBy(col("b_cur").as("w_t"))
       .agg(count(lit(1)).as("n1w"))
-    val n1all = c2.agg(count(lit(1)).as("n1all"))
+    val n1all = c2full.agg(count(lit(1)).as("n1all"))
+    // only the broadcast scoring table is pruned (see scaladoc)
+    val c2 =
+      if (minCount <= 1L) c2full else c2full.filter(col("c2") >= minCount)
     val num = greatest(lit(4L) * coalesce(col("c2"), lit(0L)) - lit(3L),
       lit(0L)) * col("n1all") +
       lit(3L) * col("n1v") * coalesce(col("n1w"), lit(0L))

@@ -645,6 +645,143 @@ object StreamOps {
         .toDF("doc", "band", "bucket", "first_batch")
     }
 
+  /** Streaming PREFIX-FILTER near-dup index — the l54 exact-recall
+    * Jaccard join ([[graft.operators.Dedup.prefixFilterJaccardPairs]])
+    * maintained against a standing corpus: where
+    * [[nearDupIndexForeachBatch]] trades recall for bounded candidates
+    * (LSH misses a 1-(1-J^r)^b fraction), this index finds EVERY pair
+    * with J >= threshold, with candidates bounded by the prefix
+    * theorem instead of chance.
+    *
+    * The theorem needs both members of a pair prefixed under ONE
+    * consistent total order — but true global document frequencies
+    * drift as the corpus grows. The index therefore FREEZES the order
+    * at seed time (`order/` = the first batch's df table; shingles
+    * unseen there rank df=0, i.e. rarest-first): completeness holds
+    * under ANY fixed total order, so the streamed pair log STILL
+    * equals the exact tau-join — drift costs only candidate
+    * efficiency (new-vocabulary shingles over-index), never recall
+    * (spec pins streamed == one-shot == the capless exact join).
+    * Re-freezing on a vocabulary shift is a [[compactPrefixDupIndex]]
+    * + reseed, the documented operational lever.
+    *
+    * State under `indexPath`, both append-only delta logs (the
+    * [[dedupIndexForeachBatch]] discipline — O(batch) writes, reads
+    * filter `first_batch < batchId` so retries are idempotent):
+    *  - `prefixes/d=<id>`: (doc, m, shingle) — the doc's rarest-first
+    *    prefix under the frozen order plus its full set size `m` (what
+    *    candidate generation joins, with the length filter applied in
+    *    the join);
+    *  - `shingles/d=<id>`: (doc, sh ARRAY<LONG>) — full hashed sets
+    *    (what exact verification joins).
+    * Per batch: batch-prefix x standing-prefix plus within-batch
+    * prefix collisions -> length filter -> exact verify -> pairs land
+    * at `pairsPath/batch=<id>` attributed to the later member's
+    * arrival (the l22 semantics).
+    */
+  def prefixDupIndexForeachBatch(indexPath: String, pairsPath: String,
+                                 idCol: String, textCol: String,
+                                 n: Int = 3, threshold: Double = 0.8)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import graft.operators.{Barrier, Dedup}
+      val bsh = Barrier.filterAbove(
+          batch.select(col(idCol).cast("long").as("doc"),
+            Dedup.shingles(textCol, n).as("s0")),
+          size(col("s0")) > 0)
+        .select(col("doc"),
+          expr("transform(s0, t -> xxhash64(t))").as("sh"))
+        .cache()
+      // frozen order: written once by the seed batch, atomically
+      // (staging + rename — a crashed retry recomputes the identical
+      // df table from the same batch, so either publish is correct)
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val orderTarget = new org.apache.hadoop.fs.Path(s"$indexPath/order")
+      if (!fs.exists(orderTarget)) {
+        val staging =
+          new org.apache.hadoop.fs.Path(s"$indexPath/order__staging")
+        bsh.select(col("doc"), explode(col("sh")).as("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+          .write.mode("overwrite").parquet(staging.toString)
+        if (!fs.rename(staging, orderTarget))
+          throw new java.io.IOException(s"cannot publish $orderTarget")
+      }
+      val order = spark.read.parquet(orderTarget.toString)
+      val inv = bsh.select(col("doc"),
+        size(col("sh")).cast("long").as("m"),
+        explode(col("sh")).as("shingle"))
+      val p = (col("m") - ceil(lit(threshold) * col("m") - lit(1e-9))
+        .cast("long") + lit(1L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc").orderBy(col("dfreq"), col("shingle"))
+      val bPrefix = inv.join(order, Seq("shingle"), "left")
+        .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= p)
+        .select("doc", "m", "shingle")
+        .cache()
+      val standingPx = prefixDupPrefixes(spark, indexPath)
+        .filter(col("first_batch") < batchId)
+      val standingSh = prefixDupShingles(spark, indexPath)
+        .filter(col("first_batch") < batchId)
+      def lenOk =
+        col("b.m") >= lit(threshold) * col("a.m") - lit(1e-9) &&
+          col("a.m") >= lit(threshold) * col("b.m") - lit(1e-9)
+      val cross = bPrefix.as("a").join(standingPx.as("b"),
+          col("a.shingle") === col("b.shingle") && lenOk)
+        .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+          greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      val within = bPrefix.as("a").join(bPrefix.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc") < col("b.doc") && lenOk)
+        .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      val cand = cross.union(within).distinct()
+      val allSh = standingSh.select("doc", "sh")
+        .union(bsh.select("doc", "sh"))
+      Dedup.verifiedJaccard(cand, allSh, threshold)
+        .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+      bPrefix.withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite")
+        .parquet(s"$indexPath/prefixes/d=$batchId")
+      bsh.withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite")
+        .parquet(s"$indexPath/shingles/d=$batchId")
+      bPrefix.unpersist(blocking = false)
+      bsh.unpersist(blocking = false)
+    }
+  }
+
+  /** The standing prefix store (empty-schema frame when absent). */
+  def prefixDupPrefixes(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): DataFrame =
+    readDeltaDirs(spark, s"$indexPath/prefixes").getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("doc", "m", "shingle", "first_batch")
+    }
+
+  /** The standing full-shingle-set store (empty frame when absent). */
+  def prefixDupShingles(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): DataFrame =
+    readDeltaDirs(spark, s"$indexPath/shingles").getOrElse {
+      import spark.implicits._
+      Seq.empty[(Long, Seq[Long], Long)].toDF("doc", "sh", "first_batch")
+    }
+
+  /** LSM compaction for the prefix-filter index's two delta logs —
+    * purely physical (the frozen `order/` table is untouched; rows
+    * keep their original `first_batch`).
+    */
+  def compactPrefixDupIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, upTo: Long): Unit = {
+    // a doc carries MANY prefix rows — the dedup key must include the
+    // shingle or compaction would collapse a doc's prefix to one row
+    compactStore(spark, s"$indexPath/prefixes", Seq("doc", "shingle"), upTo)
+    compactStore(spark, s"$indexPath/shingles", Seq("doc"), upTo)
+  }
+
   /** Streaming DSIR — importance scoring AT INGEST: each arriving
     * batch is scored against the raw/target hashed-unigram
     * distributions of everything that arrived BEFORE it

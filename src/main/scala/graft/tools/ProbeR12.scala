@@ -487,6 +487,48 @@ object ProbeR12 {
             f"maxTask=${metrics.maxTaskSec}%.1f s")
         }
 
+      case "prefixstream" =>
+        // streaming prefix-filter (l54) index at a 250k-doc standing
+        // corpus — the exact-recall counterpart of `neardupstream`:
+        // batch 0 seeds (freezes the df order + one-time prefix build),
+        // batch 1 = 10k planted near-dups + 5k fresh docs.
+        val root = "/tmp/scale/probe12_prefix"
+        org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(root), true)
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        val sink = graft.streaming.StreamOps.prefixDupIndexForeachBatch(
+          s"$root/index", s"$root/pairs", "doc_id", "text",
+          threshold = 0.8)
+        metrics.reset()
+        val t0 = System.nanoTime()
+        sink(docs, 0L)
+        println(f"PROBE12 prefix_seed_250k ${
+          (System.nanoTime() - t0) / 1e9}%.1f s " +
+          f"shuffle=${metrics.shuffleWriteMb} MB " +
+          f"spill=${metrics.spillMb} MB " +
+          f"maxTask=${metrics.maxTaskSec}%.1f s")
+        val planted = docs.filter(pmod(col("doc_id"), lit(25L)) === 0L)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" xqz")).as("text"))
+        val fresh = spark.range(0L, 5000L, 1L, 8)
+          .select((col("id") + 20000000L).as("doc_id"),
+            expr("""concat_ws(' ', transform(sequence(0, 9),
+              j -> concat('w', id, 'x', j)))""").as("text"))
+        metrics.reset()
+        val t1 = System.nanoTime()
+        sink(planted.unionByName(fresh), 1L)
+        val secs1 = (System.nanoTime() - t1) / 1e9
+        val nPairs1 = spark.read.parquet(s"$root/pairs/batch=1").count()
+        println(f"PROBE12 prefix_batch_15k ${secs1}%.1f s " +
+          f"pairs=$nPairs1 shuffle=${metrics.shuffleWriteMb} MB " +
+          f"spill=${metrics.spillMb} MB maxTask=${metrics.maxTaskSec}%.1f s")
+        val px = spark.read.parquet(s"$root/index/prefixes/d=0").count()
+        val sh = spark.read.parquet(s"$root/index/shingles/d=0").count()
+        println(s"PROBE12 prefix_state seed_prefix_rows=$px " +
+          s"seed_docs=$sh")
+
       case "semdedupscale" =>
         // the FULL l42 SemDeDup pipeline at 100k clustered vectors
         // (sf5 `cluster` mode — 64 natural clusters, the honest ANN
@@ -1183,6 +1225,132 @@ object ProbeR12 {
           f"ratio_vs_exact=${ipRes / ipExact}%.3f " +
           f"recall@10_vs_exact_ip=$covRes%.3f")
         emb.unpersist(); queries.unpersist(); rCentroids.unpersist()
+
+      case "wave5" =>
+        // ---- l54 prefix-filter exact Jaccard at 250k diverse docs ----
+        import graft.operators.{CorpusAssembly, Dedup, Multimodal, TextAnalysis}
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text").cache()
+        val nDocs = docs.count()
+        println(s"PROBE12 wave5_docs $nDocs")
+        // the avoided volume: what an UNCAPPED inverted-index join would
+        // generate (sum df*(df-1)/2 over shingles) — computed as one
+        // aggregate, not by running it
+        val dfAgg = docs.select(explode(Dedup.shingles("text", 3))
+            .as("sh"))
+          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .agg(sum(expr("df * (df - 1) div 2")).as("pairs"),
+            max("df").as("max_df"), count(lit(1)).as("n_shingles"))
+          .head()
+        println(s"PROBE12 l54_uncapped_would_generate pairs=" +
+          s"${dfAgg.getLong(0)} max_df=${dfAgg.getLong(1)} " +
+          s"shingle_types=${dfAgg.getLong(2)}")
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val nCand = Dedup.prefixFilterCandidates(docs, "doc_id", "text",
+            n = 3, threshold = 0.8, hashedShingles = true).count()
+          metrics.drain()
+          println(f"PROBE12 l54_prefix_cand rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s cand=$nCand " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"spill=${metrics.spillMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val nPairs = Dedup.prefixFilterJaccardPairs(docs, "doc_id",
+            "text", n = 3, threshold = 0.8, hashedShingles = true).count()
+          metrics.drain()
+          println(f"PROBE12 l54_full rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s pairs=$nPairs " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"spill=${metrics.spillMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        // the capped comparison point (recall-weakened, l2bh's shape)
+        for (rep <- 1 to 2) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val nCap = Dedup.ngramCandidates(docs, "doc_id", "text", n = 3,
+            maxDocFreq = 10).count()
+          metrics.drain()
+          println(f"PROBE12 l54_capped_cand_df10 rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s cand=$nCap " +
+            f"shuffle=${metrics.shuffleWriteMb} MB")
+        }
+
+        // ---- l55 KN surprisal: model sizes + the pruning knob ----
+        val modelRows = docs
+          .select(col("doc_id").as("doc"),
+            expr("filter(split(text, ' '), t -> length(t) > 0)").as("arr"))
+          .select(col("doc"), posexplode(col("arr")).as(Seq("pos", "t")),
+            col("arr"))
+          .withColumn("prev", get(col("arr"), col("pos") - 1))
+          .filter(col("prev").isNotNull)
+          .groupBy("prev", "t").agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("types"),
+            sum(when(col("c") >= 2L, 1L).otherwise(0L)).as("types_ge2"))
+          .head()
+        println(s"PROBE12 l55_bigram_types total=${modelRows.getLong(0)} " +
+          s"ge2=${modelRows.getLong(1)}")
+        for ((label, mc) <- Seq(("exact_mc1", 1L), ("pruned_mc2", 2L))) {
+          for (rep <- 1 to 2) {
+            metrics.reset()
+            val t0 = System.nanoTime()
+            TextAnalysis.knBigramSurprisal(docs, "doc_id", "text",
+                keepBelowBits = 5.0, minCount = mc)
+              .write.format("noop").mode(SaveMode.Overwrite).save()
+            metrics.drain()
+            println(f"PROBE12 l55_$label rep$rep " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+              f"shuffle=${metrics.shuffleWriteMb} MB " +
+              f"spill=${metrics.spillMb} MB " +
+              f"maxTask=${metrics.maxTaskSec}%.1f s")
+          }
+        }
+
+        // ---- l56 systematic weighted sample at 30M rows ----
+        val rows30 = spark.range(0L, 30000000L, 1L, 32)
+          .select(col("id"),
+            (pmod(expr("xxhash64(id)"), lit(100L)) + 1L).as("wt"))
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val drawn = CorpusAssembly.systematicWeightedSample(rows30,
+              "id", "wt", k = 1000000L, seed = 7L)
+            .agg(sum("n_draws")).head().getLong(0)
+          metrics.drain()
+          println(f"PROBE12 l56_30m_k1m rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s draws=$drawn " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"spill=${metrics.spillMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+
+        // ---- m2 interleave assembly at 250k docs ----
+        val media = docs
+          .withColumn("n_chars", length(col("text")))
+          .filter(expr("n_chars div 120 >= 1"))
+          .select(col("doc_id"), explode(
+            expr("sequence(0, cast(n_chars div 120 as int) - 1)"))
+            .as("media_idx"))
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          Multimodal.interleaveSequences(docs, "doc_id", "text", media,
+              "doc_id", "media_idx", chunkTokens = 16, imageTokens = 32,
+              budget = 2048L)
+            .write.format("noop").mode(SaveMode.Overwrite).save()
+          metrics.drain()
+          println(f"PROBE12 m2_interleave rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"spill=${metrics.spillMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        docs.unpersist()
 
       case other =>
         sys.error(s"unknown ProbeR12 mode: $other")

@@ -309,6 +309,43 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial diverged from brute force")
       // interpolated KN is a proper distribution: bits are never negative
       assert(expected.values.forall(_._2 >= 0L))
+      // minCount pruning: smoothing statistics stay FULL-table exact,
+      // only the bigram lookup is pruned — a pruned bigram scores
+      // through the c2=0 continuation arm
+      val mc = 2L
+      val expectedPruned = docs.map { case (id, t) =>
+        val tk = t.split(" ").filter(_.nonEmpty).toVector
+        val bits = tk.zipWithIndex.map { case (cur, i) =>
+          if (i == 0)
+            c1.get(cur).map(c => bitlen(total) - bitlen(c))
+              .getOrElse(bitlen(total))
+          else {
+            val prev = tk(i - 1)
+            cv.get(prev) match {
+              case Some(cvv) =>
+                val c2v = c2.getOrElse((prev, cur), 0L)
+                val kept = if (c2v >= mc) c2v else 0L
+                val num = math.max(4L * kept - 3L, 0L) * n1all +
+                  3L * n1v(prev) * n1w.getOrElse(cur, 0L)
+                val den = 4L * cvv * n1all
+                if (num >= 1L) bitlen(den) - bitlen(num)
+                else bitlen(den) + 1L
+              case None =>
+                val nw = n1w.getOrElse(cur, 0L)
+                if (nw >= 1L) bitlen(n1all) - bitlen(nw)
+                else bitlen(n1all) + 1L
+            }
+          }
+        }.sum
+        id -> ((tk.length.toLong, bits))
+      }.toMap
+      val gotPruned = TextAnalysis.knBigramSurprisal(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          keepBelowBits = 2.0, minCount = mc)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits")))).toMap
+      assert(gotPruned == expectedPruned,
+        s"trial $trial pruned model diverged from brute force")
     }
   }
 

@@ -963,6 +963,87 @@ class StreamOpsSpec extends AnyFunSuite {
       s"post-compaction batch must still match the standing corpus: $p3")
   }
 
+  test("streaming prefix-filter index: the union of per-batch pair logs " +
+    "equals the one-shot exact tau-join even for post-seed vocabulary " +
+    "(frozen order, df=0 arm); retry and compaction are inert") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prefix_stream").toString
+    val indexPath = root + "/index"
+    val pairsPath = root + "/pairs"
+    val t1 = "a b c d e f g h i j"
+    val t3 = "p q r s t u v w x y"
+    // batch 2's family (docs 8~9) uses vocabulary the seed never saw —
+    // every shingle ranks df=0 in the frozen order, the drift arm
+    val tNew = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"
+    val standing = Seq((1L, t1), (3L, t3)).toDF("doc_id", "text")
+    val b1 = Seq((2L, t1 + " k"), (6L, "m n o zz q2 r2 s2 t2 u2 v2"))
+    val b2 = Seq((5L, t1 + " l"), (4L, t3 + " z"), (8L, tNew),
+      (9L, tNew + " q9"))
+    val all = Seq((1L, t1), (3L, t3)) ++ b1 ++ b2
+    val tau = 0.5
+
+    val sink = StreamOps.prefixDupIndexForeachBatch(indexPath, pairsPath,
+      "doc_id", "text", threshold = tau)
+    sink(standing, 0L)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(df, id + 1)
+      }.start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def pairsOf(path: String) = s.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p1 = pairsOf(s"$pairsPath/batch=1")
+    val p2 = pairsOf(s"$pairsPath/batch=2")
+    val oneShot = graft.operators.Dedup
+      .prefixFilterJaccardPairs(all.toDF("doc_id", "text"), "doc_id",
+        "text", n = 3, threshold = tau, hashedShingles = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val exact = graft.operators.Dedup
+      .ngramJaccardPairs(all.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = tau, hashedShingles = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(oneShot == exact, "one-shot prefix filter must equal the " +
+      "full inverted-index join (sanity)")
+    assert(p1.union(p2) == exact,
+      s"streamed pair log must equal the exact tau-join: " +
+        s"streamed=${p1.union(p2)} exact=$exact")
+    assert(p2.exists(p => p._1 == 8L && p._2 == 9L),
+      "the post-seed-vocabulary pair (both docs df=0 under the frozen " +
+        "order) must still be found")
+    assert(p1.map(p => (p._1, p._2)).forall(p => p._2 == 2L || p._2 == 6L),
+      "batch-1 pairs carry a batch-1 later member")
+
+    // RETRY batch 2: byte-identical pair log, no state double-insert
+    sink(b2.toDF("doc_id", "text"), 2L)
+    assert(pairsOf(s"$pairsPath/batch=2") == p2,
+      "retried batch changed its pairs")
+
+    // compaction is purely physical
+    val pxBefore = StreamOps.prefixDupPrefixes(s, indexPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    StreamOps.compactPrefixDupIndex(s, indexPath, upTo = 1L)
+    val pxAfter = StreamOps.prefixDupPrefixes(s, indexPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pxAfter == pxBefore, "compaction changed the logical index")
+    sink(Seq((7L, t3 + " z2")).toDF("doc_id", "text"), 3L)
+    val p3 = pairsOf(s"$pairsPath/batch=3").map(p => (p._1, p._2))
+    assert(p3.contains((3L, 7L)),
+      s"post-compaction batch must still match the standing corpus: $p3")
+  }
+
   test("near-dup index hot-bucket cap: over-cap buckets emit only " +
     "star-against-representative pairs; a generous cap equals uncapped") {
     import s.implicits._
