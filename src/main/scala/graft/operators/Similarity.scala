@@ -60,6 +60,32 @@ object Similarity {
     rankTopKByCosine(scored, k)
   }
 
+  /** HARD-NEGATIVE mining for embedding-model training: per query, the
+    * `k` most-similar corpus vectors whose cosine stays BELOW
+    * `dupThreshold` — the "almost positive but not a duplicate"
+    * examples contrastive training needs (high-similarity negatives
+    * carry the gradient signal; random negatives are trivially
+    * separable, and near-duplicates above the threshold are POISON —
+    * false negatives that teach the model to push true matches apart).
+    * The same corpus-scan + bounded-ranking shape as
+    * [[bruteForceTopK]]: the dup filter runs map-side on the scored
+    * stream, so the scan stays embarrassingly parallel and only
+    * partitions*k rows per query shuffle. At corpus scale, compose
+    * with a candidate stage exactly like [[rerankTopK]] — generate
+    * generously (the dup filter eats the top of the candidate list),
+    * then exact-filter-and-rank.
+    */
+  def hardNegativesTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        dupThreshold: Double): DataFrame = {
+    val scored = corpusSide(corpus, idCol, vecCol)
+      .join(broadcast(querySide(queries, idCol, vecCol)),
+        col("q_id") =!= col("n_id"))
+      .withColumn("cosine", dot("qv", "cv") / (col("qn") * col("cn")))
+      .filter(col("cosine") < dupThreshold)
+    rankTopKByCosine(scored, k)
+  }
+
   /** Two-stage exact-re-rank retrieval — the production pattern for a
     * PCA-reduced space (SCALE_r12 §16 prices why a truncated space
     * cannot be trusted for FINAL ranks): stage 1 generates `kCand`

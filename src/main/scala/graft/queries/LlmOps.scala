@@ -848,6 +848,39 @@ object LlmOps {
         "text", n = 3, threshold = 0.5, hashedShingles = true)
     }, Some(l54OracleSql))
 
+  // L57 — hard-negative mining (contrastive-training data prep): per
+  // query, the top-5 most-similar vectors with cosine BELOW the 0.9
+  // near-dup threshold — the "almost positive" negatives that carry
+  // gradient signal, with true near-dups (false negatives) excluded.
+  // Runs on the twinned corpus so the exclusion arm is non-vacuous:
+  // every query's nearest neighbor is its planted twin at cosine
+  // ~0.99, which MUST be absent from the output (spec-pinned), and
+  // rank 1 falls to the best genuine non-duplicate.
+  private val l57 = QueryDef("l57_hard_negatives", (s, dir) => {
+    val corpus = twinnedEmbeddings(s, dir)
+    Similarity.hardNegativesTopK(corpus,
+      corpus.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, dupThreshold = 0.9)
+  }, Some(s"""WITH $twinnedSql,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM tw),
+      q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+      scored AS (SELECT q_id, e.vec_id n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])),
+            (x, y) -> x + y)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])),
+              (x, y) -> x + y))
+           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+              (x, y) -> x + y))) AS cosine
+        FROM e, q WHERE q_id <> e.vec_id),
+      ranked AS (SELECT q_id, n_id, cosine,
+          CAST(row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS BIGINT) rnk
+        FROM scored WHERE cosine < CAST(0.9 AS DOUBLE))
+      SELECT q_id, rnk, n_id, cosine FROM ranked WHERE rnk <= 5"""))
+
   // L51 — Count-Min sketch frequency estimation (4 x 16 grid over the
   // token stream): the linear mergeable sketch for ad-hoc frequency
   // point queries at corpus scale (O(depth*width) state, elementwise-
@@ -2661,5 +2694,5 @@ object LlmOps {
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
-      l53r, l54, l54h, l55, l56, m1, m2)
+      l53r, l54, l54h, l55, l56, l57, m1, m2)
 }

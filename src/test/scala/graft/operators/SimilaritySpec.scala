@@ -489,4 +489,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs(got) == pairs(base),
       "dup pairs / self-pairs must not displace true neighbors")
   }
+
+  test("hardNegativesTopK: near-dups above the threshold are excluded " +
+    "(the false-negative poison), ranks close up, and a threshold above " +
+    "every cosine degenerates to bruteForceTopK exactly") {
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))
+    }
+    // plant a twin of each query vector (ids 1000+q) at tiny jitter —
+    // cosine ~0.9999, far above any organic pair
+    val twins = (0L until 5L).map { q =>
+      (1000L + q, base(q.toInt)._2.map(x => x + 0.001f))
+    }
+    val corpus = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cosine")))
+    val hard = rows(Similarity.hardNegativesTopK(corpus, queries,
+      "vec_id", "embedding", k = 3, dupThreshold = 0.95))
+    assert(hard.forall(_._4 < 0.95), "no output may reach the threshold")
+    assert(!hard.exists(r => r._3 >= 1000L && r._3 - 1000L == r._1),
+      "a query's twin must never appear among its negatives")
+    assert(hard.count(_._2 == 1L) == 5, "every query keeps a rank 1")
+    // reference: brute top-k over the scored-and-filtered stream
+    val brute = rows(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 10))
+    val expected = brute.filter(_._4 < 0.95).groupBy(_._1).toSeq.flatMap {
+      case (q, rs) => rs.sortBy(r => (-r._4, r._3)).take(3).zipWithIndex
+        .map { case (r, i) => (q, i + 1L, r._3, r._4) }
+    }.toSet
+    assert(hard.toSet == expected,
+      "hard negatives must equal filter-then-rank of the brute scores")
+    // threshold above everything: degenerates to bruteForceTopK
+    val all = rows(Similarity.hardNegativesTopK(corpus, queries,
+      "vec_id", "embedding", k = 3, dupThreshold = 2.0)).toSet
+    val b3 = rows(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 3)).toSet
+    assert(all == b3)
+  }
 }
