@@ -613,6 +613,50 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Filter-FUNNEL accounting — the observability operator every
+    * production cleaning pipeline needs next to the filters
+    * themselves: for an ORDERED battery of keep-predicates, report per
+    * rule (1) how many documents fail it outright, (2) how many are
+    * killed AT that stage (fail it having passed all earlier rules —
+    * the funnel attribution that tells you which rule actually costs
+    * corpus), and (3) how many survive through it. Rule order matters
+    * to `n_killed_here` by design — that is the number a pipeline
+    * owner tunes thresholds by (a rule with big `n_failing` but tiny
+    * `n_killed_here` is shadowed by earlier rules).
+    *
+    * Shape: one pass — every flag is computed map-side, all 3·|rules|
+    * counters fold in a single combinable aggregate (one 1-row
+    * exchange), then `stack` unpivots driver-free to one row per rule.
+    * Null predicate results count as FAIL (a doc a rule cannot judge
+    * should not silently pass a cleaning funnel).
+    */
+  def filterFunnel(df: org.apache.spark.sql.DataFrame,
+                   rules: Seq[(String, Column)])
+      : org.apache.spark.sql.DataFrame = {
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    val flagged = rules.zipWithIndex.foldLeft(df) {
+      case (d, ((_, pred), i)) =>
+        d.withColumn(s"__p$i", coalesce(pred.cast("boolean"), lit(false)))
+    }
+    val aggs = rules.indices.flatMap { i =>
+      val passUpTo = (0 to i).map(j => col(s"__p$j")).reduce(_ && _)
+      val passPrev =
+        if (i == 0) lit(true)
+        else (0 until i).map(j => col(s"__p$j")).reduce(_ && _)
+      Seq(
+        sum((!col(s"__p$i")).cast("long")).as(s"fail_$i"),
+        sum((passPrev && !col(s"__p$i")).cast("long")).as(s"kill_$i"),
+        sum(passUpTo.cast("long")).as(s"surv_$i"))
+    }
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"${i + 1}L, '$name', coalesce(fail_$i, 0L), " +
+        s"coalesce(kill_$i, 0L), coalesce(surv_$i, 0L)"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${rules.size}, $stackArgs) AS " +
+      "(rule_idx, rule, n_failing, n_killed_here, n_survivors)")
+  }
+
   /** BM25 top-k retrieval over the corpus for a FIXED set of query
     * terms (Robertson et al., TREC-3 Okapi weighting) — the lexical
     * side of the similarity-search family (l5/l6/l11 are the dense

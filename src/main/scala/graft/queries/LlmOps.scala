@@ -881,6 +881,63 @@ object LlmOps {
         FROM scored WHERE cosine < CAST(0.9 AS DOUBLE))
       SELECT q_id, rnk, n_id, cosine FROM ranked WHERE rnk <= 5"""))
 
+  // L58 — filter-funnel accounting over a four-rule quality battery
+  // (min length, alpha ratio, lexical diversity, stopword presence —
+  // thresholds inside the sf0.01 distributions so every rule both
+  // kills and passes documents). Reports per rule: outright failures,
+  // funnel-attributed kills, and survivors — the numbers a pipeline
+  // owner tunes thresholds by. One combinable aggregate, stack unpivot.
+  private val l58 = QueryDef("l58_filter_funnel", (s, dir) => {
+    val toks = "filter(split(text, ' '), x -> length(x) > 0)"
+    TextAnalysis.filterFunnel(Tables.documents(s, dir), Seq(
+      "min_tokens_40" -> (expr(s"size($toks)") >= 40),
+      "alpha_ratio_082" ->
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("double") / length(col("text")).cast("long") >= 0.82),
+      "diversity_035" ->
+        (expr(s"size(array_distinct($toks))").cast("double") /
+          expr(s"size($toks)").cast("long") >= 0.35),
+      "has_stopwords" ->
+        (expr(s"size(filter($toks, x -> x IN ('the', 'a')))")
+          .cast("double") / expr(s"size($toks)").cast("long") > 0.02)))
+  }, Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split(text, ' '), x -> length(x) > 0) tk
+        FROM documents),
+      f AS (SELECT doc_id,
+          coalesce(len(tk) >= 40, FALSE) p0,
+          coalesce(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+            AS DOUBLE) / CAST(length(text) AS BIGINT) >= 0.82, FALSE) p1,
+          coalesce(CAST(len(list_distinct(tk)) AS DOUBLE)
+            / CAST(len(tk) AS BIGINT) >= 0.35, FALSE) p2,
+          coalesce(CAST(len(list_filter(tk,
+              x -> list_contains(['the', 'a'], x))) AS DOUBLE)
+            / CAST(len(tk) AS BIGINT) > 0.02, FALSE) p3
+        FROM t),
+      agg AS (SELECT
+          CAST(sum(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT) f0,
+          CAST(sum(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT) k0,
+          CAST(sum(CASE WHEN p0 THEN 1 ELSE 0 END) AS BIGINT) s0,
+          CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) f1,
+          CAST(sum(CASE WHEN p0 AND NOT p1 THEN 1 ELSE 0 END) AS BIGINT)
+            k1,
+          CAST(sum(CASE WHEN p0 AND p1 THEN 1 ELSE 0 END) AS BIGINT) s1,
+          CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) f2,
+          CAST(sum(CASE WHEN p0 AND p1 AND NOT p2 THEN 1 ELSE 0 END)
+            AS BIGINT) k2,
+          CAST(sum(CASE WHEN p0 AND p1 AND p2 THEN 1 ELSE 0 END)
+            AS BIGINT) s2,
+          CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) f3,
+          CAST(sum(CASE WHEN p0 AND p1 AND p2 AND NOT p3 THEN 1 ELSE 0
+            END) AS BIGINT) k3,
+          CAST(sum(CASE WHEN p0 AND p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+            AS BIGINT) s3
+        FROM f)
+      SELECT 1 AS rule_idx, 'min_tokens_40' AS rule, f0 AS n_failing,
+        k0 AS n_killed_here, s0 AS n_survivors FROM agg
+      UNION ALL SELECT 2, 'alpha_ratio_082', f1, k1, s1 FROM agg
+      UNION ALL SELECT 3, 'diversity_035', f2, k2, s2 FROM agg
+      UNION ALL SELECT 4, 'has_stopwords', f3, k3, s3 FROM agg"""))
+
   // L51 — Count-Min sketch frequency estimation (4 x 16 grid over the
   // token stream): the linear mergeable sketch for ad-hoc frequency
   // point queries at corpus scale (O(depth*width) state, elementwise-
@@ -2694,5 +2751,5 @@ object LlmOps {
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
-      l53r, l54, l54h, l55, l56, l57, m1, m2)
+      l53r, l54, l54h, l55, l56, l57, l58, m1, m2)
 }

@@ -372,6 +372,32 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"'things' in a novel context: ${out(1L)} vs ${out(3L)}")
   }
 
+  test("filterFunnel: hand-computed kill attribution — shadowed rules " +
+    "show n_failing > 0 with n_killed_here = 0, null predicates fail, " +
+    "survivors are monotone") {
+    import s.implicits._
+    // docs: (len, flag) — r1: len >= 3; r2: flag (null on doc 4);
+    // r3: len >= 3 AGAIN (fully shadowed by r1: fails only where r1
+    // already killed)
+    val docs = Seq(
+      (1L, 5L, Some(true)),   // passes all
+      (2L, 2L, Some(true)),   // killed by r1 (also fails r3 — shadowed)
+      (3L, 4L, Some(false)),  // killed by r2
+      (4L, 6L, None)          // null flag -> killed by r2
+    ).toDF("id", "len", "flag")
+    val out = TextAnalysis.filterFunnel(docs, Seq(
+        "min_len" -> (col("len") >= 3),
+        "flag_set" -> col("flag"),
+        "min_len_again" -> (col("len") >= 3)))
+      .collect().map(r => (r.getAs[Long]("rule_idx"), r.getAs[String]("rule"),
+        r.getAs[Long]("n_failing"), r.getAs[Long]("n_killed_here"),
+        r.getAs[Long]("n_survivors"))).toSet
+    assert(out == Set(
+      (1L, "min_len", 1L, 1L, 3L),
+      (2L, "flag_set", 2L, 2L, 1L),
+      (3L, "min_len_again", 1L, 0L, 1L)), s"got $out")
+  }
+
   test("bm25TopK matches a bit-exact brute-force reference on random " +
     "corpora (idf bits, dl normalization, sorted-term sum, tie-break)") {
     import s.implicits._
