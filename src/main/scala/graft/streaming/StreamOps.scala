@@ -208,6 +208,40 @@ object StreamOps {
     }
   }
 
+  /** Streaming filter-funnel accounting — the l58 observability
+    * counters ([[graft.operators.TextAnalysis.filterFunnel]]) folded
+    * across micro-batches: per batch the one-pass counters compute
+    * over the batch alone, and the standing per-rule table merges by
+    * elementwise sum. Counts over disjoint batches form a monoid —
+    * funnel attribution is decided per DOCUMENT (which rules it
+    * passes), so batch boundaries cannot change any counter and the
+    * standing state always equals the one-shot operator over
+    * everything seen (StreamOpsSpec pins this). State is |rules| rows;
+    * the rewrite-per-batch histogram-sink pattern (staged atomic
+    * publish + batch marker) is the right shape.
+    */
+  def funnelForeachBatch(statePath: String,
+                         rules: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        val part = graft.operators.TextAnalysis.filterFunnel(batch, rules)
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(live))
+            spark.read.parquet(statePath).unionByName(part)
+              .groupBy("rule_idx", "rule")
+              .agg(sum("n_failing").as("n_failing"),
+                sum("n_killed_here").as("n_killed_here"),
+                sum("n_survivors").as("n_survivors"))
+          else part
+        publishAtomic(spark, statePath, merged, Some(batchId))
+      }
+    }
+  }
+
   /** Streaming vocabulary heavy hitters via the mergeable Misra–Gries
     * summary (x18's sketch, graft.functions.MisraGries): each
     * micro-batch reduces to its own <= capacity summary, which merges

@@ -963,6 +963,46 @@ class StreamOpsSpec extends AnyFunSuite {
       s"post-compaction batch must still match the standing corpus: $p3")
   }
 
+  test("streaming filter funnel: standing counters equal the one-shot " +
+    "operator over everything seen; retry is inert") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_funnel_stream").toString + "/state"
+    val rules = Seq(
+      "min_len" -> (length(col("text")) >= 8),
+      "has_vowel" -> col("text").rlike("[aeiou]"))
+    val b1 = Seq((1L, "alpha beta gam"), (2L, "shrt"))
+    val b2 = Seq((3L, "bcdfghjklmnp"), (4L, "another long one"))
+    val sink = StreamOps.funnelForeachBatch(statePath, rules)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink).start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def stateRows() = s.read.parquet(statePath)
+      .select("rule_idx", "rule", "n_failing", "n_killed_here",
+        "n_survivors")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = stateRows()
+    val oneShot = graft.operators.TextAnalysis
+      .filterFunnel((b1 ++ b2).toDF("doc_id", "text"), rules)
+      .collect().map(r => (r.getAs[Long]("rule_idx"),
+        r.getAs[String]("rule"), r.getAs[Long]("n_failing"),
+        r.getAs[Long]("n_killed_here"), r.getAs[Long]("n_survivors")))
+      .toSet
+    assert(got == oneShot,
+      s"streamed state must equal one-shot: $got vs $oneShot")
+    // retry the last batch: marker makes it a no-op
+    sink(b2.toDF("doc_id", "text"), 1L)
+    assert(stateRows() == got, "retried batch double-counted")
+  }
+
   test("streaming prefix-filter index: the union of per-batch pair logs " +
     "equals the one-shot exact tau-join even for post-seed vocabulary " +
     "(frozen order, df=0 arm); retry and compaction are inert") {
