@@ -295,7 +295,19 @@ object CorpusAssembly {
     val cum = prefixSumCols(keyed, Seq("__h", idCol), "w", "cum_w")
     val tot = keyed.agg(sum("w").cast("long").as("__tot"))
     cum.crossJoin(broadcast(tot))
-      .withColumn("__step", expr(s"__tot div ${k}L"))
+      // Fail LOUDLY when k > total weight: `__step` would be 0, the
+      // `div __step` expressions would go NULL, and null-skipping
+      // least() would silently hand all k draws to the hash-first row
+      // (the scaladoc contract violated with sum(n_draws) still == k,
+      // so no downstream count check could catch it). assert_true
+      // returns NULL on success, so the when() keeps the check inside
+      // the evaluated path — a standalone dropped check column would
+      // be pruned away and never run.
+      .withColumn("__step",
+        when(assert_true(col("__tot") >= lit(k),
+          lit(s"systematicWeightedSample requires k <= sum(weights); " +
+            s"k=$k exceeds the total positive weight")).isNull,
+          expr(s"__tot div ${k}L")))
       .withColumn("__off", expr("__step div 2L"))
       .withColumn("n_draws",
         when(col("cum_w") <= col("__off"), lit(0L))

@@ -317,15 +317,7 @@ object Dedup {
                                hashedShingles: Boolean = false): DataFrame = {
     val (sh, cand) = prefixStage(df, idCol, textCol, n, threshold,
       hashedShingles)
-    cand
-      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", expr("intersect_count(sh_a, sh_b)"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long")
-          - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifiedJaccard(cand, sh, threshold)
   }
 
   /** Candidate pairs of [[prefixFilterJaccardPairs]] (before the exact

@@ -462,9 +462,12 @@ object Multimodal {
   /** Interleaved multimodal SEQUENCE ASSEMBLY — the step between a
     * cleaned text+media lake and a VLM training loader: each document's
     * token stream is cut into `chunkTokens`-token text elements, its
-    * media items are spliced in at deterministic positions (item `j`
-    * lands after text chunk `j`, clamped to the end — the
-    * markup-position slot an HTML-derived corpus would carry), every
+    * media items are spliced in at deterministic positions (0-indexed
+    * item `j` lands after 0-indexed text chunk `j + 1` — after the
+    * first `min(j + 2, n_chunks)` text chunks, clamped to the end —
+    * the markup-position slot an HTML-derived corpus would carry;
+    * oracle- and spec-pinned: a 2-chunk doc's imgs 0,1 lay out as
+    * chunk0, chunk1, img0, img1), every
     * image costs a fixed `imageTokens` (the patch-token budget of a
     * ViT-style encoder), and the element stream is laid out with exact
     * cumulative token offsets plus a `within_budget` flag marking the

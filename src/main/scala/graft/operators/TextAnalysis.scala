@@ -649,12 +649,19 @@ object TextAnalysis {
         sum(passUpTo.cast("long")).as(s"surv_$i"))
     }
     val one = flagged.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = rules.zipWithIndex.map { case ((name, _), i) =>
-      s"${i + 1}L, '$name', coalesce(fail_$i, 0L), " +
-        s"coalesce(kill_$i, 0L), coalesce(surv_$i, 0L)"
-    }.mkString(", ")
-    one.selectExpr(s"stack(${rules.size}, $stackArgs) AS " +
-      "(rule_idx, rule, n_failing, n_killed_here, n_survivors)")
+    // Typed-Column unpivot, NOT a selectExpr string splice: rule names
+    // are a free-form caller surface, and a name containing a quote
+    // would break (or inject into) a stack() SQL string. lit(name) is
+    // safe for any string.
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(
+        lit((i + 1).toLong).as("rule_idx"),
+        lit(name).as("rule"),
+        coalesce(col(s"fail_$i"), lit(0L)).as("n_failing"),
+        coalesce(col(s"kill_$i"), lit(0L)).as("n_killed_here"),
+        coalesce(col(s"surv_$i"), lit(0L)).as("n_survivors"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select("__r.*")
   }
 
   /** BM25 top-k retrieval over the corpus for a FIXED set of query

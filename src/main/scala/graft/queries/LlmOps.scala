@@ -891,25 +891,34 @@ object LlmOps {
     val toks = "filter(split(text, ' '), x -> length(x) > 0)"
     TextAnalysis.filterFunnel(Tables.documents(s, dir), Seq(
       "min_tokens_40" -> (expr(s"size($toks)") >= 40),
+      // every ratio rule carries an explicit positive-denominator
+      // guard: Spark yields NULL on x/0 (coalesced to FAIL by
+      // filterFunnel) while DuckDB's IEEE float division yields
+      // inf/nan with engine-specific comparison semantics — the guard
+      // pins "empty doc fails the rule" identically on both engines
       "alpha_ratio_082" ->
-        (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-          .cast("double") / length(col("text")).cast("long") >= 0.82),
+        (length(col("text")) > 0 &&
+          length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text")).cast("long") >= 0.82),
       "diversity_035" ->
-        (expr(s"size(array_distinct($toks))").cast("double") /
-          expr(s"size($toks)").cast("long") >= 0.35),
+        (expr(s"size($toks)") > 0 &&
+          expr(s"size(array_distinct($toks))").cast("double") /
+            expr(s"size($toks)").cast("long") >= 0.35),
       "has_stopwords" ->
-        (expr(s"size(filter($toks, x -> x IN ('the', 'a')))")
-          .cast("double") / expr(s"size($toks)").cast("long") > 0.02)))
+        (expr(s"size($toks)") > 0 &&
+          expr(s"size(filter($toks, x -> x IN ('the', 'a')))")
+            .cast("double") / expr(s"size($toks)").cast("long") > 0.02)))
   }, Some("""WITH t AS (SELECT doc_id, text,
         list_filter(string_split(text, ' '), x -> length(x) > 0) tk
         FROM documents),
       f AS (SELECT doc_id,
           coalesce(len(tk) >= 40, FALSE) p0,
-          coalesce(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+          coalesce(length(text) > 0 AND
+            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
             AS DOUBLE) / CAST(length(text) AS BIGINT) >= 0.82, FALSE) p1,
-          coalesce(CAST(len(list_distinct(tk)) AS DOUBLE)
+          coalesce(len(tk) > 0 AND CAST(len(list_distinct(tk)) AS DOUBLE)
             / CAST(len(tk) AS BIGINT) >= 0.35, FALSE) p2,
-          coalesce(CAST(len(list_filter(tk,
+          coalesce(len(tk) > 0 AND CAST(len(list_filter(tk,
               x -> list_contains(['the', 'a'], x))) AS DOUBLE)
             / CAST(len(tk) AS BIGINT) > 0.02, FALSE) p3
         FROM t),

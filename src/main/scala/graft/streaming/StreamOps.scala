@@ -607,9 +607,14 @@ object StreamOps {
         .filter(col("first_batch") < batchId)
       val cand0 =
         if (maxBucket == Int.MaxValue) {
+          // =!= guard: a doc id re-delivered in a later batch (an
+          // at-least-once source duplicate) would otherwise pair with
+          // its own standing copy and emit a nonsense (d, d, 1.0)
+          // self-pair into the log
           val cross = banded.as("a").join(standingBk.as("b"),
               col("a.band") === col("b.band") &&
-                col("a.bucket") === col("b.bucket"))
+                col("a.bucket") === col("b.bucket") &&
+                col("a.doc") =!= col("b.doc"))
             .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
               greatest(col("a.doc"), col("b.doc")).as("doc_b"))
           val within = banded.as("a").join(banded.as("b"),
@@ -630,7 +635,8 @@ object StreamOps {
             .select("doc", "band", "bucket")
           val crossU = underB.as("a").join(standingBk.as("b"),
               col("a.band") === col("b.band") &&
-                col("a.bucket") === col("b.bucket"))
+                col("a.bucket") === col("b.bucket") &&
+                col("a.doc") =!= col("b.doc"))
             .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
               greatest(col("a.doc"), col("b.doc")).as("doc_b"))
           val withinU = underB.as("a").join(underB.as("b"),
@@ -763,8 +769,11 @@ object StreamOps {
       def lenOk =
         col("b.m") >= lit(threshold) * col("a.m") - lit(1e-9) &&
           col("a.m") >= lit(threshold) * col("b.m") - lit(1e-9)
+      // =!= guard: a re-delivered doc id must not pair with its own
+      // standing copy (same rationale as nearDupIndexForeachBatch)
       val cross = bPrefix.as("a").join(standingPx.as("b"),
-          col("a.shingle") === col("b.shingle") && lenOk)
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc") =!= col("b.doc") && lenOk)
         .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
           greatest(col("a.doc"), col("b.doc")).as("doc_b"))
       val within = bPrefix.as("a").join(bPrefix.as("b"),

@@ -381,4 +381,18 @@ class CorpusAssemblySpec extends AnyFunSuite {
         r.getAs[Long]("n_draws"))).toSet
     assert(other != rows.map(r => (r._1, r._3)).toSet)
   }
+
+  test("systematicWeightedSample: k > sum(weights) fails LOUDLY instead " +
+    "of silently handing every draw to the hash-first row") {
+    import s.implicits._
+    val docs = Seq((1L, 3L), (2L, 4L)).toDF("doc_id", "wt") // total 7
+    val ex = intercept[Exception] {
+      CorpusAssembly.systematicWeightedSample(docs, "doc_id", "wt",
+        k = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("k <= sum(weights)")),
+      s"expected the k-vs-total guard message, got: ${msgs(ex)}")
+  }
 }

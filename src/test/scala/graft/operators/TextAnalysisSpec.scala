@@ -398,6 +398,18 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, "min_len_again", 1L, 0L, 1L)), s"got $out")
   }
 
+  test("filterFunnel: rule names are data, not SQL — quotes and " +
+    "injection-shaped names pass through verbatim") {
+    import s.implicits._
+    val docs = Seq((1L, 5L), (2L, 1L)).toDF("id", "len")
+    val name = "doc isn't empty', 0L, 0L, 0L) -- "
+    val out = TextAnalysis.filterFunnel(docs,
+        Seq(name -> (col("len") >= 3)))
+      .collect().map(r => (r.getAs[String]("rule"),
+        r.getAs[Long]("n_failing"), r.getAs[Long]("n_survivors")))
+    assert(out.toSeq == Seq((name, 1L, 1L)), s"got ${out.toSeq}")
+  }
+
   test("bm25TopK matches a bit-exact brute-force reference on random " +
     "corpora (idf bits, dl normalization, sorted-term sum, tie-break)") {
     import s.implicits._

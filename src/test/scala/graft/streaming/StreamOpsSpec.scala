@@ -1082,6 +1082,13 @@ class StreamOpsSpec extends AnyFunSuite {
     val p3 = pairsOf(s"$pairsPath/batch=3").map(p => (p._1, p._2))
     assert(p3.contains((3L, 7L)),
       s"post-compaction batch must still match the standing corpus: $p3")
+
+    // RE-DELIVERY (at-least-once source duplicate): doc 2 arrives again
+    // in a NEW batch — it must not pair with its own standing copy
+    sink(Seq((2L, t1 + " k")).toDF("doc_id", "text"), 4L)
+    val p4 = pairsOf(s"$pairsPath/batch=4").map(p => (p._1, p._2))
+    assert(p4.forall(p => p._1 != p._2),
+      s"a re-delivered doc id must not emit a (d, d) self-pair: $p4")
   }
 
   test("near-dup index hot-bucket cap: over-cap buckets emit only " +
@@ -1108,6 +1115,22 @@ class StreamOpsSpec extends AnyFunSuite {
       s"over-cap bucket must collapse to star-against-min-id: $capped")
     assert(pairsWith(100) == uncapped,
       "a cap nothing exceeds must change nothing")
+
+    // RE-DELIVERY: doc 1 arrives again in batch 1 (both capped and
+    // uncapped candidate arms) — no (d, d) self-pair against its own
+    // standing copy
+    for (cap <- Seq(Int.MaxValue, 4)) {
+      val root = freshRoot()
+      val sink = StreamOps.nearDupIndexForeachBatch(s"$root/i", s"$root/p",
+        "doc_id", "text", maxBucket = cap)
+      sink(batch, 0L)
+      sink(Seq((1L, "k l m n o p q r")).toDF("doc_id", "text"), 1L)
+      val redelivered = s.read.parquet(s"$root/p/batch=1").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(redelivered.forall(p => p._1 != p._2),
+        s"cap=$cap: re-delivered doc must not self-pair: " +
+          redelivered.toSeq)
+    }
   }
 
   test("streaming dup clusters: incremental labels equal one-shot " +
