@@ -803,6 +803,95 @@ object Dedup {
             i -> element_at(tk, i)), ' ')""")).as("clean_text"))
   }
 
+  /** LINE-frequency boilerplate removal — the CCNet/RefinedWeb cleaning
+    * step (Wenzek et al. 2019; Penedo et al. 2023): split every
+    * document into lines, count how many DISTINCT documents each exact
+    * line occurs in across the corpus, and drop lines whose document
+    * frequency exceeds `maxDocFreq` — navigation menus, cookie
+    * banners, copyright footers and share buttons repeat across
+    * thousands of pages while genuine content lines are (near-)unique.
+    * This is a different decision rule from [[dupSpanRemoval]]: spans
+    * are killed by ANY cross-doc duplication (dedup), lines only by
+    * exceeding a frequency threshold (boilerplate), so a legitimately
+    * quoted passage in 2 documents survives here.
+    *
+    * Mechanics: split on the LITERAL `delim` (Pattern.quote — callers
+    * pass "\n", not a regex), posexplode with the line index, one
+    * combinable distinct-doc count per line key, then an anti-join
+    * shape: only OVER-threshold lines come back (the `hot` frame — by
+    * the boilerplate hypothesis a tiny fraction of distinct lines), a
+    * left join marks survivors, and per-doc reassembly is a bounded
+    * collect_list sorted by position. `hashedLineKeys` is the 100 TB
+    * form (8-byte xxhash64 keys through both shuffles; the default
+    * stays strings so the l59 oracle mirrors every step verbatim).
+    *
+    * Scale shape: two line-keyed exchanges (count + hot join — the
+    * second carries only hot keys against the line table; AQE
+    * broadcasts the hot side when it is as small as boilerplate makes
+    * it) and one doc-keyed reassembly bounded by document length. A
+    * 10^6-doc boilerplate line costs O(1) aggregation state — a count,
+    * not a pair list — the same property that lets [[dupSpanRemoval]]
+    * skip hot-key caps.
+    *
+    * @return per input doc: `n_lines`, `n_kept_lines`, `clean_text`
+    *         (kept lines re-joined by `delim` in original order; a doc
+    *         whose every line is boilerplate cleans to '').
+    */
+  def lineFrequencyFilter(docs: DataFrame, idCol: String, textCol: String,
+                          maxDocFreq: Long, delim: String = "\n",
+                          hashedLineKeys: Boolean = false): DataFrame = {
+    val lines = lineTable(docs, idCol, textCol, delim, hashedLineKeys)
+    lineFilterAgainst(lines, lineDocFreq(lines), maxDocFreq, delim, idCol)
+  }
+
+  /** (doc, pos, line, lk) line table of a corpus — the shared first
+    * stage of the one-shot filter and the streaming line-frequency
+    * state ([[graft.streaming.StreamOps.lineFreqForeachBatch]]). The
+    * key is computed BEFORE any shuffle (the dupSpanRemoval trick).
+    */
+  private[graft] def lineTable(docs: DataFrame, idCol: String,
+                               textCol: String, delim: String,
+                               hashedLineKeys: Boolean): DataFrame =
+    docs
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))).as(Seq("p0", "line")))
+      .select(col("doc"), col("p0").cast("long").as("pos"), col("line"),
+        (if (hashedLineKeys) xxhash64(col("line")) else col("line"))
+          .as("lk"))
+
+  /** Per-line-key distinct-doc frequency (`lk`, `line_df`) — one
+    * combinable aggregate.
+    */
+  private[graft] def lineDocFreq(lines: DataFrame): DataFrame =
+    lines.groupBy("lk").agg(countDistinct(col("doc")).as("line_df"))
+
+  /** Apply the boilerplate decision against an EXTERNAL frequency
+    * table (`lk`, `line_df`) — the streaming consumer passes its
+    * standing folded state here; the one-shot form passes its own
+    * corpus frequency.
+    */
+  private[graft] def lineFilterAgainst(lines: DataFrame, freq: DataFrame,
+                                       maxDocFreq: Long, delim: String,
+                                       idCol: String): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val hot = freq.filter(col("line_df") > maxDocFreq)
+      .select(col("lk"), lit(1L).as("__hot"))
+    lines.join(hot, Seq("lk"), "left")
+      .withColumn("keep", col("__hot").isNull)
+      .groupBy("doc")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("keep").cast("long")).as("n_kept_lines"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          delim).as("clean_text"))
+      .withColumnRenamed("doc", idCol)
+  }
+
   /** Portable 31-polynomial hash of lambda-var token `t`, mod a prime —
     * deliberately NOT xxhash64: the DuckDB oracle reproduces it with
     * list_reduce, so SimHash/portable-MinHash results are cross-engine

@@ -664,6 +664,19 @@ object TextAnalysis {
     one.select(explode(array(rows: _*)).as("__r")).select("__r.*")
   }
 
+  /** Total blocklist occurrence count over `textCol` — the native
+    * Aho-Corasick expression ([[graft.plans.MultiContainsCount]]): one
+    * compiled scan per row regardless of pattern-set size, vs a regex
+    * alternation's per-position alternative trials or K `contains`
+    * rescans. Patterns become a foldable array literal (safe for any
+    * content — no SQL splice), so the automaton builds once and ships
+    * to executors as a reference object. The blocklist decision is
+    * `blocklistHits(c, pats) > 0`.
+    */
+  def blocklistHits(textCol: Column, patterns: Seq[String]): Column =
+    call_function("multi_contains_count", textCol,
+      array(patterns.map(lit): _*))
+
   /** BM25 top-k retrieval over the corpus for a FIXED set of query
     * terms (Robertson et al., TREC-3 Okapi weighting) — the lexical
     * side of the similarity-search family (l5/l6/l11 are the dense

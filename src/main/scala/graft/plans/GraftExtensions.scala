@@ -69,6 +69,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecSub(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("multi_contains_count"),
+      new ExpressionInfo(classOf[MultiContainsCount].getName,
+        "multi_contains_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MultiContainsCount.build(children)))
+    ext.injectFunction((
       FunctionIdentifier("pq_lut_score"),
       new ExpressionInfo(classOf[PqLutScore].getName, "pq_lut_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -947,6 +947,66 @@ object LlmOps {
       UNION ALL SELECT 3, 'diversity_035', f2, k2, s2 FROM agg
       UNION ALL SELECT 4, 'has_stopwords', f3, k3, s3 FROM agg"""))
 
+  // L59 — CCNet-style line-frequency boilerplate removal. The fixture
+  // corpus has no newlines, so the query first builds a lined corpus
+  // deterministically on BOTH engines: a planted nav header + footer
+  // (df = all docs — the boilerplate the operator exists to kill) and
+  // content lines cut at ' the '/' a ' boundaries (portable
+  // RE2∩java.regex pattern; short common runs like a bare token line
+  // land above the threshold too, so the decision is non-trivial
+  // beyond the planted lines). Survivors re-join in original order;
+  // the DISTINCT-doc frequency, at-threshold survival, and
+  // all-boilerplate -> '' arms are all exercised at sf0.01.
+  private val l59 = QueryDef("l59_line_boilerplate", (s, dir) => {
+    val lined = Tables.documents(s, dir).select(col("doc_id"),
+      concat(lit("nav home menu\n"),
+        regexp_replace(col("text"), " (the|a) ", "\n"),
+        lit("\ncopyright footer 2024")).as("text"))
+    Dedup.lineFrequencyFilter(lined, "doc_id", "text", maxDocFreq = 4)
+  }, Some("""WITH lined AS (SELECT doc_id,
+        'nav home menu' || chr(10) ||
+        regexp_replace(text, ' (the|a) ', chr(10), 'g') ||
+        chr(10) || 'copyright footer 2024' AS text
+      FROM documents),
+      ls AS (SELECT doc_id, string_split(text, chr(10)) l FROM lined),
+      ln AS (SELECT doc_id, i AS pos, l[i] AS line
+        FROM ls, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u),
+      freq AS (SELECT line, count(DISTINCT doc_id) line_df
+        FROM ln GROUP BY line),
+      k AS (SELECT doc_id, pos, ln.line, line_df <= 4 AS keep
+        FROM ln JOIN freq ON ln.line = freq.line)
+      SELECT doc_id, CAST(count(*) AS BIGINT) n_lines,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+          n_kept_lines,
+        coalesce(string_agg(CASE WHEN keep THEN line END,
+          chr(10) ORDER BY pos), '') clean_text
+      FROM k GROUP BY doc_id"""))
+
+  // L60 — blocklist term matching via the native Aho-Corasick
+  // expression (ONE compiled scan per row regardless of pattern-set
+  // size — the property a 10^4-term blocklist at 100 TB needs; a regex
+  // alternation trials alternatives per position and K contains calls
+  // rescan K times). Patterns overlap ("fast table" contains "table")
+  // and one is absent, so the count semantics (every (position,
+  // pattern) occurrence) and the zero arm are both pinned; the oracle
+  // probes every start position per pattern with substr.
+  private val l60Pats =
+    Seq("fast table", "table", "agg", "merge batch", "slow merge", "zzz")
+  private val l60 = QueryDef("l60_blocklist_hits", (s, dir) => {
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.blocklistHits(col("text"), l60Pats).as("n_hits"))
+      .withColumn("blocked", (col("n_hits") > 0).cast("long"))
+  }, Some {
+    val terms = l60Pats.map { t =>
+      s"len(list_filter(range(1, length(text) - ${t.length} + 2), " +
+        s"i -> substr(text, i, ${t.length}) = '$t'))"
+    }.mkString("(", " + ", ")")
+    s"""SELECT doc_id, n_hits,
+        CAST(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END AS BIGINT) blocked
+      FROM (SELECT doc_id, CAST($terms AS BIGINT) n_hits
+            FROM documents)"""
+  })
+
   // L51 — Count-Min sketch frequency estimation (4 x 16 grid over the
   // token stream): the linear mergeable sketch for ad-hoc frequency
   // point queries at corpus scale (O(depth*width) state, elementwise-
@@ -2760,5 +2820,5 @@ object LlmOps {
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
-      l53r, l54, l54h, l55, l56, l57, l58, m1, m2)
+      l53r, l54, l54h, l55, l56, l57, l58, l59, l60, m1, m2)
 }

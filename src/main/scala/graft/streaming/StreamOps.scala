@@ -242,6 +242,104 @@ object StreamOps {
     }
   }
 
+  /** STREAMING line-frequency state for boilerplate removal
+    * ([[graft.operators.Dedup.lineFrequencyFilter]]'s corpus statistic
+    * as an append-only delta log): each micro-batch reduces to its own
+    * per-line-key distinct-doc counts and appends them to
+    * `statePath/d=<batchId>/` — O(batch) writes, the dedup-index LSM
+    * shape — and the standing document frequency of a line is the SUM
+    * of its deltas ([[lineFreq]]). Distinct-doc counts over batches
+    * sum exactly when a doc id appears in ONE batch (the ingest
+    * contract every delta-log sink here shares); a re-delivered doc id
+    * inflates its lines' df by the duplicate count — the conservative
+    * direction for a boilerplate KILL threshold. Retries are
+    * idempotent by construction (mode-overwrite of the batch's own
+    * dir; no read of prior state feeds the output).
+    *
+    * `hashedLineKeys` defaults TRUE here (8-byte standing keys — the
+    * state is long-lived by definition); pass false only when the
+    * stored keys must remain inspectable strings.
+    */
+  def lineFreqForeachBatch(statePath: String, idCol: String,
+                           textCol: String, delim: String = "\n",
+                           hashedLineKeys: Boolean = true)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      graft.operators.Dedup
+        .lineDocFreq(graft.operators.Dedup.lineTable(
+          batch, idCol, textCol, delim, hashedLineKeys))
+        .withColumn("d", col("line_df")).drop("line_df")
+        .withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$statePath/d=$batchId")
+    }
+  }
+
+  /** The standing line document-frequency table (`lk`, `line_df`) —
+    * the sum-fold over all published deltas. Empty-schema frame when
+    * no batch has run (callers joining against it see no hot lines).
+    */
+  def lineFreq(spark: org.apache.spark.sql.SparkSession,
+               statePath: String, hashedLineKeys: Boolean = true)
+      : DataFrame =
+    readDeltaDirs(spark, statePath)
+      .map(_.groupBy("lk").agg(sum("d").as("line_df")))
+      .getOrElse {
+        import spark.implicits._
+        if (hashedLineKeys) Seq.empty[(Long, Long)].toDF("lk", "line_df")
+        else Seq.empty[(String, Long)].toDF("lk", "line_df")
+      }
+
+  /** Boilerplate-filter a document frame against the STANDING
+    * line-frequency state: the same decision/reassembly stage as the
+    * one-shot operator, with the corpus statistic read from the delta
+    * log — so a cleaning job can run per-batch (or on any subset)
+    * without recomputing corpus-wide line counts.
+    */
+  def lineFreqFilterWithState(docs: DataFrame, idCol: String,
+                              textCol: String, maxDocFreq: Long,
+                              statePath: String, delim: String = "\n",
+                              hashedLineKeys: Boolean = true): DataFrame =
+    graft.operators.Dedup.lineFilterAgainst(
+      graft.operators.Dedup.lineTable(docs, idCol, textCol, delim,
+        hashedLineKeys),
+      lineFreq(docs.sparkSession, statePath, hashedLineKeys),
+      maxDocFreq, delim, idCol)
+
+  /** LSM-compact the line-frequency delta log: merge all deltas with
+    * `first_batch <= upTo` into one SUM-merged dir (this state folds by
+    * addition, so compaction groups and sums — unlike the
+    * dropDuplicates stores — and is logically inert by the same
+    * monoid that makes [[lineFreq]] correct).
+    */
+  def compactLineFreq(spark: org.apache.spark.sql.SparkSession,
+                      statePath: String, upTo: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val eligible = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
+        !s.getPath.getName.contains("__staging"))
+      .map(_.getPath)
+      .filter { d =>
+        val top = spark.read.parquet(d.toString)
+          .agg(max("first_batch")).head()
+        !top.isNullAt(0) && top.getLong(0) <= upTo
+      }
+    if (eligible.length < 2) return
+    val merged = spark.read
+      .parquet(eligible.map(_.toString).toIndexedSeq: _*)
+      .groupBy("lk").agg(sum("d").as("d"))
+      .withColumn("first_batch", lit(upTo))
+    val staging =
+      new org.apache.hadoop.fs.Path(s"$statePath/d=c${upTo}__staging")
+    val target = new org.apache.hadoop.fs.Path(s"$statePath/d=c$upTo")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"compact: cannot publish $target")
+    eligible.filterNot(_ == target).foreach(fs.delete(_, true))
+  }
+
   /** Streaming vocabulary heavy hitters via the mergeable Misra–Gries
     * summary (x18's sketch, graft.functions.MisraGries): each
     * micro-batch reduces to its own <= capacity summary, which merges

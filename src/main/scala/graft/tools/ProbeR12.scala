@@ -1352,6 +1352,103 @@ object ProbeR12 {
         }
         docs.unpersist()
 
+      case "wave6" =>
+        import graft.operators.{Dedup, TextAnalysis}
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text").cache()
+        val nDocs = docs.count()
+        println(s"PROBE12 wave6_docs $nDocs")
+
+        // ---- l59 line-frequency boilerplate at 250k docs ----
+        // lined corpus: nav header + footer planted on every doc, a mid
+        // boilerplate line on every 3rd doc, content cut into 12-token
+        // lines (construction cached OUTSIDE the timed runs)
+        val tks = "filter(split(text, ' '), t -> length(t) > 0)"
+        val lined = docs.select(col("doc_id"), concat(
+            lit("nav home menu about contact\n"),
+            when(col("doc_id") % 3 === 0,
+              lit("subscribe to our newsletter today\n")).otherwise(lit("")),
+            expr(s"""array_join(transform(
+                 sequence(0, (size($tks) - 1) div 12),
+                 i -> array_join(slice($tks, i * 12 + 1, 12), ' ')),
+               chr(10))"""),
+            lit("\ncopyright footer 2026")).as("text"))
+          .cache()
+        lined.count()
+        val st = Dedup.lineFrequencyFilter(lined, "doc_id", "text",
+            maxDocFreq = 1000, hashedLineKeys = true)
+          .agg(sum("n_lines").as("t"), sum("n_kept_lines").as("k")).head()
+        println(s"PROBE12 l59_lines total=${st.getLong(0)} " +
+          s"kept=${st.getLong(1)}")
+        for ((label, hashed) <- Seq(("l59_hashed", true),
+                                    ("l59_string", false)))
+          timed(label, Dedup.lineFrequencyFilter(lined, "doc_id", "text",
+            maxDocFreq = 1000, hashedLineKeys = hashed))
+
+        // streaming form: seed the 250k-doc state, then a 15k batch
+        val lfRoot = "/tmp/scale/probe12_linefreq"
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(lfRoot))
+        val lfSink = graft.streaming.StreamOps
+          .lineFreqForeachBatch(s"$lfRoot/state", "doc_id", "text")
+        val batch15 = lined.filter(col("doc_id") % 17 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L).cache()
+        val nB = batch15.count()
+        for ((label, run) <- Seq[(String, () => Unit)](
+            ("lfstream_seed_250k", () => lfSink(lined, 0L)),
+            (s"lfstream_batch_$nB", () => lfSink(batch15, 1L)),
+            (s"lfstream_filter_batch_$nB", () =>
+              graft.streaming.StreamOps.lineFreqFilterWithState(
+                  batch15, "doc_id", "text", maxDocFreq = 1000,
+                  s"$lfRoot/state")
+                .write.format("noop").mode(SaveMode.Overwrite).save()))) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          run()
+          metrics.drain()
+          println(f"PROBE12 $label ${(System.nanoTime() - t0) / 1e9}%.1f s" +
+            f" shuffle=${metrics.shuffleWriteMb} MB" +
+            f" spill=${metrics.spillMb} MB" +
+            f" maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        lined.unpersist(blocking = false)
+        batch15.unpersist(blocking = false)
+
+        // ---- l60 blocklist scaling: AC vs regex alternation vs
+        // chained contains. RARE terms (every alternative fails at most
+        // positions — the regime that motivates the automaton; real
+        // blocklist terms are rare by nature).
+        val rare = docs.select(explode(expr(tks)).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+          .filter(length(col("t")) >= 4)
+          .orderBy(col("c").asc, col("t")).limit(10000)
+          .collect().map(_.getString(0)).toIndexedSeq
+        println(s"PROBE12 l60_terms n=${rare.length}")
+        for (k <- Seq(10, 100, 1000, 10000)) {
+          val pats = rare.take(k)
+          timed(s"l60_ac_k$k", docs.select(col("doc_id"),
+            (TextAnalysis.blocklistHits(col("text"), pats) > 0)
+              .cast("long").as("blocked")), reps = 2)
+          if (k <= 1000)
+            timed(s"l60_rlike_k$k", docs.select(col("doc_id"),
+              col("text").rlike(pats.mkString("(", "|", ")"))
+                .cast("long").as("blocked")), reps = 2)
+          if (k <= 100)
+            timed(s"l60_contains_k$k", docs.select(col("doc_id"),
+              pats.map(t => col("text").contains(t)).reduce(_ || _)
+                .cast("long").as("blocked")), reps = 2)
+        }
+        // decision parity: AC vs rlike on 1000 terms (plain [a-z]+
+        // tokens — no regex metachars, so rlike IS substring semantics)
+        val disagree = docs.select(
+            (TextAnalysis.blocklistHits(col("text"), rare.take(1000)) > 0)
+              .as("ac"),
+            col("text").rlike(rare.take(1000).mkString("(", "|", ")"))
+              .as("re"))
+          .filter(col("ac") =!= col("re")).count()
+        println(s"PROBE12 l60_parity_k1000 disagreements=$disagree")
+        docs.unpersist()
+
       case other =>
         sys.error(s"unknown ProbeR12 mode: $other")
     }

@@ -394,4 +394,50 @@ class DedupSpec extends AnyFunSuite {
       assert(got == expected, s"trial $trial diverged from brute force")
     }
   }
+
+  test("line-frequency filter: over-threshold boilerplate lines drop, " +
+    "at-threshold and unique lines survive in order, all-boilerplate " +
+    "docs clean to '', within-doc repeats count one doc, hashed keys " +
+    "match the string path") {
+    import s.implicits._
+    val hdr = "nav home menu"
+    val ftr = "copyright footer"
+    val docs = Seq(
+      (1L, s"$hdr\nalpha beta\nrepeat me\n$ftr"),
+      (2L, s"$hdr\ngamma delta\nshared quote\n$ftr"),
+      (3L, s"$hdr\nshared quote\n$ftr"),
+      // doc 4 repeats "repeat me" WITHIN itself: the DISTINCT-doc df of
+      // that line is 2 (docs 1 and 4) <= threshold, so it survives —
+      // a naive occurrence count (3) would wrongly drop it
+      (4L, s"$hdr\nrepeat me\nrepeat me\nepsilon\n$ftr"),
+      (5L, s"$hdr\n$ftr") // all boilerplate -> cleans to ''
+    ).toDF("doc_id", "text")
+    // hdr df=5, ftr df=5 -> dropped at maxDocFreq=2; "shared quote"
+    // df=2 -> SURVIVES (at-threshold); content lines df=1 survive
+    val got = Dedup.lineFrequencyFilter(docs, "doc_id", "text",
+        maxDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept_lines"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got == Map(
+      1L -> ((4L, 2L, "alpha beta\nrepeat me")),
+      2L -> ((4L, 2L, "gamma delta\nshared quote")),
+      3L -> ((3L, 1L, "shared quote")),
+      4L -> ((5L, 3L, "repeat me\nrepeat me\nepsilon")),
+      5L -> ((2L, 0L, ""))), s"got $got")
+    val hashed = Dedup.lineFrequencyFilter(docs, "doc_id", "text",
+        maxDocFreq = 2, hashedLineKeys = true)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept_lines"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(hashed == got, "hashed line keys changed the output")
+    // the delimiter is literal, not a regex
+    val dot = Dedup.lineFrequencyFilter(
+        Seq((1L, "a.b"), (2L, "a.c"), (3L, "a.d")).toDF("doc_id", "text"),
+        "doc_id", "text", maxDocFreq = 2, delim = ".")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(dot == Map(1L -> "b", 2L -> "c", 3L -> "d"),
+      s"literal-delim split broke: $dot")
+  }
 }

@@ -115,6 +115,12 @@ class NativeCodegenCanarySpec extends AnyFunSuite {
       InternalRow(42L))
   }
 
+  test("multi_contains_count generated code compiles and runs (the " +
+    "automaton reference object resolves)") {
+    assertCompiles(MultiContainsCount(str, Seq("ab", "b")),
+      InternalRow(UTF8String.fromString("xabx")))
+  }
+
   test("vec_sub generated code compiles and runs") {
     assertCompiles(VecSub(vecA, vecB),
       InternalRow(arr(1.0, 2.0), arr(0.5, 0.25)))

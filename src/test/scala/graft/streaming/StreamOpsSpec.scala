@@ -1091,6 +1091,69 @@ class StreamOpsSpec extends AnyFunSuite {
       s"a re-delivered doc id must not emit a (d, d) self-pair: $p4")
   }
 
+  test("streaming line-frequency state: folded df equals one-shot, " +
+    "state-driven filtering equals the one-shot operator, retry and " +
+    "sum-compaction are inert") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_linefreq_stream").toString + "/state"
+    val hdr = "nav home menu"
+    val b0 = Seq((1L, s"$hdr\nalpha"), (2L, s"$hdr\nbeta"))
+    val b1 = Seq((3L, s"$hdr\ngamma\nshared quote"))
+    val b2 = Seq((4L, s"$hdr\nshared quote\ndelta"), (5L, hdr))
+    val all = b0 ++ b1 ++ b2
+    val sink = StreamOps.lineFreqForeachBatch(statePath, "doc_id", "text")
+    sink(b0.toDF("doc_id", "text"), 0L)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink(df, id + 1)
+      }.start()
+    try {
+      input.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def freqMap() = StreamOps.lineFreq(s, statePath).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShotFreq = graft.operators.Dedup.lineDocFreq(
+        graft.operators.Dedup.lineTable(all.toDF("doc_id", "text"),
+          "doc_id", "text", "\n", hashedLineKeys = true))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(freqMap() == oneShotFreq,
+      "standing df must equal the one-shot corpus statistic")
+
+    def cleaned(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept_lines"),
+          r.getAs[String]("clean_text")))).toMap
+    val viaState = cleaned(StreamOps.lineFreqFilterWithState(
+      all.toDF("doc_id", "text"), "doc_id", "text", maxDocFreq = 2,
+      statePath))
+    val oneShot = cleaned(graft.operators.Dedup.lineFrequencyFilter(
+      all.toDF("doc_id", "text"), "doc_id", "text", maxDocFreq = 2,
+      hashedLineKeys = true))
+    assert(viaState == oneShot,
+      s"state-driven filter diverged: $viaState vs $oneShot")
+    assert(viaState(5L)._3 == "", "all-boilerplate doc must clean to ''")
+
+    // retry the last batch: overwrite of its own dir is idempotent
+    sink(b2.toDF("doc_id", "text"), 2L)
+    assert(freqMap() == oneShotFreq, "retried batch double-counted")
+
+    // compaction sums, never changes the logical state
+    StreamOps.compactLineFreq(s, statePath, upTo = 1L)
+    assert(freqMap() == oneShotFreq, "compaction changed the fold")
+    val dirs = new java.io.File(statePath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("d="))
+    assert(dirs.exists(_.getName == "d=c1") && dirs.length == 2,
+      s"expected compacted dir + live batch-2 delta, got " +
+        dirs.map(_.getName).toSeq)
+  }
+
   test("near-dup index hot-bucket cap: over-cap buckets emit only " +
     "star-against-representative pairs; a generous cap equals uncapped") {
     import s.implicits._
