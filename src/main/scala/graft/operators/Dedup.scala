@@ -320,6 +320,96 @@ object Dedup {
     verifiedJaccard(cand, sh, threshold)
   }
 
+  /** CONTAINMENT (asymmetric-Jaccard) join: ordered pairs (a, b) with
+    * `|Sa ∩ Sb| / |Sa| >= threshold` — a's shingle set tau-contained in
+    * b's. This catches exactly what symmetric Jaccard REJECTS through
+    * its length filter: a paragraph quoted inside a 100x-longer page,
+    * a doc re-published with a long appendix, boilerplate-wrapped
+    * content — `J = inter/union` vanishes as the container grows while
+    * containment stays 1. The directional output (`doc_a` contained,
+    * `doc_b` container) is what a dedup policy needs: kill or flag the
+    * CONTAINED side.
+    *
+    * Blocking is the asymmetric prefix filter (the l54 theorem, one-
+    * sided): a needs overlap `t = ceil(tau*|Sa|)` with ANY container,
+    * so if none of a's rarest-first `|Sa| - t + 1` shingles is in Sb,
+    * the overlap is at most t-1 — probe a's PREFIX against b's FULL
+    * inverted list (the container side cannot be prefix-shortened: no
+    * upper length bound exists for it, unlike Jaccard's two-sided
+    * filter). The only cheap container-side condition is
+    * `|Sb| >= t` (it must hold the intersection). Every candidate is
+    * verified against full sets, so precision is exact and
+    * completeness is the pigeonhole above — the l61 oracle (plain
+    * quadratic containment join) re-proves it cross-engine every
+    * round. `ceil` carries the 1e-9 slack so float rounding can only
+    * LENGTHEN a prefix. Exact duplicates emit BOTH directions by
+    * design.
+    *
+    * Scale shape: probe side = short rarest-first prefixes (candidate
+    * volume bounded by the df of a's rarest shingles); index side =
+    * the inverted index every shingle operator already builds; 8-byte
+    * keys under `hashedShingles`. The honest caveat l54 carries
+    * applies: a corpus whose rare shingles are still hot (literal
+    * replication) fattens candidates — measured in SCALE_r12 §25.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       hashedShingles: Boolean = false): DataFrame = {
+    val (sh, cand) = containmentStage(df, idCol, textCol, n, threshold,
+      hashedShingles)
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("inter", expr("intersect_count(sh_a, sh_b)"))
+      .withColumn("containment", col("inter").cast("double") /
+        size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
+  /** Candidate pairs of [[containmentPairs]] before the exact verify —
+    * the observable the probe/bench layer measures (candidate volume is
+    * the quadratic risk, not shuffle bytes).
+    */
+  def containmentCandidates(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double,
+                            hashedShingles: Boolean = false): DataFrame =
+    containmentStage(df, idCol, textCol, n, threshold, hashedShingles)._2
+
+  private def containmentStage(df: DataFrame, idCol: String,
+                               textCol: String, n: Int, threshold: Double,
+                               hashedShingles: Boolean)
+      : (DataFrame, DataFrame) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh0 = shingleTable(df, idCol, textCol, n)
+    val sh =
+      if (hashedShingles)
+        sh0.withColumn("sh", expr("transform(sh, t -> xxhash64(t))"))
+      else sh0
+    val inv = sh.select(col("doc"), size(col("sh")).cast("long").as("m"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    val t = ceil(lit(threshold) * col("m") - lit(1e-9)).cast("long")
+    val p = col("m") - t + lit(1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("dfreq"), col("shingle"))
+    val prefix = inv.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= p)
+      .select("doc", "m", "shingle")
+    val cand = prefix.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc") =!= col("b.doc") &&
+          col("b.m") >=
+            ceil(lit(threshold) * col("a.m") - lit(1e-9)).cast("long"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    (sh, cand)
+  }
+
   /** Candidate pairs of [[prefixFilterJaccardPairs]] (before the exact
     * verify), exposed so the prefix filter's candidate-set reduction vs
     * the full inverted index is observable/testable.

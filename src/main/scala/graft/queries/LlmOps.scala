@@ -848,6 +848,63 @@ object LlmOps {
         "text", n = 3, threshold = 0.5, hashedShingles = true)
     }, Some(l54OracleSql))
 
+  // L61 — containment (asymmetric-Jaccard) join at tau=0.9: the
+  // sub-document-duplication detector symmetric Jaccard structurally
+  // misses (a doc quoted inside a longer page has J -> 0 as the
+  // container grows but containment 1). The fixture makes the
+  // semantics visible ON the gate data: each doc is wrapped into a
+  // synthetic container (its text + the next doc's text), so every
+  // base doc is ~fully contained in its wrapper (and the NEXT doc in
+  // it too) while no wrapper is contained in anything — directionality
+  // checked by the oracle, which is SEMANTIC (the plain quadratic
+  // containment join), so the hash match re-proves the one-sided
+  // prefix-filter completeness theorem on real data every round.
+  private val l61OracleSql = """WITH base AS
+        (SELECT doc_id, text FROM documents),
+      wrapped AS (SELECT a.doc_id + 100000 AS doc_id,
+          a.text || ' ' || b.text AS text
+        FROM base a JOIN base b ON b.doc_id = a.doc_id + 1),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM wrapped),
+      toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          t -> length(t) > 0) tk FROM corpus),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) s
+        FROM toks WHERE len(tk) >= 3),
+      sizes AS (SELECT doc_id, CAST(len(s) AS BIGINT) n FROM sh),
+      ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+      cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          CAST(count(*) AS BIGINT) inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle
+          AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+      FROM cand JOIN sizes sa ON sa.doc_id = doc_a
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.9"""
+
+  private def l61Corpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("t2"))
+    d.unionByName(d.join(nxt, Seq("doc_id"))
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("t2")).as("text")))
+  }
+
+  private val l61 = QueryDef("l61_containment_join", (s, dir) => {
+    Dedup.containmentPairs(l61Corpus(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.9)
+  }, Some(l61OracleSql))
+
+  // L61H — 8-byte hashed-shingle keys, same oracle (the l54h contract:
+  // value-identity IS the hashed path's check).
+  private val l61h = QueryDef("l61h_containment_join_hashed", (s, dir) => {
+    Dedup.containmentPairs(l61Corpus(s, dir), "doc_id", "text",
+      n = 3, threshold = 0.9, hashedShingles = true)
+  }, Some(l61OracleSql))
+
   // L57 — hard-negative mining (contrastive-training data prep): per
   // query, the top-5 most-similar vectors with cosine BELOW the 0.9
   // near-dup threshold — the "almost positive" negatives that carry
@@ -2820,5 +2877,5 @@ object LlmOps {
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
-      l53r, l54, l54h, l55, l56, l57, l58, l59, l60, m1, m2)
+      l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61h, m1, m2)
 }

@@ -1449,6 +1449,51 @@ object ProbeR12 {
         println(s"PROBE12 l60_parity_k1000 disagreements=$disagree")
         docs.unpersist()
 
+      case "wave7" =>
+        // l61 containment join at 250k + 10k planted wrappers: the
+        // directional sub-document detector. Candidate volume is the
+        // observable; tau=0.9 probes ~0.1*m rarest shingles per doc
+        // against the full inverted list.
+        import graft.operators.Dedup
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text").cache()
+        val nDocs = docs.count()
+        val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+          col("text").as("t2"))
+        val wrapped = docs.filter(col("doc_id") % 25 === 0)
+          .join(nxt, Seq("doc_id"))
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("t2")).as("text"))
+        val corpus = docs.unionByName(wrapped).cache()
+        val nAll = corpus.count()
+        println(s"PROBE12 wave7_corpus base=$nDocs all=$nAll")
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val nCand = Dedup.containmentCandidates(corpus, "doc_id",
+            "text", n = 3, threshold = 0.9, hashedShingles = true).count()
+          metrics.drain()
+          println(f"PROBE12 l61_cand rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s cand=$nCand " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"spill=${metrics.spillMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val nPairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+            n = 3, threshold = 0.9, hashedShingles = true).count()
+          metrics.drain()
+          println(f"PROBE12 l61_full rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s pairs=$nPairs " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"spill=${metrics.spillMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        corpus.unpersist()
+        docs.unpersist()
+
       case other =>
         sys.error(s"unknown ProbeR12 mode: $other")
     }

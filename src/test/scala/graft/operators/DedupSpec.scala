@@ -395,6 +395,71 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join: matches brute force on random corpora with " +
+    "planted sub-documents, catches the pair Jaccard's length filter " +
+    "rejects, is directional, hashed == string") {
+    import s.implicits._
+    val n = 3
+    def shingleSet(t: String): Set[String] = {
+      val tk = t.split(" ").filter(_.nonEmpty).toVector
+      if (tk.length < n) Set.empty
+      else tk.sliding(n).map(_.mkString(" ")).toSet
+    }
+    def brute(docs: Seq[(Long, String)], tau: Double)
+        : Set[(Long, Long, Double)] = {
+      val sets = docs.map { case (id, t) => id -> shingleSet(t) }
+        .filter(_._2.nonEmpty)
+      (for ((ia, sa) <- sets; (ib, sb) <- sets if ia != ib;
+            c = sa.intersect(sb).size.toDouble / sa.size
+            if c >= tau)
+        yield (ia, ib, c)).toSet
+    }
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj")
+    (1 to 4).foreach { trial =>
+      val base = (0L until 14L).map { id =>
+        id -> Vector.fill(6 + rnd.nextInt(20))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // plant: a short doc wrapped inside a much longer container
+      val victim = base(rnd.nextInt(base.size))._2
+      val filler = Vector.fill(60)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      val docs = base :+ (50L + trial) -> s"$victim $filler"
+      val tau = 0.8
+      val expected = brute(docs, tau)
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n, tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"trial $trial diverged from brute force")
+      val hashed = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n, tau, hashedShingles = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(hashed == got, s"trial $trial hashed != string")
+      // the planted pair IS found, is directional (victim -> wrapper,
+      // never the reverse at tau=0.8), and symmetric Jaccard at the
+      // same tau would reject it (union is filler-dominated)
+      val victimId = base.find(_._2 == victim).get._1
+      val w = 50L + trial
+      val planted = got.filter(p => p._1 == victimId && p._2 == w)
+      if (shingleSet(victim).nonEmpty) {
+        assert(planted.nonEmpty, s"planted containment not found")
+        assert(!got.exists(p => p._1 == w && p._2 == victimId),
+          "the WRAPPER must not be contained in the victim")
+        val sa = shingleSet(victim)
+        val sb = shingleSet(s"$victim $filler")
+        val j = sa.intersect(sb).size.toDouble /
+          sa.union(sb).size.toDouble
+        assert(j < tau,
+          s"fixture degenerate: Jaccard $j should reject what " +
+            "containment accepts")
+      }
+    }
+  }
+
   test("line-frequency filter: over-threshold boilerplate lines drop, " +
     "at-threshold and unique lines survive in order, all-boilerplate " +
     "docs clean to '', within-doc repeats count one doc, hashed keys " +
