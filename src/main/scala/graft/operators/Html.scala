@@ -105,6 +105,27 @@ object Html {
 
   def cleanText(htmlCol: String): Column = expr(cleanTextSql(htmlCol))
 
+  /** `href` attribute values RE (RE2 ∩ java.regex — double-quoted
+    * attributes, the form the l34 synthesis and real generated markup
+    * emit; single-quoted/unquoted attributes are a parser's job, not a
+    * regex's — documented limitation).
+    */
+  val HrefRe: String = "href=\"([^\"]*)\""
+
+  /** All href values of the document, in order — the outlink extractor
+    * feeding URL canonicalization (Urls.canonicalize) and the link
+    * graph (l62). Map-only.
+    */
+  def extractHrefs(htmlCol: String): Column =
+    org.apache.spark.sql.functions.regexp_extract_all(
+      org.apache.spark.sql.functions.col(htmlCol),
+      org.apache.spark.sql.functions.lit(HrefRe),
+      org.apache.spark.sql.functions.lit(1))
+
+  /** DuckDB mirror of [[extractHrefs]] (same regex constant). */
+  def extractHrefsDuckSql(htmlExpr: String): String =
+    s"regexp_extract_all($htmlExpr, 'href=\"([^\"]*)\"', 1)"
+
   /** Link density in [0, 1]: link chars / clean chars (0 for empty). */
   def linkDensity(htmlCol: String): Column = {
     val clean = cleanTextSql(htmlCol)

@@ -905,6 +905,61 @@ object LlmOps {
       n = 3, threshold = 0.9, hashedShingles = true)
   }, Some(l61OracleSql))
 
+  // L62 — link-graph quality prior, composed END TO END across three
+  // operator families: HTML outlink extraction (Html.extractHrefs) →
+  // URL canonicalization (Urls.canonicalize — the synthesized links
+  // carry uppercase scheme/host, a default :80 port, a tracking param
+  // and a fragment, so every rule fires on the graph path) → site-level
+  // edge list → 4 exact fixed-point PageRank iterations
+  // (GraphRank.pageRankFixedPoint, all scaled-BIGINT) → per-doc rank.
+  // This is the CommonCrawl-style "rank the crawl graph, use rank as a
+  // quality prior" pipeline; the oracle replays extraction,
+  // canonicalization, edge building and ALL FOUR iterations to the
+  // identical rank vector. Each doc's site is doc_id mod 97; links
+  // target sites (7*id+1) mod 97 and (13*id+3) mod 97.
+  private val l62HtmlSynth =
+    """concat('<html><body><p>', text,
+       '</p><a href="HTTP://Site', (doc_id * 7 + 1) % 97,
+       '.EXAMPLE.com:80/p?utm_source=z&k=1#frag">x</a>',
+       '<a href="http://site', (doc_id * 13 + 3) % 97,
+       '.example.com/q">y</a></body></html>')"""
+
+  private val l62 = QueryDef("l62_link_graph_rank", (s, dir) => {
+    val html = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(l62HtmlSynth).as("__html"))
+    val links = html.select(col("doc_id"),
+      explode(Html.extractHrefs("__html")).as("url"))
+    val edges = Urls.canonicalize(links, "url")
+      .select((col("doc_id") % 97).as("src"),
+        expr("""try_cast(regexp_extract(url_canonical,
+             '://site([0-9]+)[.]', 1) AS BIGINT)""").as("dst"))
+      .filter(col("dst").isNotNull)
+      .distinct()
+    val ranks = graft.operators.GraphRank
+      .pageRankFixedPoint(edges, "src", "dst", iters = 4)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 97).as("site"))
+      .join(ranks.withColumnRenamed("node", "site"), Seq("site"))
+      .select(col("doc_id"), col("site"), col("r").as("site_rank"))
+  }, Some {
+    val edgesSql =
+      s"""WITH h AS (SELECT doc_id, $l62HtmlSynth AS html
+            FROM documents),
+          lx AS (SELECT doc_id,
+            unnest(${graft.operators.Html.extractHrefsDuckSql("html")})
+              AS u FROM h),
+          ${graft.operators.Urls.canonicalDuckSql(
+            "SELECT doc_id, u FROM lx")}
+          SELECT DISTINCT doc_id % 97 AS src,
+            CAST(regexp_extract(url_canonical, '://site([0-9]+)[.]', 1)
+              AS BIGINT) AS dst
+          FROM c WHERE url_canonical IS NOT NULL"""
+    s"""WITH pr AS MATERIALIZED (
+          ${graft.operators.GraphRank.oracleSql(edgesSql, iters = 4)})
+        SELECT d.doc_id, d.doc_id % 97 AS site, pr.r AS site_rank
+        FROM documents d JOIN pr ON pr.node = d.doc_id % 97"""
+  })
+
   // L57 — hard-negative mining (contrastive-training data prep): per
   // query, the top-5 most-similar vectors with cosine BELOW the 0.9
   // near-dup threshold — the "almost positive" negatives that carry
@@ -2877,5 +2932,6 @@ object LlmOps {
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
-      l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61h, m1, m2)
+      l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61h, l62,
+      m1, m2)
 }

@@ -55,4 +55,18 @@ class HtmlSpec extends AnyFunSuite {
     assert(c == "start two words end")
     assert(math.abs(d - 9.0 / c.length) < 1e-12, s"got $d")
   }
+
+  test("extractHrefs: all double-quoted hrefs in order, empty value " +
+    "kept, single-quoted NOT matched (documented limitation), no-link " +
+    "doc yields an empty array") {
+    import s.implicits._
+    def hrefs(html: String): Seq[String] =
+      Seq(html).toDF("h")
+        .select(Html.extractHrefs("h").as("u"))
+        .head().getSeq[String](0)
+    assert(hrefs("""<a href="/a">x</a><link href="s.css">""" +
+      """<a id="z" href="">y</a>""") == Seq("/a", "s.css", ""))
+    assert(hrefs("<a href='/single'>x</a>") == Seq.empty)
+    assert(hrefs("<p>no links</p>") == Seq.empty)
+  }
 }
