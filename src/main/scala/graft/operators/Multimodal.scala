@@ -525,4 +525,215 @@ object Multimodal {
       .select(col("doc"), col("elem_idx"), col("kind"), col("media_idx"),
         col("elem_tokens"), col("cum_tokens"), col("within_budget"))
   }
+
+  /** 64-bit DCT perceptual hash (the classic pHash): grayscale →
+    * 32×32 average-pool → 2D DCT-II → 8×8 low-frequency block →
+    * bit = coefficient > median (median over the 63 AC coefficients;
+    * the DC bit is pinned to 1 — it only encodes global brightness).
+    * Two perceptually-equal images (re-encode, resize, small
+    * brightness/contrast shifts) land within a small Hamming distance;
+    * unrelated images land near 32. Pure fixed-point-free double math
+    * with fixed loop order — bit-deterministic on any JVM/partitioning.
+    *
+    * Exact-substring/shingle dedup (l1/l2x) is blind to re-encoded
+    * media; this is the image-side analogue of SimHash (l4): hash
+    * map-side, band-join, verify with bit_count.
+    */
+  object PHash {
+    val Size = 32
+    val Keep = 8
+
+    // cos((2n+1)·k·π / (2·Size)), k row = frequency, n col = sample —
+    // built once per JVM, shared by every task
+    private lazy val cosT: Array[Array[Double]] = Array.tabulate(Keep, Size) {
+      (k, n) => math.cos((2 * n + 1) * k * math.Pi / (2.0 * Size))
+    }
+
+    /** Per-axis area weights for an exact box filter: source index i
+      * covers [i·S/n, (i+1)·S/n) in target units — at most two target
+      * cells (S <= n); the fractional split is what integer binning
+      * loses (half-pixel grid wobble between a 64→32 and a 128→32
+      * downscale measurably shifts low-frequency phase — caught by the
+      * resize-invariance spec).
+      */
+    private def axisSplit(i: Int, n: Int): (Int, Double, Int, Double) = {
+      val lo = i.toDouble * Size / n
+      val hi = (i + 1).toDouble * Size / n
+      val c0 = math.min(Size - 1, lo.toInt)
+      val c1 = math.min(Size - 1, (hi - 1e-9).toInt)
+      if (c0 == c1) (c0, hi - lo, c0, 0.0)
+      else (c0, c1 - lo, c1, hi - c1)
+    }
+
+    /** 32×32 grayscale by EXACT area-weighted box filtering of the full
+      * raster (BT.601 luma in doubles, fixed order). Every source pixel
+      * distributes its area across the (at most four) target cells it
+      * overlaps, so two renders of the same continuous image at
+      * different sizes pool to near-identical rasters.
+      */
+    def gray(img: java.awt.image.BufferedImage): Array[Double] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Double](Size * Size)
+      val wts = new Array[Double](Size * Size)
+      val rowBuf = new Array[Int](w)
+      // x-axis splits are reused for every row
+      val xs = Array.tabulate(w)(axisSplit(_, w))
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        val (ry0, wy0, ry1, wy1) = axisSplit(y, h)
+        var x = 0
+        while (x < w) {
+          val px = rowBuf(x)
+          val luma = 0.299 * ((px >> 16) & 0xff) +
+            0.587 * ((px >> 8) & 0xff) + 0.114 * (px & 0xff)
+          val (cx0, wx0, cx1, wx1) = xs(x)
+          sums(ry0 * Size + cx0) += luma * wy0 * wx0
+          wts(ry0 * Size + cx0) += wy0 * wx0
+          if (wx1 > 0) {
+            sums(ry0 * Size + cx1) += luma * wy0 * wx1
+            wts(ry0 * Size + cx1) += wy0 * wx1
+          }
+          if (wy1 > 0) {
+            sums(ry1 * Size + cx0) += luma * wy1 * wx0
+            wts(ry1 * Size + cx0) += wy1 * wx0
+            if (wx1 > 0) {
+              sums(ry1 * Size + cx1) += luma * wy1 * wx1
+              wts(ry1 * Size + cx1) += wy1 * wx1
+            }
+          }
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < sums.length) {
+        if (wts(i) > 0) sums(i) /= wts(i)
+        i += 1
+      }
+      sums
+    }
+
+    /** Deterministic fake raster for payloads with no decodable image
+      * (the [[FakeCodec]] discipline: identical signature and batch
+      * shape, content derived from the bytes so equal payloads hash
+      * equal and near-equal payloads stay near).
+      */
+    def grayFromBytes(payload: Array[Byte]): Array[Double] = {
+      val g = new Array[Double](Size * Size)
+      if (payload.isEmpty) return g
+      var i = 0
+      while (i < g.length) {
+        g(i) = (payload(i % payload.length) & 0xff).toDouble
+        i += 1
+      }
+      g
+    }
+
+    /** Top-left `Keep`×`Keep` block of the 2D DCT-II (separable: rows
+      * then columns; only the `Keep` needed frequencies are computed —
+      * O(Size²·Keep + Size·Keep²), not a full Size² transform).
+      */
+    def dctLowFreq(g: Array[Double]): Array[Double] = {
+      // rows: tmp(u, y) = sum_x g(y, x) · cos_u(x)
+      val tmp = new Array[Double](Keep * Size)
+      var u = 0
+      while (u < Keep) {
+        var y = 0
+        while (y < Size) {
+          var acc = 0.0
+          var x = 0
+          while (x < Size) {
+            acc += g(y * Size + x) * cosT(u)(x)
+            x += 1
+          }
+          tmp(u * Size + y) = acc
+          y += 1
+        }
+        u += 1
+      }
+      // cols: out(v, u) = sum_y tmp(u, y) · cos_v(y)
+      val out = new Array[Double](Keep * Keep)
+      var v = 0
+      while (v < Keep) {
+        var uu = 0
+        while (uu < Keep) {
+          var acc = 0.0
+          var y = 0
+          while (y < Size) {
+            acc += tmp(uu * Size + y) * cosT(v)(y)
+            y += 1
+          }
+          out(v * Keep + uu) = acc
+          uu += 1
+        }
+        v += 1
+      }
+      out
+    }
+
+    /** Fold the 8×8 block into the 64-bit hash: bit i set iff
+      * coefficient i exceeds the median of the 63 AC coefficients
+      * (lower-half median — deterministic, no averaging); bit 0 (DC)
+      * always set.
+      */
+    def hashOf(coeffs: Array[Double]): Long = {
+      val ac = coeffs.drop(1).sorted
+      val median = ac(ac.length / 2)
+      var h = 1L
+      var i = 1
+      while (i < coeffs.length) {
+        if (coeffs(i) > median) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+
+    /** Item → hash: real decode for image payloads, byte raster
+      * otherwise (never throws — the corrupt-file contract).
+      */
+    def ofItem(payload: Array[Byte]): Long = {
+      val img = try {
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      } catch { case scala.util.control.NonFatal(_) => null }
+      val g = if (img != null) gray(img) else grayFromBytes(payload)
+      hashOf(dctLowFreq(g))
+    }
+  }
+
+  /** (id, phash) per item — mapPartitions batch shape, embarrassingly
+    * parallel, no shuffle; the decode cost is the whole cost.
+    */
+  def perceptualHashes(items: Dataset[MediaItem]): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(_.map(it => (it.id, PHash.ofItem(it.payload))))
+      .toDF("id", "phash")
+  }
+
+  /** Near-duplicate image pairs by pHash Hamming distance <= `maxDist`:
+    * the hash is split into four 16-bit bands and candidates bucket-join
+    * on (band, value) — pigeonhole-COMPLETE for maxDist <= 3 (four
+    * disjoint bands cannot all differ), recall-bound above that. The
+    * exact bit_count verify runs on candidates only. Same shape as
+    * [[Dedup.simHashNearPairs]]; 16-bit bands keep bucket sizes
+    * corpus-scaled (65k distinct values per band).
+    */
+  def phashNearPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = hashes.select(col("id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"(phash >> ${16 * b}) & 65535")): _*))
+        .as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(ph_a ^ ph_b)").cast("long"))
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -814,4 +814,71 @@ object Similarity {
       (0 until nPlanes).combinations(r)
         .map(_.foldLeft(0L)((m, i) => m | (1L << i))).toSeq.sorted
     }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` items maximizing
+    *
+    *   score(d) = lambda·cos(d, q) − (1−lambda)·max over selected s of cos(d, s)
+    *
+    * — the "relevant but not redundant" exemplar picker (few-shot /
+    * eval-set construction): plain top-k returns k near-copies of the
+    * best hit; MMR's redundancy penalty spreads the picks.
+    *
+    * Selection is INHERENTLY sequential (step i's penalty needs step
+    * i−1's pick), so like Bpe.train this runs one Spark job per step —
+    * k bounded driver round-trips, each a MAP-ONLY scan: rel and norm
+    * are computed once and cached; the selected set is ≤ k literal
+    * vectors folded into a codegen'd `greatest`-of-`vec_dot` chain
+    * (exact max is associative, so the pairwise fold is bit-equal to a
+    * flat max; k stays far below the ~100-call JIT-width cliff the
+    * verify skill documents), and the argmax is a
+    * TakeOrderedAndProject — NO shuffle of the corpus at any step.
+    * Ties break (score DESC, id ASC); every double arithmetic tree
+    * mirrors the l66 oracle's exactly.
+    */
+  def mmrSelect(corpus: DataFrame, queryId: Long, idCol: String,
+                vecCol: String, k: Int,
+                lambda: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm("v"))
+    val q = base.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cand = base.filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("v"), col("nrm"),
+        (dot("v", "qv") / (col("nrm") * col("qn"))).as("rel"))
+      .persist()
+    try {
+      // (id, rel, score, vector, norm) — the norm is the ENGINE's
+      // sqrt(vec_dot(v, v)) carried through the collect, never
+      // recomputed driver-side, so step i's cosine tree is bit-equal
+      // to the oracle's (which reads the same norm from its CTE).
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Double, Array[Double], Double)]
+      for (_ <- 1 to k) {
+        val maxsim =
+          if (sel.isEmpty) lit(0.0)
+          else sel.map { case (_, _, _, sv, sn) =>
+            call_function("vec_dot", col("v"), lit(sv)) /
+              (col("nrm") * lit(sn))
+          }.reduce(greatest(_, _))
+        val remaining =
+          if (sel.isEmpty) cand
+          else cand.filter(!col("id").isin(sel.map(_._1).toSeq: _*))
+        val row = remaining
+          .withColumn("score",
+            lit(lambda) * col("rel") - lit(1.0 - lambda) * maxsim)
+          .orderBy(col("score").desc, col("id").asc).limit(1)
+          .select("id", "rel", "score", "v", "nrm").collect()(0)
+        sel += ((row.getLong(0), row.getDouble(1), row.getDouble(2),
+          row.getSeq[Double](3).toArray, row.getDouble(4)))
+      }
+      import spark.implicits._
+      sel.zipWithIndex.map { case ((id, rel, score, _, _), i) =>
+        (i + 1L, id, rel, score)
+      }.toSeq.toDF("rank", "id", "rel", "score")
+    } finally { cand.unpersist(); () }
+  }
 }

@@ -923,6 +923,198 @@ object TextAnalysis {
           .as("est"))
   }
 
+  /** The canonical Gopher "required word" list (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): a document must contain at least two of
+    * these to pass the stop-word rule. Public so the l63 oracle SQL
+    * embeds the identical list.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule battery (Rae et al. 2021, §A1.1) — the
+    * document-level repetition rule is [[repetitionRatio]] (l20); these
+    * are the remaining seven structural rules, evaluated over a page
+    * that may contain newlines:
+    *
+    *  1. word count within [minWords, maxWords]
+    *  2. mean word length within [3, 10]
+    *  3. symbol-to-word ratio (`#` and `...`) <= 0.1
+    *  4. fraction of lines starting with a bullet (`- `) <= 0.9
+    *  5. fraction of lines ending with `...` <= 0.3
+    *  6. fraction of words containing an alphabetic character >= 0.8
+    *  7. at least 2 distinct [[GopherStopwords]] present
+    *
+    * keep = all seven. Map-only, one codegen'd projection per doc; the
+    * page, word array and line array are each bound ONCE as lambda
+    * variables (the transform-over-singleton idiom — referencing a
+    * computed array from several expressions makes CollapseProject
+    * re-evaluate it per reference). Words come from the page with
+    * newlines flattened to spaces; lines from splitting on newline,
+    * empties dropped on both axes. Ratios are small-int IEEE divisions
+    * — bit-reproducible cross-engine (the l20 precedent).
+    */
+  def gopherRules(pageCol: String, minWords: Int = 50,
+                  maxWords: Int = 100000): Column = {
+    val nl = "\n"
+    val stopArr =
+      GopherStopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    expr(
+      s"""element_at(transform(array($pageCol), p ->
+          element_at(transform(array(named_struct(
+              'w', filter(split(translate(p, '$nl', ' '), ' '),
+                     t -> length(t) > 0),
+              'l', filter(split(p, '$nl'), x -> length(x) > 0),
+              'nsym', (length(p) - length(replace(p, '#', '')))
+                + (length(p) - length(replace(p, '...', ''))) DIV 3)), q ->
+            named_struct(
+              'n_words', CAST(size(q.w) AS BIGINT),
+              'stop_hits', CAST(size(filter($stopArr,
+                  s -> array_contains(q.w, s))) AS BIGINT),
+              'r_wordcount', CAST(size(q.w) >= $minWords
+                  AND size(q.w) <= $maxWords AS BIGINT),
+              'r_meanlen', CAST(
+                  CAST(aggregate(q.w, CAST(0 AS BIGINT),
+                    (a, t) -> a + length(t)) AS DOUBLE)
+                    / CAST(size(q.w) AS BIGINT) >= CAST(3.0 AS DOUBLE)
+                  AND CAST(aggregate(q.w, CAST(0 AS BIGINT),
+                    (a, t) -> a + length(t)) AS DOUBLE)
+                    / CAST(size(q.w) AS BIGINT) <= CAST(10.0 AS DOUBLE)
+                  AS BIGINT),
+              'r_symbol', CAST(CAST(q.nsym AS DOUBLE)
+                  / CAST(size(q.w) AS BIGINT)
+                  <= CAST(0.1 AS DOUBLE) AS BIGINT),
+              'r_bullet', CAST(CAST(size(filter(q.l,
+                  x -> startswith(x, '- '))) AS DOUBLE)
+                  / CAST(size(q.l) AS BIGINT)
+                  <= CAST(0.9 AS DOUBLE) AS BIGINT),
+              'r_ellipsis', CAST(CAST(size(filter(q.l,
+                  x -> endswith(x, '...'))) AS DOUBLE)
+                  / CAST(size(q.l) AS BIGINT)
+                  <= CAST(0.3 AS DOUBLE) AS BIGINT),
+              'r_alpha', CAST(CAST(size(filter(q.w,
+                  t -> t rlike '[A-Za-z]')) AS DOUBLE)
+                  / CAST(size(q.w) AS BIGINT)
+                  >= CAST(0.8 AS DOUBLE) AS BIGINT),
+              'r_stopwords', CAST(size(filter($stopArr,
+                  s -> array_contains(q.w, s))) >= 2 AS BIGINT))), 1)), 1)""")
+  }
+
+  /** DuckDB mirror of [[gopherRules]]: same rules, same thresholds,
+    * emitted as a projection list over `w` (word array, newlines
+    * flattened) / `l` (non-empty lines) / `nsym` (symbol count)
+    * aliases the caller binds once in a CTE.
+    */
+  def gopherRulesDuckSql(minWords: Int = 50,
+                         maxWords: Int = 100000): String = {
+    val stopList =
+      GopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    // words / lines / symbol count bound once via a lateral-style CTE is
+    // the caller's job; this emits expressions over w/l/nsym aliases.
+    s"""CAST(len(w) AS BIGINT) AS n_words,
+      CAST(len(list_filter($stopList, s -> list_contains(w, s)))
+        AS BIGINT) AS stop_hits,
+      CAST(len(w) >= $minWords AND len(w) <= $maxWords AS BIGINT)
+        AS r_wordcount,
+      CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(w, t -> CAST(length(t) AS BIGINT))),
+          (a, b) -> a + b) AS DOUBLE) / CAST(len(w) AS BIGINT)
+          >= CAST(3.0 AS DOUBLE)
+        AND CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(w, t -> CAST(length(t) AS BIGINT))),
+          (a, b) -> a + b) AS DOUBLE) / CAST(len(w) AS BIGINT)
+          <= CAST(10.0 AS DOUBLE) AS BIGINT) AS r_meanlen,
+      CAST(CAST(nsym AS DOUBLE) / CAST(len(w) AS BIGINT)
+        <= CAST(0.1 AS DOUBLE) AS BIGINT) AS r_symbol,
+      CAST(CAST(len(list_filter(l, x -> starts_with(x, '- ')))
+        AS DOUBLE) / CAST(len(l) AS BIGINT)
+        <= CAST(0.9 AS DOUBLE) AS BIGINT) AS r_bullet,
+      CAST(CAST(len(list_filter(l, x -> ends_with(x, '...')))
+        AS DOUBLE) / CAST(len(l) AS BIGINT)
+        <= CAST(0.3 AS DOUBLE) AS BIGINT) AS r_ellipsis,
+      CAST(CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+        AS DOUBLE) / CAST(len(w) AS BIGINT)
+        >= CAST(0.8 AS DOUBLE) AS BIGINT) AS r_alpha,
+      CAST(len(list_filter($stopList, s -> list_contains(w, s))) >= 2
+        AS BIGINT) AS r_stopwords"""
+  }
+
+  /** Mojibake repair table: UTF-8 bytes misdecoded as Latin-1/cp1252 —
+    * the single most common crawl-text encoding damage ("cafÃ©" for
+    * "café"). Curated to digraphs whose misdecoded form is PRINTABLE
+    * (the cp1252-undefined/control continuations are a decoder's job,
+    * not a string rewrite's — documented limitation). Applied
+    * longest-first so the 3-byte punctuation forms (`â€œ`) never lose
+    * their continuation bytes to a shorter rule; within a length,
+    * lexicographic order keeps the fold deterministic. Every pair maps
+    * misdecoded → intended codepoint.
+    */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    "â€œ" -> "“", // â€œ -> left double quote
+    // right double quote: the 0x9D continuation is cp1252-undefined,
+    // so it survives as U+009D in some damage and is dropped in
+    // other crawls - BOTH forms map to ”. The full form is
+    // written with an escape: 0x9D is invisible in source and
+    // silently breaks literal matching (found by this file's own
+    // spec).
+    ("â€\u009D") -> "”", // â€ + U+009D
+    "â€" -> "”", // bare â€ (continuation byte dropped)
+    "â€™" -> "’", // â€™ -> right single quote
+    "â€“" -> "–", // â€“ -> en dash
+    "â€”" -> "—", // â€” -> em dash
+    "â€¦" -> "…", // â€¦ -> ellipsis
+    "Ã©" -> "é", // Ã© -> é
+    "Ã¨" -> "è", // Ã¨ -> è
+    "Ã¡" -> "á", // Ã¡ -> á
+    "Ã³" -> "ó", // Ã³ -> ó
+    "Ãº" -> "ú", // Ãº -> ú
+    "Ã­" -> "í", // Ã­ -> í
+    "Ã±" -> "ñ", // Ã± -> ñ
+    "Ã§" -> "ç", // Ã§ -> ç
+    "Ã¤" -> "ä", // Ã¤ -> ä
+    "Ã¶" -> "ö", // Ã¶ -> ö
+    "Ã¼" -> "ü", // Ã¼ -> ü
+    "Ã¯" -> "ï", // Ã¯ -> ï
+    "Â«" -> "«", // Â« -> «
+    "Â»" -> "»", // Â» -> »
+    "Â·" -> "·"  // Â· -> ·
+  ).sortBy { case (bad, _) => (-bad.length, bad) }
+
+  /** Repair [[MojibakePairs]] damage: one fold of literal `replace`
+    * calls in the table's fixed order — map-only, codegen'd, no regex.
+    * Non-overlapping left-to-right replace semantics are identical in
+    * Spark and DuckDB, so the result is bit-identical cross-engine
+    * regardless of pathological inputs.
+    */
+  def mojibakeRepair(textCol: Column): Column =
+    MojibakePairs.foldLeft(textCol) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** DuckDB mirror of [[mojibakeRepair]] — the same fold as nested
+    * `replace` calls (literal, not regex) in the same order.
+    */
+  def mojibakeRepairDuckSql(textExpr: String): String =
+    MojibakePairs.foldLeft(textExpr) { case (e, (bad, good)) =>
+      s"replace($e, '$bad', '$good')"
+    }
+
+  /** Count of mojibake marker characters left in the text — the
+    * "this document still needs a real decoder pass" signal: leading
+    * bytes of misdecoded UTF-8 sequences (Ã = 0xC3, Â = 0xC2, â = 0xE2
+    * continuations). Character-count arithmetic (length minus
+    * replace-away), no regex.
+    */
+  def mojibakeMarkers(textCol: Column): Column =
+    Seq("Ã", "Â", "â").map { m =>
+      length(textCol) - length(replace(textCol, lit(m), lit("")))
+    }.reduce(_ + _).cast("long")
+
+  /** DuckDB mirror of [[mojibakeMarkers]]. */
+  def mojibakeMarkersDuckSql(textExpr: String): String =
+    Seq("Ã", "Â", "â").map { m =>
+      s"(length($textExpr) - length(replace($textExpr, '$m', '')))"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
   /** Pass 2 of [[heavyHitters]], shared with the streaming form
     * (StreamOps.heavyHittersFromState): exact recount of a BOUNDED
     * candidate term set over the corpus, thresholded at phi * n. The

@@ -960,6 +960,207 @@ object LlmOps {
         FROM documents d JOIN pr ON pr.node = d.doc_id % 97"""
   })
 
+  // L63 — the Gopher structural quality rule battery (Rae et al. 2021,
+  // arXiv:2112.11446 §A1.1; the duplicate-n-gram rule is l20). The
+  // corpus text is single-line prose, so the page under test is
+  // synthesized (the l62 discipline): deterministic arms keyed by
+  // doc_id add a symbol/numeric line (%3), ten bullet lines (%5 — a
+  // bullet-only page crosses the 0.9 line-fraction threshold exactly
+  // when no other arm fires), and two ellipsis-terminated lines (%7,
+  // which also carry two of the eight Gopher stop words) — every rule
+  // fires in BOTH directions across the corpus. Map-only; page, word
+  // array and line array bound once (transform-over-singleton), rule
+  // struct expanded through ONE inline() reference.
+  private val l63Nl = "\n"
+  private val l63Page =
+    s"""concat(text,
+       CASE WHEN doc_id % 3 = 0
+         THEN '$l63Nl### ## # 12345 67890' ELSE '' END,
+       CASE WHEN doc_id % 5 = 0 THEN concat(
+         '$l63Nl- bullet one', '$l63Nl- bullet two',
+         '$l63Nl- bullet three', '$l63Nl- bullet four',
+         '$l63Nl- bullet five', '$l63Nl- bullet six',
+         '$l63Nl- bullet seven', '$l63Nl- bullet eight',
+         '$l63Nl- bullet nine', '$l63Nl- bullet ten') ELSE '' END,
+       CASE WHEN doc_id % 7 = 0
+         THEN '${l63Nl}to be continued...${l63Nl}more soon...'
+         ELSE '' END)"""
+
+  private val l63 = QueryDef("l63_gopher_rules", (s, dir) => {
+    val page = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(l63Page).as("__page"))
+    val rules = page.select(col("doc_id"),
+      inline(array(TextAnalysis.gopherRules("__page", minWords = 50))))
+    rules.withColumn("keep",
+      Seq("r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stopwords")
+        .map(col).reduce(_ * _))
+  }, Some(
+    s"""WITH h AS (SELECT doc_id, $l63Page AS p FROM documents),
+        b AS (SELECT doc_id,
+          list_filter(string_split(replace(p, chr(10), ' '), ' '),
+            t -> length(t) > 0) w,
+          list_filter(string_split(p, chr(10)), x -> length(x) > 0) l,
+          (length(p) - length(replace(p, '#', '')))
+            + (length(p) - length(replace(p, '...', ''))) // 3 AS nsym
+          FROM h),
+        r AS (SELECT doc_id, ${TextAnalysis.gopherRulesDuckSql(
+            minWords = 50)} FROM b)
+        SELECT *, r_wordcount * r_meanlen * r_symbol * r_bullet
+          * r_ellipsis * r_alpha * r_stopwords AS keep FROM r"""))
+
+  // L64 — mojibake repair (UTF-8 misdecoded as Latin-1/cp1252, the
+  // classic "cafÃ©" crawl damage): a fixed longest-first table of
+  // printable misdecoded digraphs folded through literal (non-regex)
+  // replaces — the identical nested-replace SQL evaluates in BOTH
+  // engines, so the hash match pins the table, the order, and the
+  // non-overlapping replace semantics. The corpus is clean ASCII, so
+  // damage is synthesized per doc_id arm (accents / smart punctuation /
+  // guillemets / untouched); dirty and repaired are bound once as
+  // lambda variables and expanded through one inline() — the md5, the
+  // before/after marker counts, and the changed flag never re-evaluate
+  // the 21-replace chain.
+  private val l64Dirty =
+    """concat(text, CASE doc_id % 4
+       WHEN 0 THEN ' cafÃ© rÃ©sumÃ© dÃ©cor'
+       WHEN 1 THEN ' â€œquoteâ€™â€¦â€'
+       WHEN 2 THEN ' naÃ¯ve faÃ§ade Â«quotedÂ»'
+       ELSE '' END)"""
+
+  private def l64Struct(dirtyExpr: String): String =
+    s"""transform(array($dirtyExpr), d ->
+        element_at(transform(array(${TextAnalysis
+          .mojibakeRepairDuckSql("d")}), r -> named_struct(
+          'fixed_md5', md5(r),
+          'n_bad_before', ${TextAnalysis.mojibakeMarkersDuckSql("d")},
+          'n_bad_after', ${TextAnalysis.mojibakeMarkersDuckSql("r")},
+          'changed', CAST(d <> r AS BIGINT))), 1))"""
+
+  private val l64 = QueryDef("l64_mojibake_repair", (s, dir) => {
+    Tables.documents(s, dir).select(col("doc_id"),
+      inline(expr(l64Struct(l64Dirty))))
+  }, Some {
+    val named = TextAnalysis.MojibakePairs.foldLeft("d") {
+      case (e, (bad, good)) => s"replace($e, '$bad', '$good')"
+    }
+    s"""WITH dd AS (SELECT doc_id, $l64Dirty AS d FROM documents),
+        rr AS (SELECT doc_id, d, $named AS r FROM dd)
+        SELECT doc_id, md5(r) AS fixed_md5,
+          ${TextAnalysis.mojibakeMarkersDuckSql("d")} AS n_bad_before,
+          ${TextAnalysis.mojibakeMarkersDuckSql("r")} AS n_bad_after,
+          CAST(d <> r AS BIGINT) AS changed
+        FROM rr"""
+  })
+
+  // L65 — leakage-safe train/val/test split: l19's deterministic LCG
+  // split keyed by the near-dup CLUSTER (l39's connected component),
+  // not the document — the eval-contamination guard every benchmark
+  // pipeline needs: with doc-keyed splits, a near-dup pair straddling
+  // train/test leaks training text into evaluation; keying the LCG by
+  // the component id puts every near-duplicate of a document in the
+  // SAME split by construction. Pure composition (pair graph →
+  // closure → keyed LCG), one extra 8-byte-key join over l19's cost;
+  // the oracle replays pairs, the recursive closure AND the LCG, so
+  // the hash-match pins the no-leak property end to end.
+  private val l65 = QueryDef("l65_leakage_safe_split", (s, dir) => {
+    import graft.operators.GraphRank
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.2, maxDocFreq = 10, hashedShingles = true)
+    val comp = GraphRank.connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("split", TextAnalysis.splitAssign("component", 80, 10))
+  }, Some(graft.operators.GraphRank.componentsOracleSql(l2bOracleSql,
+    """, j AS (SELECT d.doc_id,
+         coalesce(cc.component, d.doc_id) AS component
+         FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+       SELECT doc_id, component,
+         CASE WHEN ((((component % 100000007) + 100000007) % 100000007)
+                * 1103515245 + 12345) % 100 < 80 THEN 'train'
+              WHEN ((((component % 100000007) + 100000007) % 100000007)
+                * 1103515245 + 12345) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+       FROM j""")))
+
+  // L66 — MMR diverse selection (Carbonell & Goldstein 1998): greedy
+  // k=8 exemplar picks maximizing 0.5·rel − 0.5·max-sim-to-selected
+  // over the embeddings corpus with vec 0 as the query — the few-shot /
+  // eval-set constructor where plain top-k returns near-copies. The
+  // oracle unrolls ALL EIGHT greedy steps as chained CTEs (the l30 BPE
+  // discipline): each step's correlated max over the accumulated
+  // selected set, the exclusion, the tie-break and the argmax replay in
+  // DuckDB to the identical pick sequence — every cosine tree mirrors
+  // Similarity.mmrSelect's bit for bit (left-to-right dot fold, carried
+  // norms, exact-max associativity).
+  private val l66 = QueryDef("l66_mmr_select", (s, dir) => {
+    Similarity.mmrSelect(Tables.embeddings(s, dir), queryId = 0L,
+      "vec_id", "embedding", k = 8, lambda = 0.5)
+  }, Some {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+          (x, y) -> x + y)"""
+    val steps = (1 to 8).map { i =>
+      if (i == 1)
+        s"""s1 AS (SELECT vec_id, v, nrm, rel,
+             CAST(0.5 AS DOUBLE) * rel
+               - CAST(0.5 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS score
+             FROM cand ORDER BY score DESC, vec_id LIMIT 1),
+           u1 AS (SELECT vec_id, v, nrm, rel, score,
+             CAST(1 AS BIGINT) AS rank FROM s1)"""
+      else
+        s"""s$i AS (SELECT c.vec_id, c.v, c.nrm, c.rel,
+             CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) *
+               (SELECT max(${dot("c.v", "u.v")} / (c.nrm * u.nrm))
+                FROM u${i - 1} u) AS score
+             FROM cand c
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM u${i - 1})
+             ORDER BY score DESC, c.vec_id LIMIT 1),
+           u$i AS (SELECT * FROM u${i - 1} UNION ALL
+             SELECT vec_id, v, nrm, rel, score, CAST($i AS BIGINT)
+             FROM s$i)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) nrm FROM e),
+        q AS (SELECT v qv, nrm qn FROM n WHERE vec_id = 0),
+        cand AS (SELECT vec_id, v, nrm,
+            ${dot("v", "qv")} / (nrm * qn) AS rel
+          FROM n, q WHERE vec_id <> 0),
+        $steps
+        SELECT rank, vec_id AS id, rel, score FROM u8"""
+  })
+
+  // M3 — perceptual-hash (pHash) image near-dup: grayscale → 32×32
+  // pool → DCT-II → 8×8 low-freq block → median-thresholded 64-bit
+  // hash, then the SimHash-style band join (four 16-bit bands,
+  // pigeonhole-complete at Hamming <= 3) with exact bit_count verify —
+  // the image-side dedup exact text hashing is blind to (re-encodes,
+  // resizes, brightness shifts hash equal-or-near). DECLARED rows-only
+  // BY NATURE (the l33/l44 class): a 32-point DCT has no SQL mirror;
+  // the math is pinned byte-exact by MultimodalSpec (naive-DCT parity,
+  // re-encode/brightness/resize invariance on REAL PNGs, band-join
+  // completeness vs brute force) and the testdata run is
+  // deterministic end to end (text-byte rasters via the FakeCodec
+  // discipline; exact-dup texts land at Hamming 0).
+  private val m3 = QueryDef("m3_phash_near_dup", (s, dir) => {
+    import s.implicits._
+    val items = Multimodal.asMediaItems(
+      Tables.documents(s, dir), "doc_id", "text")
+      .as[Multimodal.MediaItem]
+    val hashes = Multimodal.perceptualHashes(items)
+    val pairs = Multimodal.phashNearPairs(hashes, maxDist = 3)
+    val partners = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_neardup"))
+    hashes.join(partners, Seq("id"), "left")
+      .select(col("id"), col("phash"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
+  }, None)
+
   // L57 — hard-negative mining (contrastive-training data prep): per
   // query, the top-5 most-similar vectors with cosine BELOW the 0.9
   // near-dup threshold — the "almost positive" negatives that carry
@@ -2933,5 +3134,5 @@ object LlmOps {
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61h, l62,
-      m1, m2)
+      l63, l64, l65, l66, m1, m2, m3)
 }

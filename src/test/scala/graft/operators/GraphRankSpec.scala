@@ -120,4 +120,33 @@ class GraphRankSpec extends AnyFunSuite {
     assert(Seq(30L, 31L, 32L).forall(got(_) == 30L),
       "near-dup transitivity: pairwise edges close into one cluster")
   }
+
+  test("leakage-safe split (l65 composition): component-keyed LCG puts " +
+    "every near-dup pair in ONE split where the doc-keyed split leaks") {
+    import s.implicits._
+    // pair graph chosen so doc-keyed splitAssign provably disagrees
+    // within at least one pair (ids land in different LCG buckets)
+    val pairs = Seq((1L, 9L), (9L, 17L), (2L, 33L), (40L, 41L))
+    val docs = (0L until 50L).toDF("doc_id")
+    val comp = GraphRank.connectedComponents(
+      pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    val labeled = docs.join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val safe = labeled
+      .withColumn("split", TextAnalysis.splitAssign("component", 60, 20))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val naive = docs
+      .withColumn("split", TextAnalysis.splitAssign("doc_id", 60, 20))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((a, b) <- pairs)
+      assert(safe(a) == safe(b), s"pair ($a,$b) split across sets")
+    // non-vacuity: the doc-keyed split DOES leak on this graph
+    assert(pairs.exists { case (a, b) => naive(a) != naive(b) },
+      "fixture must make the naive split leak, or the test proves nothing")
+    // transitivity: 1~9~17 is one chain, all three in one split
+    assert(safe(1L) == safe(17L))
+    // singletons keep the plain doc-keyed assignment (component = id)
+    assert(safe(25L) == naive(25L))
+  }
 }

@@ -399,4 +399,128 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 2L) == Set((2L, 1L, "text", -1L, 5L, 5L, 1L)))
     assert(out.filter(_._1 == 3L) == Set((3L, 1L, "image", 0L, 32L, 32L, 1L)))
   }
+
+  // Scale-invariant textured PNG: sinusoidal luma from NORMALIZED
+  // coords, so the same continuous image renders at any size. A smooth
+  // linear gradient is the pHash ADVERSARY (its AC spectrum is nearly
+  // all zero, so median-threshold bits are rounding noise — a real
+  // photo has texture); the multi-frequency texture puts unambiguous
+  // energy in the low-frequency block the hash reads.
+  private def gradientPng(w: Int, h: Int, shift: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      def clamp(v: Int) = math.min(255, math.max(0, v))
+      val (u, vv) = ((x + 0.5) / w, (y + 0.5) / h)
+      // broadband: signed energy in EVERY low-frequency bin the hash
+      // reads (cos(πk·x') is the continuous DCT-II basis), amplitudes
+      // summing under 127 so nothing clips — a narrowband texture
+      // leaves most AC bits thresholding rounding noise
+      var luma = 127.0
+      for (k <- 0 to 7; l <- 0 to 7 if k + l > 0) {
+        val sgn = if ((k * 3 + l * 5) % 2 == 0) 1 else -1
+        luma += sgn * 13.0 / (1 + k + l) *
+          math.cos(math.Pi * k * u) * math.cos(math.Pi * l * vv)
+      }
+      val g = clamp(luma.toInt + shift)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def noisePng(w: Int, h: Int): Array[Byte] = {
+    val rnd = new scala.util.Random(99L)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rnd.nextInt(0xffffff))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("pHash DCT matches a naive O(N^4) direct-sum reference") {
+    val rnd = new scala.util.Random(42L)
+    val g = Array.fill(Multimodal.PHash.Size * Multimodal.PHash.Size)(
+      rnd.nextDouble() * 255.0)
+    val fast = Multimodal.PHash.dctLowFreq(g)
+    val n = Multimodal.PHash.Size
+    val naive = Array.tabulate(Multimodal.PHash.Keep,
+      Multimodal.PHash.Keep) { (v, u) =>
+      var acc = 0.0
+      for (y <- 0 until n; x <- 0 until n)
+        acc += g(y * n + x) *
+          math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)) *
+          math.cos((2 * y + 1) * v * math.Pi / (2.0 * n))
+      acc
+    }.flatten
+    fast.zip(naive).zipWithIndex.foreach { case ((f, nv), i) =>
+      assert(math.abs(f - nv) < 1e-6 * (1 + math.abs(nv)),
+        s"coef $i: $f vs $nv")
+    }
+    // the hash built from either coefficient set agrees (median gaps on
+    // random input dwarf the separable-vs-direct rounding delta)
+    assert(Multimodal.PHash.hashOf(fast) == Multimodal.PHash.hashOf(naive))
+  }
+
+  test("pHash: re-encode and resize leave the hash nearly unchanged, " +
+    "brightness shift stays close, unrelated images land far") {
+    val base = Multimodal.PHash.ofItem(gradientPng(64, 48))
+    def d(h: Long) = java.lang.Long.bitCount(base ^ h)
+    assert(d(Multimodal.PHash.ofItem(gradientPng(64, 48))) == 0,
+      "re-render of the identical image must hash identically")
+    assert(d(Multimodal.PHash.ofItem(gradientPng(128, 96))) <= 6,
+      "2x resize must stay within a small Hamming distance")
+    assert(d(Multimodal.PHash.ofItem(gradientPng(64, 48, shift = 15))) <= 6,
+      "small brightness shift must stay within a small Hamming distance")
+    assert(d(Multimodal.PHash.ofItem(noisePng(64, 48))) >= 16,
+      "an unrelated image must land far away")
+    // corrupt payload: falls back to the byte raster, never throws
+    Multimodal.PHash.ofItem(Array[Byte](9, 9, 9))
+    // empty payload is safe too
+    Multimodal.PHash.ofItem(Array.emptyByteArray)
+  }
+
+  test("perceptualHashes is partition-invariant; phashNearPairs equals " +
+    "brute force at Hamming <= 3 (pigeonhole-complete bands)") {
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    // synthetic hashes exercising the band join directly: random bases
+    // plus planted partners at distances 1..4
+    val bases = (0L until 60L).map(i => i -> rnd.nextLong())
+    def flip(h: Long, k: Int): Long = {
+      var out = h
+      val picked = scala.collection.mutable.Set.empty[Int]
+      while (picked.size < k) picked += rnd.nextInt(64)
+      picked.foreach(b => out ^= (1L << b))
+      out
+    }
+    val planted = Seq(
+      100L -> flip(bases(0)._2, 1), 101L -> flip(bases(1)._2, 2),
+      102L -> flip(bases(2)._2, 3), 103L -> flip(bases(3)._2, 4))
+    val all = (bases ++ planted).toDF("id", "phash")
+    val got = Multimodal.phashNearPairs(all, maxDist = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = (bases ++ planted)
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"band join diverged: got $got expect $brute")
+    assert(Seq((0L, 100L), (1L, 101L), (2L, 102L)).forall(brute.contains),
+      "fixture must plant pairs at distances 1..3")
+    assert(!brute.contains((3L, 103L)), "distance-4 pair is out of scope")
+    // partition invariance of the decode+hash path on real items
+    val items = Multimodal.asMediaItems(
+      Tables.documents(s, "/root/testdata/sf0.001").limit(40),
+      "doc_id", "text").as[MediaItem]
+    val h1 = Multimodal.perceptualHashes(items)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.perceptualHashes(items.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+  }
 }

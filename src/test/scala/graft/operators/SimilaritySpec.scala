@@ -530,4 +530,64 @@ class SimilaritySpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3)).toSet
     assert(all == b3)
   }
+
+  test("mmrSelect matches a brute-force greedy reference on a random " +
+    "corpus and skips the near-copy plain top-k would pick") {
+    val rnd = new scala.util.Random(20260815L)
+    val dim = 8
+    def vec(): Array[Double] = Array.fill(dim)(rnd.nextDouble() - 0.5)
+    val q = vec()
+    // id 1 = best hit; id 2 = a near-copy of id 1 (tiny perturbation):
+    // plain top-2 picks (1, 2); MMR must NOT pick 2 second.
+    val best = q.map(_ * 3.0 + 0.01)
+    // a slight ROTATION (not scaling — scaling leaves cosine bit-equal
+    // and the winner to ulp noise): strictly worse rel, still a near-dup
+    val nearCopy = best.updated(0, best(0) * 0.999).updated(1, best(1) * 1.001)
+    val base: Seq[(Long, Array[Double])] =
+      Seq(0L -> q, 1L -> best, 2L -> nearCopy) ++
+        (3L to 40L).map(i => i -> vec())
+    val df = base.toDF("vec_id", "embedding")
+    val k = 6
+    val lambda = 0.5
+    val got = Similarity.mmrSelect(df, 0L, "vec_id", "embedding",
+        k, lambda).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // reference: the same greedy loop in plain Scala doubles
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val cands = base.filter(_._1 != 0L)
+    val rel = cands.map { case (id, v) =>
+      id -> dot(v, q) / (nrm(v) * nrm(q)) }.toMap
+    val vs = cands.toMap
+    var selected = Vector.empty[Long]
+    val expect = (1 to k).map { _ =>
+      val pick = cands.filterNot(c => selected.contains(c._1))
+        .map { case (id, v) =>
+          val maxsim =
+            if (selected.isEmpty) 0.0
+            else selected.map(sid =>
+              dot(v, vs(sid)) / (nrm(v) * nrm(vs(sid)))).max
+          (id, lambda * rel(id) - (1 - lambda) * maxsim)
+        }.minBy { case (id, score) => (-score, id) }
+      selected :+= pick._1
+      pick
+    }
+    assert(got.map(_._1).toSeq == expect.map(_._1),
+      s"pick order ${got.map(_._1).toSeq} != ${expect.map(_._1)}")
+    got.zip(expect).foreach { case ((id, r, sc), (eid, esc)) =>
+      assert(id == eid && math.abs(sc - esc) < 1e-12 &&
+        math.abs(r - rel(id)) < 1e-12, s"step for $id: $sc vs $esc")
+    }
+    // the diversity property itself
+    assert(got.head._1 == 1L, "rank 1 is the best hit")
+    assert(got(1)._1 != 2L,
+      "MMR must not pick the near-copy of its first pick at rank 2")
+    val plain = Similarity.bruteForceTopK(df,
+        df.filter($"vec_id" === 0L), "vec_id", "embedding", k = 2)
+      .orderBy("rnk").collect().map(_.getAs[Long]("n_id"))
+    assert(plain.toSeq == Seq(1L, 2L),
+      "fixture must make plain top-2 pick the near-copy, or the " +
+        "diversity assertion proves nothing")
+  }
 }

@@ -575,4 +575,81 @@ class TextAnalysisSpec extends AnyFunSuite {
       dim).collect()
     assert(w1.head.getLong(2) == 2 * alphaW, "weights accumulate")
   }
+
+  test("gopherRules: every rule fires in both directions on " +
+    "hand-built pages") {
+    import s.implicits._
+    val good = (("the of " * 10) + ("and that with solid words " * 8)).trim
+    val pages = Seq(
+      1L -> good,                                   // passes all seven
+      2L -> "tiny page the of",                     // wordcount low
+      3L -> ("a b c d " * 20 + "the of"),           // mean word len < 3
+      4L -> (good + " ### ## # ## ### # ## ### ##"),// symbol ratio > 0.1
+      5L -> (good.split(' ').grouped(10)            // every line is a
+        .map(g => "- " + g.mkString(" "))           //   bullet; 10 words
+        .mkString("\n")),                           //   per line keep the
+                                                    //   word rules green
+      6L -> (good + "\nwait...\nmore...\nyes..."),  // ellipsis lines
+      7L -> (("the of " * 10)                       // alpha frac < 0.8;
+        + ("90210 42424 77777 " * 20)),             //   5-char digit words
+                                                    //   keep mean len >= 3
+      8L -> good.replace("the ", "thx ")            // < 2 stop words:
+        .replace("of ", "oz ")                      //   same-length
+        .replace("and ", "anz ")                    //   non-stopword
+        .replace("that ", "thaw ")                  //   swaps keep every
+        .replace("with ", "wish ")                  //   other rule green
+    ).toDF("doc_id", "page")
+    val got = pages
+      .select(col("doc_id"),
+        inline(array(TextAnalysis.gopherRules("page", minWords = 20))))
+      .collect().map(r => r.getLong(0) ->
+        Seq("r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+          "r_ellipsis", "r_alpha", "r_stopwords")
+          .map(f => r.getLong(r.fieldIndex(f)))).toMap
+    assert(got(1L) == Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L), got(1L).toString)
+    assert(got(2L)(0) == 0L, "wordcount rule must fail the tiny page")
+    assert(got(3L)(1) == 0L, "mean-length rule must fail 1-char words")
+    assert(got(4L)(2) == 0L, "symbol rule must fail the hash page")
+    assert(got(5L)(3) == 0L, "bullet rule must fail the bullet page")
+    assert(got(6L)(4) == 0L, "ellipsis rule must fail ...-ended lines")
+    assert(got(7L)(5) == 0L, "alpha rule must fail digit-word pages")
+    assert(got(8L)(6) == 0L, "stopword rule needs >= 2 distinct hits")
+    // ...and each failing page passes every OTHER rule (isolation)
+    for ((id, bits) <- got if id >= 2L)
+      assert(bits.sum == 6L, s"page $id must fail exactly one rule: $bits")
+  }
+
+  test("mojibakeRepair: known damage fixed, 3-char punctuation wins " +
+    "over its 2-char prefix, clean text untouched, idempotent, " +
+    "markers count before and after") {
+    import s.implicits._
+    val rows = Seq(
+      (1L, "cafÃ© rÃ©sumÃ© naÃ¯ve faÃ§ade"),
+      (2L, "â€œquoteâ€™â€¦â€ Â«gÂ»"),
+      (3L, "plain ascii text"),
+      (4L, "donâ€™t stop")).toDF("doc_id", "t")
+    val fixed = rows.select(col("doc_id"),
+        TextAnalysis.mojibakeRepair(col("t")).as("f"),
+        TextAnalysis.mojibakeMarkers(col("t")).as("before"),
+        TextAnalysis.mojibakeMarkers(
+          TextAnalysis.mojibakeRepair(col("t"))).as("after"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fixed(1L)._1 == "café résumé naïve façade")
+    // â€œ/â€™/â€¦ must be consumed BEFORE the bare â€ -> ” rule —
+    // a 2-char-first fold would shred them into ”-plus-orphan chars
+    assert(fixed(2L)._1 == "“quote’…” «g»")
+    assert(fixed(3L)._1 == "plain ascii text" && fixed(3L)._2 == 0L)
+    assert(fixed(4L)._1 == "don’t stop")
+    for ((id, (_, before, after)) <- fixed) {
+      assert(after == 0L, s"doc $id still carries markers")
+      if (id != 3L) assert(before > 0L, s"doc $id markers undetected")
+    }
+    // idempotence: repairing repaired text is a no-op
+    val twice = rows.select(TextAnalysis.mojibakeRepair(
+      TextAnalysis.mojibakeRepair(col("t"))).as("f2"),
+      TextAnalysis.mojibakeRepair(col("t")).as("f1"))
+      .collect()
+    twice.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
 }
