@@ -1337,4 +1337,63 @@ object Dedup {
         expr("bit_count(fp_a ^ fp_b)").cast("long"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Sentence-level exact dedup, keep-FIRST-occurrence (the C4
+    * discipline, Raffel et al. 2020 / Lee et al. 2021: a sentence
+    * appearing verbatim in many documents survives in exactly ONE —
+    * the earliest (doc, pos) — where [[lineFrequencyFilter]]'s
+    * threshold rule would either keep all copies or kill them all).
+    * Input is a pre-split sentence table (doc, pos, sentence) —
+    * splitting policy is the caller's (chunking, regex, a real
+    * segmenter); the dedup itself is splitter-agnostic.
+    *
+    * Shape: one combinable min(struct(doc, pos)) aggregate per
+    * sentence key + one join back on the key — both on 8-byte
+    * xxhash64 keys when `hashedKeys` (the l23h collision contract:
+    * value-identical output is the spec's check). Returns one row per
+    * doc: sentence counts and the md5 of the kept text reassembled in
+    * original order (sort_array over per-doc bounded structs — no
+    * window, no corpus-sized exchange).
+    */
+  def sentenceDedup(sent: DataFrame, docCol: String, posCol: String,
+                    sentCol: String,
+                    hashedKeys: Boolean = false): DataFrame = {
+    val keyed = sent.select(col(docCol).as("doc"),
+      col(posCol).cast("long").as("pos"), col(sentCol).as("s"),
+      (if (hashedKeys) xxhash64(col(sentCol)) else col(sentCol)).as("sk"))
+    val first = keyed.groupBy("sk")
+      .agg(min(struct(col("doc"), col("pos"))).as("f"))
+      .select(col("sk"), col("f.doc").as("fdoc"), col("f.pos").as("fpos"))
+    keyed.join(first, Seq("sk"))
+      .withColumn("keep",
+        (col("doc") === col("fdoc") && col("pos") === col("fpos"))
+          .cast("long"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_sent"),
+        sum("keep").cast("long").as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep") === 1L,
+            struct(col("pos"), col("s"))))),
+          x => x("s")), " | ")).as("clean_md5"))
+      .select(col("doc"), col("n_sent"), col("n_kept"), col("clean_md5"))
+  }
+
+  /** Corpus snapshot diff — the dataset-versioning primitive behind
+    * "what changed between crawl N and crawl N+1": per id,
+    * added / removed / changed / unchanged by content digest. One full
+    * outer join on the 8-byte id; digests are computed MAP-SIDE before
+    * the exchange, so document payloads never shuffle — at 100 TB the
+    * join moves (id, 16-byte digest) pairs only.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, payloadCol: String): DataFrame =
+    oldSnap.select(col(idCol).as("id"),
+        md5(col(payloadCol)).as("h_old"))
+      .join(newSnap.select(col(idCol).as("id"),
+        md5(col(payloadCol)).as("h_new")), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
 }

@@ -689,11 +689,25 @@ object Multimodal {
       h
     }
 
+    /** Cheap magic-byte sniff for the containers ImageIO can decode
+      * (PNG/JPEG/GIF/BMP) — at corpus scale most payloads are NOT
+      * images, and ImageIO's per-call reader search + stream setup on
+      * every non-image row measurably dominated the wave8 probe; four
+      * byte compares skip it.
+      */
+    private def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 4 && (
+        (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' &&
+          p(3) == 'G') ||
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||
+        (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+        (p(0) == 'B' && p(1) == 'M'))
+
     /** Item → hash: real decode for image payloads, byte raster
       * otherwise (never throws — the corrupt-file contract).
       */
     def ofItem(payload: Array[Byte]): Long = {
-      val img = try {
+      val img = if (!looksLikeImage(payload)) null else try {
         javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       } catch { case scala.util.control.NonFatal(_) => null }
       val g = if (img != null) gray(img) else grayFromBytes(payload)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -1160,6 +1160,132 @@ object LlmOps {
       .select(col("id"), col("phash"),
         coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
   }, None)
+
+  // L67 — DoReMi domain mixture weights (Xie et al. 2023): one
+  // corpus-scale pass computes per-domain EXCESS LOSS (global unigram
+  // bit-surprisal minus the domain specialist's, clipped at 0 per
+  // token — the l24 integer-bitlen machinery twice), then 12
+  // multiplicative-weight iterations in scaled BIGINT upweight the
+  // domains the generalist is most behind on. The oracle replays the
+  // token explode, BOTH vocabularies, the clipped excess sums AND all
+  // 12 unrolled iterations to the identical weight vector (the
+  // l30/l31 fixed-point discipline; exact-EG exp() would not
+  // hash-match across libms — documented deviation).
+  private val l67 = QueryDef("l67_doremi_weights", (s, dir) => {
+    graft.operators.DomainMix.domainWeights(Tables.documents(s, dir),
+      "text", "source", iters = 12)
+  }, Some(graft.operators.DomainMix.oracleSql("source", iters = 12)))
+
+  // L68 — corpus snapshot diff: the dataset-versioning primitive
+  // ("what changed between crawl N and N+1"). Old/new snapshots are
+  // carved deterministically from the corpus — old drops %10==3 ids
+  // (those read as ADDED), new drops %10==7 (REMOVED), %5==0 texts
+  // get a v2 suffix (CHANGED) — so all four statuses occur; digests
+  // computed map-side, the full outer join moves (id, digest) pairs
+  // only.
+  private val l68 = QueryDef("l68_snapshot_diff", (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+    val newSnap = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.Dedup.snapshotDiff(oldSnap, newSnap,
+      "doc_id", "text")
+  }, Some("""WITH o AS (SELECT doc_id AS id, md5(text) h_old
+          FROM documents WHERE doc_id % 10 <> 3),
+        n AS (SELECT doc_id AS id,
+            md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                ELSE text END) h_new
+          FROM documents WHERE doc_id % 10 <> 7)
+        SELECT coalesce(o.id, n.id) AS id,
+          CASE WHEN o.id IS NULL THEN 'added'
+               WHEN n.id IS NULL THEN 'removed'
+               WHEN h_old <> h_new THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.id = n.id"""))
+
+  // L69 — exact top-k selection WITHOUT a global sort: the "keep
+  // exactly the k best documents" primitive. Quantiles.kthLargest
+  // finds the exact k-th (value DESC, id ASC) order pair by iterative
+  // histogram narrowing — O(log_B(range)) map-side-combinable
+  // aggregations, driver state = one interval (the Bpe/mmr
+  // driver-paced class), no exchange ranks the corpus. The oracle
+  // computes the same threshold pair via a window rank and the same
+  // keep predicate — the hash-match proves the narrowing found the
+  // EXACT order statistic including the id tie-break (n_chars ties
+  // are dense at sf0.01).
+  private val l69 = QueryDef("l69_exact_topk_select", (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val thr = graft.operators.Quantiles.kthLargest(docs, "n_chars",
+      "doc_id", k = 50)
+    docs
+      .withColumn("keep", graft.operators.Quantiles
+        .keepTopK("n_chars", "doc_id", thr).cast("long"))
+      .withColumn("thr_value", lit(thr._1))
+      .withColumn("thr_id", lit(thr._2))
+  }, Some("""WITH ranked AS (SELECT doc_id, n_chars,
+        row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) rnk
+        FROM documents),
+      t AS (SELECT n_chars AS tv, doc_id AS ti FROM ranked
+        WHERE rnk = 50)
+      SELECT d.doc_id, d.n_chars,
+        CAST(d.n_chars > tv OR (d.n_chars = tv AND d.doc_id <= ti)
+          AS BIGINT) AS keep,
+        tv AS thr_value, ti AS thr_id
+      FROM documents d CROSS JOIN t"""))
+
+  // L70 — sentence-level exact dedup, keep-FIRST-occurrence (the C4
+  // discipline: a sentence verbatim in many docs survives in exactly
+  // ONE — the earliest (doc, pos) — where l59's threshold rule keeps
+  // all copies or kills them all). Sentences here are deterministic
+  // 6-token chunks (the l13 machinery — splitting policy is the
+  // caller's) plus a planted boilerplate sentence on every %4 doc at
+  // pos −1, so cross-doc dups are guaranteed beyond natural text
+  // collisions. ONE oracle for l70 (string keys, mirrored verbatim)
+  // and l70h (xxhash64 keys — value-identical by the l23h collision
+  // contract).
+  private val l70Sentence = "shared boilerplate sentence appears everywhere"
+  private def l70Build(s: SparkSession, dir: String,
+                       hashed: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val chunks = docs.select(col("doc_id"),
+      explode(TextAnalysis.chunks("text", size = 6, stride = 6)).as("c"))
+      .select(col("doc_id"), col("c.start").cast("long").as("pos"),
+        col("c.chunk").as("sentence"))
+    val planted = docs.filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), lit(-1L).as("pos"),
+        lit(l70Sentence).as("sentence"))
+    Dedup.sentenceDedup(chunks.unionByName(planted), "doc_id", "pos",
+      "sentence", hashedKeys = hashed)
+  }
+  private val l70OracleSql = s"""WITH t AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> length(x) > 0) tk
+        FROM documents),
+      ch AS (SELECT doc_id, CAST(i AS BIGINT) pos,
+          array_to_string(tk[i : i + 5], ' ') s
+        FROM t, LATERAL (SELECT unnest(range(1, len(tk) + 1, 6)) AS i) q),
+      pl AS (SELECT doc_id, CAST(-1 AS BIGINT) pos, '$l70Sentence' s
+        FROM documents WHERE doc_id % 4 = 0),
+      u AS (SELECT * FROM ch UNION ALL SELECT * FROM pl),
+      f AS (SELECT s, (list(doc_id ORDER BY doc_id, pos))[1] fdoc,
+          (list(pos ORDER BY doc_id, pos))[1] fpos
+        FROM u GROUP BY s),
+      k AS (SELECT u.doc_id, u.pos, u.s,
+          CASE WHEN u.doc_id = f.fdoc AND u.pos = f.fpos
+            THEN 1 ELSE 0 END keep
+        FROM u JOIN f ON f.s = u.s)
+      SELECT doc_id AS doc, CAST(count(*) AS BIGINT) n_sent,
+        CAST(sum(keep) AS BIGINT) n_kept,
+        md5(coalesce(array_to_string(
+          list(s ORDER BY pos) FILTER (WHERE keep = 1), ' | '), ''))
+          AS clean_md5
+      FROM k GROUP BY doc_id"""
+  private val l70 = QueryDef("l70_sentence_dedup", (s, dir) =>
+    l70Build(s, dir, hashed = false), Some(l70OracleSql))
+  private val l70h = QueryDef("l70h_sentence_dedup_hashed", (s, dir) =>
+    l70Build(s, dir, hashed = true), Some(l70OracleSql))
 
   // L57 — hard-negative mining (contrastive-training data prep): per
   // query, the top-5 most-similar vectors with cosine BELOW the 0.9
@@ -3134,5 +3260,5 @@ object LlmOps {
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61h, l62,
-      l63, l64, l65, l66, m1, m2, m3)
+      l63, l64, l65, l66, l67, l68, l69, l70, l70h, m1, m2, m3)
 }

@@ -50,6 +50,62 @@ object ProbeR12 {
     }
 
     mode match {
+      case "wave8" =>
+        // the wave-8 operators, timed AS REGISTERED (construction
+        // inside the clock — l66's greedy steps run driver-paced jobs
+        // during construction, m3's decode cost is the whole cost):
+        // l63/l64 map-only batteries, m3 decode+DCT+band join, l66
+        // k=8 MMR passes, l65 pairs→closure→LCG composition.
+        for (q <- Seq("l63_gopher_rules", "l64_mojibake_repair",
+            "m3_phash_near_dup", "l66_mmr_select",
+            "l65_leakage_safe_split"))
+          timed(q, graft.SparkEntry.queries(q)(spark, sfDir), reps = 2)
+
+      case "wave9" =>
+        // l67: the DoReMi excess pass is the corpus-scale cost (token
+        // explode + two vocab aggs + the clipped-excess join); the 12
+        // weight iterations are K-row driver math. l68: map-side
+        // digests, (id, digest)-only full outer join.
+        timed("l67_doremi_weights",
+          graft.SparkEntry.queries("l67_doremi_weights")(spark, sfDir),
+          reps = 2)
+        timed("l68_snapshot_diff",
+          graft.SparkEntry.queries("l68_snapshot_diff")(spark, sfDir),
+          reps = 2)
+
+      case "wave10" =>
+        // l69 on a WIDE domain at 30M rows: xxhash64 values (63-bit
+        // nonneg) force the multi-pass narrowing; reports passes
+        // implicitly via wall (each pass = one filtered histogram agg
+        // whose range filter reaches the scan). l70 at 250k docs.
+        val wide = spark.range(0, 30000000L, 1, 32)
+          .select(col("id"),
+            expr("xxhash64(id) & 9223372036854775807").as("v"))
+          .cache()
+        wide.count()
+        for (rep <- 1 to 3) {
+          metrics.reset()
+          val t0 = System.nanoTime()
+          val thr = graft.operators.Quantiles.kthLargest(
+            wide, "v", "id", k = 3000000L, buckets = 65536)
+          metrics.drain()
+          println(f"PROBE12 l69_kth_30m rep$rep " +
+            f"${(System.nanoTime() - t0) / 1e9}%.1f s thr=$thr " +
+            f"shuffle=${metrics.shuffleWriteMb} MB " +
+            f"maxTask=${metrics.maxTaskSec}%.1f s")
+        }
+        wide.unpersist()
+        timed("l70h_sentence_dedup",
+          graft.SparkEntry.queries("l70h_sentence_dedup_hashed")(
+            spark, sfDir), reps = 2)
+
+      case "wave8m3" =>
+        // m3 re-probed after the magic-byte sniff (skip ImageIO's
+        // per-row reader search on non-image payloads)
+        timed("m3_phash_near_dup",
+          graft.SparkEntry.queries("m3_phash_near_dup")(spark, sfDir),
+          reps = 3)
+
       case "zwrite" =>
         val li = graft.core.Tables.lineitem(spark, sfDir).select(
           col("l_orderkey"), col("l_quantity"),

@@ -505,4 +505,55 @@ class DedupSpec extends AnyFunSuite {
     assert(dot == Map(1L -> "b", 2L -> "c", 3L -> "d"),
       s"literal-delim split broke: $dot")
   }
+
+  test("snapshotDiff: all four statuses on a hand fixture; empty " +
+    "snapshots degrade to all-added / all-removed") {
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), got.toString)
+    val allAdded = Dedup.snapshotDiff(oldSnap.limit(0), newSnap,
+      "doc_id", "text").collect().map(_.getString(1)).toSet
+    assert(allAdded == Set("added"))
+    val allRemoved = Dedup.snapshotDiff(oldSnap, newSnap.limit(0),
+      "doc_id", "text").collect().map(_.getString(1)).toSet
+    assert(allRemoved == Set("removed"))
+  }
+
+  test("sentenceDedup: keep-first at the earliest (doc, pos), " +
+    "within-doc repeats collapse, fully-duplicated doc keeps nothing, " +
+    "hashed keys value-identical") {
+    val sent = Seq(
+      (1L, 0L, "shared line"), (1L, 1L, "unique one"),
+      (2L, 0L, "shared line"), (2L, 1L, "unique two"),
+      (3L, 0L, "shared line"),                  // nothing survives: its
+      (4L, 0L, "twice"), (4L, 1L, "twice"),     // only sentence is doc
+      (4L, 2L, "tail"))                         // 1's already
+      .toDF("doc_id", "pos", "sentence")
+    def run(h: Boolean) = Dedup
+      .sentenceDedup(sent, "doc_id", "pos", "sentence", hashedKeys = h)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run(false)
+    assert(got(1L)._1 == 2L && got(1L)._2 == 2L)
+    assert(got(2L) == ((2L, 1L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("unique two".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    assert(got(3L)._1 == 1L && got(3L)._2 == 0L)
+    assert(got(3L)._3 ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(Array.emptyByteArray).map("%02x".format(_)).mkString,
+      "zero kept sentences reassemble to the empty string")
+    // within-doc repeat: 'twice' at pos 0 survives, pos 1 dies
+    assert(got(4L) == ((3L, 2L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("twice | tail".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)))
+    assert(run(true) == got, "hashed keys must be value-identical")
+  }
 }

@@ -84,6 +84,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally Seq(q1, q2, q3).foreach(_.stop())
   }
 
+  test("wave-8 map-only operators (Gopher rules, mojibake repair) run " +
+    "unchanged on a stream") {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "page")
+    val gop = df.select(col("doc_id"),
+      inline(array(graft.operators.TextAnalysis
+        .gopherRules("page", minWords = 2))))
+    val moj = df.select(col("doc_id"),
+      graft.operators.TextAnalysis.mojibakeRepair(col("page")).as("fx"),
+      graft.operators.TextAnalysis.mojibakeMarkers(col("page")).as("nb"))
+    assert(gop.isStreaming && moj.isStreaming)
+    val q1 = gop.writeStream.format("memory").queryName("s12_gop")
+      .outputMode("append").start()
+    val q2 = moj.writeStream.format("memory").queryName("s12_moj")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "the of and solid words here"),
+        (2L, "cafÃ© bar"))
+      Seq(q1, q2).foreach(_.processAllAvailable())
+      val g = s.sql(
+        "SELECT r_stopwords, n_words FROM s12_gop WHERE doc_id = 1")
+        .head()
+      assert(g.getLong(0) == 1L && g.getLong(1) == 6L)
+      val m = s.sql("SELECT fx, nb FROM s12_moj WHERE doc_id = 2").head()
+      assert(m.getString(0) == "café bar" && m.getLong(1) == 1L)
+    } finally Seq(q1, q2).foreach(_.stop())
+  }
+
   test("streaming exact dedup suppresses content duplicates within the " +
     "watermark with bounded per-key state") {
     import s.implicits._
