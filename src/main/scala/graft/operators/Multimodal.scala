@@ -550,26 +550,32 @@ object Multimodal {
     }
 
     /** Per-axis area weights for an exact box filter: source index i
-      * covers [i·S/n, (i+1)·S/n) in target units — at most two target
-      * cells (S <= n); the fractional split is what integer binning
-      * loses (half-pixel grid wobble between a 64→32 and a 128→32
-      * downscale measurably shifts low-frequency phase — caught by the
-      * resize-invariance spec).
+      * covers [i·S/n, (i+1)·S/n) in target units, split across EVERY
+      * cell it overlaps — one cell pair for a downscale (n >= S), a
+      * run of interior cells for an upscale (n < S; the original
+      * two-cell split left interior cells zero-weighted for sub-32px
+      * images — caught in self-review). The fractional split is what
+      * integer binning loses (half-pixel grid wobble between a 64→32
+      * and a 128→32 downscale measurably shifts low-frequency phase —
+      * caught by the resize-invariance spec).
       */
-    private def axisSplit(i: Int, n: Int): (Int, Double, Int, Double) = {
+    private def axisSplit(i: Int, n: Int): Array[(Int, Double)] = {
       val lo = i.toDouble * Size / n
       val hi = (i + 1).toDouble * Size / n
       val c0 = math.min(Size - 1, lo.toInt)
       val c1 = math.min(Size - 1, (hi - 1e-9).toInt)
-      if (c0 == c1) (c0, hi - lo, c0, 0.0)
-      else (c0, c1 - lo, c1, hi - c1)
+      (c0 to c1).map { c =>
+        val cellLo = math.max(lo, c.toDouble)
+        val cellHi = math.min(hi, c + 1.0)
+        c -> (cellHi - cellLo)
+      }.toArray
     }
 
     /** 32×32 grayscale by EXACT area-weighted box filtering of the full
       * raster (BT.601 luma in doubles, fixed order). Every source pixel
-      * distributes its area across the (at most four) target cells it
-      * overlaps, so two renders of the same continuous image at
-      * different sizes pool to near-identical rasters.
+      * distributes its area across every target cell it overlaps, so
+      * two renders of the same continuous image at different sizes pool
+      * to near-identical rasters — down OR up.
       */
     def gray(img: java.awt.image.BufferedImage): Array[Double] = {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -578,29 +584,28 @@ object Multimodal {
       val rowBuf = new Array[Int](w)
       // x-axis splits are reused for every row
       val xs = Array.tabulate(w)(axisSplit(_, w))
+      val ys = Array.tabulate(h)(axisSplit(_, h))
       var y = 0
       while (y < h) {
         img.getRGB(0, y, w, 1, rowBuf, 0, w)
-        val (ry0, wy0, ry1, wy1) = axisSplit(y, h)
+        val ySplit = ys(y)
         var x = 0
         while (x < w) {
           val px = rowBuf(x)
           val luma = 0.299 * ((px >> 16) & 0xff) +
             0.587 * ((px >> 8) & 0xff) + 0.114 * (px & 0xff)
-          val (cx0, wx0, cx1, wx1) = xs(x)
-          sums(ry0 * Size + cx0) += luma * wy0 * wx0
-          wts(ry0 * Size + cx0) += wy0 * wx0
-          if (wx1 > 0) {
-            sums(ry0 * Size + cx1) += luma * wy0 * wx1
-            wts(ry0 * Size + cx1) += wy0 * wx1
-          }
-          if (wy1 > 0) {
-            sums(ry1 * Size + cx0) += luma * wy1 * wx0
-            wts(ry1 * Size + cx0) += wy1 * wx0
-            if (wx1 > 0) {
-              sums(ry1 * Size + cx1) += luma * wy1 * wx1
-              wts(ry1 * Size + cx1) += wy1 * wx1
+          val xSplit = xs(x)
+          var yi = 0
+          while (yi < ySplit.length) {
+            val (cy, wy) = ySplit(yi)
+            var xi = 0
+            while (xi < xSplit.length) {
+              val (cx, wx) = xSplit(xi)
+              sums(cy * Size + cx) += luma * wy * wx
+              wts(cy * Size + cx) += wy * wx
+              xi += 1
             }
+            yi += 1
           }
           x += 1
         }

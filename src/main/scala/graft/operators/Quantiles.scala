@@ -43,6 +43,10 @@ object Quantiles {
       s"k=$k exceeds row count ${bounds.getLong(2)}")
     var lo = bounds.getLong(0)
     var hi = bounds.getLong(1)
+    // nonneg domain: hi - lo must not wrap (a full-Long domain's span
+    // overflows); quality scores and ids in this engine are nonneg by
+    // the determinism discipline — shift your domain otherwise
+    require(lo >= 0L, s"non-negative value domain required, min=$lo")
     // rows with value strictly ABOVE the current interval, accumulated
     // as the interval narrows
     var above = 0L
@@ -99,6 +103,7 @@ object Quantiles {
     val bounds = df.agg(min(id).as("lo"), max(id).as("hi")).head()
     var lo = bounds.getLong(0)
     var hi = bounds.getLong(1)
+    require(lo >= 0L, s"non-negative id domain required, min=$lo")
     var below = 0L
     while (lo < hi) {
       val w = math.max(1L, (hi - lo) / buckets + 1L)

@@ -477,6 +477,10 @@ class MultimodalSpec extends AnyFunSuite {
       "small brightness shift must stay within a small Hamming distance")
     assert(d(Multimodal.PHash.ofItem(noisePng(64, 48))) >= 16,
       "an unrelated image must land far away")
+    // UPSCALE leg: a sub-32px render pools through the multi-cell
+    // split (the two-cell form left interior cells zero-weighted)
+    assert(d(Multimodal.PHash.ofItem(gradientPng(16, 12))) <= 10,
+      "sub-32px render of the same image must stay close")
     // corrupt payload: falls back to the byte raster, never throws
     Multimodal.PHash.ofItem(Array[Byte](9, 9, 9))
     // empty payload is safe too
