@@ -319,13 +319,17 @@ object Bench {
         headlineReps)
     }
     allTimings ++= timings
-    // ...then the rest of the registry once, so all ~90 queries have a
-    // regression signal (timed after the headlines to keep the headline
-    // numbers free of interference from the breadth sweep)...
+    // ...then the rest of the registry, so every query has a regression
+    // signal (timed after the headlines to keep the headline numbers
+    // free of interference from the breadth sweep). TWO samples each,
+    // not one: round 12's n=1 breadth entries produced +0.9s phantom
+    // regressions in deltas_vs_prev with no recorded spread to expose
+    // them as noise — at n=2 every breadth entry carries a spread, so a
+    // delta smaller than its spread is self-describing as noise.
     if (!e2eOnly) Registry.all.filterNot(_.headline).foreach { q =>
       time(q.name, () => q.run(spark, sfDir)
         .write.format("noop").mode(SaveMode.Overwrite).save(), allTimings,
-        1)
+        2)
     }
     // ...and stabilize the slowest breadth entries the same way: their
     // absolute numbers dominate all_total, so their n=1 noise is the
@@ -335,11 +339,14 @@ object Bench {
     val slowestN = 15
     val coldFirst = scala.collection.mutable.LinkedHashMap[String, Double]()
     allTimings.toSeq.filterNot { case (k, _) => timings.contains(k) }
-      .sortBy(-_._2).take(slowestN).foreach { case (name, first) =>
+      .sortBy(-_._2).take(slowestN).foreach { case (name, med2) =>
         val q = Registry.all.find(_.name == name).get
-        coldFirst(name) = first // cold-vs-cold delta stays computable
-        // the first (breadth) sample is already in samplesOf; 2 more
-        // samples make the entry a median-of-3 spanning cold+warm
+        // the true cold sample is the FIRST one taken, not the n=2
+        // median — keep cold-vs-cold deltas computable from raw samples
+        coldFirst(name) = samplesOf.get(name)
+          .flatMap(_.headOption).getOrElse(med2)
+        // two breadth samples are already in samplesOf; 2 more make the
+        // entry a median-of-4 spanning cold+warm
         time(name, () => q.run(spark, sfDir)
           .write.format("noop").mode(SaveMode.Overwrite).save(),
           allTimings, 2)

@@ -87,6 +87,14 @@ object DomainMix {
       (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     val k = rows.length.toLong
+    // fail loudly at the call site, not with a bare /-by-zero deep in
+    // the weight loop: an empty corpus has no domains to weight, and
+    // k > Scale would truncate every initial weight to 0 (making the
+    // first iteration's sumTmp zero — another division by zero)
+    require(k > 0, "domainWeights: corpus has no domains " +
+      "(empty input, or every doc tokenizes to zero tokens)")
+    require(k <= Scale, s"domainWeights: $k domains exceeds the " +
+      s"fixed-point scale $Scale — initial weights would truncate to 0")
     val c = Scale * uniformPct / 100L
     var w = rows.map(_ => Scale / k)
     for (_ <- 1 to iters) {

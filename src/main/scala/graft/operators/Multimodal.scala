@@ -737,22 +737,73 @@ object Multimodal {
     * exact bit_count verify runs on candidates only. Same shape as
     * [[Dedup.simHashNearPairs]]; 16-bit bands keep bucket sizes
     * corpus-scaled (65k distinct values per band).
+    *
+    * Hot-bucket discipline: identical hashes are COMMON in real corpora
+    * (blank/solid-color images; every empty payload hashes the same
+    * via grayFromBytes), and a d-item identical-hash cluster fed
+    * straight into the band self-join generates 4 x d^2/2 candidates
+    * through the shuffle. The band join therefore runs over DISTINCT
+    * hash values only (one row per value regardless of multiplicity),
+    * with id pairs expanded afterwards by 8-byte-key joins. Exact-dup
+    * groups contribute their pairs via a direct same-phash self-join —
+    * d^2/2 OUTPUT rows are the contract's answer, but no band
+    * multiplication and no post-join distinct ever see them.
+    *
+    * `maxGroup` (default unlimited = exact all-pairs, the brute-force
+    * parity the spec pins): groups of identical hashes LARGER than the
+    * cap switch to star form — min-id representative paired with each
+    * other member (d-1 rows, Hamming 0), and only the representative
+    * participates in cross-hash expansion. Connectivity-preserving for
+    * dedup clustering (same components), pair-incomplete by choice —
+    * the ngramJaccardPairs maxDocFreq treatment.
     */
-  def phashNearPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
-    val banded = hashes.select(col("id"), col("phash"),
+  def phashNearPairs(hashes: DataFrame, maxDist: Int = 3,
+                     maxGroup: Int = Int.MaxValue): DataFrame = {
+    val groups = hashes.groupBy("phash")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
+    val withN = hashes.join(groups, Seq("phash"))
+    // Hamming-0 pairs, never through the band join: all-pairs within
+    // groups at-or-under the cap, star (rep -> member) above it.
+    val withinSmall = withN.filter(col("grp_n") <= maxGroup)
+    val within = withinSmall.as("a")
+      .join(withinSmall.as("b"),
+        col("a.phash") === col("b.phash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .union(withN.filter(col("grp_n") > maxGroup &&
+          col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"),
+          col("phash").as("ph_a"), col("phash").as("ph_b")))
+    // cross-hash candidates over DISTINCT hash values; capped groups
+    // are represented by their min-id member only
+    val expandable = withN.filter(col("grp_n") <= maxGroup)
+      .select("id", "phash")
+      .union(groups.filter(col("grp_n") > maxGroup)
+        .select(col("rep").as("id"), col("phash")))
+    val banded = groups.select(col("phash"),
       posexplode(array((0 until 4).map(b =>
         expr(s"(phash >> ${16 * b}) & 65535")): _*))
         .as(Seq("band", "bucket")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+    val hashPairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.phash") < col("y.phash"))
+      .select(col("x.phash").as("ph_x"), col("y.phash").as("ph_y"))
       .distinct()
+      .filter(expr("bit_count(ph_x ^ ph_y)") <= maxDist)
+    val cross = hashPairs
+      .join(expandable.as("ga"), col("ph_x") === col("ga.phash"))
+      .join(expandable.as("gb"), col("ph_y") === col("gb.phash"))
+      .select(
+        least(col("ga.id"), col("gb.id")).as("id_a"),
+        greatest(col("ga.id"), col("gb.id")).as("id_b"),
+        when(col("ga.id") < col("gb.id"), col("ph_x"))
+          .otherwise(col("ph_y")).as("ph_a"),
+        when(col("ga.id") < col("gb.id"), col("ph_y"))
+          .otherwise(col("ph_x")).as("ph_b"))
+    within.union(cross)
       .withColumn("hamming",
         expr("bit_count(ph_a ^ ph_b)").cast("long"))
-      .filter(col("hamming") <= maxDist)
   }
 }

@@ -857,7 +857,12 @@ object Similarity {
       // to the oracle's (which reads the same norm from its CTE).
       val sel = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Double, Double, Array[Double], Double)]
-      for (_ <- 1 to k) {
+      // breakOut flag instead of `1 to k` alone: when k exceeds the
+      // candidate count the greedy step below would collect an empty
+      // array and throw AIOOBE — return the picks made so far instead
+      // (a short result IS the correct MMR answer for an exhausted pool)
+      var exhausted = false
+      for (_ <- 1 to k if !exhausted) {
         val maxsim =
           if (sel.isEmpty) lit(0.0)
           else sel.map { case (_, _, _, sv, sn) =>
@@ -867,13 +872,17 @@ object Similarity {
         val remaining =
           if (sel.isEmpty) cand
           else cand.filter(!col("id").isin(sel.map(_._1).toSeq: _*))
-        val row = remaining
+        val top = remaining
           .withColumn("score",
             lit(lambda) * col("rel") - lit(1.0 - lambda) * maxsim)
           .orderBy(col("score").desc, col("id").asc).limit(1)
-          .select("id", "rel", "score", "v", "nrm").collect()(0)
-        sel += ((row.getLong(0), row.getDouble(1), row.getDouble(2),
-          row.getSeq[Double](3).toArray, row.getDouble(4)))
+          .select("id", "rel", "score", "v", "nrm").collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val row = top(0)
+          sel += ((row.getLong(0), row.getDouble(1), row.getDouble(2),
+            row.getSeq[Double](3).toArray, row.getDouble(4)))
+        }
       }
       import spark.implicits._
       sel.zipWithIndex.map { case ((id, rel, score, _, _), i) =>

@@ -951,7 +951,11 @@ object TextAnalysis {
     * re-evaluate it per reference). Words come from the page with
     * newlines flattened to spaces; lines from splitting on newline,
     * empties dropped on both axes. Ratios are small-int IEEE divisions
-    * — bit-reproducible cross-engine (the l20 precedent).
+    * — bit-reproducible cross-engine (the l20 precedent). Every ratio
+    * rule is guarded by `size > 0` in BOTH engines (lazy IF/CASE, the
+    * division never evaluates on the empty side): a blank or
+    * whitespace-only page FAILS the rule (0), never NULL — the l58
+    * empty-doc hazard, pinned by TextAnalysisSpec.
     */
   def gopherRules(pageCol: String, minWords: Int = 50,
                   maxWords: Int = 100000): Column = {
@@ -972,29 +976,33 @@ object TextAnalysis {
                   s -> array_contains(q.w, s))) AS BIGINT),
               'r_wordcount', CAST(size(q.w) >= $minWords
                   AND size(q.w) <= $maxWords AS BIGINT),
-              'r_meanlen', CAST(
+              'r_meanlen', CAST(IF(size(q.w) = 0, false,
                   CAST(aggregate(q.w, CAST(0 AS BIGINT),
                     (a, t) -> a + length(t)) AS DOUBLE)
                     / CAST(size(q.w) AS BIGINT) >= CAST(3.0 AS DOUBLE)
                   AND CAST(aggregate(q.w, CAST(0 AS BIGINT),
                     (a, t) -> a + length(t)) AS DOUBLE)
-                    / CAST(size(q.w) AS BIGINT) <= CAST(10.0 AS DOUBLE)
+                    / CAST(size(q.w) AS BIGINT) <= CAST(10.0 AS DOUBLE))
                   AS BIGINT),
-              'r_symbol', CAST(CAST(q.nsym AS DOUBLE)
+              'r_symbol', CAST(IF(size(q.w) = 0, false,
+                  CAST(q.nsym AS DOUBLE)
                   / CAST(size(q.w) AS BIGINT)
-                  <= CAST(0.1 AS DOUBLE) AS BIGINT),
-              'r_bullet', CAST(CAST(size(filter(q.l,
+                  <= CAST(0.1 AS DOUBLE)) AS BIGINT),
+              'r_bullet', CAST(IF(size(q.l) = 0, false,
+                  CAST(size(filter(q.l,
                   x -> startswith(x, '- '))) AS DOUBLE)
                   / CAST(size(q.l) AS BIGINT)
-                  <= CAST(0.9 AS DOUBLE) AS BIGINT),
-              'r_ellipsis', CAST(CAST(size(filter(q.l,
+                  <= CAST(0.9 AS DOUBLE)) AS BIGINT),
+              'r_ellipsis', CAST(IF(size(q.l) = 0, false,
+                  CAST(size(filter(q.l,
                   x -> endswith(x, '...'))) AS DOUBLE)
                   / CAST(size(q.l) AS BIGINT)
-                  <= CAST(0.3 AS DOUBLE) AS BIGINT),
-              'r_alpha', CAST(CAST(size(filter(q.w,
+                  <= CAST(0.3 AS DOUBLE)) AS BIGINT),
+              'r_alpha', CAST(IF(size(q.w) = 0, false,
+                  CAST(size(filter(q.w,
                   t -> t rlike '[A-Za-z]')) AS DOUBLE)
                   / CAST(size(q.w) AS BIGINT)
-                  >= CAST(0.8 AS DOUBLE) AS BIGINT),
+                  >= CAST(0.8 AS DOUBLE)) AS BIGINT),
               'r_stopwords', CAST(size(filter($stopArr,
                   s -> array_contains(q.w, s))) >= 2 AS BIGINT))), 1)), 1)""")
   }
@@ -1015,25 +1023,30 @@ object TextAnalysis {
         AS BIGINT) AS stop_hits,
       CAST(len(w) >= $minWords AND len(w) <= $maxWords AS BIGINT)
         AS r_wordcount,
-      CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      CAST(CASE WHEN len(w) = 0 THEN FALSE ELSE
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(w, t -> CAST(length(t) AS BIGINT))),
           (a, b) -> a + b) AS DOUBLE) / CAST(len(w) AS BIGINT)
           >= CAST(3.0 AS DOUBLE)
         AND CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(w, t -> CAST(length(t) AS BIGINT))),
           (a, b) -> a + b) AS DOUBLE) / CAST(len(w) AS BIGINT)
-          <= CAST(10.0 AS DOUBLE) AS BIGINT) AS r_meanlen,
-      CAST(CAST(nsym AS DOUBLE) / CAST(len(w) AS BIGINT)
-        <= CAST(0.1 AS DOUBLE) AS BIGINT) AS r_symbol,
-      CAST(CAST(len(list_filter(l, x -> starts_with(x, '- ')))
+          <= CAST(10.0 AS DOUBLE) END AS BIGINT) AS r_meanlen,
+      CAST(CASE WHEN len(w) = 0 THEN FALSE ELSE
+        CAST(nsym AS DOUBLE) / CAST(len(w) AS BIGINT)
+        <= CAST(0.1 AS DOUBLE) END AS BIGINT) AS r_symbol,
+      CAST(CASE WHEN len(l) = 0 THEN FALSE ELSE
+        CAST(len(list_filter(l, x -> starts_with(x, '- ')))
         AS DOUBLE) / CAST(len(l) AS BIGINT)
-        <= CAST(0.9 AS DOUBLE) AS BIGINT) AS r_bullet,
-      CAST(CAST(len(list_filter(l, x -> ends_with(x, '...')))
+        <= CAST(0.9 AS DOUBLE) END AS BIGINT) AS r_bullet,
+      CAST(CASE WHEN len(l) = 0 THEN FALSE ELSE
+        CAST(len(list_filter(l, x -> ends_with(x, '...')))
         AS DOUBLE) / CAST(len(l) AS BIGINT)
-        <= CAST(0.3 AS DOUBLE) AS BIGINT) AS r_ellipsis,
-      CAST(CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+        <= CAST(0.3 AS DOUBLE) END AS BIGINT) AS r_ellipsis,
+      CAST(CASE WHEN len(w) = 0 THEN FALSE ELSE
+        CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
         AS DOUBLE) / CAST(len(w) AS BIGINT)
-        >= CAST(0.8 AS DOUBLE) AS BIGINT) AS r_alpha,
+        >= CAST(0.8 AS DOUBLE) END AS BIGINT) AS r_alpha,
       CAST(len(list_filter($stopList, s -> list_contains(w, s))) >= 2
         AS BIGINT) AS r_stopwords"""
   }

@@ -190,11 +190,22 @@ object MultiContainsCount {
         val arr = e.eval(InternalRow.empty)
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         (0 until arr.numElements())
-          .map(i => arr.getUTF8String(i).toString)
+          .map(i => Option(arr.getUTF8String(i)).map(_.toString).orNull)
       case e => throw new IllegalArgumentException(
         s"multi_contains_count patterns must be a literal string array, " +
           s"got $e")
     }
+    // validate the CONTENTS here too, not just the shape — an empty
+    // array, a null element, or an empty-string pattern would otherwise
+    // pass build() and only fail at first-row evaluation on an executor
+    // (AhoCorasick's require / an NPE), far from the misuse site
+    if (pats.isEmpty) throw new IllegalArgumentException(
+      "multi_contains_count: pattern array must be non-empty")
+    val iBad = pats.indexWhere(p => p == null || p.isEmpty)
+    if (iBad >= 0) throw new IllegalArgumentException(
+      s"multi_contains_count: pattern element $iBad is " +
+        (if (pats(iBad) == null) "NULL" else "the empty string") +
+        " — every pattern must be a non-empty string literal")
     MultiContainsCount(children(0), pats)
   }
 }

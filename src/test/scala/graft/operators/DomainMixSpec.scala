@@ -81,4 +81,20 @@ class DomainMixSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(got2 == got.map { case (d, (_, _, w)) => d -> w })
   }
+
+  test("domainWeights: an empty corpus fails loudly at the call site, " +
+    "not with a bare /-by-zero in the weight loop") {
+    import s.implicits._
+    val empty = Seq.empty[(String, String)].toDF("source", "text")
+    val e = intercept[IllegalArgumentException] {
+      DomainMix.domainWeights(empty, "text", "source", iters = 3)
+    }
+    assert(e.getMessage.contains("no domains"), e.getMessage)
+    // all-blank docs tokenize to zero tokens -> same guard fires
+    val blank = Seq(("A", " "), ("B", "")).toDF("source", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      DomainMix.domainWeights(blank, "text", "source", iters = 3)
+    }
+    assert(e2.getMessage.contains("no domains"), e2.getMessage)
+  }
 }

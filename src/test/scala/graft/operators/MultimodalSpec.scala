@@ -527,4 +527,32 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h1 == h2)
   }
+
+  test("phashNearPairs maxGroup: oversized identical-hash groups " +
+    "emit star pairs + rep-only cross expansion; default stays " +
+    "brute-exact through the identical-group path") {
+    import s.implicits._
+    val hot = (0L until 6L).map(i => i -> 0x1234L) // 6 identical hashes
+    val near = Seq(100L -> (0x1234L ^ 1L))         // Hamming 1 from hot
+    val far = Seq(200L -> 0x7fff00ee00dd00ccL)     // no shared band
+    val all = (hot ++ near ++ far).toDF("id", "phash")
+    val capped = Multimodal
+      .phashNearPairs(all, maxDist = 3, maxGroup = 4)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // star within the hot group (rep 0 <-> members), rep-only cross
+    val expect = (1L to 5L).map(i => (0L, i, 0L)).toSet + ((0L, 100L, 1L))
+    assert(capped == expect, s"capped pairs: $capped")
+    // default = exact all-pairs, identical to brute force
+    val got = Multimodal.phashNearPairs(all, maxDist = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = hot ++ near ++ far
+    val brute = (for {
+      (a, ha) <- rows; (b, hb) <- rows if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"got $got expect $brute")
+    assert(brute.size == 21, "fixture: 15 within-group + 6 cross pairs")
+  }
 }

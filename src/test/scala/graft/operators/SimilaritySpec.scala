@@ -590,4 +590,17 @@ class SimilaritySpec extends AnyFunSuite {
       "fixture must make plain top-2 pick the near-copy, or the " +
         "diversity assertion proves nothing")
   }
+
+  test("mmrSelect: k beyond the candidate pool returns the exhausted " +
+    "pool (short result), not an AIOOBE") {
+    val df = Seq(
+      0L -> Array(1.0, 0.0),
+      1L -> Array(0.9, 0.1),
+      2L -> Array(0.5, 0.5)).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(df, 0L, "vec_id", "embedding", k = 10)
+      .orderBy("rank").collect()
+    assert(got.length == 2, s"pool has 2 non-query candidates: ${got.length}")
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 2L))
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L), "ranks stay dense")
+  }
 }

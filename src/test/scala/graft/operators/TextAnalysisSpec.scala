@@ -652,4 +652,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect()
     twice.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
+
+  test("gopherRules: blank / whitespace-only pages fail every rule " +
+    "as 0, never NULL (guarded ratio divisions)") {
+    import s.implicits._
+    val fields = Seq("r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+      "r_ellipsis", "r_alpha", "r_stopwords")
+    val got = Seq(1L -> "", 2L -> "   \n  \n ", 3L -> "\n\n\n")
+      .toDF("doc_id", "page")
+      .select(col("doc_id"),
+        inline(array(TextAnalysis.gopherRules("page", minWords = 20))))
+      .collect()
+    assert(got.length == 3)
+    for (r <- got; f <- fields) {
+      assert(!r.isNullAt(r.fieldIndex(f)),
+        s"$f is NULL on empty page ${r.getLong(0)} — keep would be NULL")
+      // pages 1 and 3 have NO non-empty lines and NO words: every rule
+      // fails. Page 2's whitespace lines are non-empty, so the line
+      // rules (r_bullet, r_ellipsis: 0 bullets / 3 lines) legitimately
+      // pass — only the word-denominator rules must fail there.
+      val lineRuleOnWsLines = r.getLong(0) == 2L &&
+        (f == "r_bullet" || f == "r_ellipsis")
+      assert(r.getLong(r.fieldIndex(f)) == (if (lineRuleOnWsLines) 1L
+        else 0L),
+        s"$f wrong on empty page ${r.getLong(0)}")
+    }
+  }
 }

@@ -87,4 +87,19 @@ class MultiContainsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [multi_contains_count"))
   }
+
+  test("build rejects empty arrays, null elements, and empty-string " +
+    "patterns analysis-style — not at first-row eval on an executor") {
+    import s.implicits._
+    val df = Seq("abc").toDF("t")
+    def analyze(sqlArr: String): Unit =
+      df.select(expr(s"multi_contains_count(t, $sqlArr)")).collect()
+    val eEmpty = intercept[Exception] { analyze("array()") }
+    assert(eEmpty.getMessage.contains("non-empty"), eEmpty.getMessage)
+    val eNull = intercept[Exception] {
+      analyze("array('a', CAST(NULL AS STRING))") }
+    assert(eNull.getMessage.contains("NULL"), eNull.getMessage)
+    val eBlank = intercept[Exception] { analyze("array('a', '')") }
+    assert(eBlank.getMessage.contains("empty string"), eBlank.getMessage)
+  }
 }

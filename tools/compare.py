@@ -9,6 +9,7 @@ corresponding Spark result parquet, sorts columns by name and rows by value,
 and reports row/schema/value match per query — the same contract TESTDATA.md
 describes for CORRECTNESS_r{N}.json.
 """
+import hashlib
 import json
 import math
 import sys
@@ -19,6 +20,49 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def check_manifest(out_dir: Path) -> None:
+    """Refuse to adjudicate a dump without a valid completion manifest.
+
+    graft.Verify stages its dump in a unique per-run dir and publishes it
+    via atomic rename, writing MANIFEST.json (file inventory + SHA-256)
+    LAST. A dir with no manifest is half-written, half-deleted (round 12:
+    a concurrent gate's `rm -rf` under a running compare produced an
+    empty official record), or pre-manifest; a dir whose files don't
+    match the manifest is torn. Either way: exit 2 loudly, never a
+    readable-but-wrong verdict.
+    """
+    mf = out_dir / "MANIFEST.json"
+    if not mf.exists():
+        print(f"REFUSING {out_dir}: no MANIFEST.json — dump is "
+              "incomplete, torn, or from a pre-manifest graft.Verify; "
+              "re-run the dump", file=sys.stderr)
+        sys.exit(2)
+    try:
+        manifest = json.loads(mf.read_text())
+        files = manifest["files"]
+    except Exception as e:
+        print(f"REFUSING {out_dir}: unreadable MANIFEST.json ({e})",
+              file=sys.stderr)
+        sys.exit(2)
+    bad = []
+    for rel, meta in files.items():
+        p = out_dir / rel
+        if not p.exists():
+            bad.append(f"{rel}: missing")
+            continue
+        if p.stat().st_size != meta["size"]:
+            bad.append(f"{rel}: size {p.stat().st_size} != {meta['size']}")
+            continue
+        if hashlib.sha256(p.read_bytes()).hexdigest() != meta["sha256"]:
+            bad.append(f"{rel}: sha256 mismatch")
+    if bad:
+        for b in bad[:20]:
+            print(f"MANIFEST VIOLATION: {b}", file=sys.stderr)
+        sys.exit(2)
+    print(f"manifest ok: {len(files)} files, "
+          f"{manifest.get('queries', '?')} query dirs")
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -49,6 +93,7 @@ def values_equal(a, b) -> bool:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    check_manifest(Path(out_dir))
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
