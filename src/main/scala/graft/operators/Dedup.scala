@@ -357,16 +357,7 @@ object Dedup {
                        hashedShingles: Boolean = false): DataFrame = {
     val (sh, cand) = containmentStage(df, idCol, textCol, n, threshold,
       hashedShingles)
-    cand
-      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")),
-        "doc_a")
-      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
-        "doc_b")
-      .withColumn("inter", expr("intersect_count(sh_a, sh_b)"))
-      .withColumn("containment", col("inter").cast("double") /
-        size(col("sh_a")).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select("doc_a", "doc_b", "containment")
+    verifyContainment(sh, cand, threshold)
   }
 
   /** Candidate pairs of [[containmentPairs]] before the exact verify —
@@ -378,25 +369,90 @@ object Dedup {
                             hashedShingles: Boolean = false): DataFrame =
     containmentStage(df, idCol, textCol, n, threshold, hashedShingles)._2
 
+  /** [[containmentPairs]] over the DF-CAPPED shingle universe — the
+    * l2b treatment for the containment family's one honest weak spot:
+    * the container-side inverted list has no df cap by completeness
+    * (no upper length bound exists for containers), so a stop-shingle
+    * present in most docs — a universal boilerplate line, a legal
+    * footer — lands its full df in one inverted-list key and the
+    * candidate join fans out df(hot)·(probing prefixes) wide
+    * (measured: SCALE_r13 hot-shingle row). This variant REDEFINES the
+    * semantics the capped-Jaccard way: shingles with df > `maxDf` are
+    * removed from every document's set BEFORE m, t, prefix, and the
+    * verify are computed, so the result is EXACT containment over the
+    * sub-cap universe. The tradeoff is explicit and spec-pinned: a
+    * containment witnessed ONLY by super-cap shingles is invisible
+    * here (it is also exactly the pair class that is boilerplate, not
+    * content); rare-shingle-witnessed pairs are identical to the
+    * uncapped operator's.
+    */
+  def containmentPairsCapped(df: DataFrame, idCol: String,
+                             textCol: String, n: Int, threshold: Double,
+                             maxDf: Long,
+                             hashedShingles: Boolean = false): DataFrame = {
+    val (sh, cand) = containmentStage(df, idCol, textCol, n, threshold,
+      hashedShingles, maxDf)
+    verifyContainment(sh, cand, threshold)
+  }
+
+  private def verifyContainment(sh: DataFrame, cand: DataFrame,
+                                threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .withColumn("inter", expr("intersect_count(sh_a, sh_b)"))
+      .withColumn("containment", col("inter").cast("double") /
+        size(col("sh_a")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+
+  private def sh0Inv(shAll: DataFrame): DataFrame =
+    shAll.select(col("doc"), size(col("sh")).cast("long").as("m"),
+      explode(col("sh")).as("shingle"))
+
   private def containmentStage(df: DataFrame, idCol: String,
                                textCol: String, n: Int, threshold: Double,
-                               hashedShingles: Boolean)
+                               hashedShingles: Boolean,
+                               maxDf: Long = 0L)
       : (DataFrame, DataFrame) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val sh0 = shingleTable(df, idCol, textCol, n)
-    val sh =
+    val shAll =
       if (hashedShingles)
         sh0.withColumn("sh", expr("transform(sh, t -> xxhash64(t))"))
       else sh0
-    val inv = sh.select(col("doc"), size(col("sh")).cast("long").as("m"),
-      explode(col("sh")).as("shingle"))
-    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+    // df cap (maxDf > 0): restrict the universe FIRST, then rebuild
+    // per-doc sets/sizes so m, t, prefix and verify all agree on the
+    // same (sub-cap) universe — exactness within it, the l2b contract.
+    // The uncapped path keeps its original shape: m carried inline
+    // from the array column, dfreq joined onto the PROBE side only
+    // (the container-side inverted list never pays the dfreq join).
+    val (sh, inv, prefixSrc) =
+      if (maxDf > 0L) {
+        val invAll = shAll.select(col("doc"),
+          explode(col("sh")).as("shingle"))
+        val kept = invAll.join(
+          invAll.groupBy("shingle").agg(count(lit(1)).as("dfreq"))
+            .filter(col("dfreq") <= maxDf), Seq("shingle"))
+        val shC = kept.groupBy("doc")
+          .agg(sort_array(collect_list(col("shingle"))).as("sh"))
+        val sized = kept.join(shC.select(col("doc"),
+          size(col("sh")).cast("long").as("m")), Seq("doc"))
+        (shC, sized.select("doc", "m", "shingle"), sized)
+      } else {
+        val inv0 = sh0Inv(shAll)
+        (shAll, inv0,
+          inv0.join(inv0.groupBy("shingle")
+            .agg(count(lit(1)).as("dfreq")), Seq("shingle")))
+      }
     val t = ceil(lit(threshold) * col("m") - lit(1e-9)).cast("long")
     val p = col("m") - t + lit(1L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc").orderBy(col("dfreq"), col("shingle"))
-    val prefix = inv.join(dfreq, Seq("shingle"))
+    val prefix = prefixSrc
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= p)
       .select("doc", "m", "shingle")

@@ -158,13 +158,38 @@ object TextAnalysis {
     * never wraps 64-bit for any long id and the outer pmod sees a
     * positive operand — both needed for engines whose `%` is
     * sign-preserving (DuckDB) to agree with Spark's pmod.
+    *
+    * TWO LCG rounds with HIGH-bit extraction (div 65536 between and
+    * after), not one round mod 100: the low bits of a single
+    * multiply-add depend only on the low bits of the id, so a
+    * parity- or stride-correlated corpus (ids all even; ids spaced by
+    * a component-keeper pattern) reached only a handful of residues —
+    * measured: ids that are multiples of 20 ALL landed in 'train'
+    * under the one-round form. High-bit extraction restores all 100
+    * residues on those shapes (found building the l71 composed-pipeline
+    * oracle, where component-keyed ids are systematically even).
+    * Division is exact cross-engine: both operands are non-negative,
+    * so Spark's `div` (truncating) and DuckDB's `//` (flooring) agree.
     */
   def splitAssign(idCol: String, trainPct: Int, valPct: Int): Column = {
-    val bucket =
-      s"pmod(pmod($idCol, 100000007) * 1103515245 + 12345, 100)"
+    val r1 = s"pmod($idCol, 100000007) * 1103515245 + 12345"
+    val b = s"pmod(($r1) div 65536, 100000007) * 1103515245 + 12345"
+    val bucket = s"pmod(($b) div 65536, 100)"
     expr(s"""CASE WHEN $bucket < $trainPct THEN 'train'
              WHEN $bucket < ${trainPct + valPct} THEN 'val'
              ELSE 'test' END""")
+  }
+
+  /** The DuckDB mirror of [[splitAssign]]'s bucket in [0, 100) over an
+    * arbitrary SQL expression `e` — every oracle that replays a split
+    * interpolates THIS (one definition, no drift). The `((x % p) + p)
+    * % p` guard mirrors Spark's pmod for any sign of `e`.
+    */
+  def splitBucketDuckSql(e: String): String = {
+    val nn = s"((($e) % 100000007) + 100000007) % 100000007"
+    val r1 = s"($nn) * 1103515245 + 12345"
+    val b = s"((($r1) // 65536) % 100000007) * 1103515245 + 12345"
+    s"((($b) // 65536) % 100)"
   }
 
   /** Top-`k` characteristic terms per document by an integer tf-idf

@@ -79,6 +79,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PqLutScore].getName, "pq_lut_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PqLutScore(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("unigram_viterbi"),
+      new ExpressionInfo(classOf[UnigramViterbi].getName,
+        "unigram_viterbi"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UnigramViterbi.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("warc_parse"),
+      new ExpressionInfo(classOf[WarcParse].getName, "warc_parse"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WarcParse.build(children)))
     ext.injectOptimizerRule(_ => new DimBroadcastRule)
   }
 }

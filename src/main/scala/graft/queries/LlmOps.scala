@@ -13,6 +13,31 @@ import graft.operators.{Bpe, CorpusAssembly, Dedup, Html, IngestPipeline, Multim
   */
 object LlmOps {
 
+  /** One DuckDB spelling of [[TextAnalysis.splitAssign]]'s 80/10 CASE,
+    * interpolated by every mirror that replays a split — when the
+    * operator's mixing changed (round 13: two LCG rounds with high-bit
+    * extraction), only [[TextAnalysis.splitBucketDuckSql]] moved.
+    */
+  private def splitCaseDuck(e: String): String = {
+    val b = TextAnalysis.splitBucketDuckSql(e)
+    s"""CASE WHEN $b < 80 THEN 'train'
+             WHEN $b < 90 THEN 'val'
+             ELSE 'test' END"""
+  }
+
+  /** Force DuckDB to MATERIALIZE the named CTEs: its optimizer
+    * inlines a CTE at every reference site, so a long stage chain
+    * whose tail references upstream stages repeatedly re-evaluates
+    * the whole prefix per reference — the l71 funnel's mirror ran
+    * 130 s and climbing at sf0.001 before this, 0.3 s after.
+    * Recursive CTE heads (`name(args) AS (`) are untouched by the
+    * `name AS (` pattern, which is required: DuckDB rejects
+    * MATERIALIZED on recursive CTEs.
+    */
+  private def materializeCtes(sql: String, names: Seq[String]): String =
+    names.foldLeft(sql)((acc, n) =>
+      acc.replaceFirst(s"\\b$n AS \\(", s"$n AS MATERIALIZED ("))
+
   /** The l12-family fixture corpus: embeddings unioned with a
     * deterministic slightly-perturbed twin of each vector (cosine ~0.97
     * to its original — the standard dedup scenario of re-crawled /
@@ -905,6 +930,56 @@ object LlmOps {
       n = 3, threshold = 0.9, hashedShingles = true)
   }, Some(l61OracleSql))
 
+  // L61C — the df-CAPPED containment join (containmentPairsCapped) on
+  // the hot-shingle adversarial shape l61's uncapped inverted list is
+  // honest about (SCALE_r12 §25's caveat): every doc gets a universal
+  // boilerplate suffix, so its interior shingles have df = corpus size
+  // and the uncapped container-side list concentrates the whole corpus
+  // under those keys. The cap (maxDf = 10) removes exactly the
+  // universal shingles from the universe; the oracle recomputes the
+  // plain quadratic containment over the SAME capped universe, so the
+  // hash match pins both the capped semantics and the planted
+  // directional pairs surviving on rare-shingle evidence alone.
+  private val l61c = QueryDef("l61c_containment_capped", (s, dir) => {
+    val boiler = lit(" bp1 bp2 bp3 bp4")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), concat(col("text"), boiler).as("text"))
+    val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("t2"))
+    val corpus = d.unionByName(d.join(nxt, Seq("doc_id"))
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("t2")).as("text")))
+    Dedup.containmentPairsCapped(corpus, "doc_id", "text",
+      n = 3, threshold = 0.9, maxDf = 10L, hashedShingles = true)
+  }, Some("""WITH base AS
+        (SELECT doc_id, text || ' bp1 bp2 bp3 bp4' AS text
+         FROM documents),
+      wrapped AS (SELECT a.doc_id + 100000 AS doc_id,
+          a.text || ' ' || b.text AS text
+        FROM base a JOIN base b ON b.doc_id = a.doc_id + 1),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM wrapped),
+      toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          t -> length(t) > 0) tk FROM corpus),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) s
+        FROM toks WHERE len(tk) >= 3),
+      ex AS MATERIALIZED (SELECT doc_id, unnest(s) shingle FROM sh),
+      dfq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+      kept AS MATERIALIZED (SELECT ex.doc_id, ex.shingle
+        FROM ex JOIN dfq USING (shingle) WHERE df <= 10),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+        FROM kept GROUP BY doc_id),
+      cand AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+          CAST(count(*) AS BIGINT) inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle
+          AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+      FROM cand JOIN sizes sa ON sa.doc_id = doc_a
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= 0.9"""))
+
   // L62 — link-graph quality prior, composed END TO END across three
   // operator families: HTML outlink extraction (Html.extractHrefs) →
   // URL canonicalization (Urls.canonicalize — the synthesized links
@@ -1078,11 +1153,7 @@ object LlmOps {
          coalesce(cc.component, d.doc_id) AS component
          FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
        SELECT doc_id, component,
-         CASE WHEN ((((component % 100000007) + 100000007) % 100000007)
-                * 1103515245 + 12345) % 100 < 80 THEN 'train'
-              WHEN ((((component % 100000007) + 100000007) % 100000007)
-                * 1103515245 + 12345) % 100 < 90 THEN 'val'
-              ELSE 'test' END AS split
+         """ + splitCaseDuck("component") + """ AS split
        FROM j""")))
 
   // L66 — MMR diverse selection (Carbonell & Goldstein 1998): greedy
@@ -1955,6 +2026,107 @@ object LlmOps {
         CAST(cum_tokens <= 96 AS BIGINT) AS within_budget
       FROM laid"""))
 
+  // M4 — WARC crawl-container ingest (operators/Warc + the native
+  // warc_parse expression): the step BEFORE Html extraction in a
+  // CommonCrawl-shaped pipeline. Fixture synthesized in-query (the l62
+  // discipline): each doc becomes a two-record WARC file — an HTTP
+  // response (status 404 on the %11 arm, 200 otherwise) whose body
+  // wraps the doc text in HTML with a <style> block and an entity, then
+  // a metadata record with three arms on doc_id%7: ==3 declares a
+  // Content-Length past EOF (truncated-block quarantine, parsed headers
+  // retained), ==5 has a bad magic (bad-magic quarantine, all-NULL
+  // metadata), else a good warc-fields record. The oracle knows the
+  // generator, so it emits the expected record table DIRECTLY from the
+  // arms — the hash match certifies that parsing the container
+  // reproduces exactly the metadata that generated it, including the
+  // extracted page text of every response body.
+  private val m4 = QueryDef("m4_warc_ingest", (s, dir) => {
+    import graft.operators.Warc
+    val crlf = "\r\n"
+    val docs = Tables.documents(s, dir)
+    val body = concat(
+      lit("<html><head><style>p { color: red }</style></head><body><p>"),
+      col("text"),
+      lit("</p><a href=\"/n\">nav &amp; more</a></body></html>"))
+    val http = concat(lit("HTTP/1.1 "),
+      when(pmod(col("doc_id"), lit(11L)) === 0L, lit("404 Not Found"))
+        .otherwise(lit("200 OK")),
+      lit(crlf + "Content-Type: text/html" + crlf + crlf), body)
+    val uri = concat(lit("http://site"), pmod(col("doc_id"), lit(5L)),
+      lit(".example.org/doc/"), col("doc_id"))
+    val recA = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: "), uri,
+      lit(crlf + "Content-Type: application/http;msgtype=response" +
+        crlf + "Content-Length: "), length(http),
+      lit(crlf + crlf), http, lit(crlf + crlf))
+    val metaBlock = concat(lit("fetchTimeMs: "), col("doc_id"), lit(crlf))
+    val metaHead = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+        "WARC-Target-URI: "), uri,
+      lit(crlf + "Content-Type: application/warc-fields" + crlf +
+        "Content-Length: "))
+    val recB = when(pmod(col("doc_id"), lit(7L)) === 3L,
+        concat(metaHead, length(metaBlock) + lit(1000),
+          lit(crlf + crlf), metaBlock, lit(crlf + crlf)))
+      .when(pmod(col("doc_id"), lit(7L)) === 5L,
+        lit("WARX/1.0" + crlf + "Content-Length: 1" + crlf + crlf +
+          "x" + crlf + crlf))
+      .otherwise(concat(metaHead, length(metaBlock),
+        lit(crlf + crlf), metaBlock, lit(crlf + crlf)))
+    val raw = docs.select(col("doc_id"),
+      concat(recA, recB).cast("binary").as("w"))
+    Warc.records(raw, "doc_id", "w")
+      .withColumn("text",
+        when(col("error").isNull && col("warc_type") === "response",
+          Html.cleanText("body")))
+      .drop("body")
+  }, Some {
+    val crlf = "chr(13) || chr(10)"
+    s"""WITH b AS (SELECT doc_id,
+        '<html><head><style>p { color: red }</style></head><body><p>'
+          || text ||
+          '</p><a href="/n">nav &amp; more</a></body></html>' AS body,
+        'http://site' || (doc_id % 5) || '.example.org/doc/' || doc_id
+          AS uri
+        FROM documents),
+      h AS (SELECT doc_id, uri, body,
+        'HTTP/1.1 ' || CASE WHEN doc_id % 11 = 0
+            THEN '404 Not Found' ELSE '200 OK' END
+          || $crlf || 'Content-Type: text/html' || $crlf || $crlf
+          || body AS http,
+        CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status
+        FROM b),
+      r0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
+        'response' AS warc_type, uri AS target_uri,
+        'application/http;msgtype=response' AS content_type,
+        CAST(length(http) AS BIGINT) AS content_length,
+        CAST(status AS BIGINT) AS http_status,
+        'text/html' AS http_mime,
+        ${graft.operators.Html.cleanTextDuckSql("body")} AS text,
+        CAST(NULL AS VARCHAR) AS error
+        FROM h),
+      mb AS (SELECT doc_id, uri,
+        'fetchTimeMs: ' || doc_id || $crlf AS metab FROM b),
+      r1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS rec_idx,
+        CASE WHEN doc_id % 7 = 5 THEN NULL
+             ELSE 'metadata' END AS warc_type,
+        CASE WHEN doc_id % 7 = 5 THEN NULL ELSE uri END AS target_uri,
+        CASE WHEN doc_id % 7 = 5 THEN NULL
+             ELSE 'application/warc-fields' END AS content_type,
+        CASE WHEN doc_id % 7 = 5 THEN NULL
+             WHEN doc_id % 7 = 3 THEN CAST(length(metab) + 1000 AS BIGINT)
+             ELSE CAST(length(metab) AS BIGINT) END AS content_length,
+        CAST(NULL AS BIGINT) AS http_status,
+        CAST(NULL AS VARCHAR) AS http_mime,
+        CAST(NULL AS VARCHAR) AS text,
+        CASE WHEN doc_id % 7 = 5 THEN 'bad-magic'
+             WHEN doc_id % 7 = 3 THEN 'truncated-block'
+             ELSE NULL END AS error
+        FROM mb)
+      SELECT * FROM r0 UNION ALL SELECT * FROM r1"""
+  })
+
   // L16 — the training-corpus cleaning funnel END TO END, composed from
   // the primitive stages and fully oracle-checked: quality gate
   // (alpha-ratio + min length) -> prefix-fingerprint dedup (sha256 of the
@@ -2074,11 +2246,7 @@ object LlmOps {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").cast("long").as("total_tokens"))
   }, Some("""WITH assigned AS (SELECT lang,
-        CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
-               * 1103515245 + 12345) % 100 < 80 THEN 'train'
-             WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
-               * 1103515245 + 12345) % 100 < 90 THEN 'val'
-             ELSE 'test' END AS split,
+        """ + splitCaseDuck("doc_id") + """ AS split,
         CAST(len(list_filter(string_split(text, ' '),
           t -> length(t) > 0)) AS BIGINT) n_tokens
         FROM documents)
@@ -2176,8 +2344,9 @@ object LlmOps {
                     FROM t WHERE len(tk) > 0)),
       lg AS (SELECT doc_id, pos, t,
               lag(t) OVER (PARTITION BY doc_id ORDER BY pos) prev,
-              CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
-                * 1103515245 + 12345) % 100 < 80 THEN 1 ELSE 0 END
+              CASE WHEN """ +
+                TextAnalysis.splitBucketDuckSql("doc_id") + """
+                < 80 THEN 1 ELSE 0 END
                 is_train
              FROM tok),
       c1 AS (SELECT t u_t, CAST(count(*) AS BIGINT) c1 FROM lg
@@ -2235,8 +2404,9 @@ object LlmOps {
                     FROM t WHERE len(tk) > 0)),
       lg AS (SELECT doc_id, pos, t,
               lag(t) OVER (PARTITION BY doc_id ORDER BY pos) prev,
-              CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
-                * 1103515245 + 12345) % 100 < 80 THEN 1 ELSE 0 END
+              CASE WHEN """ +
+                TextAnalysis.splitBucketDuckSql("doc_id") + """
+                < 80 THEN 1 ELSE 0 END
                 is_train
              FROM tok),
       c1 AS (SELECT t u_t, CAST(count(*) AS BIGINT) c1 FROM lg
@@ -2625,11 +2795,7 @@ object LlmOps {
         FROM scored),
       k AS (SELECT *, cum <= 100 AS kept FROM r),
       sp AS (SELECT source, n_tokens, n_dup_positions,
-          CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
-                 * 1103515245 + 12345) % 100 < 80 THEN 'train'
-               WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
-                 * 1103515245 + 12345) % 100 < 90 THEN 'val'
-               ELSE 'test' END AS split
+          """ + splitCaseDuck("doc_id") + """ AS split
         FROM k WHERE kept)
       SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
@@ -2718,14 +2884,8 @@ object LlmOps {
   private val qcMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
   private val bpeTrainFilter =
-    """((((doc_id % 100000007) + 100000007) % 100000007)
-      |  * 1103515245 + 12345) % 100 < 80""".stripMargin
-  private val bpeSplitCase =
-    """CASE WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
-      |       * 1103515245 + 12345) % 100 < 80 THEN 'train'
-      |     WHEN ((((doc_id % 100000007) + 100000007) % 100000007)
-      |       * 1103515245 + 12345) % 100 < 90 THEN 'val'
-      |     ELSE 'test' END""".stripMargin
+    TextAnalysis.splitBucketDuckSql("doc_id") + " < 80"
+  private val bpeSplitCase = splitCaseDuck("doc_id")
   private def bpeTrainDocs(s: SparkSession, dir: String) =
     Tables.documents(s, dir)
       .filter(TextAnalysis.splitAssign("doc_id", 80, 10) === "train")
@@ -3203,8 +3363,7 @@ object LlmOps {
     Dsir.scoreAgainstCounts(docs.filter(split =!= "train"),
       "doc_id", "text", counts, buckets = 4096, topK = 20)
   }, Some("""WITH sp AS (SELECT doc_id, lang, text,
-        ((((doc_id % 100000007) + 100000007) % 100000007)
-          * 1103515245 + 12345) % 100 AS h
+        """ + TextAnalysis.splitBucketDuckSql("doc_id") + """ AS h
         FROM documents),
       toks AS (SELECT doc_id, lang,
         unnest(list_filter(string_split(text, ' '),
@@ -3250,6 +3409,358 @@ object LlmOps {
       LEFT JOIN sc ON sc.doc_id = d.doc_id
       LEFT JOIN rk ON rk.doc_id = d.doc_id"""))
 
+  // L71 — the composed "full modern curation pipeline"
+  // (operators/CurationPipeline): twelve wave-5..10 stages as ONE
+  // dataflow with ONE DuckDB mirror (the l28 discipline — per-stage
+  // oracles don't certify the COMPOSITION). Fixture: the corpus is
+  // dirtied in-query (mojibake arms per doc_id%4, a decomposed
+  // nai¨ve/cafe´ suffix NFC must recompose, zero-width+control dirt on
+  // doc_id%3), wrapped in uniform HTML (script/style/entity damage),
+  // given the l36 URL shapes (blocked + unattributable arms both
+  // populated), and extended with planted verbatim recrawls
+  // (+1,000,000 ids, doc_id%6 — exact dedup must kill) and planted
+  // near-dup revisions (+2,000,000 ids, doc_id%9, appended marker —
+  // must pair with the original, share its component, and die at the
+  // keeper stage while the split keeps both on one side). The output
+  // is the per-stage funnel (docs, tokens, chars — chars make the
+  // content-only stages 4/5 visible), so the hash match pins every
+  // stage's survivor set AND every content transform end to end.
+  private val l71MojiArm =
+    """CASE CAST(doc_id % 4 AS INT)
+       WHEN 0 THEN ' cafÃ© rÃ©sumÃ© dÃ©cor'
+       WHEN 1 THEN ' â€œquoteâ€™â€¦â€'
+       WHEN 2 THEN ' naÃ¯ve faÃ§ade Â«quotedÂ»'
+       ELSE '' END"""
+  private val l71HtmlPre =
+    """<html><head><script>var x = "1 < 2; </p>";</script><style>p { color: red }</style></head><body><p>"""
+  private val l71HtmlPost =
+    """</p><div><a href="/h">home nav</a> <a>more &amp; x</a></div></body></html>"""
+  private val l71Block = "spam-domain.com"
+  private val l71MinWords = 40
+  private val l71Budget = 900L
+  private val l71Pack = 512L
+  private val l71 = QueryDef("l71_curation_pipeline", (s, dir) => {
+    import graft.operators.CurationPipeline
+    val d0 = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      concat(col("text"), expr(l71MojiArm),
+        // DECOMPOSED combining marks + zw/ctl dirt as escape
+        // sequences: raw invisibles in source are
+        // editor-fragile (the l35 lesson)
+        lit(" nai\u0308ve cafe\u0301"),
+        when(pmod(col("doc_id"), lit(3L)) === 0L,
+          lit("\u200Bzw\u0001ctl")).otherwise(lit("")),
+        // the synthetic corpus vocabulary contains no English
+        // stopwords, so Gopher rule 7 would kill EVERY doc and leave
+        // stages 8-12 vacuous; planting the stopword run on even ids
+        // only makes the rule fire both directions AND keeps the %6 /
+        // %9-planted dup arms (even ids) alive through the gate
+        when(pmod(col("doc_id"), lit(2L)) === 0L,
+          lit(" of and that have with")).otherwise(lit("")))
+        .as("t"))
+    val ing0 = d0
+      .unionByName(d0.filter(pmod(col("doc_id"), lit(6L)) === 0L)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("source"), col("t")))
+      .unionByName(d0.filter(pmod(col("doc_id"), lit(9L)) === 0L)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          col("source"),
+          concat(col("t"), lit(" tail nine extra marker")).as("t")))
+    val raw = ing0.select(col("doc_id"), col("source"),
+      concat(lit(l71HtmlPre), col("t"), lit(l71HtmlPost)).as("html"),
+      expr(l36UrlSynth("CAST(doc_id AS STRING)")).as("u"))
+    CurationPipeline.run(raw, "doc_id", "source", "html", "u",
+      blockedDomains = Seq(l71Block), lineMaxDf = 4L,
+      gopherMinWords = l71MinWords, jaccN = 3, jaccThreshold = 0.2,
+      jaccMaxDocFreq = 10, budgetPerSource = l71Budget,
+      packBudget = l71Pack, trainPct = 80, valPct = 10)
+  }, Some {
+    import graft.operators.{Html, TextAnalysis, Urls}
+    def tokOf(c: String) =
+      s"CAST(coalesce(sum(len(list_filter(string_split($c, ' '), " +
+        s"t -> length(t) > 0))), 0) AS BIGINT)"
+    def chrOf(c: String) = s"CAST(coalesce(sum(length($c)), 0) AS BIGINT)"
+    def funnelRow(no: Int, name: String, cte: String, c: String) =
+      s"""SELECT CAST($no AS BIGINT) AS stage_no, '$name' AS stage,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          ${tokOf(c)} AS n_tokens, ${chrOf(c)} AS n_chars FROM $cte"""
+    val lcg = TextAnalysis.splitBucketDuckSql("component")
+    val sql = s"""WITH RECURSIVE
+      d0 AS (SELECT doc_id, source,
+        text || $l71MojiArm
+          || ' nai' || chr(776) || 've cafe' || chr(769)
+          || CASE WHEN doc_id % 3 = 0
+               THEN chr(8203) || 'zw' || chr(1) || 'ctl' ELSE '' END
+          || CASE WHEN doc_id % 2 = 0
+               THEN ' of and that have with' ELSE '' END
+          AS t
+        FROM documents),
+      ing0 AS (
+        SELECT doc_id, source, t FROM d0
+        UNION ALL SELECT doc_id + 1000000, source, t FROM d0
+          WHERE doc_id % 6 = 0
+        UNION ALL SELECT doc_id + 2000000, source,
+          t || ' tail nine extra marker' FROM d0 WHERE doc_id % 9 = 0),
+      ing AS (SELECT doc_id, source,
+        '$l71HtmlPre' || t || '$l71HtmlPost' AS html,
+        ${l36UrlSynth("CAST(doc_id AS VARCHAR)")} AS u
+        FROM ing0),
+      ${Urls.canonicalDuckSql("SELECT doc_id, u FROM ing")},
+      s2 AS (SELECT i.doc_id, i.source, i.html
+        FROM ing i JOIN c ON c.doc_id = i.doc_id
+        WHERE c.url_domain IS NOT NULL
+          AND c.url_domain <> '$l71Block'),
+      s3 AS (SELECT doc_id, source,
+        ${Html.cleanTextDuckSql("html")} AS text FROM s2),
+      s4 AS (SELECT doc_id, source,
+        nfc_normalize(regexp_replace(regexp_replace(text,
+          '${TextAnalysis.ZeroWidthPattern}', '', 'g'),
+          '${TextAnalysis.ControlPattern}', '', 'g')) AS text FROM s3),
+      s5 AS (SELECT doc_id, source,
+        ${TextAnalysis.mojibakeRepairDuckSql("text")} AS text FROM s4),
+      lined AS (SELECT doc_id, source,
+        'nav home menu' || chr(10) ||
+        regexp_replace(text, ' (the|a) ', chr(10), 'g') ||
+        chr(10) || 'copyright footer 2024' AS text FROM s5),
+      lls AS (SELECT doc_id, string_split(text, chr(10)) l FROM lined),
+      lln AS (SELECT doc_id, i AS pos, l[i] AS line
+        FROM lls, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u),
+      lfreq AS (SELECT line, count(DISTINCT doc_id) line_df
+        FROM lln GROUP BY line),
+      lkp AS (SELECT doc_id, pos, lln.line, line_df <= 4 AS keep
+        FROM lln JOIN lfreq ON lln.line = lfreq.line),
+      s6 AS (SELECT lkp.doc_id, s5.source,
+          coalesce(string_agg(CASE WHEN keep THEN lkp.line END,
+            chr(10) ORDER BY pos), '') AS text
+        FROM lkp JOIN s5 ON s5.doc_id = lkp.doc_id
+        GROUP BY lkp.doc_id, s5.source),
+      gb AS (SELECT doc_id, source, text,
+        list_filter(string_split(replace(text, chr(10), ' '), ' '),
+          t -> length(t) > 0) w,
+        list_filter(string_split(text, chr(10)), x -> length(x) > 0) l,
+        (length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3
+          AS nsym
+        FROM s6),
+      gr AS (SELECT doc_id, source, text,
+        ${TextAnalysis.gopherRulesDuckSql(minWords = l71MinWords)}
+        FROM gb),
+      s7 AS (SELECT doc_id, source, text FROM gr
+        WHERE r_wordcount * r_meanlen * r_symbol * r_bullet
+          * r_ellipsis * r_alpha * r_stopwords = 1),
+      eh AS (SELECT doc_id, source, text,
+        sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ch
+        FROM s7),
+      eg AS (SELECT ch, min(doc_id) keep_id FROM eh GROUP BY ch),
+      s8 AS (SELECT eh.doc_id, eh.source, eh.text
+        FROM eh JOIN eg ON eh.ch = eg.ch AND eh.doc_id = eg.keep_id),
+      toks2 AS (SELECT doc_id, list_filter(string_split(text, ' '),
+          t -> length(t) > 0) tk FROM s8),
+      sh2 AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sg
+        FROM toks2 WHERE len(tk) >= 3),
+      ex2 AS (SELECT doc_id AS doc, unnest(sg) AS shingle FROM sh2),
+      freq2 AS (SELECT shingle, count(*) AS df FROM ex2 GROUP BY 1),
+      kept2 AS (SELECT ex2.doc, ex2.shingle FROM ex2
+        JOIN freq2 USING (shingle) WHERE df <= 10),
+      cand2 AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM kept2 a JOIN kept2 b
+        ON a.shingle = b.shingle AND a.doc < b.doc),
+      inter2 AS (SELECT c2.doc_a, c2.doc_b,
+          CAST(count(*) AS BIGINT) AS inter
+        FROM cand2 c2 JOIN ex2 ea ON ea.doc = c2.doc_a
+        JOIN ex2 eb ON eb.doc = c2.doc_b AND eb.shingle = ea.shingle
+        GROUP BY 1, 2),
+      sizes2 AS (SELECT doc_id, CAST(len(sg) AS BIGINT) AS n FROM sh2),
+      prs AS (SELECT doc_a, doc_b FROM inter2
+        JOIN sizes2 sa ON sa.doc_id = doc_a
+        JOIN sizes2 sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE)
+          / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.2),
+      cc_e AS (SELECT doc_a AS s, doc_b AS d FROM prs
+        UNION ALL SELECT doc_b AS s, doc_a AS d FROM prs),
+      cc_r(node, m) AS (
+        SELECT s, s FROM cc_e
+        UNION
+        SELECT cc_e.d, cc_r.m FROM cc_r
+        JOIN cc_e ON cc_e.s = cc_r.node WHERE cc_r.m < cc_e.d),
+      cc AS (SELECT node, min(m) AS component FROM cc_r GROUP BY node),
+      s9 AS (SELECT s8.doc_id, s8.source, s8.text,
+          coalesce(cc.component, s8.doc_id) AS component
+        FROM s8 LEFT JOIN cc ON cc.node = s8.doc_id),
+      s9s AS (SELECT *,
+          CASE WHEN $lcg < 80 THEN 'train'
+               WHEN $lcg < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM s9),
+      s10 AS (SELECT doc_id, source, text FROM s9
+        WHERE doc_id = component),
+      q1 AS (SELECT source, doc_id, text,
+        CAST(len(list_filter(string_split(text, ' '),
+          s -> length(s) > 0)) AS BIGINT) n_tokens,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '),
+          s -> length(s) > 0))) AS BIGINT) quality
+        FROM s10),
+      q2 AS (SELECT source, doc_id, text, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY source
+          ORDER BY quality DESC, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) cum
+        FROM q1),
+      s11 AS (SELECT source, doc_id, text, n_tokens FROM q2
+        WHERE cum <= $l71Budget),
+      p1 AS (SELECT doc_id, n_tokens,
+        CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) cum
+        FROM s11),
+      p2 AS (SELECT doc_id, n_tokens,
+        (cum - n_tokens) // $l71Pack AS bin FROM p1)
+      ${funnelRow(1, "ingest", "ing", "html")}
+      UNION ALL ${funnelRow(2, "url_blocklist", "s2", "html")}
+      UNION ALL ${funnelRow(3, "html_extract", "s3", "text")}
+      UNION ALL ${funnelRow(4, "unicode_clean", "s4", "text")}
+      UNION ALL ${funnelRow(5, "mojibake_repair", "s5", "text")}
+      UNION ALL ${funnelRow(6, "line_boilerplate", "s6", "text")}
+      UNION ALL ${funnelRow(7, "gopher_quality", "s7", "text")}
+      UNION ALL ${funnelRow(8, "exact_dedup", "s8", "text")}
+      UNION ALL SELECT CAST(9 AS BIGINT), 'split_' || split,
+        CAST(count(*) AS BIGINT), ${tokOf("text")}, ${chrOf("text")}
+        FROM s9s GROUP BY split
+      UNION ALL ${funnelRow(10, "near_dedup", "s10", "text")}
+      UNION ALL ${funnelRow(11, "source_quota", "s11", "text")}
+      UNION ALL SELECT CAST(12 AS BIGINT), 'pack',
+        CAST(count(DISTINCT bin) AS BIGINT),
+        CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+        (SELECT ${chrOf("text")} FROM s11)
+        FROM p2"""
+    materializeCtes(sql, Seq("d0", "ing0", "ing", "u0", "u1", "u2",
+      "u3", "c", "s2", "s3", "s4", "s5", "lined", "lls", "lln",
+      "lfreq", "lkp", "s6", "gb", "gr", "s7", "eh", "eg", "s8",
+      "toks2", "sh2", "ex2", "freq2", "kept2", "cand2", "inter2",
+      "sizes2", "prs", "cc_e", "cc", "s9", "s9s", "s10", "q1", "q2",
+      "s11", "p1", "p2"))
+  })
+
+  // L72 — unigram-LM (SentencePiece-class) tokenizer trainer
+  // (operators/UnigramLm, Kudo 2018): seed substring vocab -> 3 hard-EM
+  // rounds (native unigram_viterbi segmentation, recount, integer
+  // bit-surprisal re-costing, prune to singles + top-V multis) -> final
+  // vocabulary. The oracle replays the ENTIRE training run: the seed
+  // selection and, per round, the DP lattice as a DuckDB list-fold, the
+  // longest-piece-first backtrace as a second fold (VARCHAR-list
+  // accumulator — DuckDB 1.0's struct accumulators re-evaluate lazily
+  // and read their FINAL value, found while building this oracle), the
+  // usage recount and the prune — to the identical (piece, n_uses,
+  // cost_bits) table. The l30 BPE treatment for the other production
+  // tokenizer family.
+  // caps chosen to BIND on the gate corpus (31 distinct words, ~200
+  // candidate substrings): both the seed selection and the per-round
+  // prune actually cut, so the ORDER BY ... LIMIT tie-break is
+  // certified, not just present
+  private val l72SeedTop = 40
+  private val l72VocabTop = 12
+  private val l72Iters = 3
+  private val l72 = QueryDef("l72_unigram_lm", (s, dir) => {
+    graft.operators.UnigramLm.train(Tables.documents(s, dir), "text",
+      seedTop = l72SeedTop, vocabTop = l72VocabTop, iters = l72Iters)
+  }, Some {
+    // LAMBDA-FREE mirror: DuckDB 1.0's list_reduce accumulator
+    // re-evaluates lazily (struct fields read their FINAL value) and is
+    // thread-nondeterministic when the lambda captures a cross-joined
+    // map column — both found while building this oracle. The DP and
+    // its backtrace are therefore UNROLLED over positions 1..16 (the
+    // maxWordLen bound) as plain expressions, ONE CTE PER STEP: a
+    // single-SELECT lateral-alias chain would substitute each step's
+    // expression into the next (branching factor 4 -> a 4^16 tree);
+    // across CTE boundaries each step is computed once and referenced
+    // as a column. No lambda ever sees the vocabulary map.
+    val unk = graft.operators.UnigramLm.UnknownCost
+    val maxW = 16
+    def costOf(e: String) =
+      s"coalesce(list_extract(map_extract(mp, $e), 1), $unk)"
+    def dpChain(i: Int): String = {
+      val head = s"f${i}_0 AS (SELECT word, wf, mp, " +
+        s"CAST(0 AS BIGINT) AS d0 FROM words, m$i)"
+      val steps = (1 to maxW).map { k =>
+        val arms = (1 to 4).filter(_ <= k).map { l =>
+          s"d${k - l} + ${costOf(s"substr(word, ${k - l + 1}, $l)")}"
+        }
+        s"""f${i}_$k AS (SELECT *, CASE WHEN length(word) >= $k
+            THEN least(${arms.mkString(", ")})
+            ELSE $unk END AS d$k FROM f${i}_${k - 1})"""
+      }
+      (head +: steps).mkString(",\n        ")
+    }
+    def btChain(i: Int): String = {
+      val head = s"b${i}_0 AS (SELECT word, wf, mp, " +
+        s"[${(0 to maxW).map(k => s"d$k").mkString(", ")}] AS dl, " +
+        s"CAST(length(word) AS BIGINT) AS pp0 FROM f${i}_$maxW)"
+      val steps = (1 to maxW).map { j =>
+        val p = s"pp${j - 1}"
+        val arms = (2 to 4).reverse.map { l =>
+          s"""WHEN $p >= $l AND dl[$p + 1] = dl[$p - ${l - 1}] +
+              ${costOf(s"substr(word, $p - ${l - 1}, $l)")}
+              THEN substr(word, $p - ${l - 1}, $l)"""
+        }.mkString(" ")
+        val pick = s"CASE WHEN $p <= 0 THEN '' $arms " +
+          s"ELSE substr(word, $p, 1) END"
+        s"""b${i}_$j AS (SELECT *, $pick AS sg$j,
+            $p - length($pick) AS pp$j FROM b${i}_${j - 1})"""
+      }
+      (head +: steps).mkString(",\n        ")
+    }
+    val sgList = (1 to maxW).map(j => s"sg$j").mkString("[", ", ", "]")
+    def iter(i: Int) = {
+      val prev = s"c${i - 1}"
+      s"""m$i AS (SELECT map(list(piece ORDER BY piece),
+            list(cost ORDER BY piece)) mp FROM $prev),
+        ${dpChain(i)},
+        ${btChain(i)},
+        cnt$i AS (SELECT piece, CAST(sum(wf) AS BIGINT) cnt
+          FROM (SELECT wf, unnest($sgList) AS piece FROM b${i}_$maxW)
+          WHERE piece <> '' GROUP BY piece),
+        v$i AS (
+          SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+          FROM sing s LEFT JOIN cnt$i c USING (piece)
+          UNION ALL
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM cnt$i
+            WHERE length(piece) > 1 AND cnt >= 1
+            ORDER BY cnt DESC, piece LIMIT $l72VocabTop)),
+        t$i AS (SELECT CAST(sum(cnt) AS BIGINT) t FROM v$i),
+        c$i AS (SELECT piece, cnt,
+          length(bin(t)) - length(bin(cnt)) + 1 AS cost
+          FROM v$i, t$i)"""
+    }
+    s"""WITH toks AS (SELECT list_filter(string_split(text, ' '),
+          t -> length(t) > 0) tk FROM documents),
+      w0 AS (SELECT substr(u.t, 1, 16) AS word FROM toks,
+        LATERAL (SELECT unnest(tk) AS t) u),
+      words AS (SELECT word, CAST(count(*) AS BIGINT) wf
+        FROM w0 GROUP BY word),
+      subl AS (SELECT wf, flatten(list_transform(
+          range(1, length(word) + 1), s ->
+          list_filter(list_transform([1, 2, 3, 4], l ->
+            CASE WHEN s + l - 1 <= length(word)
+                 THEN substr(word, s, l) END),
+            p -> p IS NOT NULL))) AS ps FROM words),
+      subs0 AS (SELECT wf, unnest(ps) AS piece FROM subl),
+      subs AS (SELECT piece, CAST(sum(wf) AS BIGINT) cnt
+        FROM subs0 GROUP BY piece),
+      sing AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+      v0 AS (SELECT piece, cnt FROM sing
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM subs WHERE length(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT $l72SeedTop)),
+      t0 AS (SELECT CAST(sum(cnt) AS BIGINT) t FROM v0),
+      c0 AS (SELECT piece, cnt,
+        length(bin(t)) - length(bin(cnt)) + 1 AS cost FROM v0, t0),
+      ${(1 to l72Iters).map(iter).mkString(",\n      ")}
+      SELECT piece, cnt AS n_uses,
+        CAST(length(bin(t)) - length(bin(cnt)) + 1 AS BIGINT)
+          AS cost_bits
+      FROM v$l72Iters, t$l72Iters"""
+  })
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
@@ -3259,6 +3770,6 @@ object LlmOps {
       l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
-      l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61h, l62,
-      l63, l64, l65, l66, l67, l68, l69, l70, l70h, m1, m2, m3)
+      l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
+      l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, m1, m2, m3, m4)
 }

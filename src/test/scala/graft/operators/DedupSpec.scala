@@ -460,6 +460,63 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join, df-capped variant: exact containment over " +
+    "the sub-cap universe — hot-shingle-witnessed pairs invisible, " +
+    "rare-shingle pairs identical to uncapped, brute-force parity") {
+    import s.implicits._
+    val n = 3
+    // a universal boilerplate line shared by EVERY doc (its shingles
+    // have df = N), plus per-doc unique content; one planted pair
+    // whose ONLY shared shingles are the universal line (hot-only
+    // witness: contained doc = the line alone), and one planted pair
+    // sharing rare content (victim quoted inside a wrapper)
+    val boiler = "x1 x2 x3 x4 x5"
+    val base = (0L until 12L).map { id =>
+      id -> s"$boiler u${id}a u${id}b u${id}c u${id}d u${id}e u${id}f"
+    }
+    val victim = "v1 v2 v3 v4 v5 v6 v7 v8"
+    val docs = base ++ Seq(
+      100L -> boiler, // contained ONLY via the universal line
+      101L -> victim,
+      102L -> s"$victim $boiler f1 f2 f3 f4 f5 f6 f7 f8 f9 f10")
+    val tau = 0.8
+    def shingleSet(t: String): Set[String] = {
+      val tk = t.split(" ").filter(_.nonEmpty).toVector
+      if (tk.length < n) Set.empty
+      else tk.sliding(n).map(_.mkString(" ")).toSet
+    }
+    // brute force over the capped universe
+    val maxDf = 3L
+    val all = docs.map { case (id, t) => id -> shingleSet(t) }
+    val dfreq = all.flatMap(_._2).groupBy(identity)
+      .map { case (sh, xs) => sh -> xs.size.toLong }
+    val capped = all.map { case (id, s0) =>
+      id -> s0.filter(dfreq(_) <= maxDf) }.filter(_._2.nonEmpty)
+    val expected = (for ((ia, sa) <- capped; (ib, sb) <- capped
+                         if ia != ib;
+                         c = sa.intersect(sb).size.toDouble / sa.size
+                         if c >= tau) yield (ia, ib)).toSet
+    for (hashed <- Seq(false, true)) {
+      val got = Dedup.containmentPairsCapped(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n, tau, maxDf, hashedShingles = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"hashed=$hashed diverged from brute")
+      // the hot-only-witnessed containment is INVISIBLE under the cap
+      assert(!got.exists(_._1 == 100L),
+        "boilerplate-only containment must not survive the df cap")
+      // the rare-witnessed pair is found, directional
+      assert(got.contains((101L, 102L)))
+      assert(!got.contains((102L, 101L)))
+    }
+    // the uncapped operator finds the hot-only pair — the tradeoff
+    val un = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(un.exists(p => p._1 == 100L),
+      "fixture degenerate: uncapped must see the boilerplate pair")
+    assert(un.contains((101L, 102L)))
+  }
+
   test("line-frequency filter: over-threshold boilerplate lines drop, " +
     "at-threshold and unique lines survive in order, all-boilerplate " +
     "docs clean to '', within-doc repeats count one doc, hashed keys " +

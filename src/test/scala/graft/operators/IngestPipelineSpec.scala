@@ -13,9 +13,10 @@ import graft.TestSpark
   * Fixture walkthrough: standing = {1: w1..w10, 2: x1..x8}; batch =
   * {101: copy of 1 (exact dup -> dropped at stage 1), 102: x1..x8 y1 y2
   * (survives; its 8-gram window [x1..x8] also lives in standing doc 2,
-  * so positions 1-8 are cut -> clean "y1 y2"), 103: z1..z9 (unique ->
-  * intact)}. Quality (distinct clean tokens): 103 = 9, 102 = 2. Splits:
-  * LCG bucket of 103 is 80 -> 'val'; of 102 is 35 -> 'train'.
+  * so positions 1-8 are cut -> clean "y1 y2"), 134: z1..z9 (unique ->
+  * intact)}. Quality (distinct clean tokens): 134 = 9, 102 = 2. Splits:
+  * two-round LCG bucket of 134 is 83 -> 'val'; of 102 is 25 ->
+  * 'train'.
   */
 class IngestPipelineSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
@@ -30,7 +31,7 @@ class IngestPipelineSpec extends AnyFunSuite {
     val batch = Seq(
       (101L, "s", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
       (102L, "s", "x1 x2 x3 x4 x5 x6 x7 x8 y1 y2"),
-      (103L, "s", "z1 z2 z3 z4 z5 z6 z7 z8 z9"))
+      (134L, "s", "z1 z2 z3 z4 z5 z6 z7 z8 z9"))
       .toDF("doc_id", "source", "text")
     def run(budget: Long): Set[(String, String, Long, Long, Long)] =
       IngestPipeline.run(standing, batch, "doc_id", "text", "source",
@@ -39,10 +40,10 @@ class IngestPipelineSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2),
           r.getLong(3), r.getLong(4))).toSet
 
-    // budget 9: only 103 (quality 9, cum 9) fits; 102 (cum 11) dropped
+    // budget 9: only 134 (quality 9, cum 9) fits; 102 (cum 11) dropped
     assert(run(9L) == Set(("s", "val", 1L, 9L, 0L)))
     // budget 11: both fit — 102 arrives span-cut (2 clean tokens, 8
-    // positions removed) in 'train', 103 intact in 'val'
+    // positions removed) in 'train', 134 intact in 'val'
     assert(run(11L) == Set(
       ("s", "val", 1L, 9L, 0L),
       ("s", "train", 1L, 2L, 8L)))

@@ -184,33 +184,36 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("bigramSurprisal: every scoring path hand-computed (model " +
     "bigram, pruned->backoff, doc-initial, OOV, empty doc)") {
     import s.implicits._
-    // split buckets: ids 2,4,6 -> train; 1 -> test. Train corpus
-    // "a b a b" + "a b c": c1 a=3,b=3,c=1, T=7; bigrams (a,b)=3,
-    // (b,a)=1, (b,c)=1 -> minCount=2 keeps only (a,b).
+    // split buckets (two-round LCG): ids 2,3,4 -> train; 6 -> test.
+    // Train corpus "a b a b" + "a b c": c1 a=3,b=3,c=1, T=7; bigrams
+    // (a,b)=3, (b,a)=1, (b,c)=1 -> minCount=2 keeps only (a,b).
     // bitlen: 7->3, 3->2, 1->1.
-    val docs = Seq((1L, "a b z"), (2L, "a b a b"), (4L, "a b c"),
-      (6L, "  ")).toDF("doc_id", "text")
+    val docs = Seq((6L, "a b z"), (2L, "a b a b"), (4L, "a b c"),
+      (3L, "  ")).toDF("doc_id", "text")
     val out = TextAnalysis.bigramSurprisal(docs, "doc_id", "text",
         keepBelowBits = 1.0, minCount = 2L)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
           r.getAs[Long]("keep")))).toMap
-    // doc1 (test): a initial-unigram 3-2=1; b model-bigram 2-2=0;
+    // doc6 (test): a initial-unigram 3-2=1; b model-bigram 2-2=0;
     // z OOV 1+3=4 -> 5 bits
-    assert(out(1L) == ((3L, 5L, 0L)))
+    assert(out(6L) == ((3L, 5L, 0L)))
     // doc2: 1 + 0 + backoff(a: 1+3-2=2) + 0 -> 3 bits, avg 0.75 -> keep
     assert(out(2L) == ((4L, 3L, 1L)))
     // doc4: 1 + 0 + backoff(c: 1+3-1=3) -> 4 bits
     assert(out(4L) == ((3L, 4L, 0L)))
-    assert(out(6L) == ((0L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L)))
   }
 
   test("bigramSurprisal matches a brute-force reference on random " +
     "corpora (train-split model, pruning, OOV paths all exercised)") {
     import s.implicits._
     def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
-    def isTrain(id: Long): Boolean =
-      ((id % 100000007L) * 1103515245L + 12345L) % 100L < 80L
+    def isTrain(id: Long): Boolean = {
+      val r1 = (id % 100000007L) * 1103515245L + 12345L
+      val b = ((r1 / 65536L) % 100000007L) * 1103515245L + 12345L
+      (b / 65536L) % 100L < 80L
+    }
     val rnd = new scala.util.Random(11)
     val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7")
     (1 to 3).foreach { trial =>
@@ -256,8 +259,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     "backoff, unseen-context, OOV, doc-initial paths all exercised)") {
     import s.implicits._
     def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
-    def isTrain(id: Long): Boolean =
-      ((id % 100000007L) * 1103515245L + 12345L) % 100L < 80L
+    def isTrain(id: Long): Boolean = {
+      val r1 = (id % 100000007L) * 1103515245L + 12345L
+      val b = ((r1 / 65536L) % 100000007L) * 1103515245L + 12345L
+      (b / 65536L) % 100L < 80L
+    }
     val rnd = new scala.util.Random(23)
     val vocab = Vector("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7")
     (1 to 3).foreach { trial =>
