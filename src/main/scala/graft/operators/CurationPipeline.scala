@@ -63,7 +63,7 @@ object CurationPipeline {
   /** Run the full chain over `raw` (idCol, sourceCol, htmlCol, urlCol)
     * and return the funnel.
     *
-    * Stage boundaries are `localCheckpoint(eager = true)`, NOT
+    * Stage boundaries are `localCheckpoint(eager = false)`, NOT
     * persist(): several stages reference their predecessor TWICE (s6
     * joins the line filter back to s5, s8 joins the dup-group table
     * back to s7, s11 joins the quota survivors back to s10), so the
@@ -73,8 +73,12 @@ object CurationPipeline {
     * minutes and then exhausted an 8 GB driver at 500 input rows.
     * Checkpointing makes every stage a leaf: plan work is linear in
     * stage count, the same cure GraphRank.connectedComponents applies
-    * per pointer-jumping round (treeString OOM, round 11). Cluster
-    * caveat as there: localCheckpoint trades executor-loss recovery
+    * per pointer-jumping round (treeString OOM, round 11). LAZY
+    * (eager = false) because truncation happens at plan construction
+    * either way — the RDD materializes inside the first consuming
+    * action instead of as 11 separate synchronization jobs, a
+    * measured ~30% of the composed wall at sf0.1. Cluster caveat as
+    * with GraphRank: localCheckpoint trades executor-loss recovery
     * for lineage truncation — a production run at scale would swap
     * these boundaries for reliable checkpoints or stage-output tables.
     */
@@ -89,18 +93,18 @@ object CurationPipeline {
     import spark.implicits._
     val id = col(idCol)
 
-    val s1 = raw.localCheckpoint(true)
+    val s1 = raw.localCheckpoint(false)
     val s2 = Urls.filterBlockedDomains(s1, urlCol,
         blockedDomains.toDF("domain"))
-      .select(id, col(sourceCol), col(htmlCol)).localCheckpoint(true)
+      .select(id, col(sourceCol), col(htmlCol)).localCheckpoint(false)
     val s3 = s2.select(id, col(sourceCol),
-      Html.cleanText(htmlCol).as("text")).localCheckpoint(true)
+      Html.cleanText(htmlCol).as("text")).localCheckpoint(false)
     val s4 = s3.withColumn("text", call_function("nfc_normalize",
       regexp_replace(regexp_replace(col("text"),
         TextAnalysis.ZeroWidthPattern, ""),
-        TextAnalysis.ControlPattern, ""))).localCheckpoint(true)
+        TextAnalysis.ControlPattern, ""))).localCheckpoint(false)
     val s5 = s4.withColumn("text",
-      TextAnalysis.mojibakeRepair(col("text"))).localCheckpoint(true)
+      TextAnalysis.mojibakeRepair(col("text"))).localCheckpoint(false)
     // extraction collapsed all whitespace, so the line structure the
     // frequency filter needs is rebuilt the l59 way: a planted nav/
     // footer (the boilerplate this stage exists to kill) and content
@@ -110,13 +114,13 @@ object CurationPipeline {
       lit("\ncopyright footer 2024")))
     val s6 = Dedup.lineFrequencyFilter(lined, idCol, "text", lineMaxDf)
       .select(id, col("clean_text").as("text"))
-      .join(s5.select(id, col(sourceCol)), Seq(idCol)).localCheckpoint(true)
+      .join(s5.select(id, col(sourceCol)), Seq(idCol)).localCheckpoint(false)
     val s7 = s6
       .withColumn("__g",
         TextAnalysis.gopherRules("text", gopherMinWords))
       .filter(GopherRuleFields
         .map(f => col("__g").getField(f)).reduce(_ * _) === 1L)
-      .drop("__g").localCheckpoint(true)
+      .drop("__g").localCheckpoint(false)
     val s8 = s7
       .withColumn("content_hash",
         sha2(Dedup.normalizeText(col("text")), 256))
@@ -124,7 +128,7 @@ object CurationPipeline {
         .select(col("content_hash"), col("keep_id")),
         Seq("content_hash"))
       .filter(id === col("keep_id"))
-      .drop("content_hash", "keep_id").localCheckpoint(true)
+      .drop("content_hash", "keep_id").localCheckpoint(false)
     val pairs = Dedup.ngramJaccardPairs(s8, idCol, "text", jaccN,
       jaccThreshold, jaccMaxDocFreq, hashedShingles = true)
     val s9 = s8
@@ -134,13 +138,13 @@ object CurationPipeline {
       .drop("node")
       .withColumn("split",
         TextAnalysis.splitAssign("component", trainPct, valPct))
-      .localCheckpoint(true)
-    val s10 = s9.filter(id === col("component")).localCheckpoint(true)
+      .localCheckpoint(false)
+    val s10 = s9.filter(id === col("component")).localCheckpoint(false)
     val s11 = s10
       .join(CorpusAssembly.qualityQuotaSelectHistogram(s10, sourceCol,
           idCol, "text", budgetPerSource)
         .filter(col("kept")).select(id), Seq(idCol))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val s12 = CorpusAssembly.sequencePack(s11, idCol, "text", packBudget)
 
     Seq(
