@@ -98,8 +98,47 @@ object WarcParseModel extends Serializable {
       u(cType), cLen, status, u(mime), u(body), u(error)))
   }
 
-  /** Parse one WARC payload into its record structs. */
-  def parse(payload: Array[Byte]): ArrayData = {
+  /** Decompressed-size cap: crawl archives are attacker-influenced
+    * bytes, and a 100-byte gzip member can declare gigabytes (the
+    * image-bomb gate's discipline, `operators/Multimodal.scala`).
+    */
+  val MaxInflatedBytes: Int = 256 * 1024 * 1024
+
+  private def gunzipAll(payload: Array[Byte]): Array[Byte] = {
+    // real WARC.gz files are CONCATENATED per-record gzip members;
+    // GZIPInputStream reads multi-member streams transparently
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(payload.length * 4, 1 << 20))
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (out.size.toLong + n > MaxInflatedBytes)
+        throw new java.util.zip.ZipException("inflated size cap")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    in.close()
+    out.toByteArray
+  }
+
+  /** Parse one WARC payload into its record structs. A payload that
+    * starts with the gzip magic is inflated first (multi-member, size-
+    * capped); a broken or bomb-sized gzip stream quarantines the whole
+    * file as one `bad-gzip` record.
+    */
+  def parse(payload0: Array[Byte]): ArrayData = {
+    val payload: Array[Byte] =
+      if (payload0.length >= 2 && payload0(0) == 0x1f.toByte &&
+        payload0(1) == 0x8b.toByte) {
+        try gunzipAll(payload0)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            return new GenericArrayData(Array[Any](mkRow(0L, null,
+              null, null, null, null, null, null, "bad-gzip")))
+        }
+      } else payload0
     val out = new scala.collection.mutable.ArrayBuffer[Any](4)
     var off = 0
     var recIdx = 0L

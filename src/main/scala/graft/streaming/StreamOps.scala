@@ -473,6 +473,43 @@ object StreamOps {
     }
   }
 
+  /** Streaming WARC crawl ingest — the m4 container parse (operators/
+    * Warc) as a foreachBatch sink: each micro-batch of raw WARC
+    * payloads splits into records once, good HTTP responses land as
+    * extracted page text under `responsesPath/batch=<id>`, corrupt
+    * file tails under `quarantinePath/batch=<id>`. The sink is
+    * STATELESS by the operator's nature (every record's fate is
+    * decided by its own bytes — no standing index to consult), so
+    * idempotency is per-batch directory overwrite: a retried batch
+    * recomputes byte-identical outputs and replaces its own two dirs,
+    * touching no other batch's. Downstream stages (the l71 curation
+    * chain) read the responses dirs as an ordinary parquet source.
+    */
+  def warcIngestForeachBatch(responsesPath: String, quarantinePath: String,
+                             idCol: String, warcCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      // parse once, consume twice
+      val recs = graft.operators.Warc.records(batch, idCol, warcCol)
+        .persist()
+      try {
+        recs.filter(col("error").isNull &&
+            lower(col("warc_type")) === "response" &&
+            col("body").isNotNull &&
+            col("http_status") >= 200L && col("http_status") < 300L)
+          .select(col(idCol), col("rec_idx"), col("target_uri"),
+            col("http_status"), col("http_mime"),
+            graft.operators.Html.cleanText("body").as("text"))
+          .write.mode("overwrite")
+          .parquet(s"$responsesPath/batch=$batchId")
+        recs.filter(col("error").isNotNull)
+          .select(col(idCol), col("rec_idx"), col("error"))
+          .write.mode("overwrite")
+          .parquet(s"$quarantinePath/batch=$batchId")
+      } finally { recs.unpersist(); () }
+    }
+  }
+
   /** Streaming temperature-based source mixing: the l29h (group,
     * hash-bucket) count histogram maintained incrementally — purely
     * additive state (group counts are the per-group bucket sums, so

@@ -112,6 +112,42 @@ class WarcSpec extends AnyFunSuite {
       "exactly one good record before each corrupt tail")
   }
 
+  test("gzip payloads: single member, concatenated per-record members " +
+    "(the WARC.gz layout), corrupt stream quarantines as bad-gzip") {
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bo.toByteArray
+    }
+    val http = httpBlock("200 OK", "text/html", "<p>gzipped</p>")
+    val recA = rec(Seq("WARC-Type" -> "response",
+      "Content-Type" -> "application/http",
+      "Content-Length" -> http.length.toString), http)
+    val recB = rec(Seq("WARC-Type" -> "metadata",
+      "Content-Type" -> "application/warc-fields",
+      "Content-Length" -> "2"), "ab")
+    val single = gz(recA + recB)
+    val multi = gz(recA) ++ gz(recB) // one member per record
+    val corrupt = {
+      val c = gz(recA); c(c.length / 2) = (c(c.length / 2) ^ 0x55).toByte
+      c
+    }
+    val df = Seq((30L, single), (31L, multi), (32L, corrupt))
+      .toDF("doc_id", "w")
+    val got = Warc.records(df, "doc_id", "w").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).orNull, Option(r.getString(9)).orNull))
+    for (id <- Seq(30L, 31L)) {
+      val mine = got.filter(_._1 == id).sortBy(_._2)
+      assert(mine.length == 2 && mine.forall(_._4 == null),
+        s"doc $id: both gzip layouts must parse clean: ${mine.toSeq}")
+      assert(mine(0)._3 == "response" && mine(1)._3 == "metadata")
+    }
+    val bad = got.filter(_._1 == 32L)
+    assert(bad.length == 1 && bad(0)._4 == "bad-gzip", bad.toSeq)
+  }
+
   test("empty payload and separator-only payload parse to zero " +
     "records; missing trailing separator tolerated") {
     val got = parse(Seq((20L, ""), (21L, "\r\n\r\n")))

@@ -1353,4 +1353,53 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(cells(s.read.parquet(statePath)) == want,
       "empty batch is a no-op")
   }
+
+  test("streaming WARC ingest: per-batch responses and quarantine == " +
+    "the one-shot operator per batch; retry overwrites in place") {
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_warc_stream").toString
+    val respPath = base + "/responses"
+    val qPath = base + "/quarantine"
+    def rec(t: String, block: String, magic: String = "WARC/1.0") =
+      magic + "\r\nWARC-Type: " + t +
+        "\r\nContent-Type: application/http" +
+        "\r\nContent-Length: " + block.length + "\r\n\r\n" + block +
+        "\r\n\r\n"
+    def http(status: String, body: String) =
+      "HTTP/1.1 " + status + "\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><body><p>" + body + "</p></body></html>"
+    val b1 = Seq(
+      (1L, rec("response", http("200 OK", "alpha"))),
+      (2L, rec("response", http("404 Not Found", "gone"))),
+      (3L, rec("response", http("200 OK", "x"), magic = "WARX/1.0")))
+    val b2 = Seq(
+      (4L, rec("response", http("201 Created", "beta"))),
+      (5L, "WARC/1.0\r\nWARC-Type: response")) // truncated header
+    def toBin(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "w")
+      .select(col("doc_id"), col("w").cast("binary").as("w"))
+    val sink = StreamOps.warcIngestForeachBatch(respPath, qPath,
+      "doc_id", "w")
+    sink(toBin(b1), 1L)
+    sink(toBin(b2), 2L)
+    def texts(path: String) = s.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(texts(s"$respPath/batch=1") == Map(1L -> "alpha"),
+      "batch 1: 200-response text only (404 gated, corrupt quarantined)")
+    assert(texts(s"$respPath/batch=2") == Map(4L -> "beta"))
+    def quar(path: String) = s.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("error")).toMap
+    assert(quar(s"$qPath/batch=1") == Map(3L -> "bad-magic"))
+    assert(quar(s"$qPath/batch=2") == Map(5L -> "truncated-header"))
+    // streamed == the one-shot operator on the same batch
+    val oneShot = graft.operators.Warc
+      .responseTexts(toBin(b1), "doc_id", "w").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(texts(s"$respPath/batch=1") == oneShot)
+    // retry: same batch id, byte-identical replacement, no cross-batch
+    sink(toBin(b1), 1L)
+    assert(texts(s"$respPath/batch=1") == Map(1L -> "alpha"))
+    assert(texts(s"$respPath/batch=2") == Map(4L -> "beta"),
+      "a batch-1 retry must not touch batch 2")
+  }
 }
