@@ -69,11 +69,24 @@ object UnigramLm {
     */
   def train(docs: DataFrame, textCol: String,
             seedTop: Int = 1500, vocabTop: Int = 800, iters: Int = 3,
-            maxWordLen: Int = 16, maxPieceLen: Int = 4): DataFrame = {
+            maxWordLen: Int = 16, maxPieceLen: Int = 4): DataFrame =
+    trainFromWords(wordTable(docs, textCol, maxWordLen), seedTop,
+      vocabTop, iters, maxPieceLen)
+
+  /** [[train]] from an already-built `(word, wf)` frequency table —
+    * the streaming entry point: the word table is the ONLY corpus
+    * state training reads, and it folds by ADDITION across batches
+    * (StreamOps.unigramWordsForeachBatch maintains it; vocabularies
+    * trained from the folded state equal batch training over
+    * everything streamed, which the spec pins).
+    */
+  def trainFromWords(wordFreq: DataFrame,
+                     seedTop: Int, vocabTop: Int, iters: Int,
+                     maxPieceLen: Int = 4): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters out of range: $iters")
-    val spark = docs.sparkSession
+    val spark = wordFreq.sparkSession
     import spark.implicits._
-    val words = wordTable(docs, textCol, maxWordLen).persist()
+    val words = wordFreq.persist()
     try {
       // seed: every substring occurrence of length 1..maxPieceLen,
       // weighted by word frequency

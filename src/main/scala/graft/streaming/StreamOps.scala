@@ -473,6 +473,49 @@ object StreamOps {
     }
   }
 
+  /** Streaming unigram-LM word-frequency state (l72's training input,
+    * maintained at ingest): the trainer reads NOTHING but the
+    * `(word, wf)` table, and word frequencies fold by ADDITION — the
+    * same mergeable-state property the histogram/CMS/PCA sinks use.
+    * Each micro-batch reduces to its own word table (O(distinct
+    * words), not O(tokens)) and merges into the persisted one;
+    * published with the crash-safe staged rename, idempotent under
+    * retries via the batch marker. [[unigramVocabFromState]] then
+    * trains ANY vocabulary configuration from the standing state —
+    * train-at-any-time without re-scanning the corpus, and the spec
+    * pins state-trained == batch-trained over everything streamed.
+    */
+  def unigramWordsForeachBatch(statePath: String, textCol: String,
+                               maxWordLen: Int = 16)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        val part = graft.operators.UnigramLm
+          .wordTable(batch, textCol, maxWordLen)
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(live))
+            spark.read.parquet(statePath).unionByName(part)
+              .groupBy("word").agg(sum("wf").as("wf"))
+          else part
+        publishAtomic(spark, statePath, merged, Some(batchId))
+      }
+    }
+  }
+
+  /** Train a unigram-LM vocabulary from the standing word-frequency
+    * state — equal to [[graft.operators.UnigramLm.train]] over every
+    * document streamed so far.
+    */
+  def unigramVocabFromState(spark: org.apache.spark.sql.SparkSession,
+                            statePath: String, seedTop: Int,
+                            vocabTop: Int, iters: Int): DataFrame =
+    graft.operators.UnigramLm.trainFromWords(
+      spark.read.parquet(statePath).select("word", "wf"),
+      seedTop, vocabTop, iters)
+
   /** Streaming WARC crawl ingest — the m4 container parse (operators/
     * Warc) as a foreachBatch sink: each micro-batch of raw WARC
     * payloads splits into records once, good HTTP responses land as

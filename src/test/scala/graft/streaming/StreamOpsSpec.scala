@@ -1402,4 +1402,42 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(texts(s"$respPath/batch=2") == Map(4L -> "beta"),
       "a batch-1 retry must not touch batch 2")
   }
+
+  test("streaming unigram-LM word state folds by addition; vocabulary " +
+    "from state == batch training over everything streamed; retries " +
+    "and empty batches inert") {
+    import s.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_uvlm_stream").toString + "/words"
+    val sink = StreamOps.unigramWordsForeachBatch(statePath, "text")
+    val b1 = Seq((1L, "abab abab cd"), (2L, "abab cd cd"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "abcd abcd abab"), (4L, "dddd"))
+      .toDF("doc_id", "text")
+    sink(b1, 1L)
+    sink(b2, 2L)
+    sink(b2, 2L) // retry after publish: marker short-circuits
+    val state = s.read.parquet(statePath)
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("wf"))
+      .toMap
+    assert(state == Map("abab" -> 4L, "cd" -> 3L, "abcd" -> 2L,
+      "dddd" -> 1L), state.toString)
+    val fromState = StreamOps
+      .unigramVocabFromState(s, statePath, seedTop = 10, vocabTop = 4,
+        iters = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = graft.operators.UnigramLm
+      .train(b1.unionByName(b2), "text", seedTop = 10, vocabTop = 4,
+        iters = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromState == oneShot,
+      "state-trained vocabulary must equal the batch trainer's")
+    sink(Seq.empty[(Long, String)].toDF("doc_id", "text"), 3L)
+    val after = s.read.parquet(statePath)
+      .collect().map(r => r.getAs[String]("word") -> r.getAs[Long]("wf"))
+      .toMap
+    assert(after == state, "empty batch is a no-op")
+  }
 }
