@@ -3655,82 +3655,82 @@ object LlmOps {
   // candidate substrings): both the seed selection and the per-round
   // prune actually cut, so the ORDER BY ... LIMIT tie-break is
   // certified, not just present
-  private val l72SeedTop = 40
-  private val l72VocabTop = 12
-  private val l72Iters = 3
-  private val l72 = QueryDef("l72_unigram_lm", (s, dir) => {
-    graft.operators.UnigramLm.train(Tables.documents(s, dir), "text",
-      seedTop = l72SeedTop, vocabTop = l72VocabTop, iters = l72Iters)
-  }, Some {
-    // LAMBDA-FREE mirror: DuckDB 1.0's list_reduce accumulator
-    // re-evaluates lazily (struct fields read their FINAL value) and is
-    // thread-nondeterministic when the lambda captures a cross-joined
-    // map column — both found while building this oracle. The DP and
-    // its backtrace are therefore UNROLLED over positions 1..16 (the
-    // maxWordLen bound) as plain expressions, ONE CTE PER STEP: a
-    // single-SELECT lateral-alias chain would substitute each step's
-    // expression into the next (branching factor 4 -> a 4^16 tree);
-    // across CTE boundaries each step is computed once and referenced
-    // as a column. No lambda ever sees the vocabulary map.
-    val unk = graft.operators.UnigramLm.UnknownCost
-    val maxW = 16
-    def costOf(e: String) =
-      s"coalesce(list_extract(map_extract(mp, $e), 1), $unk)"
-    def dpChain(i: Int): String = {
-      val head = s"f${i}_0 AS (SELECT word, wf, mp, " +
-        s"CAST(0 AS BIGINT) AS d0 FROM words, m$i)"
-      val steps = (1 to maxW).map { k =>
-        val arms = (1 to 4).filter(_ <= k).map { l =>
-          s"d${k - l} + ${costOf(s"substr(word, ${k - l + 1}, $l)")}"
-        }
-        s"""f${i}_$k AS (SELECT *, CASE WHEN length(word) >= $k
-            THEN least(${arms.mkString(", ")})
-            ELSE $unk END AS d$k FROM f${i}_${k - 1})"""
+  // --- l72 mirror machinery, shared by l72 (train) and l72e (encode):
+  // the Viterbi DP lattice and its longest-piece-first backtrace,
+  // UNROLLED over positions 1..16, ONE CTE PER STEP (see the l72
+  // scaladoc for why no lambda ever sees the vocabulary map and why a
+  // lateral-alias chain is a 4^16 tree). `label` namespaces the CTE
+  // family: training rounds use "1".."3", the encode pass "e".
+  private val l72Unk = graft.operators.UnigramLm.UnknownCost
+  private val l72MaxW = 16
+  private def l72CostOf(e: String) =
+    s"coalesce(list_extract(map_extract(mp, $e), 1), $l72Unk)"
+  private def l72DpChain(label: String): String = {
+    val head = s"f${label}_0 AS (SELECT word, wf, mp, " +
+      s"CAST(0 AS BIGINT) AS d0 FROM words, m$label)"
+    val steps = (1 to l72MaxW).map { k =>
+      val arms = (1 to 4).filter(_ <= k).map { l =>
+        s"d${k - l} + ${l72CostOf(s"substr(word, ${k - l + 1}, $l)")}"
       }
-      (head +: steps).mkString(",\n        ")
+      s"""f${label}_$k AS (SELECT *, CASE WHEN length(word) >= $k
+          THEN least(${arms.mkString(", ")})
+          ELSE $l72Unk END AS d$k FROM f${label}_${k - 1})"""
     }
-    def btChain(i: Int): String = {
-      val head = s"b${i}_0 AS (SELECT word, wf, mp, " +
-        s"[${(0 to maxW).map(k => s"d$k").mkString(", ")}] AS dl, " +
-        s"CAST(length(word) AS BIGINT) AS pp0 FROM f${i}_$maxW)"
-      val steps = (1 to maxW).map { j =>
-        val p = s"pp${j - 1}"
-        val arms = (2 to 4).reverse.map { l =>
-          s"""WHEN $p >= $l AND dl[$p + 1] = dl[$p - ${l - 1}] +
-              ${costOf(s"substr(word, $p - ${l - 1}, $l)")}
-              THEN substr(word, $p - ${l - 1}, $l)"""
-        }.mkString(" ")
-        val pick = s"CASE WHEN $p <= 0 THEN '' $arms " +
-          s"ELSE substr(word, $p, 1) END"
-        s"""b${i}_$j AS (SELECT *, $pick AS sg$j,
-            $p - length($pick) AS pp$j FROM b${i}_${j - 1})"""
-      }
-      (head +: steps).mkString(",\n        ")
+    (head +: steps).mkString(",\n        ")
+  }
+  private def l72BtChain(label: String): String = {
+    val head = s"b${label}_0 AS (SELECT word, wf, mp, " +
+      s"[${(0 to l72MaxW).map(k => s"d$k").mkString(", ")}] AS dl, " +
+      s"CAST(length(word) AS BIGINT) AS pp0 FROM f${label}_$l72MaxW)"
+    val steps = (1 to l72MaxW).map { j =>
+      val p = s"pp${j - 1}"
+      val arms = (2 to 4).reverse.map { l =>
+        s"""WHEN $p >= $l AND dl[$p + 1] = dl[$p - ${l - 1}] +
+            ${l72CostOf(s"substr(word, $p - ${l - 1}, $l)")}
+            THEN substr(word, $p - ${l - 1}, $l)"""
+      }.mkString(" ")
+      val pick = s"CASE WHEN $p <= 0 THEN '' $arms " +
+        s"ELSE substr(word, $p, 1) END"
+      s"""b${label}_$j AS (SELECT *, $pick AS sg$j,
+          $p - length($pick) AS pp$j FROM b${label}_${j - 1})"""
     }
-    val sgList = (1 to maxW).map(j => s"sg$j").mkString("[", ", ", "]")
-    def iter(i: Int) = {
-      val prev = s"c${i - 1}"
-      s"""m$i AS (SELECT map(list(piece ORDER BY piece),
-            list(cost ORDER BY piece)) mp FROM $prev),
-        ${dpChain(i)},
-        ${btChain(i)},
-        cnt$i AS (SELECT piece, CAST(sum(wf) AS BIGINT) cnt
-          FROM (SELECT wf, unnest($sgList) AS piece FROM b${i}_$maxW)
-          WHERE piece <> '' GROUP BY piece),
-        v$i AS (
-          SELECT s.piece, coalesce(c.cnt, 0) AS cnt
-          FROM sing s LEFT JOIN cnt$i c USING (piece)
-          UNION ALL
-          SELECT piece, cnt FROM (
-            SELECT piece, cnt FROM cnt$i
-            WHERE length(piece) > 1 AND cnt >= 1
-            ORDER BY cnt DESC, piece LIMIT $l72VocabTop)),
-        t$i AS (SELECT CAST(sum(cnt) AS BIGINT) t FROM v$i),
-        c$i AS (SELECT piece, cnt,
-          length(bin(t)) - length(bin(cnt)) + 1 AS cost
-          FROM v$i, t$i)"""
-    }
-    s"""WITH toks AS (SELECT list_filter(string_split(text, ' '),
+    (head +: steps).mkString(",\n        ")
+  }
+  // the backtrace fills sg1 with the LAST piece (it walks from the
+  // word's end), so the in-order piece list is the reverse with
+  // empties (exhausted steps) filtered out
+  private val l72SgList =
+    (1 to l72MaxW).map(j => s"sg$j").mkString("[", ", ", "]")
+  private val l72SgListRev =
+    (1 to l72MaxW).reverse.map(j => s"sg$j").mkString("[", ", ", "]")
+  private def l72Iter(i: Int): String = {
+    val prev = s"c${i - 1}"
+    s"""m$i AS (SELECT map(list(piece ORDER BY piece),
+          list(cost ORDER BY piece)) mp FROM $prev),
+      ${l72DpChain(i.toString)},
+      ${l72BtChain(i.toString)},
+      cnt$i AS (SELECT piece, CAST(sum(wf) AS BIGINT) cnt
+        FROM (SELECT wf, unnest($l72SgList) AS piece FROM b${i}_$l72MaxW)
+        WHERE piece <> '' GROUP BY piece),
+      v$i AS (
+        SELECT s.piece, coalesce(c.cnt, 0) AS cnt
+        FROM sing s LEFT JOIN cnt$i c USING (piece)
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM cnt$i
+          WHERE length(piece) > 1 AND cnt >= 1
+          ORDER BY cnt DESC, piece LIMIT $l72VocabTop)),
+      t$i AS (SELECT CAST(sum(cnt) AS BIGINT) t FROM v$i),
+      c$i AS (SELECT piece, cnt,
+        length(bin(t)) - length(bin(cnt)) + 1 AS cost
+        FROM v$i, t$i)"""
+  }
+  /** The WITH-body prefix shared by the l72 and l72e mirrors: word
+    * table, seed vocabulary, and all `l72Iters` training rounds,
+    * ending at `c<iters>` = the final (piece, cnt, cost) table.
+    */
+  private def l72TrainChains: String =
+    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
           t -> length(t) > 0) tk FROM documents),
       w0 AS (SELECT substr(u.t, 1, 16) AS word FROM toks,
         LATERAL (SELECT unnest(tk) AS t) u),
@@ -3754,11 +3754,77 @@ object LlmOps {
       t0 AS (SELECT CAST(sum(cnt) AS BIGINT) t FROM v0),
       c0 AS (SELECT piece, cnt,
         length(bin(t)) - length(bin(cnt)) + 1 AS cost FROM v0, t0),
-      ${(1 to l72Iters).map(iter).mkString(",\n      ")}
+      ${(1 to l72Iters).map(l72Iter).mkString(",\n      ")}"""
+
+  private val l72SeedTop = 40
+  private val l72VocabTop = 12
+  private val l72Iters = 3
+  private val l72 = QueryDef("l72_unigram_lm", (s, dir) => {
+    graft.operators.UnigramLm.train(Tables.documents(s, dir), "text",
+      seedTop = l72SeedTop, vocabTop = l72VocabTop, iters = l72Iters)
+  }, Some {
+    // LAMBDA-FREE mirror: DuckDB 1.0's list_reduce accumulator
+    // re-evaluates lazily (struct fields read their FINAL value) and is
+    // thread-nondeterministic when the lambda captures a cross-joined
+    // map column — both found while building this oracle. The DP and
+    // its backtrace are therefore UNROLLED over positions 1..16 (the
+    // maxWordLen bound) as plain expressions, ONE CTE PER STEP: a
+    // single-SELECT lateral-alias chain would substitute each step's
+    // expression into the next (branching factor 4 -> a 4^16 tree);
+    // across CTE boundaries each step is computed once and referenced
+    // as a column. No lambda ever sees the vocabulary map.
+    s"""WITH ${l72TrainChains}
       SELECT piece, cnt AS n_uses,
         CAST(length(bin(t)) - length(bin(cnt)) + 1 AS BIGINT)
           AS cost_bits
       FROM v$l72Iters, t$l72Iters"""
+  })
+
+  // L72E — unigram-LM ENCODE certified cross-engine: segment the whole
+  // corpus with the l72-trained vocabulary and emit, per doc, the piece
+  // count and an ORDER-SENSITIVE rolling-hash fingerprint of the piece
+  // stream (the l21 fold — pieces never contain spaces, so the stream
+  // fingerprints exactly). The mirror replays training (shared chains),
+  // then runs ONE more DP+backtrace pass per distinct word against the
+  // final vocabulary and reassembles each doc's stream in token order.
+  // Train (l72) pins the model; this pins the INFERENCE path on real
+  // corpus words — together the tokenizer family's full lifecycle is
+  // hash-checked, the l30/l30e treatment for the unigram side.
+  private val l72e = QueryDef("l72e_unigram_encode", (s, dir) => {
+    import graft.operators.UnigramLm
+    val docs = Tables.documents(s, dir)
+    val vocab = UnigramLm.train(docs, "text", seedTop = l72SeedTop,
+        vocabTop = l72VocabTop, iters = l72Iters)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    UnigramLm.encode(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_pieces"),
+        expr("""aggregate(pieces, CAST(0 AS BIGINT), (a, t) ->
+            (a * 31 + length(t) * 17 + ascii(substring(t, 1, 1)))
+              % 1000000007)""").as("piece_fp"))
+  }, Some {
+    s"""WITH ${l72TrainChains},
+      me AS (SELECT map(list(piece ORDER BY piece),
+          list(cost ORDER BY piece)) mp FROM c$l72Iters),
+      ${l72DpChain("e")},
+      ${l72BtChain("e")},
+      wp AS (SELECT word,
+          list_filter($l72SgListRev, p -> p <> '') AS pieces
+        FROM be_$l72MaxW),
+      tokend AS (SELECT doc_id, u.i AS pos,
+          substr(tk[u.i], 1, 16) AS word
+        FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS i) u),
+      dstream AS (SELECT t.doc_id,
+          flatten(list(wp.pieces ORDER BY t.pos)) AS stream
+        FROM tokend t JOIN wp ON wp.word = t.word
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(len(s.stream), 0) AS BIGINT) AS n_pieces,
+        CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(s.stream, t ->
+            CAST(length(t) * 17 + ascii(substr(t, 1, 1)) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % 1000000007), 0) AS BIGINT)
+          AS piece_fp
+      FROM documents d LEFT JOIN dstream s ON s.doc_id = d.doc_id"""
   })
 
   val defs: Seq[QueryDef] =
@@ -3771,5 +3837,5 @@ object LlmOps {
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
-      l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, m1, m2, m3, m4)
+      l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e, m1, m2, m3, m4)
 }

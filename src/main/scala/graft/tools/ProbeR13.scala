@@ -188,6 +188,52 @@ object ProbeR13 {
         }
         src.unpersist()
 
+      case "l71jobs" =>
+        // per-job wall breakdown of the registered l71 query — the
+        // composed pipeline's cost is ~fixed job overhead (it barely
+        // moves from 5k to 25k docs), so the lever is JOB COUNT, not
+        // data volume; this names the jobs
+        val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, Long, String)]()
+        val starts = new java.util.concurrent.ConcurrentHashMap[
+          Integer, (Long, String)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                e: org.apache.spark.scheduler.SparkListenerJobStart)
+                : Unit = {
+              val site = Option(e.properties)
+                .flatMap(p => Option(p.getProperty(
+                  "callSite.short"))).getOrElse("?")
+              starts.put(e.jobId, (e.time, site)); ()
+            }
+            override def onJobEnd(
+                e: org.apache.spark.scheduler.SparkListenerJobEnd)
+                : Unit = {
+              Option(starts.remove(e.jobId)).foreach { case (t0, st) =>
+                jobLog.add((e.jobId, e.time - t0, st)); ()
+              }
+            }
+          })
+        val q = graft.queries.Registry.all
+          .find(_.name == "l71_curation_pipeline").get
+        for (rep <- 1 to 2) {
+          jobLog.clear()
+          val t0 = System.nanoTime()
+          q.run(spark, sfDir).write.format("noop")
+            .mode(SaveMode.Overwrite).save()
+          Thread.sleep(400)
+          val secs = (System.nanoTime() - t0) / 1e9
+          import scala.jdk.CollectionConverters._
+          val byJob = jobLog.asScala.toSeq.sortBy(_._1)
+          println(f"PROBE13 l71jobs rep$rep $secs%.1f s " +
+            s"jobs=${byJob.size} " +
+            f"busy=${byJob.map(_._2).sum / 1e3}%.1f s")
+          if (rep == 2) byJob.foreach { case (id, ms, site) =>
+            println(f"PROBE13 l71job $id%3d $ms%5d ms  $site")
+          }
+        }
+
       case other =>
         sys.error(s"unknown ProbeR13 mode: $other")
     }
