@@ -82,13 +82,24 @@ object CurationPipeline {
     * for lineage truncation — a production run at scale would swap
     * these boundaries for reliable checkpoints or stage-output tables.
     */
+  /** `reline` rebuilds line structure for the boilerplate-frequency
+    * stage after HTML extraction collapsed all whitespace — it is the
+    * CALLER'S text shape, not the operator's: the default keeps the
+    * extracted text as one line (the stage then only removes whole-doc
+    * duplicates of that line), real crawls keep extractor-emitted
+    * newlines, and the l71 fixture plants nav/footer lines and cuts at
+    * portable word boundaries. (An earlier draft baked the fixture's
+    * rebuild into the operator — every caller got synthetic boilerplate
+    * injected and ' the '/' a ' tokens deleted.)
+    */
   def run(raw: DataFrame, idCol: String, sourceCol: String,
           htmlCol: String, urlCol: String,
           blockedDomains: Seq[String],
           lineMaxDf: Long, gopherMinWords: Int,
           jaccN: Int, jaccThreshold: Double, jaccMaxDocFreq: Int,
           budgetPerSource: Long, packBudget: Long,
-          trainPct: Int, valPct: Int): DataFrame = {
+          trainPct: Int, valPct: Int,
+          reline: Column => Column = identity): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
     val id = col(idCol)
@@ -105,13 +116,7 @@ object CurationPipeline {
         TextAnalysis.ControlPattern, ""))).localCheckpoint(false)
     val s5 = s4.withColumn("text",
       TextAnalysis.mojibakeRepair(col("text"))).localCheckpoint(false)
-    // extraction collapsed all whitespace, so the line structure the
-    // frequency filter needs is rebuilt the l59 way: a planted nav/
-    // footer (the boilerplate this stage exists to kill) and content
-    // lines cut at portable ' the '/' a ' boundaries
-    val lined = s5.withColumn("text", concat(lit("nav home menu\n"),
-      regexp_replace(col("text"), " (the|a) ", "\n"),
-      lit("\ncopyright footer 2024")))
+    val lined = s5.withColumn("text", reline(col("text")))
     val s6 = Dedup.lineFrequencyFilter(lined, idCol, "text", lineMaxDf)
       .select(id, col("clean_text").as("text"))
       .join(s5.select(id, col(sourceCol)), Seq(idCol)).localCheckpoint(false)
@@ -121,14 +126,13 @@ object CurationPipeline {
       .filter(GopherRuleFields
         .map(f => col("__g").getField(f)).reduce(_ * _) === 1L)
       .drop("__g").localCheckpoint(false)
+    // keepers are exactly the min-id of each content-hash group, so a
+    // semi-join on the 8-byte keep_id suffices — no second hash pass,
+    // no 64-char-string join key
     val s8 = s7
-      .withColumn("content_hash",
-        sha2(Dedup.normalizeText(col("text")), 256))
       .join(Dedup.exactDupGroups(s7, idCol, "text")
-        .select(col("content_hash"), col("keep_id")),
-        Seq("content_hash"))
-      .filter(id === col("keep_id"))
-      .drop("content_hash", "keep_id").localCheckpoint(false)
+        .select(col("keep_id")), id === col("keep_id"), "left_semi")
+      .localCheckpoint(false)
     val pairs = Dedup.ngramJaccardPairs(s8, idCol, "text", jaccN,
       jaccThreshold, jaccMaxDocFreq, hashedShingles = true)
     val s9 = s8

@@ -48,8 +48,17 @@ object Warc {
     * crawler).
     */
   def responseTexts(df: DataFrame, idCol: String, warcCol: String,
-                    okOnly: Boolean = true): DataFrame = {
-    val base = records(df, idCol, warcCol)
+                    okOnly: Boolean = true): DataFrame =
+    responseTextsFromRecords(records(df, idCol, warcCol), idCol, okOnly)
+
+  /** [[responseTexts]] over an already-parsed [[records]] frame — the
+    * single definition of the response gate and output schema, shared
+    * with the streaming sink (which parses once and consumes the
+    * records frame twice).
+    */
+  def responseTextsFromRecords(recs: DataFrame, idCol: String,
+                               okOnly: Boolean = true): DataFrame = {
+    val base = recs
       .filter(col("error").isNull &&
         lower(col("warc_type")) === "response" && col("body").isNotNull)
     val gated =

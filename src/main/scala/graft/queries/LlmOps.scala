@@ -3472,7 +3472,10 @@ object LlmOps {
       blockedDomains = Seq(l71Block), lineMaxDf = 4L,
       gopherMinWords = l71MinWords, jaccN = 3, jaccThreshold = 0.2,
       jaccMaxDocFreq = 10, budgetPerSource = l71Budget,
-      packBudget = l71Pack, trainPct = 80, valPct = 10)
+      packBudget = l71Pack, trainPct = 80, valPct = 10,
+      reline = c => concat(lit("nav home menu\n"),
+        regexp_replace(c, " (the|a) ", "\n"),
+        lit("\ncopyright footer 2024")))
   }, Some {
     import graft.operators.{Html, TextAnalysis, Urls}
     def tokOf(c: String) =

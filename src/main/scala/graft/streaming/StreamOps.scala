@@ -536,13 +536,7 @@ object StreamOps {
       val recs = graft.operators.Warc.records(batch, idCol, warcCol)
         .persist()
       try {
-        recs.filter(col("error").isNull &&
-            lower(col("warc_type")) === "response" &&
-            col("body").isNotNull &&
-            col("http_status") >= 200L && col("http_status") < 300L)
-          .select(col(idCol), col("rec_idx"), col("target_uri"),
-            col("http_status"), col("http_mime"),
-            graft.operators.Html.cleanText("body").as("text"))
+        graft.operators.Warc.responseTextsFromRecords(recs, idCol)
           .write.mode("overwrite")
           .parquet(s"$responsesPath/batch=$batchId")
         recs.filter(col("error").isNotNull)

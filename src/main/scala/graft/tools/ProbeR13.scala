@@ -81,7 +81,7 @@ object ProbeR13 {
         timedCount("l61hot_cand_uncapped",
           Dedup.containmentCandidates(corpus, "doc_id", "text",
             n = 3, threshold = 0.9, hashedShingles = true))
-        timedCount("l61hot_cand_capped64",
+        timedCount("l61hot_pairs_capped64",
           Dedup.containmentPairsCapped(corpus, "doc_id", "text",
             n = 3, threshold = 0.9, maxDf = 64L, hashedShingles = true))
         // planted recovery under the cap: every wrapper must still
@@ -89,9 +89,11 @@ object ProbeR13 {
         val planted = Dedup.containmentPairsCapped(corpus, "doc_id",
             "text", n = 3, threshold = 0.9, maxDf = 64L,
             hashedShingles = true)
-          .filter(col("doc_b") >= 10000000L && col("doc_a") < 10000000L)
+          .filter(col("doc_b") >= 10000000L &&
+            col("doc_b") < 20000000L && col("doc_a") < 10000000L)
           .count()
-        val expected = corpus.filter(col("doc_id") >= 10000000L).count()
+        val expected = corpus.filter(col("doc_id") >= 10000000L &&
+          col("doc_id") < 20000000L).count()
         println(s"PROBE13 l61hot_planted capped_found=$planted " +
           s"wrappers=$expected (expect ~2x wrappers: victim+next)")
         corpus.unpersist(); docs.unpersist()
@@ -141,7 +143,10 @@ object ProbeR13 {
             gopherMinWords = 20, jaccN = 3, jaccThreshold = 0.2,
             jaccMaxDocFreq = 10,
             budgetPerSource = 100000L, packBudget = 2048L,
-            trainPct = 80, valPct = 10).collect()
+            trainPct = 80, valPct = 10,
+            reline = c => concat(lit("nav home menu\n"),
+              regexp_replace(c, " (the|a) ", "\n"),
+              lit("\ncopyright footer 2024"))).collect()
           metrics.drain()
           val secs = (System.nanoTime() - t0) / 1e9
           println(f"PROBE13 l71scale rep$rep $secs%.1f s " +

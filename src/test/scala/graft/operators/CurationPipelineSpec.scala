@@ -54,7 +54,10 @@ class CurationPipelineSpec extends AnyFunSuite {
       blockedDomains = Seq("spam-domain.com"), lineMaxDf = 4L,
       gopherMinWords = 20, jaccN = 3, jaccThreshold = 0.2,
       jaccMaxDocFreq = 10, budgetPerSource = 400L, packBudget = 256L,
-      trainPct = 80, valPct = 10)
+      trainPct = 80, valPct = 10,
+      reline = c => concat(lit("nav home menu\n"),
+        regexp_replace(c, " (the|a) ", "\n"),
+        lit("\ncopyright footer 2024")))
       .collect()
       .map(r => r.getString(1) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
