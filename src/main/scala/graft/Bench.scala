@@ -153,8 +153,76 @@ object Bench {
 
   private val historyFile = "BENCH_HISTORY.jsonl"
 
+  /** 1-min system load average, preferring /proc/loadavg (the MXBean is
+    * the same number on Linux; the file also carries run-queue counts). */
+  private def loadAvg1(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable =>
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage }
+
+  /** CPU jiffies (utime+stime) per OTHER java process — used to detect a
+    * concurrent sbt compile / test JVM actively burning CPU while the
+    * contract numbers are being taken. */
+  private def otherJvmJiffies(): Map[Long, Long] = {
+    val self = ProcessHandle.current().pid()
+    val procDirs = Option(new java.io.File("/proc").listFiles())
+      .getOrElse(Array.empty)
+    procDirs.iterator.flatMap { d =>
+      d.getName.toLongOption.filter(_ != self).flatMap { pid =>
+        try {
+          val comm = java.nio.file.Files.readString(
+            java.nio.file.Paths.get(s"/proc/$pid/comm")).trim
+          if (!comm.startsWith("java")) None
+          else {
+            val stat = java.nio.file.Files.readString(
+              java.nio.file.Paths.get(s"/proc/$pid/stat"))
+            // fields after the parenthesized comm: utime is the 12th,
+            // stime the 13th (1-indexed from the field after `) `)
+            val rest = stat.substring(stat.lastIndexOf(')') + 2)
+              .split(" ")
+            Some(pid -> (rest(11).toLong + rest(12).toLong))
+          }
+        } catch { case _: Throwable => None }
+      }
+    }.toMap
+  }
+
+  /** Pids of other JVMs that burned >0.5 CPU-sec in the last ~1s. */
+  private def busyOtherJvms(): Seq[Long] = {
+    val before = otherJvmJiffies()
+    Thread.sleep(1000)
+    val after = otherJvmJiffies()
+    after.collect { case (pid, j)
+      if j - before.getOrElse(pid, j) > 50 => pid }.toSeq.sorted
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // LOAD GATE (before the Spark session exists, so none of the load is
+    // ours): the r13 contract record was taken at 15-min load 9.5 with
+    // waited_sec 0 and read as a phantom +23% regression — the old calib
+    // probe only catches contention DURING the probe, not a box still
+    // draining heavy work. Wait here until the 1-min load average is
+    // < 2.0 AND no other JVM is actively burning CPU (a concurrent sbt
+    // compile/test run), bounded at 10 min; the wait and the entry/start
+    // loads are recorded in the output so the record is self-describing.
+    val loadAtEntry = loadAvg1()
+    var preWaitSec = 0
+    var busyAtStart = busyOtherJvms()
+    while ((loadAvg1() > 2.0 || busyAtStart.nonEmpty) && preWaitSec < 600) {
+      System.err.println(f"[bench-gate] box busy (load=${loadAvg1()}%.2f, " +
+        s"busy jvms=${busyAtStart.mkString(",")}) — waiting 30s")
+      Thread.sleep(30000); preWaitSec += 30
+      busyAtStart = busyOtherJvms()
+    }
+    val loadAtStart = loadAvg1()
+    val loadGateOk = loadAtStart <= 2.0 && busyAtStart.isEmpty
+    if (!loadGateOk)
+      System.err.println(f"[bench-gate] GATE FAILED after ${preWaitSec}s " +
+        f"(load=$loadAtStart%.2f, busy jvms=${busyAtStart.size}) — " +
+        "numbers below are taken on a contended box")
     val spark = Sessions.build("graft-bench", Sessions.cpusFromEnv(32))
     // The bounded-window sites (orderedIdBounded, w1) are boundedness-
     // spec-pinned; WindowExec's per-execution "No Partition Defined"
@@ -559,6 +627,10 @@ object Bench {
     }.getOrElse("")
     val calibJson = calib.map(r3).mkString("[", ",", "]")
     val loadJson = loads.map(r3).mkString("[", ",", "]")
+    val loadGateJson =
+      s""""load_gate":{"ok":$loadGateOk,"load_at_entry":${r3(loadAtEntry)},""" +
+        s""""load_at_start":${r3(loadAtStart)},"pre_wait_sec":$preWaitSec,""" +
+        s""""busy_jvms_at_start":${busyAtStart.size}}"""
     val gateJson =
       s""""gate_passes":$gatePasses,"gate_remeasured":${
         jmap(gateRemeasured, round = true)},"gate_dropped":${
@@ -577,7 +649,7 @@ object Bench {
     //   with the numbers only recoverable from the truncated tail text.
     //   The compact line (headline medians rounded to ms + errors +
     //   calibration evidence) stays well under the window.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = false)},"errors":$errs,"spreads":${jmap(spreads, round = false)},"cold_first":${jmap(coldFirst, round = false)},"all_queries":${jmap(allTimings, round = false)},"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,$gateJson,"codegen_failures":${codegenFailures.get},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = false)},"errors":$errs,"spreads":${jmap(spreads, round = false)},"cold_first":${jmap(coldFirst, round = false)},"all_queries":${jmap(allTimings, round = false)},"all_total":${allTimings.values.sum},"prev_bench":${jstr(prevFile)},"deltas_vs_prev":$deltas,$gateJson,"codegen_failures":${codegenFailures.get},"calib_sec":$calibJson,"load_avg":$loadJson,$loadGateJson,"waited_sec":$waitedSec,"sf":${jstr(sfDir)}}"""
     // history append BEFORE the detail overwrite: a crash between the
     // two can lose the overwrite, never the append-only log
     val w = new java.io.FileWriter(historyFile, true)
@@ -588,7 +660,7 @@ object Bench {
       if (e2eOnly) "BENCH_E2E_ONLY.json" else "BENCH_DETAIL.json"
     val dw = new java.io.FileWriter(detailFileOut, false)
     try dw.write(detail + "\n") finally dw.close()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = true)},"errors":$errs,"all_total":${r3(allTimings.values.sum)},"gate_passes":$gatePasses,"gate_flags":${gateFlags.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")},"codegen_failures":${codegenFailures.get},"calib_sec":$calibJson,"load_avg":$loadJson,"waited_sec":$waitedSec,"detail":${jstr(detailFileOut)},"sf":${jstr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","method":"median-of-$headlineReps"$e2eJson,"queries":${jmap(timings, round = true)},"errors":$errs,"all_total":${r3(allTimings.values.sum)},"gate_passes":$gatePasses,"gate_flags":${gateFlags.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")},"codegen_failures":${codegenFailures.get},"calib_sec":$calibJson,"load_avg":$loadJson,$loadGateJson,"waited_sec":$waitedSec,"detail":${jstr(detailFileOut)},"sf":${jstr(sfDir)}}"""
     println(line)
     spark.stop()
   }

@@ -32,12 +32,49 @@ object Verify {
     val spark = graft.core.Sessions.build("graft-verify",
       graft.core.Sessions.cpusFromEnv(4))
     val outPath = Paths.get(outDir).toAbsolutePath
+    def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toVector.reverseIterator
+          .foreach(Files.deleteIfExists(_))
+      } finally s.close()
+    }
+    // Sweep stale stages from runs that died before publish — a crashed
+    // run's unique .staging-<pid>-<nanos> sibling would otherwise leak
+    // forever (names are never reused). Only stages whose owning pid is
+    // gone are swept; a live concurrent run's stage is left alone.
+    locally {
+      val parent = outPath.getParent
+      val prefix = outPath.getFileName.toString + ".staging-"
+      if (parent != null && Files.isDirectory(parent)) {
+        val s = Files.list(parent)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(prefix))
+            .toVector.foreach { st =>
+              val pid = st.getFileName.toString.stripPrefix(prefix)
+                .split("-").headOption.flatMap(_.toLongOption)
+              val alive = pid.exists(p =>
+                ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+              if (!alive) {
+                System.err.println(s"[verify] sweeping stale stage $st")
+                deleteRecursively(st)
+              }
+            }
+        } finally s.close()
+      }
+    }
     // unique per-run stage next to the target (same filesystem → the
     // final Files.move can be an atomic rename, not a copy)
     val stage = outPath.resolveSibling(
       outPath.getFileName.toString + s".staging-" +
         ProcessHandle.current().pid() + "-" + System.nanoTime())
     Files.createDirectories(stage)
+    // a run that dies before publish must not leak its stage
+    var published = false
+    sys.addShutdownHook { if (!published) deleteRecursively(stage) }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -105,19 +142,12 @@ object Verify {
     // reader racing a concurrent publish — now sees either no manifest
     // or checksum mismatches and REFUSES, instead of adjudicating a torn
     // directory as a result.
-    def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toVector.reverseIterator
-          .foreach(Files.deleteIfExists(_))
-      } finally s.close()
-    }
     deleteRecursively(outPath)
     try Files.move(stage, outPath, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
       Files.move(stage, outPath)
     }
+    published = true
     println(s"[verify] published ${files.size} files / $nQueries query " +
       s"dirs to $outPath (atomic, manifested)")
   }

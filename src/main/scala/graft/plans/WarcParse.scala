@@ -109,8 +109,10 @@ object WarcParseModel extends Serializable {
     // GZIPInputStream reads multi-member streams transparently
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(payload))
+    // multiply in Long: payloads over ~512 MB would overflow Int, hand
+    // ByteArrayOutputStream a negative hint, and misquarantine the file
     val out = new java.io.ByteArrayOutputStream(
-      math.min(payload.length * 4, 1 << 20))
+      math.min(payload.length.toLong * 4, 1L << 20).toInt)
     val buf = new Array[Byte](64 * 1024)
     var n = in.read(buf)
     while (n >= 0) {

@@ -35,8 +35,18 @@ object LlmOps {
     * MATERIALIZED on recursive CTEs.
     */
   private def materializeCtes(sql: String, names: Seq[String]): String =
-    names.foldLeft(sql)((acc, n) =>
-      acc.replaceFirst(s"\\b$n AS \\(", s"$n AS MATERIALIZED ("))
+    names.foldLeft(sql) { (acc, n) =>
+      // quote the name (it is data, not a pattern) and fail LOUDLY on a
+      // non-match: a silently-skipped rename/drift would reintroduce the
+      // 100×+ re-evaluation this hint exists to prevent
+      val out = acc.replaceFirst(
+        "\\b" + java.util.regex.Pattern.quote(n) + " AS \\(",
+        java.util.regex.Matcher.quoteReplacement(n) + " AS MATERIALIZED (")
+      require(out != acc,
+        s"materializeCtes: CTE '$n' not found in the mirror SQL — " +
+          "name drift would silently lose the MATERIALIZED hint")
+      out
+    }
 
   /** The l12-family fixture corpus: embeddings unioned with a
     * deterministic slightly-perturbed twin of each vector (cosine ~0.97
@@ -2058,7 +2068,10 @@ object LlmOps {
       lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
         "WARC-Target-URI: "), uri,
       lit(crlf + "Content-Type: application/http;msgtype=response" +
-        crlf + "Content-Length: "), length(http),
+        // length must be BYTES (length on binary), not characters —
+        // WarcParse frames by UTF-8 octets, and document text is not
+        // guaranteed ASCII
+        crlf + "Content-Length: "), length(http.cast("binary")),
       lit(crlf + crlf), http, lit(crlf + crlf))
     val metaBlock = concat(lit("fetchTimeMs: "), col("doc_id"), lit(crlf))
     val metaHead = concat(
@@ -2067,12 +2080,12 @@ object LlmOps {
       lit(crlf + "Content-Type: application/warc-fields" + crlf +
         "Content-Length: "))
     val recB = when(pmod(col("doc_id"), lit(7L)) === 3L,
-        concat(metaHead, length(metaBlock) + lit(1000),
+        concat(metaHead, length(metaBlock.cast("binary")) + lit(1000),
           lit(crlf + crlf), metaBlock, lit(crlf + crlf)))
       .when(pmod(col("doc_id"), lit(7L)) === 5L,
         lit("WARX/1.0" + crlf + "Content-Length: 1" + crlf + crlf +
           "x" + crlf + crlf))
-      .otherwise(concat(metaHead, length(metaBlock),
+      .otherwise(concat(metaHead, length(metaBlock.cast("binary")),
         lit(crlf + crlf), metaBlock, lit(crlf + crlf)))
     val raw = docs.select(col("doc_id"),
       concat(recA, recB).cast("binary").as("w"))
@@ -2100,7 +2113,7 @@ object LlmOps {
       r0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
         'response' AS warc_type, uri AS target_uri,
         'application/http;msgtype=response' AS content_type,
-        CAST(length(http) AS BIGINT) AS content_length,
+        CAST(strlen(http) AS BIGINT) AS content_length,
         CAST(status AS BIGINT) AS http_status,
         'text/html' AS http_mime,
         ${graft.operators.Html.cleanTextDuckSql("body")} AS text,
@@ -2115,8 +2128,8 @@ object LlmOps {
         CASE WHEN doc_id % 7 = 5 THEN NULL
              ELSE 'application/warc-fields' END AS content_type,
         CASE WHEN doc_id % 7 = 5 THEN NULL
-             WHEN doc_id % 7 = 3 THEN CAST(length(metab) + 1000 AS BIGINT)
-             ELSE CAST(length(metab) AS BIGINT) END AS content_length,
+             WHEN doc_id % 7 = 3 THEN CAST(strlen(metab) + 1000 AS BIGINT)
+             ELSE CAST(strlen(metab) AS BIGINT) END AS content_length,
         CAST(NULL AS BIGINT) AS http_status,
         CAST(NULL AS VARCHAR) AS http_mime,
         CAST(NULL AS VARCHAR) AS text,

@@ -170,11 +170,12 @@ object ProbeR13 {
           lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
             "WARC-Target-URI: http://x/"), col("doc_id"),
           lit(crlf + "Content-Type: application/http" + crlf +
-            "Content-Length: "), length(http), lit(crlf + crlf),
-          http, lit(crlf + crlf),
+            "Content-Length: "), length(http.cast("binary")),
+          lit(crlf + crlf), http, lit(crlf + crlf),
           lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
             "Content-Type: application/warc-fields" + crlf +
-            "Content-Length: "), length(metaB), lit(crlf + crlf),
+            "Content-Length: "), length(metaB.cast("binary")),
+          lit(crlf + crlf),
           metaB, lit(crlf + crlf))
         val src = docs.select(col("doc_id"), w.cast("binary").as("w"))
           .cache()

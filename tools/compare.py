@@ -22,7 +22,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def check_manifest(out_dir: Path) -> None:
+def refuse(out_dir: Path, record_path, why: str) -> None:
+    """Exit 2 with a diagnosable artifact: the refusal reason + invocation
+    are written to the record file (when given), so a driver that only
+    keeps the record can tell a deliberate manifest refusal from a crash."""
+    print(f"REFUSING {out_dir}: {why}", file=sys.stderr)
+    if record_path:
+        Path(record_path).write_text(json.dumps(
+            {"_meta": {"invocation": " ".join(sys.argv), "exit_code": 2,
+                       "refused": why}}, indent=1) + "\n")
+    sys.exit(2)
+
+
+def check_manifest(out_dir: Path, record_path=None) -> None:
     """Refuse to adjudicate a dump without a valid completion manifest.
 
     graft.Verify stages its dump in a unique per-run dir and publishes it
@@ -35,17 +47,14 @@ def check_manifest(out_dir: Path) -> None:
     """
     mf = out_dir / "MANIFEST.json"
     if not mf.exists():
-        print(f"REFUSING {out_dir}: no MANIFEST.json — dump is "
-              "incomplete, torn, or from a pre-manifest graft.Verify; "
-              "re-run the dump", file=sys.stderr)
-        sys.exit(2)
+        refuse(out_dir, record_path,
+               "no MANIFEST.json — dump is incomplete, torn, or from a "
+               "pre-manifest graft.Verify; re-run the dump")
     try:
         manifest = json.loads(mf.read_text())
         files = manifest["files"]
     except Exception as e:
-        print(f"REFUSING {out_dir}: unreadable MANIFEST.json ({e})",
-              file=sys.stderr)
-        sys.exit(2)
+        refuse(out_dir, record_path, f"unreadable MANIFEST.json ({e})")
     bad = []
     for rel, meta in files.items():
         p = out_dir / rel
@@ -57,10 +66,20 @@ def check_manifest(out_dir: Path) -> None:
             continue
         if hashlib.sha256(p.read_bytes()).hexdigest() != meta["sha256"]:
             bad.append(f"{rel}: sha256 mismatch")
+    # also reject files PRESENT in the dump but ABSENT from the manifest
+    # (a concurrent writer appending into a published dir would otherwise
+    # pass — the manifest must be the complete inventory, both directions).
+    # Hidden files (Hadoop .crc sidecars) are excluded from the contract.
+    on_disk = {str(p.relative_to(out_dir)) for p in out_dir.rglob("*")
+               if p.is_file() and not p.name.startswith(".")
+               and p.name != "MANIFEST.json"}
+    for extra in sorted(on_disk - set(files)):
+        bad.append(f"{extra}: present on disk but not in manifest")
     if bad:
         for b in bad[:20]:
             print(f"MANIFEST VIOLATION: {b}", file=sys.stderr)
-        sys.exit(2)
+        refuse(out_dir, record_path,
+               f"{len(bad)} manifest violations (first: {bad[0]})")
     print(f"manifest ok: {len(files)} files, "
           f"{manifest.get('queries', '?')} query dirs")
 
@@ -93,7 +112,8 @@ def values_equal(a, b) -> bool:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    check_manifest(Path(out_dir))
+    record_path = sys.argv[3] if len(sys.argv) > 3 else None
+    check_manifest(Path(out_dir), record_path)
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
@@ -101,33 +121,45 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    # self-produced per-query record (VERDICT r13 item 1): committed each
+    # round as CORRECTNESS_SELF_r{N}.json so a correctness artifact exists
+    # at HEAD regardless of the driver's own gate recording.
+    record = {"_meta": {"invocation": " ".join(sys.argv),
+                        "sf_dir": sf_dir, "out_dir": out_dir}}
     for name, sql in sorted(oracle.items()):
+        entry = {"rows_match": False, "schema_match": False,
+                 "hash_match": False, "err": None}
+        record[name] = entry
+
+        def fail(msg):
+            nonlocal n_fail
+            entry["err"] = msg
+            print(f"FAIL {name}: {msg}")
+            n_fail += 1
+
         try:
             want = norm(con.sql(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
-            n_fail += 1
+            fail(f"oracle SQL error: {e}")
             continue
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
-            print(f"FAIL {name}: no spark result dir")
-            n_fail += 1
+            fail("no spark result dir")
             continue
         try:
             got = norm(con.sql(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").df())
         except Exception as e:
-            print(f"FAIL {name}: cannot read spark result: {e}")
-            n_fail += 1
+            fail(f"cannot read spark result: {e}")
             continue
         if list(got.columns) != list(want.columns):
-            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
-            n_fail += 1
+            fail(f"columns {list(got.columns)} != {list(want.columns)}")
             continue
+        entry["schema_match"] = True
         if len(got) != len(want):
-            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
-            n_fail += 1
+            fail(f"rows {len(got)} != {len(want)}")
             continue
+        entry["rows_match"] = True
         bad = None
         for i in range(len(got)):
             for c in got.columns:
@@ -139,12 +171,37 @@ def main():
                 break
         if bad:
             i, c, a, b = bad
-            print(f"FAIL {name}: row {i} col {c}: spark={a!r} duckdb={b!r}")
-            n_fail += 1
+            fail(f"row {i} col {c}: spark={a!r} duckdb={b!r}")
         else:
+            entry["hash_match"] = True
             print(f"PASS {name} ({len(got)} rows x {len(got.columns)} cols)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    # rows-only entries: dumped query dirs with NO oracle SQL (declared
+    # as such in SparkEntry — non-SQL-expressible by nature). Recorded
+    # with the row count actually produced, never counted as hash passes.
+    n_declared = 0
+    for d in sorted(Path(out_dir).iterdir()):
+        if d.is_dir() and d.name not in oracle:
+            try:
+                n = con.sql(
+                    f"SELECT count(*) FROM read_parquet('{d}/*.parquet')"
+                ).fetchone()[0]
+            except Exception as e:
+                n, err = None, str(e)
+            else:
+                err = None
+            record[d.name] = {"declared_rows_only": True, "rows": n,
+                              "err": err}
+            n_declared += 1
+    record["_meta"].update(n_pass=n_pass, n_fail=n_fail,
+                           n_rows_only_declared=n_declared,
+                           exit_code=1 if n_fail else 0)
+    if record_path:
+        Path(record_path).write_text(json.dumps(record, indent=1,
+                                                sort_keys=True) + "\n")
+        print(f"record written: {record_path}")
+    print(f"== {n_pass} pass / {n_fail} fail / "
+          f"{n_declared} rows-only declared ==")
     sys.exit(1 if n_fail else 0)
 
 
