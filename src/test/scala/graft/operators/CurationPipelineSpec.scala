@@ -17,7 +17,9 @@ class CurationPipelineSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private lazy val funnel: Map[String, (Long, Long, Long)] = {
+  /** The l71-shaped raw fixture, shared by the in-memory and
+    * checkpointed-form arms. */
+  private lazy val rawFixture: org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, sf).select("doc_id", "source", "text")
     val d0 = docs.select(col("doc_id"), col("source"),
       concat(col("text"),
@@ -41,7 +43,7 @@ class CurationPipelineSpec extends AnyFunSuite {
         .select((col("doc_id") + lit(2000000L)).as("doc_id"),
           col("source"),
           concat(col("t"), lit(" tail nine extra marker")).as("t")))
-    val raw = ing0.select(col("doc_id"), col("source"),
+    ing0.select(col("doc_id"), col("source"),
       concat(lit("<html><head><script>var x = 1;</script></head><body><p>"),
         col("t"),
         lit("""</p><div><a href="/h">home nav</a></div></body></html>"""))
@@ -50,18 +52,26 @@ class CurationPipelineSpec extends AnyFunSuite {
         when(pmod(col("doc_id"), lit(5L)) === 2L,
           lit(".spam-domain.com/x")).otherwise(lit(".example.org/x")))
         .as("u"))
-    CurationPipeline.run(raw, "doc_id", "source", "html", "u",
+  }
+
+  private val relineFixture: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column =
+    c => concat(lit("nav home menu\n"),
+      regexp_replace(c, " (the|a) ", "\n"),
+      lit("\ncopyright footer 2024"))
+
+  private def collectFunnel(df: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, Long, Long)] =
+    df.collect().map(r => r.getString(1) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  private lazy val funnel: Map[String, (Long, Long, Long)] =
+    collectFunnel(CurationPipeline.run(rawFixture,
+      "doc_id", "source", "html", "u",
       blockedDomains = Seq("spam-domain.com"), lineMaxDf = 4L,
       gopherMinWords = 20, jaccN = 3, jaccThreshold = 0.2,
       jaccMaxDocFreq = 10, budgetPerSource = 400L, packBudget = 256L,
-      trainPct = 80, valPct = 10,
-      reline = c => concat(lit("nav home menu\n"),
-        regexp_replace(c, " (the|a) ", "\n"),
-        lit("\ncopyright footer 2024")))
-      .collect()
-      .map(r => r.getString(1) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
-  }
+      trainPct = 80, valPct = 10, reline = relineFixture))
 
   test("funnel: every planted fixture class exercises its stage") {
     val f = funnel
@@ -124,5 +134,116 @@ class CurationPipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(got(7L) == got(2000007L))
     assert(got(14L) == got(2000014L))
+  }
+
+  test("opt-in stages: sentence dedup (between boilerplate and gopher) " +
+    "and KN-surprisal gate (after gopher) insert with shifted " +
+    "numbering; default funnel rows are unchanged upstream") {
+    val f = collectFunnel(CurationPipeline.run(rawFixture,
+      "doc_id", "source", "html", "u",
+      blockedDomains = Seq("spam-domain.com"), lineMaxDf = 4L,
+      gopherMinWords = 20, jaccN = 3, jaccThreshold = 0.2,
+      jaccMaxDocFreq = 10, budgetPerSource = 400L, packBudget = 256L,
+      trainPct = 80, valPct = 10, reline = relineFixture,
+      sentenceSplitter = Some(c =>
+        filter(split(c, "\n"), x => length(x) > lit(0))),
+      knKeepBelowBits = Some(14.0)))
+    assert(f.contains("sentence_dedup") && f.contains("kn_surprisal"),
+      s"opt-in stages missing: ${f.keys}")
+    assert(f.size == 16, s"14 default rows + 2 opt-in: ${f.keys}")
+    // stages UPSTREAM of the first opt-in arm are untouched
+    Seq("ingest", "url_blocklist", "html_extract", "unicode_clean",
+      "mojibake_repair", "line_boilerplate")
+      .foreach(k => assert(f(k) == funnel(k), s"$k changed"))
+    // sentence dedup: the planted +2M near-dup docs share most
+    // sentences with their originals — content must strictly shrink,
+    // and no doc may GAIN content
+    assert(f("sentence_dedup")._3 < f("line_boilerplate")._3)
+    assert(f("sentence_dedup")._1 <= f("line_boilerplate")._1)
+    // the KN gate filters docs only (content of survivors untouched):
+    // doc count within (0, gopher]; chars drop proportionally
+    assert(f("kn_surprisal")._1 > 0)
+    assert(f("kn_surprisal")._1 <= f("gopher_quality")._1)
+    // the downstream chain still holds its invariants on the gated set
+    assert(f("split_train")._1 + f("split_val")._1 + f("split_test")._1
+      == f("exact_dedup")._1)
+    assert(f("pack")._2 == f("source_quota")._2)
+    assert(f("pack")._3 == f("source_quota")._3)
+  }
+
+  test("opt-in stages: checkpointed form matches the in-memory form " +
+    "with both arms on") {
+    val dir = java.nio.file.Files.createTempDirectory("curation-ck-opt")
+    val splitter: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column =
+      c => filter(split(c, "\n"), x => length(x) > lit(0))
+    val mem = collectFunnel(CurationPipeline.run(rawFixture,
+      "doc_id", "source", "html", "u",
+      blockedDomains = Seq("spam-domain.com"), lineMaxDf = 4L,
+      gopherMinWords = 20, jaccN = 3, jaccThreshold = 0.2,
+      jaccMaxDocFreq = 10, budgetPerSource = 400L, packBudget = 256L,
+      trainPct = 80, valPct = 10, reline = relineFixture,
+      sentenceSplitter = Some(splitter), knKeepBelowBits = Some(14.0)))
+    val ck = collectFunnel(CurationPipeline.runCheckpointed(rawFixture,
+      "doc_id", "source", "html", "u",
+      blockedDomains = Seq("spam-domain.com"), lineMaxDf = 4L,
+      gopherMinWords = 20, jaccN = 3, jaccThreshold = 0.2,
+      jaccMaxDocFreq = 10, budgetPerSource = 400L, packBudget = 256L,
+      trainPct = 80, valPct = 10, stageDir = dir.toString,
+      reline = relineFixture,
+      sentenceSplitter = Some(splitter), knKeepBelowBits = Some(14.0)))
+    assert(ck == mem)
+  }
+
+  private def runCk(stageDir: java.nio.file.Path)
+      : Map[String, (Long, Long, Long)] =
+    collectFunnel(CurationPipeline.runCheckpointed(rawFixture,
+      "doc_id", "source", "html", "u",
+      blockedDomains = Seq("spam-domain.com"), lineMaxDf = 4L,
+      gopherMinWords = 20, jaccN = 3, jaccThreshold = 0.2,
+      jaccMaxDocFreq = 10, budgetPerSource = 400L, packBudget = 256L,
+      trainPct = 80, valPct = 10, stageDir = stageDir.toString,
+      reline = relineFixture))
+
+  test("checkpointed form: funnel equals the in-memory form exactly; " +
+    "every stage materialized as a parquet table with _SUCCESS") {
+    val dir = java.nio.file.Files.createTempDirectory("curation-ck")
+    assert(runCk(dir) == funnel)
+    (1 to 12).foreach { k =>
+      assert(java.nio.file.Files.exists(dir.resolve(s"s$k/_SUCCESS")),
+        s"stage $k data table missing")
+      assert(java.nio.file.Files.exists(
+        dir.resolve(s"funnel_s$k/_SUCCESS")),
+        s"stage $k funnel table missing")
+    }
+  }
+
+  test("checkpointed form: restart after a mid-stage kill recomputes " +
+    "only from the killed stage; completed prefixes are read, not " +
+    "re-derived") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("curation-ck")
+    val first = runCk(dir)
+    // simulate a kill during stage 7's write: its commit marker is
+    // gone (Spark writes _SUCCESS last, so a torn write looks exactly
+    // like this); stages 1-6 remain complete
+    java.nio.file.Files.delete(dir.resolve("s7/_SUCCESS"))
+    def mtimes(upTo: Int): Map[String, Long] =
+      (1 to upTo).flatMap { k =>
+        java.nio.file.Files.list(dir.resolve(s"s$k")).iterator().asScala
+          .map(p => s"s$k/${p.getFileName}" ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }.toMap
+    val before = mtimes(6)
+    val s7Before = java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("s7")).toMillis
+    val second = runCk(dir)
+    assert(second == first, "restart changed the funnel")
+    assert(mtimes(6) == before,
+      "a completed prefix stage was rewritten on restart")
+    assert(java.nio.file.Files
+      .getLastModifiedTime(dir.resolve("s7")).toMillis >= s7Before)
+    assert(java.nio.file.Files.exists(dir.resolve("s7/_SUCCESS")),
+      "killed stage must be recomputed to completion")
   }
 }
