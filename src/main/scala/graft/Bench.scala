@@ -153,6 +153,19 @@ object Bench {
 
   private val historyFile = "BENCH_HISTORY.jsonl"
 
+  /** Cumulative CPU-steal jiffies (field 8 of /proc/stat's cpu line) —
+    * this box is a VM whose vCPUs the host deschedules under burst
+    * load: ~2,000 cumulative steal-seconds observed at round 14, which
+    * is what the phantom per-query stragglers (maxTask >> work) were.
+    * The bench records the steal DELTA across its run so a contended
+    * record is self-describing. */
+  private def stealJiffies(): Long =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/stat")).linesIterator
+      .find(_.startsWith("cpu "))
+      .map(_.trim.split("\\s+")(8).toLong).getOrElse(0L)
+    catch { case _: Throwable => 0L }
+
   /** 1-min system load average, preferring /proc/loadavg (the MXBean is
     * the same number on Linux; the file also carries run-queue counts). */
   private def loadAvg1(): Double =
@@ -219,6 +232,7 @@ object Bench {
     }
     val loadAtStart = loadAvg1()
     val loadGateOk = loadAtStart <= 2.0 && busyAtStart.isEmpty
+    val stealAtStart = stealJiffies()
     if (!loadGateOk)
       System.err.println(f"[bench-gate] GATE FAILED after ${preWaitSec}s " +
         f"(load=$loadAtStart%.2f, busy jvms=${busyAtStart.size}) — " +
@@ -630,7 +644,8 @@ object Bench {
     val loadGateJson =
       s""""load_gate":{"ok":$loadGateOk,"load_at_entry":${r3(loadAtEntry)},""" +
         s""""load_at_start":${r3(loadAtStart)},"pre_wait_sec":$preWaitSec,""" +
-        s""""busy_jvms_at_start":${busyAtStart.size}}"""
+        s""""busy_jvms_at_start":${busyAtStart.size},""" +
+        s""""steal_sec":${r3((stealJiffies() - stealAtStart) / 100.0)}}"""
     val gateJson =
       s""""gate_passes":$gatePasses,"gate_remeasured":${
         jmap(gateRemeasured, round = true)},"gate_dropped":${

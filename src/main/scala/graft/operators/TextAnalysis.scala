@@ -566,11 +566,26 @@ object TextAnalysis {
     * aggregates, never broadcast-bound — and a pruned bigram simply
     * scores through the c(vw)=0 continuation arm. `minCount = 1` is
     * the exact model (the oracle-checked default).
+    *
+    * `shuffleModelJoin` is the 100 TB form of the model joins (RISKS.md
+    * row 3 made real): the bigram table grows with the CORPUS, not the
+    * vocabulary (~corpus^0.7 — 4.58M types at sf5textdiv), so past the
+    * broadcast ceiling the scoring join must become a SHUFFLE join.
+    * With the flag on, no broadcast hints are placed and every model
+    * join runs on an 8-byte xxhash64 gram key (key + counts are all
+    * that shuffles from the model side — the strings are dropped
+    * pre-exchange). Same collision contract as the l23h hashed-dedup
+    * family: a random 64-bit collision mis-scores one token; the spec
+    * pins value-equality with the broadcast form. Doc-initial rows
+    * (prev NULL) are guarded explicitly — xxhash64 skips NULL inputs,
+    * so without the guard xxhash64(NULL, t) would equal xxhash64(t).
     */
   def knBigramSurprisal(docs: org.apache.spark.sql.DataFrame,
                         idCol: String, textCol: String,
                         keepBelowBits: Double,
-                        minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+                        minCount: Long = 1L,
+                        shuffleModelJoin: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     val toks = docs
       .select(col(idCol).as("doc"), expr(toksSql(textCol)).as("arr"))
       .select(col("doc"), col("arr"),
@@ -601,12 +616,35 @@ object TextAnalysis {
       lit(3L) * col("n1v") * coalesce(col("n1w"), lit(0L))
     val den = lit(4L) * col("cv") * col("n1all")
     val contOnlyNum = coalesce(col("n1w"), lit(0L))
-    val scored = toks
-      .join(broadcast(c2),
-        col("prev") === col("b_prev") && col("t") === col("b_cur"), "left")
-      .join(broadcast(ctx), col("prev") === col("v_t"), "left")
-      .join(broadcast(cont), col("t") === col("w_t"), "left")
-      .join(broadcast(c1), col("t") === col("u_t"), "left")
+    val joined =
+      if (!shuffleModelJoin)
+        toks
+          .join(broadcast(c2),
+            col("prev") === col("b_prev") && col("t") === col("b_cur"),
+            "left")
+          .join(broadcast(ctx), col("prev") === col("v_t"), "left")
+          .join(broadcast(cont), col("t") === col("w_t"), "left")
+          .join(broadcast(c1), col("t") === col("u_t"), "left")
+      else {
+        // data-sized model tables: shuffle joins on 8-byte hashed gram
+        // keys, model-side strings dropped BEFORE the exchange (see
+        // scaladoc; total/n1all stay broadcast — they are 1 row)
+        val keyed = toks
+          .withColumn("gk", xxhash64(col("prev"), col("t")))
+          .withColumn("pk", xxhash64(col("prev")))
+          .withColumn("wk", xxhash64(col("t")))
+        keyed
+          .join(c2.withColumn("b_gk", xxhash64(col("b_prev"),
+              col("b_cur"))).drop("b_prev", "b_cur"),
+            col("prev").isNotNull && col("gk") === col("b_gk"), "left")
+          .join(ctx.withColumn("v_k", xxhash64(col("v_t"))).drop("v_t"),
+            col("prev").isNotNull && col("pk") === col("v_k"), "left")
+          .join(cont.withColumn("w_k", xxhash64(col("w_t"))).drop("w_t"),
+            col("wk") === col("w_k"), "left")
+          .join(c1.withColumn("u_k", xxhash64(col("u_t"))).drop("u_t"),
+            col("wk") === col("u_k"), "left")
+      }
+    val scored = joined
       .crossJoin(broadcast(total))
       .crossJoin(broadcast(n1all))
       .select(col("doc"),

@@ -147,9 +147,21 @@ object WarcFiles {
 
   /** Walk one split's window. `buf` holds file bytes
     * [split.start, split.start + buf.length); members must START at
-    * relative offset < lim (= split.end - split.start). */
+    * relative offset < lim (= split.end - split.start).
+    *
+    * A member (or resync candidate) that runs past the window's end
+    * while MORE FILE EXISTS beyond it yields the sentinel error
+    * `window-exhausted`: the caller re-reads with a larger overrun
+    * (adaptive windows — most tasks never read more than ~1 MB past
+    * their split, instead of paying the full overrun up front). Only
+    * when the window already reaches end-of-file is a short member a
+    * genuine truncation quarantine. */
   private[sources] def walkWindow(split: WarcSplit, buf: Array[Byte],
       maxOut: Int): Iterator[WarcMember] = {
+    val windowAtEof = split.start + buf.length >= split.size
+    def needsMoreWindow(err: String): Boolean =
+      (err == "truncated-member" || err == "truncated-trailer") &&
+        !windowAtEof
     val lim = math.min(split.end - split.start, buf.length.toLong).toInt
     val out = scala.collection.mutable.ArrayBuffer[WarcMember]()
     var pos = 0
@@ -163,7 +175,8 @@ object WarcFiles {
         if (split.size <= buf.length)
           out += WarcMember(split.path, 0L, buf, null)
         else out += WarcMember(split.path, 0L, null,
-          "uncompressed-exceeds-split (raise splitBytes)")
+          if (!windowAtEof) "window-exhausted"
+          else "uncompressed-exceeds-split (raise splitBytes)")
       } else out += WarcMember(split.path, 0L, null, "not-warc")
       return out.iterator
     }
@@ -179,6 +192,12 @@ object WarcFiles {
               out += WarcMember(split.path, split.start + p, bytes, null)
               found = p
               pos = next
+            case Left(err) if needsMoreWindow(err) =>
+              // can't tell a straddling candidate from garbage without
+              // more bytes — hand back to the adaptive-window loop
+              out += WarcMember(split.path, split.start + p, null,
+                "window-exhausted")
+              return out.iterator
             case _ => ()
           }
         }
@@ -193,8 +212,10 @@ object WarcFiles {
           pos = next
         case Left(err) =>
           // quarantine + halt: past corruption the next boundary is
-          // unknowable (the WarcParse in-column discipline)
-          out += WarcMember(split.path, split.start + pos, null, err)
+          // unknowable (the WarcParse in-column discipline); a short
+          // read against a longer file retries with a bigger window
+          out += WarcMember(split.path, split.start + pos, null,
+            if (needsMoreWindow(err)) "window-exhausted" else err)
           halted = true
       }
     }
@@ -212,6 +233,33 @@ object WarcFiles {
     val in = fs.open(p)
     try { in.seek(split.start); in.readFully(buf) } finally in.close()
     buf
+  }
+
+  /** Initial past-split read-ahead — grown geometrically toward
+    * `overrunBytes` only when the straddling member needs it, so the
+    * common task reads splitBytes + 1 MB, not splitBytes + overrun
+    * (a flat 32 MB overrun is +25% read amplification at the default
+    * split size). */
+  private val InitialOverrunBytes: Long = 1L << 20
+
+  /** Read-and-walk one split with the adaptive window. */
+  private[sources] def walkSplit(split: WarcSplit, overrunBytes: Long,
+      maxOut: Int): Iterator[WarcMember] = {
+    var over = math.min(InitialOverrunBytes, overrunBytes)
+    while (true) {
+      val res = walkWindow(split, readWindow(split, over), maxOut).toVector
+      val exhausted = res.exists(_.error == "window-exhausted")
+      if (!exhausted) return res.iterator
+      if (over >= overrunBytes)
+        // the straddler is larger than the caller's overrun budget —
+        // a genuine quarantine, with the knob named
+        return res.map(m =>
+          if (m.error == "window-exhausted")
+            m.copy(error = "member-exceeds-overrun (raise overrunBytes)")
+          else m).iterator
+      over = math.min(over * 8, overrunBytes)
+    }
+    Iterator.empty // unreachable
   }
 
   // ---------------------------------------------------------------
@@ -246,7 +294,7 @@ object WarcFiles {
     val rdd = spark.sparkContext
       .parallelize(ss, math.max(1, ss.size)) // one split per task
     spark.createDataset(rdd.mapPartitions(_.flatMap { sp =>
-      walkWindow(sp, readWindow(sp, overrunBytes), MaxInflatedBytes)
+      walkSplit(sp, overrunBytes, MaxInflatedBytes)
     }))
   }
 

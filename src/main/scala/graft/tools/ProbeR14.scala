@@ -1,0 +1,146 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Sessions
+
+/** Dev-only: the round-14 scale-evidence runs behind SCALE_r14.md.
+  *
+  * Modes (arg 1), sfDir (arg 2 — a ScaleGen `textdiv` corpus for the
+  * text modes):
+  *  - `kn`: the KN model-join broadcast→shuffle switch MEASURED
+  *    (RISKS.md row 3): broadcast-hint form vs shuffleModelJoin form
+  *    on the same diverse-text corpus — wall, shuffle bytes, bigram
+  *    type count (the broadcast-size driver), and a result checksum
+  *    proving the two forms agree at scale.
+  *  - `warcfiles`: container-FILE ingest throughput — synthesizes a
+  *    real multi-member .warc.gz on disk from the corpus docs (one
+  *    gzip member per record, the CommonCrawl layout), then times
+  *    WarcFiles.records end to end (splits → resync → inflate →
+  *    warc_parse), records/s and MB/s FROM FILES, vs the in-column
+  *    parse of the same payloads.
+  */
+object ProbeR14 {
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Sessions.build("graft-probe-r14", Sessions.cpusFromEnv(32))
+    val metrics = TaskMetricsListener.installed(spark)
+
+    def timed[T](name: String, reps: Int = 3)(body: => T): Unit =
+      for (rep <- 1 to reps) {
+        metrics.reset()
+        val t0 = System.nanoTime()
+        val r = body
+        metrics.drain()
+        println(f"PROBE14 $name rep$rep " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s result=$r " +
+          f"shuffle=${metrics.shuffleWriteMb} MB " +
+          f"spill=${metrics.spillMb} MB " +
+          f"maxTask=${metrics.maxTaskSec}%.1f s")
+      }
+
+    mode match {
+      case "kn" =>
+        import graft.operators.TextAnalysis
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text").cache()
+        val nDocs = docs.count()
+        // model-size row: the broadcast-ceiling driver
+        val nBigrams = docs
+          .select(explode(expr(
+            """transform(filter(split(text, ' '), x -> x <> ''),
+               (x, i) -> struct(x AS t, i AS p))""")).as("s"),
+            col("doc_id"))
+          .select(col("doc_id"), col("s.t"), col("s.p"))
+          .withColumn("is_train",
+            TextAnalysis.splitAssign("doc_id", 80, 10) === "train")
+          .filter(col("is_train"))
+          .count()
+        println(s"PROBE14 kn_corpus docs=$nDocs train_tokens~$nBigrams")
+        // bit_xor, not sum: ANSI mode overflows on summed 64-bit hashes
+        def checksum(df: DataFrame): Long =
+          df.agg(expr(
+            "bit_xor(xxhash64(doc_id, n_tokens, total_bits, keep))"))
+            .collect()(0).getLong(0)
+        timed("kn_broadcast")(checksum(
+          TextAnalysis.knBigramSurprisal(docs, "doc_id", "text",
+            keepBelowBits = 14.0)))
+        // force what a >threshold table forces on a cluster: with the
+        // thresholds at -1 only an explicit hint could broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        timed("kn_shuffle")(checksum(
+          TextAnalysis.knBigramSurprisal(docs, "doc_id", "text",
+            keepBelowBits = 14.0, shuffleModelJoin = true)))
+
+      case "warcfiles" =>
+        import java.util.zip.GZIPOutputStream
+        val crlf = "\r\n"
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        // build N real .warc.gz files on disk, one gzip member per
+        // record, writer-side parallel (foreachPartition — each
+        // partition writes its own file; driver never sees the bytes)
+        val dir = java.nio.file.Files.createTempDirectory("warc14")
+          .toString // String, not Path: the closure must serialize
+        // few LARGE files (the CommonCrawl shape: ~1 GB each, far fewer
+        // files than tasks) so the split machinery — not file-level
+        // parallelism — is what's measured; 4 copies per doc → 100k
+        // records
+        val nFiles = 4
+        val copies = 4
+        docs.repartition(nFiles).foreachPartition {
+          it: Iterator[org.apache.spark.sql.Row] =>
+            if (it.hasNext) {
+              val f = java.nio.file.Files.createTempFile(
+                java.nio.file.Paths.get(dir), "part-", ".warc.gz")
+              val out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(f.toFile), 1 << 20)
+              it.foreach { r =>
+                for (rep <- 0 until copies) {
+                  val id = r.getLong(0) + rep.toLong * 10000000L
+                  val body = "<html><body><p>" + r.getString(1) +
+                    s" copy $rep</p></body></html>"
+                  val http = "HTTP/1.1 200 OK" + crlf +
+                    "Content-Type: text/html" + crlf + crlf + body
+                  val httpB = http.getBytes("UTF-8")
+                  val rec = ("WARC/1.0" + crlf +
+                    "WARC-Type: response" + crlf +
+                    s"WARC-Target-URI: http://x/$id" + crlf +
+                    "Content-Type: application/http" + crlf +
+                    s"Content-Length: ${httpB.length}" + crlf + crlf)
+                    .getBytes("UTF-8") ++ httpB ++
+                    (crlf + crlf).getBytes("UTF-8")
+                  val g = new GZIPOutputStream(out)
+                  g.write(rec); g.finish()
+                }
+              }
+              out.close()
+            }
+        }
+        val mb = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+            .iterator().asScala
+            .map(p => java.nio.file.Files.size(p)).sum / 1e6
+        }
+        println(f"PROBE14 warcfiles corpus $mb%.1f MB compressed in " +
+          s"$nFiles files at $dir")
+        for (split <- Seq(1L << 20, 32L << 20))
+          timed(s"warcfiles_records_split${split >> 20}m")(
+            graft.sources.WarcFiles.records(spark, s"$dir/*.warc.gz",
+              splitBytes = split).count())
+        timed("warcfiles_response_texts")(
+          graft.sources.WarcFiles.responseTexts(spark,
+            s"$dir/*.warc.gz", splitBytes = 32L << 20)
+            .agg(sum(length(col("text")))).collect()(0).getLong(0))
+
+      case other => sys.error(s"unknown mode: $other")
+    }
+    spark.stop()
+  }
+}

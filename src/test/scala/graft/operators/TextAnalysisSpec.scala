@@ -378,6 +378,46 @@ class TextAnalysisSpec extends AnyFunSuite {
         s"'things' in a novel context: ${out(1L)} vs ${out(3L)}")
   }
 
+  test("knBigramSurprisal shuffleModelJoin: values equal the broadcast " +
+    "form and the model joins are genuinely shuffle joins on 8-byte " +
+    "keys (no broadcast of the data-sized tables)") {
+    val docs = graft.core.Tables.documents(s, "/root/testdata/sf0.001")
+    val base = TextAnalysis.knBigramSurprisal(docs, "doc_id", "text",
+        keepBelowBits = 12.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+          r.getAs[Long]("keep")))).toMap
+    // force the planner's hand the way a >threshold table would: with
+    // thresholds at -1, ONLY an explicit hint can broadcast — so any
+    // surviving BroadcastHashJoin would prove the hint is still there
+    val conf = s.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val ds = TextAnalysis.knBigramSurprisal(docs, "doc_id", "text",
+        keepBelowBits = 12.0, shuffleModelJoin = true)
+      val got = ds.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("total_bits"),
+          r.getAs[Long]("keep")))).toMap
+      assert(got == base, "hashed shuffle-join form diverged")
+      // inspect the SAME QueryExecution the collect ran (AQE final plan)
+      val plan = ds.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"model join still broadcasts:\n$plan")
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join in:\n$plan")
+      // the shuffled model-side rows carry hashed keys + counts only —
+      // the gram STRINGS must not survive past the key projection
+      assert(plan.contains("b_gk"), "hashed gram key missing from plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("filterFunnel: hand-computed kill attribution — shadowed rules " +
     "show n_failing > 0 with n_killed_here = 0, null predicates fail, " +
     "survivors are monotone") {

@@ -202,6 +202,40 @@ class WarcFilesSpec extends AnyFunSuite {
     assert(q.toSeq == Seq("not-warc"))
   }
 
+  test("adaptive window: a straddling member larger than the initial " +
+    "1 MB read-ahead is recovered by window growth; an overrun budget " +
+    "smaller than the member quarantines with the knob named") {
+    val dir = Files.createTempDirectory("warcfiles")
+    val f = dir.resolve("h.warc.gz")
+    // one small member, then one HUGE (~2 MB compressed) member that
+    // straddles the 1 MB split boundary, then another small one
+    val rnd = new scala.util.Random(42)
+    val bigBody = {
+      val sb = new StringBuilder(4 << 20)
+      while (sb.length < (4 << 20)) sb.append(rnd.nextLong().toHexString)
+      sb.toString
+    }
+    val out = new FileOutputStream(f.toFile)
+    out.write(gzipMember(responseRecord(0, docBody(0))))
+    out.write(gzipMember(responseRecord(1,
+      s"<html><body><p>big $bigBody</p></body></html>")))
+    out.write(gzipMember(responseRecord(2, docBody(2))))
+    out.close()
+    val got = WarcFiles.records(s, f.toString, splitBytes = 1L << 20)
+      .select("target_uri", "error")
+      .collect().map(r => (Option(r.getString(0)).orNull,
+        Option(r.getString(1)).orNull))
+    assert(got.count(_._2 == null) == 3,
+      s"all three records must parse: ${got.toSeq}")
+    // same layout, overrun budget below the big member's size
+    val starved = WarcFiles.records(s, f.toString, splitBytes = 1L << 20,
+      overrunBytes = 64L << 10)
+      .select("error").collect().map(r => Option(r.getString(0)).orNull)
+    assert(starved.exists(e =>
+      e != null && e.contains("member-exceeds-overrun")),
+      s"expected the overrun quarantine, got: ${starved.toSeq}")
+  }
+
   test("responseTexts extracts clean page text from files") {
     val dir = Files.createTempDirectory("warcfiles")
     writeWarcGz(6, dir, "g.warc.gz")
