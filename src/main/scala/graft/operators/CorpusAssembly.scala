@@ -69,6 +69,37 @@ object CorpusAssembly {
       .drop("__pid", "__local")
   }
 
+  /** [[prefixSumCols]] computed INDEPENDENTLY per key group: running
+    * sums restart at every distinct `keyCols` value, in `orderCols`
+    * order within the group. Same four-step shape (range partition on
+    * key+order, per-(partition, key) local sums, bounded totals table,
+    * broadcast offsets back) — the offsets window is per key, so no
+    * single-partition structure appears at any group count.
+    */
+  def prefixSumPerKey(df: DataFrame, keyCols: Seq[String],
+                      orderCols: Seq[String], valueCol: String,
+                      name: String): DataFrame = {
+    val kc = keyCols.map(col)
+    val oc = orderCols.map(col)
+    val parted = df.repartitionByRange((kc ++ oc): _*)
+      .withColumn("__pid", spark_partition_id())
+    val grpCols = "__pid" +: keyCols
+    val localW = Window.partitionBy(grpCols.map(col): _*)
+      .orderBy(oc: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val withLocal =
+      parted.withColumn("__local", sum(col(valueCol)).over(localW))
+    val offsets = parted.groupBy(grpCols.map(col): _*)
+      .agg(sum(col(valueCol)).as("__psum"))
+      .withColumn("__offset", coalesce(
+        sum("__psum").over(Window.partitionBy(kc: _*)
+          .orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((grpCols :+ "__offset").map(col): _*)
+    withLocal.join(broadcast(offsets), grpCols)
+      .withColumn(name, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset")
+  }
+
   /** Sequence packing, concat-and-chunk style: documents are laid out in
     * deterministic `idCol` order, token counts accumulate, and the token
     * stream is cut into fixed-`budget` bins — how training pipelines
@@ -87,6 +118,54 @@ object CorpusAssembly {
     val toks = df.select(col(idCol),
       TextAnalysis.tokenCount(textCol).as("n_tokens"))
     prefixSum(toks, idCol, "n_tokens", "cum_tokens")
+      .withColumn("bin",
+        expr(s"(cum_tokens - n_tokens) div ${budget}L"))
+      .withColumn("straddles_next",
+        col("n_tokens") > 0 &&
+          expr(s"(cum_tokens - 1) div ${budget}L") > col("bin"))
+  }
+
+  /** [[sequencePack]] in the per-shard form (RISKS.md row 5 made real):
+    * the corpus is packed SHARD BY SHARD — each shard's running sums
+    * are computed independently ([[prefixSumPerKey]]) — and a map-only
+    * boundary fixup re-bases every row by its shard's exclusive token
+    * offset, so the output is BIT-IDENTICAL to [[sequencePack]] over
+    * the (shardCol, idCol) lexicographic order. The fixup must
+    * re-divide (global bin = (local_cum + offset − n) div budget), not
+    * shift local bin ids: a shard boundary rarely lands on a bin
+    * boundary.
+    *
+    * Why this exists: the global form threads the WHOLE corpus through
+    * one range exchange and one lineage — fine per run, but a 100 TB
+    * corpus arrives in shards (crawl days, source dumps), and repacking
+    * everything per arrival is absurd. Here each shard is its own
+    * bounded job, and `baseOffset` is the incremental-append knob: pack
+    * a NEW shard alone, passing the token total of everything before
+    * it, and its rows come out exactly as a full repack would place
+    * them — previously-packed shards are untouched (append-only
+    * publishing, the StreamOps delta-log discipline). The only global
+    * structure is the shard-totals table (one row per shard; its
+    * ordering window is bounded by shard count).
+    *
+    * Output = [[sequencePack]]'s columns plus `shardCol`.
+    */
+  def sequencePackSharded(df: DataFrame, shardCol: String, idCol: String,
+                          textCol: String, budget: Long,
+                          baseOffset: Long = 0L): DataFrame = {
+    val toks = df.select(col(shardCol), col(idCol),
+      TextAnalysis.tokenCount(textCol).as("n_tokens"))
+    val local = prefixSumPerKey(toks, Seq(shardCol), Seq(idCol),
+      "n_tokens", "__local_cum")
+    val shardOff = toks.groupBy(shardCol)
+      .agg(sum("n_tokens").as("__tot"))
+      .withColumn("__shard_off", coalesce(
+        sum("__tot").over(Window.orderBy(shardCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        + lit(baseOffset))
+      .select(col(shardCol), col("__shard_off"))
+    local.join(broadcast(shardOff), shardCol)
+      .withColumn("cum_tokens", col("__local_cum") + col("__shard_off"))
+      .drop("__local_cum", "__shard_off")
       .withColumn("bin",
         expr(s"(cum_tokens - n_tokens) div ${budget}L"))
       .withColumn("straddles_next",

@@ -2979,6 +2979,40 @@ object LlmOps {
   }, Some(CorpusAssembly.packFfdOracleSql("text", budget = 2048L,
     groupSize = 256)))
 
+  // L25S — the per-shard/incremental form of l25 (RISKS row 5 made
+  // real): each shard's running sums computed independently + a
+  // map-only boundary fixup; bit-identical to the global pack over
+  // (shard, doc_id) order, which — shard = doc_id div 50 being
+  // monotone in doc_id — is the SAME cum the l25 mirror computes, so
+  // the oracle is l25's CTE regrouped by (shard, bin). Shard token
+  // totals are NOT multiples of the budget, so boundaries land mid-bin
+  // and the fixup's re-division (not a bin-id shift) is what's
+  // certified.
+  private val l25s = QueryDef("l25s_sequence_packing_sharded", (s, dir) => {
+    CorpusAssembly.sequencePackSharded(
+        Tables.documents(s, dir)
+          .withColumn("shard", expr("doc_id div 50")),
+        "shard", "doc_id", "text", budget = 2048L)
+      .groupBy("shard", "bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("bin_tokens"),
+        sum(col("straddles_next").cast("long")).cast("long")
+          .as("n_straddlers"))
+  }, Some("""WITH t AS (SELECT doc_id, doc_id // 50 AS shard,
+        CAST(len(list_filter(string_split(text, ' '),
+          s -> length(s) > 0)) AS BIGINT) n
+        FROM documents),
+      c AS (SELECT doc_id, shard, n,
+        CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) cum FROM t),
+      b AS (SELECT doc_id, shard, n, cum, (cum - n) // 2048 AS bin,
+        CASE WHEN n > 0 AND (cum - 1) // 2048 > (cum - n) // 2048
+             THEN 1 ELSE 0 END AS straddle
+        FROM c)
+      SELECT shard, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n) AS BIGINT) AS bin_tokens,
+        CAST(sum(straddle) AS BIGINT) AS n_straddlers
+      FROM b GROUP BY shard, bin"""))
+
   // L32 — deterministic EPOCH SHUFFLE: the loader-order step between
   // corpus assembly and training (a fresh reproducible permutation per
   // epoch — same seed => the same byte-exact schedule on any engine or
@@ -3849,7 +3883,8 @@ object LlmOps {
       l11, l11p, l12, l12c, l12p, l12cp, l38,
       l13, l14, l14b, l15, l15b, l16, l17, l18, l19, l20, l21, l22, l23, l23h,
       l24,
-      l24b, l25, l25b, l26, l26h, l27, l27b, l28, l29, l29h, l30, l30b, l30e,
+      l24b, l25, l25b, l25s, l26, l26h, l27, l27b, l28, l29, l29h, l30,
+      l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
       l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,

@@ -139,6 +139,31 @@ object ProbeR14 {
             s"$dir/*.warc.gz", splitBytes = 32L << 20)
             .agg(sum(length(col("text")))).collect()(0).getLong(0))
 
+      case "packshard" =>
+        import graft.operators.CorpusAssembly
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+          .withColumn("shard", expr("doc_id div 1000")).cache()
+        val nDocs = docs.count()
+        println(s"PROBE14 packshard docs=$nDocs shards=${
+          docs.select("shard").distinct().count()}")
+        def cks(df: DataFrame): Long = df.agg(expr(
+          "bit_xor(xxhash64(doc_id, cum_tokens, bin, straddles_next))"))
+          .collect()(0).getLong(0)
+        timed("pack_global")(cks(CorpusAssembly.sequencePack(
+          docs, "doc_id", "text", 2048L)))
+        timed("pack_sharded")(cks(CorpusAssembly.sequencePackSharded(
+          docs, "shard", "doc_id", "text", 2048L)
+          .drop("shard")))
+        // the incremental-append shape: ONE new shard packed alone
+        val newShard = docs.filter(col("shard") === 24L)
+        val prior = docs.filter(col("shard") < 24L)
+          .agg(sum(graft.operators.TextAnalysis.tokenCount("text")))
+          .collect()(0).getLong(0)
+        timed("pack_append_one_shard")(cks(
+          CorpusAssembly.sequencePackSharded(newShard, "shard",
+            "doc_id", "text", 2048L, baseOffset = prior).drop("shard")))
+
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()

@@ -77,6 +77,58 @@ class CorpusAssemblySpec extends AnyFunSuite {
       (5L, 8L, 20L, 1L, false)))
   }
 
+  test("sequencePackSharded: bit-equal to the global form on a " +
+    "multi-shard layout (shard boundaries never on bin boundaries)") {
+    import s.implicits._
+    // 200 docs, varied lengths; shard = doc_id div 23 (9 shards whose
+    // token boundaries land mid-bin for budget 64); shard order ==
+    // id order, so the global pack over doc_id is the reference
+    val docs = (0L until 200L).map { i =>
+      (i, ("w" + i + " ") * (1 + (i * 13 % 17)).toInt)
+    }.toDF("doc_id", "text")
+    val global = CorpusAssembly.sequencePack(docs, "doc_id", "text", 64L)
+      .select("doc_id", "n_tokens", "cum_tokens", "bin", "straddles_next")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val sharded = CorpusAssembly.sequencePackSharded(
+        docs.withColumn("shard", expr("doc_id div 23")),
+        "shard", "doc_id", "text", 64L)
+      .select("doc_id", "n_tokens", "cum_tokens", "bin", "straddles_next")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(sharded == global)
+  }
+
+  test("sequencePackSharded: incremental append — a NEW shard packed " +
+    "alone with baseOffset lands exactly where a full repack would " +
+    "put it; prior shards untouched") {
+    import s.implicits._
+    val docs = (0L until 150L).map { i =>
+      (i, ("t" + i + " ") * (1 + (i * 7 % 11)).toInt)
+    }.toDF("doc_id", "text")
+      .withColumn("shard", expr("doc_id div 50"))
+    val full = CorpusAssembly.sequencePackSharded(docs, "shard",
+        "doc_id", "text", 32L)
+      .select("doc_id", "cum_tokens", "bin", "straddles_next")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // pack ONLY shard 2, passing the token total of shards 0-1
+    val prefixTokens = docs.filter(col("shard") < 2)
+      .agg(sum(graft.operators.TextAnalysis.tokenCount("text")))
+      .collect()(0).getLong(0)
+    val appended = CorpusAssembly.sequencePackSharded(
+        docs.filter(col("shard") === 2), "shard", "doc_id", "text", 32L,
+        baseOffset = prefixTokens)
+      .select("doc_id", "cum_tokens", "bin", "straddles_next")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(appended.nonEmpty)
+    appended.foreach { case (id, cum, bin, st) =>
+      assert(full(id) == ((cum, bin, st)),
+        s"doc $id diverged from the full repack")
+    }
+  }
+
   test("qualityQuotaSelect keeps the quality-ranked prefix under the " +
     "budget, per source, with doc_id tiebreak") {
     import s.implicits._
