@@ -266,6 +266,147 @@ object Pca {
     s
   }
 
+  /** Randomized (sketch-project-solve) eigensolve — the d ∈ [2k, 16k]
+    * form RISKS.md row 8 names: [[MomentAgg]]'s exact triangle is
+    * O(d²) per partition (1 GB at d = 16k) and the driver Jacobi is
+    * O(d³) (~4·10¹² flops at 16k) — both walls; here NOTHING is ever
+    * O(d²). Randomized subspace iteration (Halko, Martinsson & Tropp
+    * 2011, alg. 4.4 + Rayleigh–Ritz):
+    *
+    *  1. Ω: d×l Gaussian test matrix, l = k + oversample, seeded
+    *     (deterministic driver-side generation);
+    *  2. one distributed pass per iteration computes Y = A·B for the
+    *     current basis B via [[graft.functions.SketchAgg]] (buffer
+    *     O(d·l), per-row 2·d·l compiled flops, map-side combined) —
+    *     A = E[xxᵀ] or the covariance, never materialized;
+    *  3. driver: B ← orth(Y) (modified Gram–Schmidt, O(d·l²));
+    *  4. after the last pass, Rayleigh–Ritz in span(B): M = BᵀY (l×l),
+    *     Jacobi eigensolve of M, components = B·U.
+    *
+    * `powerIters` ≥ 1 (pass count = powerIters + 1): the final basis
+    * must be orthonormal for step 4, and each extra iteration sharpens
+    * the spectral gap (A²ᵖ⁺¹ sampling). Accuracy is excellent when the
+    * spectrum decays (the real-embedding case) and carries the usual
+    * randomized-SVD error bound in expectation; the spec pins top-k
+    * eigenvalue agreement and subspace alignment against the exact
+    * solve on decaying-spectrum data, and l44r emits the per-component
+    * alignment as DATA. When exact still wins: d ≲ 2k, where the
+    * triangle fits (17 KB at d = 64) and the exact solve is both
+    * cheaper (one pass, not powerIters+1) and bit-deterministic —
+    * fitRandomized's double sums can differ in last ulps across
+    * layouts. Use [[fit]] there; this is the past-the-wall form.
+    */
+  def fitRandomized(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                    oversample: Int = 8, powerIters: Int = 1,
+                    seed: Long = 42L, center: Boolean = true): PcaModel = {
+    require(k >= 1 && k <= dim, s"k=$k out of range for dim=$dim")
+    require(powerIters >= 1, "powerIters >= 1 (the Rayleigh-Ritz basis " +
+      "must be orthonormalized at least once)")
+    val l = math.min(dim, k + oversample)
+    val rnd = new java.util.Random(seed)
+    var basis = Array.fill(dim, l)(rnd.nextGaussian())
+    var lastBasis: Array[Array[Double]] = null
+    var y: Array[Array[Double]] = null
+    var mean: Array[Double] = null
+    var n = 0L
+    var pass = 0
+    while (pass <= powerIters) {
+      val cells = df.select(
+          udaf(new graft.functions.SketchAgg(dim, basis))
+            .apply(col(vecCol).cast("array<double>")).as("cells"))
+        .select(inline(col("cells")))
+        .collect()
+      require(cells.nonEmpty && cells.head.getLong(4) > 0,
+        "fitRandomized on an empty dataset")
+      n = cells.head.getLong(4)
+      mean = new Array[Double](dim)
+      val yRaw = Array.ofDim[Double](dim, l)
+      cells.foreach { r =>
+        val i = r.getLong(0).toInt
+        val j = r.getLong(1).toInt
+        yRaw(i)(j) = r.getDouble(2) / n
+        if (j == 0) mean(i) = r.getDouble(3) / n
+      }
+      // centered A·B = E[x(xᵀB)] − μ(μᵀB)
+      if (center) {
+        val muB = Array.tabulate(l)(j =>
+          (0 until dim).map(i => mean(i) * basis(i)(j)).sum)
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < l) { yRaw(i)(j) -= mean(i) * muB(j); j += 1 }
+          i += 1
+        }
+      }
+      y = yRaw
+      lastBasis = basis
+      basis = orthonormalize(yRaw)
+      pass += 1
+    }
+    // Rayleigh–Ritz in span(lastBasis) (orthonormal for pass ≥ 1):
+    // M = lastBasisᵀ · y where y = A·lastBasis; symmetrize against
+    // float dust before the Jacobi sweep
+    val small = Array.tabulate(l, l) { (a, b) =>
+      (0 until dim).map(i => lastBasis(i)(a) * y(i)(b)).sum
+    }
+    val sym = Array.tabulate(l, l)((a, b) => (small(a)(b) + small(b)(a)) / 2)
+    val (vals, u) = jacobiEigen(sym)
+    val comps = (0 until l).map { c =>
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var a = 0
+        var s = 0.0
+        while (a < l) { s += lastBasis(i)(a) * u(c)(a); a += 1 }
+        v(i) = s
+        i += 1
+      }
+      // unit-norm + the PcaModel sign convention
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val vn = if (nrm > 0) v.map(_ / nrm) else v
+      val mx = vn.indices.maxBy(i => (math.abs(vn(i)), -i))
+      if (vn(mx) < 0.0) vn.map(x => -x) else vn
+    }.toArray
+    PcaModel(dim, n, mean, vals, comps, centered = center)
+  }
+
+  /** Modified Gram–Schmidt (two passes for stability) over the COLUMNS
+    * of a d×l matrix; a numerically-dead column (rank-deficient input)
+    * is zeroed rather than blown up — Rayleigh–Ritz then reports ~0
+    * eigenvalues for the missing directions.
+    */
+  private def orthonormalize(y: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val d = y.length
+    val l = if (d == 0) 0 else y(0).length
+    val q = Array.tabulate(d, l)((i, j) => y(i)(j))
+    var rep = 0
+    while (rep < 2) {
+      var j = 0
+      while (j < l) {
+        var p = 0
+        while (p < j) {
+          var dot = 0.0
+          var i = 0
+          while (i < d) { dot += q(i)(p) * q(i)(j); i += 1 }
+          i = 0
+          while (i < d) { q(i)(j) -= dot * q(i)(p); i += 1 }
+          p += 1
+        }
+        var nrm = 0.0
+        var i = 0
+        while (i < d) { nrm += q(i)(j) * q(i)(j); i += 1 }
+        nrm = math.sqrt(nrm)
+        i = 0
+        if (nrm > 1e-12) while (i < d) { q(i)(j) /= nrm; i += 1 }
+        else while (i < d) { q(i)(j) = 0.0; i += 1 }
+        j += 1
+      }
+      rep += 1
+    }
+    q
+  }
+
   /** Map-only projection of `vecCol` onto the first `k` principal axes:
     * out(c) = vec_dot(x, comp_c) − ⟨mean, comp_c⟩ (the centering dot is a
     * driver-side constant — and zero for an uncentered model, so the

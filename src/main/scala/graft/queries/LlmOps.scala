@@ -728,6 +728,43 @@ object LlmOps {
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("c", "coord")))
   }, None)
 
+  // L44R — randomized (sketch-project-solve) PCA vs the exact solve,
+  // with the ERROR BOUND emitted as data: per component, both
+  // eigenvalues, the relative error, the alignment of the exact axis
+  // inside the randomized top-k span, and the captured-energy ratio.
+  // Rows-by-nature (eigensolve floats, same class as l44); the row
+  // VALUES are the certificate. The embeddings table is the HARD case
+  // for randomized methods — a near-FLAT spectrum (top-8 eigenvalues
+  // within 16% of each other), where the subspace gap the method
+  // exploits barely exists — so the knobs sit at the flat-spectrum
+  // setting (oversample 24, powerIters 7: measured maxRelErr 0.17%,
+  // energy 99.95%; the default 8/2 gives 12%/91.7% here while being
+  // exact-grade on decaying spectra, PcaSpec). The d>2k economics
+  // (exact walls on the O(d^2) buffer + O(d^3) driver Jacobi — 183 s
+  // at d=1024 vs 1.2 s randomized) is SCALE_r14's rsvd row.
+  private val l44r = QueryDef("l44r_pca_randomized", (s, dir) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val k = 8
+    val exact = Pca.fit(emb, "embedding", dim = 64)
+    val rand = Pca.fitRandomized(emb, "embedding", dim = 64, k = k,
+      oversample = 24, powerIters = 7)
+    val energy = (0 until k).map(rand.eigenvalues(_)).sum /
+      (0 until k).map(exact.eigenvalues(_)).sum
+    (0 until k).map { c =>
+      val e = exact.eigenvalues(c)
+      val g = rand.eigenvalues(c)
+      val inSpan = (0 until k).map { a =>
+        val dot = exact.components(c).zip(rand.components(a))
+          .map(p => p._1 * p._2).sum
+        dot * dot
+      }.sum
+      (c.toLong, e, g, math.abs(g - e) / math.max(e, 1e-300), inSpan,
+        energy)
+    }.toDF("c", "ev_exact", "ev_rand", "rel_err", "in_span",
+      "energy_ratio")
+  }, None)
+
   // L45 — feature hashing (the hashing trick): embed text into a
   // 64-bucket signed-count vector with no trained vocabulary — the
   // engine-native bridge from the text family to the vector family
@@ -3886,7 +3923,8 @@ object LlmOps {
       l24b, l25, l25b, l25s, l26, l26h, l27, l27b, l28, l29, l29h, l30,
       l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, l45, l46, l47, l48, l49, l51, l52, l52a, l53,
+      l41b, l42, l43, l44, l44r, l45, l46, l47, l48, l49, l51, l52, l52a,
+      l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
       l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e, m1, m2, m3, m4)
 }

@@ -164,6 +164,45 @@ object ProbeR14 {
           CorpusAssembly.sequencePackSharded(newShard, "shard",
             "doc_id", "text", 2048L, baseOffset = prior).drop("shard")))
 
+      case "rsvd" =>
+        import graft.operators.Pca
+        // deterministic wide synthetic vectors: 4 planted decaying
+        // directions (hash-derived) + hash noise — the decaying-spectrum
+        // shape; generation is interpreted-HOF and excluded from timing
+        def gen(n: Int, d: Int) = spark.range(0, n, 1, 32)
+          .withColumn("embedding", expr(
+            s"""transform(sequence(0, ${d - 1}), dd -> CAST(
+                 CAST(pmod(xxhash64(id, dd), 4096L) - 2048L AS DOUBLE)
+                   / 2048.0D * 0.05D
+               + CAST(pmod(xxhash64(id, CAST(dd % 4 AS BIGINT), 7L),
+                   4096L) - 2048L AS DOUBLE) / 2048.0D
+                 * CAST(pow(0.5D, CAST(dd % 4 AS DOUBLE)) AS DOUBLE)
+               AS DOUBLE))"""))
+          .select("embedding").cache()
+        for (d <- Seq(256, 1024)) {
+          val df = gen(20000, d)
+          df.count()
+          timed(s"rsvd_exact_d$d", reps = 2)(
+            Pca.fit(df, "embedding", dim = d).eigenvalues(0))
+          timed(s"rsvd_rand_d$d", reps = 2)(
+            Pca.fitRandomized(df, "embedding", dim = d, k = 16,
+              powerIters = 1).eigenvalues(0))
+          df.unpersist(blocking = true)
+        }
+        // past the exact wall: d=4096 — MomentAgg's triangle is 8.4M
+        // cells (67 MB buffer/partition, ~2 GB merged) and the driver
+        // Jacobi is ~7e10 flops/sweep; the randomized form is the one
+        // still standing
+        locally {
+          val d = 4096
+          val df = gen(20000, d)
+          df.count()
+          timed(s"rsvd_rand_d$d", reps = 2)(
+            Pca.fitRandomized(df, "embedding", dim = d, k = 16,
+              powerIters = 1).eigenvalues(0))
+          df.unpersist(blocking = true)
+        }
+
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()

@@ -124,4 +124,83 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(ve.last - 1.0) < 1e-9)
     assert(ve.head > 0.0)
   }
+
+  /** Low-rank-plus-noise synthetic corpus: r strong directions with
+    * decaying scales, deterministic per-(row, dim) hash jitter — the
+    * decaying-spectrum shape real embeddings have, where randomized
+    * subspace iteration carries its error bound. */
+  private def lowRank(n: Int, d: Int, r: Int) = {
+    import s.implicits._
+    // direction t = unit vector from a seeded Gaussian draw
+    val rnd = new java.util.Random(7L)
+    val dirs = Array.fill(r)(Array.fill(d)(rnd.nextGaussian()))
+      .map { v => val nn = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nn) }
+    val dirLit = dirs.map(v => v.mkString("array(", "D,", "D)"))
+      .mkString("array(", ",", ")")
+    (0 until n).map(_.toLong).toDF("id")
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${d - 1}), dd ->
+             CAST(aggregate(sequence(0, ${r - 1}),
+               CAST(0.0 AS DOUBLE),
+               (acc, t) -> acc +
+                 CAST(pmod(xxhash64(id, t), 4096L) - 2048L AS DOUBLE)
+                   / 2048.0D
+                 * CAST(pow(0.6D, t) AS DOUBLE)
+                 * element_at(element_at($dirLit, t + 1), dd + 1))
+             + CAST(pmod(xxhash64(id, dd, 99L), 4096L) - 2048L AS DOUBLE)
+               / 2048.0D * 0.01D AS DOUBLE))"""))
+  }
+
+  test("fitRandomized: top-k eigenvalues and subspace agree with the " +
+    "exact solve on decaying-spectrum data (centered and uncentered)") {
+    val d = 48
+    val df = lowRank(n = 3000, d = d, r = 6).cache()
+    for (center <- Seq(true, false)) {
+      val exact = Pca.fit(df, "embedding", dim = d, center = center)
+      val rand = Pca.fitRandomized(df, "embedding", dim = d, k = 6,
+        oversample = 6, powerIters = 2, center = center)
+      assert(rand.n == exact.n)
+      // eigenvalue agreement on the energetic components
+      (0 until 6).foreach { c =>
+        val e = exact.eigenvalues(c)
+        val g = rand.eigenvalues(c)
+        assert(math.abs(g - e) <= 0.01 * math.max(e, 1e-12),
+          s"center=$center comp $c: randomized $g vs exact $e")
+      }
+      // subspace alignment: every exact top-6 axis lies (almost)
+      // inside the randomized top-6 span
+      (0 until 6).foreach { c =>
+        val v = exact.components(c)
+        val inSpan = (0 until 6).map { a =>
+          val dot = v.zip(rand.components(a)).map(p => p._1 * p._2).sum
+          dot * dot
+        }.sum
+        assert(inSpan > 0.999,
+          s"center=$center exact axis $c only $inSpan in randomized span")
+      }
+      // components orthonormal
+      (0 until 6).foreach { a =>
+        val na = rand.components(a).map(x => x * x).sum
+        assert(math.abs(na - 1.0) < 1e-9)
+        ((a + 1) until 6).foreach { b =>
+          val dot = rand.components(a).zip(rand.components(b))
+            .map(p => p._1 * p._2).sum
+          assert(math.abs(dot) < 1e-6, s"axes $a,$b not orthogonal: $dot")
+        }
+      }
+    }
+    df.unpersist(blocking = false)
+  }
+
+  test("fitRandomized: projection through the randomized model captures " +
+    "the planted energy (reconstruction sanity at k = rank)") {
+    val d = 48
+    val df = lowRank(n = 2000, d = d, r = 6)
+    val rand = Pca.fitRandomized(df, "embedding", dim = d, k = 6,
+      oversample = 6, powerIters = 2, center = true)
+    // ≥ 99% of variance is in the planted rank-6 subspace (noise 0.01)
+    assert(rand.varianceExplained(6) > 0.99,
+      s"only ${rand.varianceExplained(6)} of variance in top 6")
+  }
 }
