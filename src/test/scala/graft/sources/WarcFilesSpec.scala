@@ -236,6 +236,48 @@ class WarcFilesSpec extends AnyFunSuite {
       s"expected the overrun quarantine, got: ${starved.toSeq}")
   }
 
+  test("crawl-to-corpus composition: WARC files feed CurationPipeline " +
+    "end to end (records -> html/url columns -> 12-stage funnel)") {
+    val dir = Files.createTempDirectory("warcfiles")
+    val f = dir.resolve("crawl.warc.gz")
+    val out = new FileOutputStream(f.toFile)
+    (0 until 30).foreach { i =>
+      val dom = if (i % 5 == 2) "spam-domain.com" else "example.org"
+      val body = "<html><body><p>" +
+        (s"word$i content " * (25 + i % 7)) +
+        "of and that have with</p>" +
+        "<a href=\"/nav\">nav &amp; menu</a></body></html>"
+      val http = httpBlock("200 OK", "text/html", body)
+      val httpBytes = http.getBytes("UTF-8")
+      out.write(gzipMember(rec(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"https://site$i.$dom/page/$i",
+        "Content-Type" -> "application/http;msgtype=response",
+        "Content-Length" -> httpBytes.length.toString), http)
+        .getBytes("UTF-8")))
+    }
+    out.close()
+    val raw = WarcFiles.records(s, f.toString, splitBytes = 2048L)
+      .filter(col("error").isNull && col("warc_type") === "response")
+      .select(
+        xxhash64(col("path"), col("member_off")).as("doc_id"),
+        col("path").as("source"),
+        col("body").as("html"),
+        col("target_uri").as("u"))
+    val funnel = graft.operators.CurationPipeline.run(raw,
+        "doc_id", "source", "html", "u",
+        blockedDomains = Seq("spam-domain.com"), lineMaxDf = 50L,
+        gopherMinWords = 10, jaccN = 3, jaccThreshold = 0.5,
+        jaccMaxDocFreq = 10, budgetPerSource = 100000L,
+        packBudget = 128L, trainPct = 80, valPct = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(funnel("ingest") == 30L)
+    assert(funnel("url_blocklist") == 24L, // the %5==2 arm dies
+      s"blocklist kept ${funnel("url_blocklist")}")
+    assert(funnel("gopher_quality") > 0L)
+    assert(funnel.contains("pack"))
+  }
+
   test("responseTexts extracts clean page text from files") {
     val dir = Files.createTempDirectory("warcfiles")
     writeWarcGz(6, dir, "g.warc.gz")
