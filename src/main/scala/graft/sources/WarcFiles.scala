@@ -266,17 +266,22 @@ object WarcFiles {
   // Spark dataflow
   // ---------------------------------------------------------------
 
-  /** Driver-side listing → (path, start, end, size) splits. Metadata
-    * only: one globStatus call, no data reads. */
-  def splits(spark: SparkSession, glob: String,
-             splitBytes: Long = DefaultSplitBytes): Seq[WarcSplit] = {
-    require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
+  /** Driver-side glob listing → (path, size) per matched file.
+    * Metadata only: one globStatus call, no data reads — bounded by
+    * file COUNT (~10⁵ at 100 TB), never by data. */
+  def listFiles(spark: SparkSession, glob: String): Seq[(String, Long)] = {
     val pat = new org.apache.hadoop.fs.Path(glob)
     val fs = pat.getFileSystem(spark.sessionState.newHadoopConf())
-    val statuses = Option(fs.globStatus(pat)).getOrElse(Array.empty)
-    statuses.toSeq.filter(_.isFile).flatMap { st =>
-      val size = st.getLen
-      val path = st.getPath.toString
+    Option(fs.globStatus(pat)).getOrElse(Array.empty)
+      .toSeq.filter(_.isFile)
+      .map(st => (st.getPath.toString, st.getLen))
+  }
+
+  /** (path, size) pairs → byte-range splits. */
+  def splitsForFiles(files: Seq[(String, Long)],
+                     splitBytes: Long = DefaultSplitBytes): Seq[WarcSplit] = {
+    require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
+    files.flatMap { case (path, size) =>
       if (size == 0L) Seq.empty
       else (0L until size by splitBytes).map { off =>
         WarcSplit(path, off, math.min(off + splitBytes, size), size)
@@ -284,12 +289,24 @@ object WarcFiles {
     }
   }
 
+  /** Driver-side listing → (path, start, end, size) splits. Metadata
+    * only: one globStatus call, no data reads. */
+  def splits(spark: SparkSession, glob: String,
+             splitBytes: Long = DefaultSplitBytes): Seq[WarcSplit] =
+    splitsForFiles(listFiles(spark, glob), splitBytes)
+
   /** Inflated gzip members of every matched file, one row per member
     * (or per quarantine stub): `(path, member_off, member, error)`. */
   def members(spark: SparkSession, glob: String,
               splitBytes: Long = DefaultSplitBytes,
-              overrunBytes: Long = DefaultOverrunBytes): Dataset[WarcMember] = {
-    val ss = splits(spark, glob, splitBytes)
+              overrunBytes: Long = DefaultOverrunBytes): Dataset[WarcMember] =
+    membersForSplits(spark, splits(spark, glob, splitBytes), overrunBytes)
+
+  /** [[members]] over precomputed splits — the entry the incremental
+    * ingest uses to read an EXPLICIT file set (no re-glob race between
+    * planning and reading). */
+  def membersForSplits(spark: SparkSession, ss: Seq[WarcSplit],
+      overrunBytes: Long = DefaultOverrunBytes): Dataset[WarcMember] = {
     implicit val enc = Encoders.product[WarcMember]
     val rdd = spark.sparkContext
       .parallelize(ss, math.max(1, ss.size)) // one split per task
@@ -308,8 +325,18 @@ object WarcFiles {
     * read of the files). */
   def records(spark: SparkSession, glob: String,
               splitBytes: Long = DefaultSplitBytes,
-              overrunBytes: Long = DefaultOverrunBytes): DataFrame = {
-    val m = members(spark, glob, splitBytes, overrunBytes).toDF()
+              overrunBytes: Long = DefaultOverrunBytes): DataFrame =
+    recordsFromMembers(
+      members(spark, glob, splitBytes, overrunBytes).toDF())
+
+  /** [[records]] over an explicit file set (see [[membersForSplits]]). */
+  def recordsForFiles(spark: SparkSession, files: Seq[(String, Long)],
+                      splitBytes: Long = DefaultSplitBytes,
+                      overrunBytes: Long = DefaultOverrunBytes): DataFrame =
+    recordsFromMembers(membersForSplits(spark,
+      splitsForFiles(files, splitBytes), overrunBytes).toDF())
+
+  private def recordsFromMembers(m: DataFrame): DataFrame = {
     val quarantineStub = array(named_struct(
       lit("rec_idx"), lit(0L),
       lit("warc_type"), lit(null).cast("string"),

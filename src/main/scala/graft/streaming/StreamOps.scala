@@ -547,6 +547,74 @@ object StreamOps {
     }
   }
 
+  /** Incremental crawl-DIRECTORY ingest — the arrival form of
+    * [[graft.sources.WarcFiles]]: each tick lists the glob, ingests
+    * only files not yet in the processed-files log, writes their
+    * extracted response texts under `responsesPath/tick=<n>` and
+    * quarantine rows under `quarantinePath/tick=<n>`, then publishes
+    * the updated log atomically with the tick as its batch marker.
+    * Returns the number of files ingested (0 = nothing new, log
+    * untouched).
+    *
+    * Contract: files are IMMUTABLE ONCE VISIBLE (object-store
+    * semantics — a CommonCrawl-style bucket lists a file only when
+    * complete; on a filesystem, writers must stage-and-rename).
+    * Identity is the path; the log also records the size seen.
+    *
+    * Idempotency is the delta-log discipline: outputs land in
+    * tick-keyed dirs BEFORE the log publishes, so a crash between the
+    * two replays the same tick — same fresh-file set (the log is
+    * unchanged), same tick number ([[appliedBatch]] of the log), same
+    * dirs overwritten byte-identically. Prior ticks are never touched
+    * (append-only publishing). Driver state is bounded by file COUNT
+    * (the [[graft.sources.WarcFiles.listFiles]] argument), never data.
+    */
+  def warcFilesIngestTick(spark: org.apache.spark.sql.SparkSession,
+                          glob: String, responsesPath: String,
+                          quarantinePath: String, statePath: String,
+                          splitBytes: Long =
+                            graft.sources.WarcFiles.DefaultSplitBytes): Long = {
+    import graft.sources.WarcFiles
+    val tick = appliedBatch(spark, statePath).map(_ + 1L).getOrElse(0L)
+    val live = new org.apache.hadoop.fs.Path(statePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val processed: Set[String] =
+      if (fs.exists(live))
+        spark.read.parquet(statePath).select("path")
+          .collect().map(_.getString(0)).toSet
+      else Set.empty
+    val fresh = WarcFiles.listFiles(spark, glob)
+      .filterNot(f => processed(f._1))
+    if (fresh.isEmpty) return 0L
+    val recs = WarcFiles.recordsForFiles(spark, fresh, splitBytes)
+      .persist()
+    try {
+      recs.filter(col("error").isNull &&
+          lower(col("warc_type")) === "response" &&
+          col("body").isNotNull &&
+          col("http_status") >= 200L && col("http_status") < 300L)
+        .select(col("path"), col("member_off"), col("rec_idx"),
+          col("target_uri"), col("http_status"), col("http_mime"),
+          graft.operators.Html.cleanText("body").as("text"))
+        .write.mode("overwrite").parquet(s"$responsesPath/tick=$tick")
+      recs.filter(col("error").isNotNull)
+        .select(col("path"), col("member_off"), col("error"))
+        .write.mode("overwrite").parquet(s"$quarantinePath/tick=$tick")
+    } finally { recs.unpersist(); () }
+    // log publishes LAST: a crash before this line replays the tick
+    import spark.implicits._
+    val freshDf = fresh.toDF("path", "size")
+      .withColumn("ingest_tick", lit(tick))
+    val merged =
+      if (fs.exists(live))
+        spark.read.parquet(statePath)
+          .select("path", "size", "ingest_tick")
+          .unionByName(freshDf)
+      else freshDf
+    publishAtomic(spark, statePath, merged, Some(tick))
+    fresh.size.toLong
+  }
+
   /** Streaming temperature-based source mixing: the l29h (group,
     * hash-bucket) count histogram maintained incrementally — purely
     * additive state (group counts are the per-group bucket sums, so
