@@ -203,6 +203,53 @@ object ProbeR14 {
           df.unpersist(blocking = true)
         }
 
+      case "l71ck" =>
+        // checkpointed-stage curation pipeline vs the in-memory form
+        // at scale: materialization overhead + the restart dividend
+        import graft.operators.CurationPipeline
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        val raw = docs.select(col("doc_id"), col("source"),
+          concat(
+            lit("<html><head><script>var x = 1;</script></head><body><p>"),
+            col("text"),
+            when(pmod(col("doc_id"), lit(2L)) === 0L,
+              lit(" of and that have with")).otherwise(lit("")),
+            lit("</p><a href=\"/n\">nav</a></body></html>")).as("html"),
+          concat(lit("https://site"), pmod(col("doc_id"), lit(5L)),
+            when(pmod(col("doc_id"), lit(5L)) === 2L,
+              lit(".spam-domain.com/x")).otherwise(lit(".example.org/x")))
+            .as("u"))
+        val lineDf = (docs.count() / 10).max(4L)
+        def runMem() = CurationPipeline.run(raw, "doc_id", "source",
+          "html", "u", blockedDomains = Seq("spam-domain.com"),
+          lineMaxDf = lineDf, gopherMinWords = 20, jaccN = 3,
+          jaccThreshold = 0.2, jaccMaxDocFreq = 10,
+          budgetPerSource = 100000L, packBudget = 2048L,
+          trainPct = 80, valPct = 10,
+          reline = c => concat(lit("nav home menu\n"),
+            regexp_replace(c, " (the|a) ", "\n"),
+            lit("\ncopyright footer 2024"))).collect()
+        def runCk(dir: String) = CurationPipeline.runCheckpointed(raw,
+          "doc_id", "source", "html", "u",
+          blockedDomains = Seq("spam-domain.com"),
+          lineMaxDf = lineDf, gopherMinWords = 20, jaccN = 3,
+          jaccThreshold = 0.2, jaccMaxDocFreq = 10,
+          budgetPerSource = 100000L, packBudget = 2048L,
+          trainPct = 80, valPct = 10, stageDir = dir,
+          reline = c => concat(lit("nav home menu\n"),
+            regexp_replace(c, " (the|a) ", "\n"),
+            lit("\ncopyright footer 2024"))).collect()
+        timed("l71ck_inmemory", reps = 2)(runMem().length)
+        val ckDir = java.nio.file.Files
+          .createTempDirectory("l71ck").toString
+        timed("l71ck_checkpointed_cold", reps = 1)(runCk(ckDir).length)
+        // restart dividend: everything complete -> funnel reads only
+        timed("l71ck_restart_all_complete", reps = 1)(runCk(ckDir).length)
+        // kill stage 9 (the pair graph + components, the expensive one)
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(s"$ckDir/s9/_SUCCESS"))
+        timed("l71ck_restart_from_s9", reps = 1)(runCk(ckDir).length)
+
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()
