@@ -28,7 +28,9 @@ final class SketchAgg(dim: Int, m: Array[Array[Double]])
   require(m.length == dim, s"SketchAgg: matrix has ${m.length} rows, " +
     s"expected dim=$dim")
   private val l = if (m.isEmpty) 0 else m(0).length
-  private val size = 1 + dim + dim * l
+  // layout: [0]=n, [1..d]=Σx, [1+d ..]=Σ x·zᵀ (row-major), [last]=Σ‖x‖²
+  // (the trace cell — total variance needs it, and it costs d flops)
+  private val size = 1 + dim + dim * l + 1
 
   override def zero: Array[Double] = new Array[Double](size)
 
@@ -52,17 +54,20 @@ final class SketchAgg(dim: Int, m: Array[Array[Double]])
       }
       i += 1
     }
-    // accumulate n, Σx, Σ x zᵀ
+    // accumulate n, Σx, Σ x zᵀ, Σ‖x‖²
     buf(0) += 1.0
     i = 0
     var o = 1 + dim
+    var ssq = 0.0
     while (i < dim) {
       val xi = x(i)
       buf(1 + i) += xi
+      ssq += xi * xi
       var j = 0
       while (j < l) { buf(o) += xi * z(j); j += 1; o += 1 }
       i += 1
     }
+    buf(size - 1) += ssq
     buf
   }
 
@@ -75,12 +80,13 @@ final class SketchAgg(dim: Int, m: Array[Array[Double]])
   override def finish(buf: Array[Double]): Seq[SketchCell] = {
     val out = Vector.newBuilder[SketchCell]
     val n = buf(0).toLong
+    val ssq = buf(size - 1)
     var i = 0
     var o = 1 + dim
     while (i < dim) {
       var j = 0
       while (j < l) {
-        out += SketchCell(i, j, buf(o), buf(1 + i), n)
+        out += SketchCell(i, j, buf(o), buf(1 + i), n, ssq)
         j += 1; o += 1
       }
       i += 1
@@ -95,6 +101,7 @@ final class SketchAgg(dim: Int, m: Array[Array[Double]])
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SketchCell]]()
 }
 
-/** One cell of the sketch sums: `sxz` = Σ x_i·z_j, `sx` = Σ x_i. */
+/** One cell of the sketch sums: `sxz` = Σ x_i·z_j, `sx` = Σ x_i;
+  * `ssq` = Σ‖x‖² (the trace cell, repeated per row like `n`). */
 final case class SketchCell(i: Long, j: Long, sxz: Double, sx: Double,
-                            n: Long)
+                            n: Long, ssq: Double)

@@ -285,6 +285,13 @@ object CurationPipeline {
     *
     * The returned funnel is bit-identical to [[run]]'s (same stage
     * definitions, same aggregates; spec-pinned).
+    *
+    * A `_GRAFT_CHAIN` fingerprint (ordered stage names + every scalar
+    * parameter) guards reuse: a `stageDir` holding stages from a
+    * different chain is REFUSED rather than silently served back.
+    * The function-valued knobs (`reline`, `sentenceSplitter`) cannot
+    * be fingerprinted — do not change only those against a reused
+    * stageDir.
     */
   def runCheckpointed(raw: DataFrame, idCol: String, sourceCol: String,
           htmlCol: String, urlCol: String,
@@ -306,18 +313,56 @@ object CurationPipeline {
       val hp = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
       hp.getFileSystem(hconf).exists(hp)
     }
+    // Chain fingerprint: a restart may only reuse stage tables built
+    // by the SAME chain — a prior run with different thresholds or
+    // opt-in stages would otherwise be served back silently ("every
+    // s<k> is complete, nothing rebuilds, stale funnel returned").
+    // The fingerprint covers the ordered stage names + every scalar
+    // parameter; the function-valued knobs (reline, sentenceSplitter)
+    // CANNOT be fingerprinted — changing only those against a reused
+    // stageDir is on the caller, and the scaladoc says so.
+    locally {
+      val fp = (defs.map(_.name) ++ Seq(idCol, sourceCol, htmlCol,
+        urlCol, blockedDomains.mkString("|"), lineMaxDf,
+        gopherMinWords, jaccN, jaccThreshold, jaccMaxDocFreq,
+        budgetPerSource, packBudget, trainPct, valPct,
+        knKeepBelowBits)).mkString("")
+      val fpPath = new org.apache.hadoop.fs.Path(stageDir, "_GRAFT_CHAIN")
+      val fs = fpPath.getFileSystem(hconf)
+      if (fs.exists(fpPath)) {
+        val in = fs.open(fpPath)
+        val prior = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          var n = in.read(tmp)
+          while (n > 0) { bos.write(tmp, 0, n); n = in.read(tmp) }
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+        require(prior == fp,
+          s"runCheckpointed: $stageDir holds stages from a DIFFERENT " +
+            "chain (stage list or parameters changed) — reusing them " +
+            "would return a stale funnel; use a fresh stageDir")
+      } else {
+        val out = fs.create(fpPath, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+      }
+    }
     var prev = raw
     val stats = scala.collection.mutable.ArrayBuffer[DataFrame]()
     defs.zipWithIndex.foreach { case (d, i) =>
       val no = i + 1L
       val dataP = s"$stageDir/s$no"
       val statP = s"$stageDir/funnel_s$no"
-      if (!complete(dataP) || !complete(statP)) {
+      // a crash BETWEEN the data write and the funnel write must not
+      // rebuild the (possibly multi-TB) completed stage table — only
+      // the cheap funnel aggregate is recomputed from it
+      val dataWasComplete = complete(dataP)
+      if (!dataWasComplete)
         d.build(prev).write.mode("overwrite").parquet(dataP)
-        val self = spark.read.parquet(dataP)
+      val self = spark.read.parquet(dataP)
+      if (!dataWasComplete || !complete(statP))
         d.stat(no, self, prev).write.mode("overwrite").parquet(statP)
-      }
-      prev = spark.read.parquet(dataP)
+      prev = self
       stats += spark.read.parquet(statP)
     }
     stats.reduce(_ unionByName _)

@@ -125,10 +125,17 @@ object Pca {
   final case class PcaModel(dim: Int, n: Long, mean: Array[Double],
                             eigenvalues: Array[Double],
                             components: Array[Array[Double]],
-                            centered: Boolean = true) {
-    /** Fraction of total variance captured by the first k components. */
+                            centered: Boolean = true,
+                            totalVariance: Option[Double] = None) {
+    /** Fraction of total variance captured by the first k components.
+      * The denominator is the full trace: `eigenvalues.sum` when the
+      * model carries all `dim` of them (the exact [[fit]]), else the
+      * trace measured alongside the sketch (`totalVariance`,
+      * [[fitRandomized]]) — a truncated model's eigenvalue sum covers
+      * only the captured subspace and would silently inflate the
+      * fraction. */
     def varianceExplained(k: Int): Double = {
-      val tot = eigenvalues.sum
+      val tot = totalVariance.getOrElse(eigenvalues.sum)
       if (tot == 0.0) 0.0 else eigenvalues.take(k).sum / tot
     }
   }
@@ -309,6 +316,7 @@ object Pca {
     var y: Array[Array[Double]] = null
     var mean: Array[Double] = null
     var n = 0L
+    var ssq = 0.0
     var pass = 0
     while (pass <= powerIters) {
       val cells = df.select(
@@ -319,6 +327,7 @@ object Pca {
       require(cells.nonEmpty && cells.head.getLong(4) > 0,
         "fitRandomized on an empty dataset")
       n = cells.head.getLong(4)
+      ssq = cells.head.getDouble(5)
       mean = new Array[Double](dim)
       val yRaw = Array.ofDim[Double](dim, l)
       cells.foreach { r =>
@@ -351,7 +360,10 @@ object Pca {
     }
     val sym = Array.tabulate(l, l)((a, b) => (small(a)(b) + small(b)(a)) / 2)
     val (vals, u) = jacobiEigen(sym)
-    val comps = (0 until l).map { c =>
+    // expose only the k REQUESTED components: the oversample tail's
+    // Ritz directions are low-accuracy scaffolding, not axes a caller
+    // should project on
+    val comps = (0 until math.min(k, l)).map { c =>
       val v = new Array[Double](dim)
       var i = 0
       while (i < dim) {
@@ -367,7 +379,12 @@ object Pca {
       val mx = vn.indices.maxBy(i => (math.abs(vn(i)), -i))
       if (vn(mx) < 0.0) vn.map(x => -x) else vn
     }.toArray
-    PcaModel(dim, n, mean, vals, comps, centered = center)
+    // trace of A = E[‖x‖²]/1 (uncentered) or minus ‖μ‖² (centered) —
+    // the honest varianceExplained denominator for a truncated model
+    val trace = ssq / n -
+      (if (center) mean.map(x => x * x).sum else 0.0)
+    PcaModel(dim, n, mean, vals.take(comps.length), comps,
+      centered = center, totalVariance = Some(trace))
   }
 
   /** Modified Gram–Schmidt (two passes for stability) over the COLUMNS

@@ -175,7 +175,10 @@ object WarcFiles {
         if (split.size <= buf.length)
           out += WarcMember(split.path, 0L, buf, null)
         else out += WarcMember(split.path, 0L, null,
-          if (!windowAtEof) "window-exhausted"
+          // distinct sentinel: the retry loop may grow the window, but
+          // if the budget runs out the right knob is splitBytes (the
+          // whole FILE must fit one window), not overrunBytes
+          if (!windowAtEof) "window-exhausted-uncompressed"
           else "uncompressed-exceeds-split (raise splitBytes)")
       } else out += WarcMember(split.path, 0L, null, "not-warc")
       return out.iterator
@@ -229,6 +232,11 @@ object WarcFiles {
     val p = new org.apache.hadoop.fs.Path(split.path)
     val fs = p.getFileSystem(conf)
     val winEnd = math.min(split.end + overrun, split.size)
+    // fail CLEARLY instead of wrapping: a window is a JVM byte array,
+    // so splitBytes + overrunBytes must stay under 2 GiB
+    require(winEnd - split.start <= Int.MaxValue.toLong - 64,
+      s"WarcFiles: window ${winEnd - split.start} bytes exceeds the " +
+        "2 GiB JVM array limit — lower splitBytes and/or overrunBytes")
     val buf = new Array[Byte]((winEnd - split.start).toInt)
     val in = fs.open(p)
     try { in.seek(split.start); in.readFully(buf) } finally in.close()
@@ -248,15 +256,19 @@ object WarcFiles {
     var over = math.min(InitialOverrunBytes, overrunBytes)
     while (true) {
       val res = walkWindow(split, readWindow(split, over), maxOut).toVector
-      val exhausted = res.exists(_.error == "window-exhausted")
+      val exhausted = res.exists(m => m.error == "window-exhausted" ||
+        m.error == "window-exhausted-uncompressed")
       if (!exhausted) return res.iterator
       if (over >= overrunBytes)
-        // the straddler is larger than the caller's overrun budget —
-        // a genuine quarantine, with the knob named
-        return res.map(m =>
-          if (m.error == "window-exhausted")
+        // out of window budget — a genuine quarantine, with the RIGHT
+        // knob named per case (straddling member vs whole plain file)
+        return res.map(m => m.error match {
+          case "window-exhausted" =>
             m.copy(error = "member-exceeds-overrun (raise overrunBytes)")
-          else m).iterator
+          case "window-exhausted-uncompressed" =>
+            m.copy(error = "uncompressed-exceeds-split (raise splitBytes)")
+          case _ => m
+        }).iterator
       over = math.min(over * 8, overrunBytes)
     }
     Iterator.empty // unreachable
@@ -363,13 +375,14 @@ object WarcFiles {
         col("__r.error").as("error"))
   }
 
-  /** Good HTTP-response records with extracted page text — the rows a
-    * curation pipeline starts from ([[graft.operators.Html.cleanText]]
-    * applied, non-2xx dropped when `okOnly`). */
-  def responseTexts(spark: SparkSession, glob: String,
-                    splitBytes: Long = DefaultSplitBytes,
-                    okOnly: Boolean = true): DataFrame = {
-    val base = records(spark, glob, splitBytes)
+  /** THE single definition of the file-source response gate + text
+    * projection (shared by [[responseTexts]] and the incremental
+    * ingest tick, so the two consumers cannot drift — the
+    * `Warc.responseTextsFromRecords` discipline applied to the file
+    * reader's column set). */
+  def responseTextsFromRecords(recs: DataFrame,
+                               okOnly: Boolean = true): DataFrame = {
+    val base = recs
       .filter(col("error").isNull &&
         lower(col("warc_type")) === "response" && col("body").isNotNull)
     val gated =
@@ -380,4 +393,12 @@ object WarcFiles {
       col("target_uri"), col("http_status"), col("http_mime"),
       graft.operators.Html.cleanText("body").as("text"))
   }
+
+  /** Good HTTP-response records with extracted page text — the rows a
+    * curation pipeline starts from ([[graft.operators.Html.cleanText]]
+    * applied, non-2xx dropped when `okOnly`). */
+  def responseTexts(spark: SparkSession, glob: String,
+                    splitBytes: Long = DefaultSplitBytes,
+                    okOnly: Boolean = true): DataFrame =
+    responseTextsFromRecords(records(spark, glob, splitBytes), okOnly)
 }

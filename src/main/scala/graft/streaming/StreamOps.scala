@@ -589,13 +589,7 @@ object StreamOps {
     val recs = WarcFiles.recordsForFiles(spark, fresh, splitBytes)
       .persist()
     try {
-      recs.filter(col("error").isNull &&
-          lower(col("warc_type")) === "response" &&
-          col("body").isNotNull &&
-          col("http_status") >= 200L && col("http_status") < 300L)
-        .select(col("path"), col("member_off"), col("rec_idx"),
-          col("target_uri"), col("http_status"), col("http_mime"),
-          graft.operators.Html.cleanText("body").as("text"))
+      WarcFiles.responseTextsFromRecords(recs)
         .write.mode("overwrite").parquet(s"$responsesPath/tick=$tick")
       recs.filter(col("error").isNotNull)
         .select(col("path"), col("member_off"), col("error"))

@@ -115,8 +115,14 @@ object ProbeR14 {
                     s"Content-Length: ${httpB.length}" + crlf + crlf)
                     .getBytes("UTF-8") ++ httpB ++
                     (crlf + crlf).getBytes("UTF-8")
-                  val g = new GZIPOutputStream(out)
-                  g.write(rec); g.finish()
+                  // close() releases the native Deflater (finish()
+                  // alone leaks one per record); the shield keeps the
+                  // shared file stream open across members
+                  val shield = new java.io.FilterOutputStream(out) {
+                    override def close(): Unit = flush()
+                  }
+                  val g = new GZIPOutputStream(shield)
+                  g.write(rec); g.close()
                 }
               }
               out.close()

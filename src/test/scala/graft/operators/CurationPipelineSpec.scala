@@ -218,6 +218,22 @@ class CurationPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpointed form: a stageDir built by a DIFFERENT chain is " +
+    "refused, not silently served back") {
+    val dir = java.nio.file.Files.createTempDirectory("curation-ck-fp")
+    runCk(dir)
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.runCheckpointed(rawFixture,
+        "doc_id", "source", "html", "u",
+        blockedDomains = Seq("spam-domain.com"), lineMaxDf = 4L,
+        gopherMinWords = 20, jaccN = 3, jaccThreshold = 0.2,
+        jaccMaxDocFreq = 10, budgetPerSource = 999L, // changed
+        packBudget = 256L, trainPct = 80, valPct = 10,
+        stageDir = dir.toString, reline = relineFixture)
+    }
+    assert(e.getMessage.contains("DIFFERENT chain"))
+  }
+
   test("checkpointed form: restart after a mid-stage kill recomputes " +
     "only from the killed stage; completed prefixes are read, not " +
     "re-derived") {
