@@ -63,16 +63,16 @@ object Bpe {
   /** Lowercase `[a-z]+` word stream of `textCol` — the pre-tokenizer
     * shared by training and encoding (and by the DuckDB oracle).
     */
-  private def wordsSql(textCol: String): String =
+  private[operators] def wordsSql(textCol: String): String =
     s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"
 
   /** `word` -> `||w||o||r||d||` (single-char symbols, double-delimited). */
-  private def delimitSql(wordExpr: String): String =
+  private[operators] def delimitSql(wordExpr: String): String =
     s"'$Sep$Sep' || regexp_replace($wordExpr, '(.)', '$$1$Sep$Sep')"
 
   /** Merge (a,b): the search / replacement literals. */
-  private def searchLit(a: String, b: String): String = s"$Sep$a$Sep$Sep$b$Sep"
-  private def replaceLit(a: String, b: String): String = s"$Sep$a$b$Sep"
+  private[operators] def searchLit(a: String, b: String): String = s"$Sep$a$Sep$Sep$b$Sep"
+  private[operators] def replaceLit(a: String, b: String): String = s"$Sep$a$b$Sep"
 
   /** The whole-DOC delimited symbol stream, equal by construction to
     * `array_join(transform(words, w -> delimit(w)), '')` but built with
@@ -87,7 +87,7 @@ object Bpe {
     * a singleton-transform binding so the trimmed string is computed
     * once, not twice.
     */
-  private def docSeqSql(textCol: String): String = {
+  private[operators] def docSeqSql(textCol: String): String = {
     val m = ""
     s"""element_at(transform(array(
           btrim(regexp_replace(lower($textCol), '[^a-z]+', '$m'), '$m')),
@@ -104,7 +104,7 @@ object Bpe {
       .withColumn("seq", expr(delimitSql("word")))
 
   /** Weighted adjacent-pair counts of the current vocab state. */
-  private def pairCounts(vocab: DataFrame): DataFrame =
+  private[operators] def pairCounts(vocab: DataFrame): DataFrame =
     vocab
       .select(col("cnt"),
         expr(s"filter(split(seq, '[$Sep]'), x -> x != '')").as("syms"))

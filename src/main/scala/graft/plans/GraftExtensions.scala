@@ -90,6 +90,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WarcParse].getName, "warc_parse"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WarcParse.build(children)))
+    ext.injectFunction((
+      FunctionIdentifier("wordpiece_pieces"),
+      new ExpressionInfo(classOf[GreedyPieces].getName,
+        "wordpiece_pieces"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GreedyPieces.build(children)))
     ext.injectOptimizerRule(_ => new DimBroadcastRule)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Bpe, CorpusAssembly, Dedup, Html, IngestPipeline, Multimodal, Pca, QualityClassifier, Similarity, TextAnalysis, Urls}
+import graft.operators.{Bpe, CorpusAssembly, WordPiece, Dedup, Html, IngestPipeline, Multimodal, Pca, QualityClassifier, Similarity, TextAnalysis, Urls}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -3914,6 +3914,44 @@ object LlmOps {
       FROM documents d LEFT JOIN dstream s ON s.doc_id = d.doc_id"""
   })
 
+  // L73 — WordPiece merge training (Schuster & Nakajima 2012; the BERT
+  // tokenizer family): BPE's greedy agglomerative loop with the
+  // LIKELIHOOD argmax — score(a,b) = count(ab)/(count(a)·count(b)), one
+  // exactly-rounded double division of exact integers, ties (a,b)
+  // lexicographic. The mirror replays every round (pair counts + symbol
+  // counts + the identical score expression) as unrolled CTEs; the two
+  // engines must land on the identical merge table — which DIFFERS from
+  // l30's frequency-ordered table on this corpus, pinning that the
+  // score, not the shared machinery, decides.
+  private val wpMerges = 16
+  private val wpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
+  private val l73 = QueryDef("l73_wordpiece_train", (s, dir) => {
+    val merges = WordPiece.train(bpeTrainDocs(s, dir), "text", wpMerges)
+    import s.implicits._
+    merges.map(m => (m.rank.toLong, m.a, m.b, m.merged))
+      .toDF("rank", "a", "b", "merged")
+  }, Some(WordPiece.oracleTrainSql("text", bpeTrainFilter, wpMerges)))
+
+  // L73E — WordPiece greedy longest-match-first ENCODE certified
+  // cross-engine (the l72e treatment for the greedy family): the whole
+  // corpus segmented against the l73-trained vocabulary (train-alphabet
+  // singles + merged surfaces) by the native wordpiece_pieces
+  // expression; per doc the piece count and the order-sensitive rolling
+  // fingerprint. The mirror replays training, then the greedy walk as
+  // 16 unrolled longest-match steps per distinct word.
+  private val l73e = QueryDef("l73e_wordpiece_encode", (s, dir) => {
+    val merges = wpMemo.computeIfAbsent(dir,
+      d => WordPiece.train(bpeTrainDocs(s, d), "text", wpMerges))
+    val vocab = WordPiece.vocabTokens(bpeTrainDocs(s, dir), "text",
+      merges)
+    WordPiece.encode(Tables.documents(s, dir), "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_pieces"),
+        expr("""aggregate(pieces, CAST(0 AS BIGINT), (a, t) ->
+            (a * 31 + length(t) * 17 + ascii(substring(t, 1, 1)))
+              % 1000000007)""").as("piece_fp"))
+  }, Some(WordPiece.oracleEncodeSql("text", bpeTrainFilter, wpMerges)))
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
@@ -3926,5 +3964,6 @@ object LlmOps {
       l41b, l42, l43, l44, l44r, l45, l46, l47, l48, l49, l51, l52, l52a,
       l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
-      l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e, m1, m2, m3, m4)
+      l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e,
+      l73, l73e, m1, m2, m3, m4)
 }

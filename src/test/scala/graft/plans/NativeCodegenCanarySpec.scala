@@ -126,6 +126,25 @@ class NativeCodegenCanarySpec extends AnyFunSuite {
       InternalRow(arr(1.0, 2.0), arr(0.5, 0.25)))
   }
 
+  test("unigram_viterbi generated code compiles and runs (the model " +
+    "reference object resolves)") {
+    assertCompiles(UnigramViterbi(str, Seq("a", "b", "ab"),
+      Seq(3L, 3L, 4L), maxPieceLen = 2, unknownCost = 100L),
+      InternalRow(UTF8String.fromString("abab")))
+  }
+
+  test("warc_parse generated code compiles and runs") {
+    assertCompiles(WarcParse(str), InternalRow(
+      UTF8String.fromString("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+        "Content-Length: 2\r\n\r\nhi\r\n\r\n")))
+  }
+
+  test("wordpiece_pieces generated code compiles and runs (the " +
+    "vocabulary reference object resolves)") {
+    assertCompiles(GreedyPieces(str, Seq("a", "b", "ab", "abc")),
+      InternalRow(UTF8String.fromString("abcab")))
+  }
+
   test("pq_encode_all / pq_lut / pq_lut_score generated code compiles " +
     "and runs") {
     // 2 subspaces x 2 codewords x 2 elements
