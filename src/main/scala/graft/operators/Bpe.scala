@@ -119,7 +119,19 @@ object Bpe {
     * counts, total argmax order, left-to-right replace — the same merge
     * table on any engine, partitioning, or rerun (BpeSpec pins it).
     */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
+    trainCore(wordCounts(docs, textCol), nMerges)
+
+  /** [[train]] from a precomputed `(word, cnt)` frequency table — the
+    * streaming standing-state entry ([[graft.streaming.StreamOps]]
+    * maintains the word counts at ingest; merges fold from the state
+    * without a corpus re-scan, the unigram `trainFromWords`
+    * discipline). */
+  def trainFromWords(words: DataFrame, nMerges: Int): Seq[Merge] =
+    trainCore(words.select(col("cnt"),
+      expr(delimitSql("word")).as("seq")), nMerges)
+
+  private def trainCore(wordSeqs: DataFrame, nMerges: Int): Seq[Merge] = {
     val merges = Vector.newBuilder[Merge]
     // ONE materialized table (the corpus pass); iterations chain their
     // replace()s LAZILY on top of it. A cache-per-iteration +
@@ -131,7 +143,7 @@ object Bpe {
     // the cached vocab is orders cheaper; lineage is snapshotted with
     // an (independent, non-cascading) localCheckpoint every
     // `snapshotEvery` merges to keep the chain short at large N.
-    val base = wordCounts(docs, textCol).cache()
+    val base = wordSeqs.cache()
     base.count()
     val snapshotEvery = 8
     var cur = base.select(col("cnt"), col("seq"))

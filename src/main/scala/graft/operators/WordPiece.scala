@@ -45,9 +45,19 @@ object WordPiece {
   /** Learn the top-`nMerges` likelihood-scored merges. Returns
     * [[Bpe.Merge]] rows (rank, a, b) in learned order. */
   def train(docs: DataFrame, textCol: String,
-            nMerges: Int): Seq[Bpe.Merge] = {
+            nMerges: Int): Seq[Bpe.Merge] =
+    trainCore(Bpe.wordCounts(docs, textCol), nMerges)
+
+  /** [[train]] from a precomputed `(word, cnt)` table — the streaming
+    * standing-state entry (same contract as [[Bpe.trainFromWords]]). */
+  def trainFromWords(words: DataFrame, nMerges: Int): Seq[Bpe.Merge] =
+    trainCore(words.select(col("cnt"),
+      expr(Bpe.delimitSql("word")).as("seq")), nMerges)
+
+  private def trainCore(wordSeqs: DataFrame,
+                        nMerges: Int): Seq[Bpe.Merge] = {
     val merges = Vector.newBuilder[Bpe.Merge]
-    val base = Bpe.wordCounts(docs, textCol).cache()
+    val base = wordSeqs.cache()
     base.count()
     val snapshotEvery = 8
     var cur = base.select(col("cnt"), col("seq"))

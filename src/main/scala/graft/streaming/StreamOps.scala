@@ -516,6 +516,57 @@ object StreamOps {
       spark.read.parquet(statePath).select("word", "wf"),
       seedTop, vocabTop, iters)
 
+  /** Streaming merge-trainer word-frequency state — the
+    * [[unigramWordsForeachBatch]] discipline for the MERGE tokenizer
+    * families (BPE and WordPiece share the `[a-z]+` lowercase
+    * pre-tokenizer, which differs from the unigram family's
+    * whitespace words — hence a separate state, or the two
+    * pre-tokenizers would silently conflate). Word counts fold by
+    * addition; each micro-batch reduces to O(its distinct words);
+    * crash-safe staged publish, batch-marker idempotent.
+    * [[bpeMergesFromState]] / [[wordPieceMergesFromState]] then learn
+    * ANY merge budget from the standing state without a corpus
+    * re-scan.
+    */
+  def mergeWordsForeachBatch(statePath: String, textCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        val part = batch
+          .select(explode(expr(
+            s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+            .as("word"))
+          .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(live))
+            spark.read.parquet(statePath).unionByName(part)
+              .groupBy("word").agg(sum("cnt").cast("long").as("cnt"))
+          else part
+        publishAtomic(spark, statePath, merged, Some(batchId))
+      }
+    }
+  }
+
+  /** BPE merges from the standing word-frequency state — equal to
+    * [[graft.operators.Bpe.train]] over every document streamed so
+    * far. */
+  def bpeMergesFromState(spark: org.apache.spark.sql.SparkSession,
+                         statePath: String,
+                         nMerges: Int): Seq[graft.operators.Bpe.Merge] =
+    graft.operators.Bpe.trainFromWords(
+      spark.read.parquet(statePath).select("word", "cnt"), nMerges)
+
+  /** WordPiece merges from the standing state — equal to
+    * [[graft.operators.WordPiece.train]] over everything streamed. */
+  def wordPieceMergesFromState(spark: org.apache.spark.sql.SparkSession,
+                               statePath: String, nMerges: Int)
+      : Seq[graft.operators.Bpe.Merge] =
+    graft.operators.WordPiece.trainFromWords(
+      spark.read.parquet(statePath).select("word", "cnt"), nMerges)
+
   /** Streaming WARC crawl ingest — the m4 container parse (operators/
     * Warc) as a foreachBatch sink: each micro-batch of raw WARC
     * payloads splits into records once, good HTTP responses land as

@@ -1489,6 +1489,33 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(s.read.parquet(respPath).count() == 5L)
   }
 
+  test("streaming merge-trainer word state: BPE and WordPiece merges " +
+    "from the standing state == batch training over everything " +
+    "streamed; retries inert") {
+    import s.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_merge_words").toString + "/words"
+    val sink = StreamOps.mergeWordsForeachBatch(statePath, "text")
+    val b1 = Seq((1L, "abab abab! Cd-cd"), (2L, "abab cd"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "abcd ABCD abab"), (4L, "dddd e"))
+      .toDF("doc_id", "text")
+    sink(b1, 1L)
+    sink(b2, 2L)
+    sink(b2, 2L) // retry after publish: marker short-circuits
+    val all = b1.unionByName(b2)
+    val gotB = StreamOps.bpeMergesFromState(s, statePath, 5)
+      .map(m => (m.rank, m.a, m.b))
+    val wantB = graft.operators.Bpe.train(all, "text", 5)
+      .map(m => (m.rank, m.a, m.b))
+    assert(gotB == wantB, "state-trained BPE != batch BPE")
+    val gotW = StreamOps.wordPieceMergesFromState(s, statePath, 5)
+      .map(m => (m.rank, m.a, m.b))
+    val wantW = graft.operators.WordPiece.train(all, "text", 5)
+      .map(m => (m.rank, m.a, m.b))
+    assert(gotW == wantW, "state-trained WordPiece != batch WordPiece")
+  }
+
   test("streaming unigram-LM word state folds by addition; vocabulary " +
     "from state == batch training over everything streamed; retries " +
     "and empty batches inert") {
