@@ -256,6 +256,35 @@ object ProbeR14 {
           java.nio.file.Paths.get(s"$ckDir/s9/_SUCCESS"))
         timed("l71ck_restart_from_s9", reps = 1)(runCk(ckDir).length)
 
+      case "wp" =>
+        // WordPiece at scale: train rate (one extra symbol-count
+        // aggregate per merge vs BPE) and greedy-encode throughput
+        // (vs unigram Viterbi's 0.9-1.8M words/s, SCALE_r13 §2)
+        import graft.operators.{Bpe, WordPiece}
+        val docs = graft.core.Tables.documents(spark, sfDir)
+          .select("doc_id", "text").cache()
+        val nWords = docs.select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")))
+          .count()
+        println(s"PROBE14 wp corpus words=$nWords")
+        for (n <- Seq(16, 64)) {
+          val t0 = System.nanoTime()
+          val wm = WordPiece.train(docs, "text", n)
+          val tw = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val bm = Bpe.train(docs, "text", n)
+          val tb = (System.nanoTime() - t1) / 1e9
+          println(f"PROBE14 wp_train n=$n wp=${tw}%.1f s " +
+            f"(${n / tw}%.1f merges/s) bpe=${tb}%.1f s " +
+            f"(${n / tb}%.1f merges/s) tables_differ=${wm != bm}")
+          if (n == 64) {
+            val vocab = WordPiece.vocabTokens(docs, "text", wm)
+            timed("wp_encode_64merge")(
+              WordPiece.encode(docs, "doc_id", "text", vocab)
+                .agg(sum("n_pieces")).collect()(0).getLong(0))
+          }
+        }
+
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()
