@@ -131,18 +131,33 @@ object Bpe {
     trainCore(words.select(col("cnt"),
       expr(delimitSql("word")).as("seq")), nMerges)
 
-  private def trainCore(wordSeqs: DataFrame, nMerges: Int): Seq[Merge] = {
+  private def trainCore(wordSeqs: DataFrame, nMerges: Int): Seq[Merge] =
+    trainCoreWith(wordSeqs, nMerges)(cur =>
+      pairCounts(cur)
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(1).collect().headOption
+        .map(r => (r.getString(0), r.getString(1))))
+
+  /** THE greedy agglomerative merge loop, shared by every merge-scored
+    * tokenizer family (BPE's frequency argmax here, [[WordPiece]]'s
+    * likelihood argmax) — `argmax` inspects the current (cnt, seq)
+    * vocab state and returns the pair to adopt, or None when every
+    * word is fully merged.
+    *
+    * ONE materialized table (the corpus pass); iterations chain their
+    * replace()s LAZILY on top of it. A cache-per-iteration +
+    * unpersist-previous chain here is a trap: unpersisting the parent
+    * invalidates the dependent cache entry (its plan embeds the
+    * parent's InMemoryRelation), so every iteration silently re-runs
+    * the corpus pass — measured 4.8 s/iteration on a 31-row vocab.
+    * Re-applying <= nMerges cheap string replaces per argmax job over
+    * the cached vocab is orders cheaper; lineage is snapshotted with
+    * an (independent, non-cascading) localCheckpoint every
+    * `snapshotEvery` merges to keep the chain short at large N.
+    */
+  private[operators] def trainCoreWith(wordSeqs: DataFrame, nMerges: Int)(
+      argmax: DataFrame => Option[(String, String)]): Seq[Merge] = {
     val merges = Vector.newBuilder[Merge]
-    // ONE materialized table (the corpus pass); iterations chain their
-    // replace()s LAZILY on top of it. A cache-per-iteration +
-    // unpersist-previous chain here is a trap: unpersisting the parent
-    // invalidates the dependent cache entry (its plan embeds the
-    // parent's InMemoryRelation), so every iteration silently re-runs
-    // the corpus pass — measured 4.8 s/iteration on a 31-row vocab.
-    // Re-applying <= nMerges cheap string replaces per argmax job over
-    // the cached vocab is orders cheaper; lineage is snapshotted with
-    // an (independent, non-cascading) localCheckpoint every
-    // `snapshotEvery` merges to keep the chain short at large N.
     val base = wordSeqs.cache()
     base.count()
     val snapshotEvery = 8
@@ -150,17 +165,15 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
-      val top = pairCounts(cur)
-        .orderBy(col("total").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true // every word fully merged
-      else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += Merge(r, a, b)
-        cur = cur.withColumn("seq",
-          expr(s"replace(seq, '${searchLit(a, b)}', '${replaceLit(a, b)}')"))
-        if (r % snapshotEvery == 0) cur = cur.localCheckpoint(true)
-        r += 1
+      argmax(cur) match {
+        case None => exhausted = true // every word fully merged
+        case Some((a, b)) =>
+          merges += Merge(r, a, b)
+          cur = cur.withColumn("seq",
+            expr(s"replace(seq, '${searchLit(a, b)}', " +
+              s"'${replaceLit(a, b)}')"))
+          if (r % snapshotEvery == 0) cur = cur.localCheckpoint(true)
+          r += 1
       }
     }
     base.unpersist(blocking = false)

@@ -289,9 +289,11 @@ object CurationPipeline {
     * A `_GRAFT_CHAIN` fingerprint (ordered stage names + every scalar
     * parameter) guards reuse: a `stageDir` holding stages from a
     * different chain is REFUSED rather than silently served back.
-    * The function-valued knobs (`reline`, `sentenceSplitter`) cannot
-    * be fingerprinted — do not change only those against a reused
-    * stageDir.
+    * NOT fingerprintable — and therefore on the caller — are the
+    * function-valued knobs (`reline`, `sentenceSplitter`) and the
+    * INPUT DATASET itself: a reused stageDir always answers for the
+    * corpus it was built from, so a new crawl snapshot needs a new
+    * stageDir (the runDate-directory discipline).
     */
   def runCheckpointed(raw: DataFrame, idCol: String, sourceCol: String,
           htmlCol: String, urlCol: String,
@@ -322,11 +324,13 @@ object CurationPipeline {
     // CANNOT be fingerprinted — changing only those against a reused
     // stageDir is on the caller, and the scaladoc says so.
     locally {
+      // NUL-separated: adjacent-field boundary shifts (lineMaxDf=42,
+      // minWords=0 vs 4, 20 would otherwise collide into one string)
       val fp = (defs.map(_.name) ++ Seq(idCol, sourceCol, htmlCol,
         urlCol, blockedDomains.mkString("|"), lineMaxDf,
         gopherMinWords, jaccN, jaccThreshold, jaccMaxDocFreq,
         budgetPerSource, packBudget, trainPct, valPct,
-        knKeepBelowBits)).mkString("")
+        knKeepBelowBits)).mkString("\u0000")
       val fpPath = new org.apache.hadoop.fs.Path(stageDir, "_GRAFT_CHAIN")
       val fs = fpPath.getFileSystem(hconf)
       if (fs.exists(fpPath)) {

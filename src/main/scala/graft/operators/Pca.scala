@@ -433,7 +433,10 @@ object Pca {
     */
   def project(df: DataFrame, model: PcaModel, k: Int,
               vecCol: String, outCol: String = "proj"): DataFrame = {
-    require(k <= model.components.length, s"k=$k > fitted ${model.dim}")
+    require(k <= model.components.length,
+      s"k=$k > the model's ${model.components.length} components " +
+        s"(dim=${model.dim}; a randomized fit carries only its " +
+        "requested k)")
     val xd = expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))")
     val comps = (0 until k).map { c =>
       val comp = model.components(c)

@@ -54,21 +54,16 @@ object WordPiece {
     trainCore(words.select(col("cnt"),
       expr(Bpe.delimitSql("word")).as("seq")), nMerges)
 
+  /** The loop is [[Bpe.trainCoreWith]] — the ONLY family difference is
+    * this argmax. */
   private def trainCore(wordSeqs: DataFrame,
-                        nMerges: Int): Seq[Bpe.Merge] = {
-    val merges = Vector.newBuilder[Bpe.Merge]
-    val base = wordSeqs.cache()
-    base.count()
-    val snapshotEvery = 8
-    var cur = base.select(col("cnt"), col("seq"))
-    var r = 1
-    var exhausted = false
-    while (r <= nMerges && !exhausted) {
+                        nMerges: Int): Seq[Bpe.Merge] =
+    Bpe.trainCoreWith(wordSeqs, nMerges) { cur =>
       val symCnt = cur
         .select(col("cnt"), explode(expr(
           s"filter(split(seq, '[${Bpe.Sep}]'), x -> x != '')")).as("s"))
         .groupBy("s").agg(sum("cnt").as("sc"))
-      val top = Bpe.pairCounts(cur)
+      Bpe.pairCounts(cur)
         .join(broadcast(symCnt.select(col("s").as("a"),
           col("sc").as("ca"))), Seq("a"))
         .join(broadcast(symCnt.select(col("s").as("b"),
@@ -78,22 +73,9 @@ object WordPiece {
         .withColumn("score", col("total").cast("double") /
           (col("ca").cast("double") * col("cb").cast("double")))
         .orderBy(col("score").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val a = top(0).getAs[String]("a")
-        val b = top(0).getAs[String]("b")
-        merges += Bpe.Merge(r, a, b)
-        cur = cur.withColumn("seq", expr(
-          s"replace(seq, '${Bpe.searchLit(a, b)}', " +
-            s"'${Bpe.replaceLit(a, b)}')"))
-        if (r % snapshotEvery == 0) cur = cur.localCheckpoint(true)
-        r += 1
-      }
+        .limit(1).collect().headOption
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
     }
-    base.unpersist(blocking = false)
-    merges.result()
-  }
 
   /** The surface-token vocabulary a greedy encoder matches against:
     * train-corpus alphabet singles + merged surfaces, deduplicated

@@ -115,7 +115,14 @@ object GreedyPieces {
           children.length)
     val tArr = children(1) match {
       case a if a.foldable && a.dataType.isInstanceOf[ArrayType] =>
-        a.eval(InternalRow.empty).asInstanceOf[ArrayData]
+        if (a.dataType.asInstanceOf[ArrayType].elementType != StringType)
+          throw new IllegalArgumentException(
+            "wordpiece_pieces tokens must be an ARRAY<STRING>, got " +
+              a.dataType.simpleString)
+        val v = a.eval(InternalRow.empty)
+        if (v == null) throw new IllegalArgumentException(
+          "wordpiece_pieces tokens is NULL")
+        v.asInstanceOf[ArrayData]
       case other => throw new IllegalArgumentException(
         s"wordpiece_pieces tokens must be a literal array, got $other")
     }

@@ -174,12 +174,14 @@ object WarcFiles {
       if (startsWithWarc(buf)) {
         if (split.size <= buf.length)
           out += WarcMember(split.path, 0L, buf, null)
-        else out += WarcMember(split.path, 0L, null,
-          // distinct sentinel: the retry loop may grow the window, but
-          // if the budget runs out the right knob is splitBytes (the
-          // whole FILE must fit one window), not overrunBytes
-          if (!windowAtEof) "window-exhausted-uncompressed"
-          else "uncompressed-exceeds-split (raise splitBytes)")
+        else
+          // a short window here is never at EOF (buf.length < size by
+          // the branch), so this is always the grow-or-quarantine
+          // sentinel; walkSplit maps budget exhaustion to the
+          // splitBytes-naming quarantine (the whole FILE must fit one
+          // window — overrunBytes is the wrong knob)
+          out += WarcMember(split.path, 0L, null,
+            "window-exhausted-uncompressed")
       } else out += WarcMember(split.path, 0L, null, "not-warc")
       return out.iterator
     }

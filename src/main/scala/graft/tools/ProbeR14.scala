@@ -117,9 +117,14 @@ object ProbeR14 {
                     (crlf + crlf).getBytes("UTF-8")
                   // close() releases the native Deflater (finish()
                   // alone leaks one per record); the shield keeps the
-                  // shared file stream open across members
+                  // shared file stream open across members — and must
+                  // override the BULK write (FilterOutputStream's
+                  // default is byte-at-a-time) and not flush per
+                  // member (finish() already pushed all bytes)
                   val shield = new java.io.FilterOutputStream(out) {
-                    override def close(): Unit = flush()
+                    override def write(b: Array[Byte], o: Int,
+                                       n: Int): Unit = out.write(b, o, n)
+                    override def close(): Unit = ()
                   }
                   val g = new GZIPOutputStream(shield)
                   g.write(rec); g.close()
