@@ -30,6 +30,21 @@ import org.apache.spark.sql.functions._
   * never adjacency materialization; `iters` bounded driver iterations
   * chain lazily (the keeper-resolution loop discipline) with a cache
   * per rank table so iteration k+1 doesn't recompute 1..k.
+  *
+  * `prePartitionEdges` is the 100 TB iteration form (RISKS.md row 2's
+  * named lever): the edge list is hash-partitioned ON THE JOIN KEY
+  * (`src`) once, before caching, so every iteration's edge⋈rank join
+  * reads the cached layout directly instead of re-exchanging |E| rows
+  * per round — iterations run as separate jobs, so cross-job shuffle
+  * reuse never applies and the per-round exchange is otherwise paid
+  * in full each time. With it on, the only per-iteration shuffle is
+  * the (dst, contrib) aggregate (≤|V| combined rows); the |E|-row
+  * exchange happens exactly once for the whole run. Results are
+  * bit-identical by construction (partitioning is result-inert —
+  * x22p pins it against x22's own DuckDB oracle, GraphRankSpec pins
+  * plain == pre-partitioned AND measures the shuffle-byte cut with a
+  * task-metrics listener). Default stays off: below ~10⁶ edges the
+  * upfront exchange is the same order as the savings.
   */
 object GraphRank {
 
@@ -37,7 +52,8 @@ object GraphRank {
                          dstCol: String, iters: Int,
                          scale: Long = 1L << 20,
                          dampNum: Long = 85L,
-                         dampDen: Long = 100L): DataFrame = {
+                         dampDen: Long = 100L,
+                         prePartitionEdges: Boolean = false): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
       s"bad pagerank config: iters=$iters damp=$dampNum/$dampDen")
     // Iterative algorithms MUST materialize their reused inputs: the
@@ -49,8 +65,13 @@ object GraphRank {
     // releasing `prev` (unpersisting a parent invalidates dependent
     // cache entries), which also makes this operator eager by nature —
     // like keeper resolution, not like the lazy one-pass queries.
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).cache()
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // repartition BEFORE the cache: the cached blocks then carry
+    // HashPartitioning(src) and every iteration's InMemoryTableScan
+    // reports it, so EnsureRequirements inserts no edge-side Exchange.
+    val e = (if (prePartitionEdges) e0.repartition(col("src")) else e0)
+      .cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
@@ -127,20 +148,33 @@ object GraphRank {
     * owns the release (same as [[pageRankFixedPoint]]).
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
-                          dstCol: String, maxIters: Int = 64): DataFrame =
-    connectedComponentsWithStats(edges, srcCol, dstCol, maxIters)._1
+                          dstCol: String, maxIters: Int = 64,
+                          prePartitionEdges: Boolean = false): DataFrame =
+    connectedComponentsWithStats(edges, srcCol, dstCol, maxIters,
+      prePartitionEdges)._1
 
   /** [[connectedComponents]] plus the round count (spec hook for the
     * pointer-jump convergence bound).
+    *
+    * `prePartitionEdges` (see [[pageRankFixedPoint]]): symmetrize +
+    * distinct leaves the cached edge list hash-partitioned on
+    * (src, dst), which does NOT satisfy the per-round neighbor-join's
+    * src clustering — so every round re-exchanges |E| rows. The flag
+    * re-partitions on `src` alone before caching; the per-round
+    * neighbor join then reads the cached layout and the round's
+    * shuffles shrink to the ≤|V|-row aggregate + pointer-jump tables.
     */
   private[graft] def connectedComponentsWithStats(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 64): (DataFrame, Int) = {
+      maxIters: Int = 64,
+      prePartitionEdges: Boolean = false): (DataFrame, Int) = {
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val eSym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct().cache()
+      .distinct()
+    val e = (if (prePartitionEdges) eSym.repartition(col("src")) else eSym)
+      .cache()
     // Lineage MUST be truncated per round: the label table feeds THREE
     // of next round's operators (neighbor join, left join, pointer-jump
     // self-join), so a cache-only discipline still nests the logical

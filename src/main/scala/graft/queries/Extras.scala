@@ -633,6 +633,35 @@ object Extras {
          o_custkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey) b2""", iters = 4)))
 
+  // X22P — x22 with `prePartitionEdges = true` (RISKS.md row 2's named
+  // lever): the edge list is hash-partitioned on the join key ONCE and
+  // cached in that layout, so each of the four power iterations joins
+  // it exchange-free and the per-iteration shuffle is only the
+  // (dst, contrib) aggregate. Same oracle SQL as x22 — the hash-match
+  // certifies cross-engine that the physical layout change is
+  // result-inert (partitioning must never change ranks); GraphRankSpec
+  // measures the shuffle-byte cut with a task-metrics listener.
+  private val x22p = QueryDef("x22p_pagerank_prepart", (s, dir) => {
+    import graft.operators.GraphRank
+    val e0 = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val e = e0.union(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    GraphRank.pageRankFixedPoint(e, "src", "dst", iters = 4,
+      prePartitionEdges = true)
+  }, Some(graft.operators.GraphRank.oracleSql(
+    """SELECT src, dst FROM (SELECT DISTINCT o_custkey*2 AS src,
+         l_suppkey*2+1 AS dst FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey) b
+       UNION ALL
+       SELECT dst AS src, src AS dst FROM (SELECT DISTINCT
+         o_custkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey) b2""", iters = 4)))
+
   // X23 — parquet NATIVE bloom-filter point lookup: the documents
   // content-hash table written with a format-level bloom on `h`
   // (Formats.writeParquetBloom), then a needle query — find every doc
@@ -665,5 +694,5 @@ object Extras {
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19, x20, x21, x22, x23)
+      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23)
 }
