@@ -206,10 +206,30 @@ object Bpe {
     * at adoption time — the standard block-greedy trade.
     */
   def trainBatched(docs: DataFrame, textCol: String, nMerges: Int,
-                   batch: Int): Seq[Merge] = {
+                   batch: Int): Seq[Merge] =
+    trainBatchedWith(wordCounts(docs, textCol), nMerges, batch)((cur, k) =>
+      pairCounts(cur)
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(k).collect()
+        .map(row => (row.getString(0), row.getString(1))).toSeq)
+
+  /** THE block-greedy loop shared by the merge-scored tokenizer
+    * families (BPE's frequency order here, [[WordPiece.trainBatched]]'s
+    * likelihood order): `topK(cur, k)` returns the round's top-k
+    * candidate pairs in that family's exact argmax order; the loop
+    * adopts up to `batch` symbol-disjoint candidates per round. The
+    * disjointness argument is family-independent: applying (a,b)→ab
+    * cannot create, destroy, or overlap occurrences of a symbol-
+    * disjoint (c,d), so a disjoint candidate's PAIR count and both its
+    * SYMBOL counts — hence both families' scores — are still exact at
+    * adoption time, and the batch's replaces commute.
+    */
+  private[operators] def trainBatchedWith(
+      base0: DataFrame, nMerges: Int, batch: Int)(
+      topK: (DataFrame, Int) => Seq[(String, String)]): Seq[Merge] = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     val merges = Vector.newBuilder[Merge]
-    val base = wordCounts(docs, textCol).cache()
+    val base = base0.cache()
     base.count()
     val snapshotEvery = 64 // merges between lineage snapshots
     var sinceSnapshot = 0
@@ -223,14 +243,11 @@ object Bpe {
       // least as accurate. 4x covers heavy symbol-sharing rounds; a
       // short fetch just means a smaller adopted batch, never a wrong
       // one.
-      val top = pairCounts(cur)
-        .orderBy(col("total").desc, col("a"), col("b"))
-        .limit(4 * want).collect()
+      val top = topK(cur, 4 * want)
       if (top.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.Set[String]()
         val adopted = top.iterator
-          .map(row => (row.getString(0), row.getString(1)))
           .filter { case (a, b) =>
             val ok = !used(a) && !used(b) && !used(a + b)
             if (ok) { used += a; used += b; used += (a + b) }

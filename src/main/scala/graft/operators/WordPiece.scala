@@ -54,28 +54,59 @@ object WordPiece {
     trainCore(words.select(col("cnt"),
       expr(Bpe.delimitSql("word")).as("seq")), nMerges)
 
+  /** Likelihood-scored candidate pairs of the current vocab state, in
+    * no particular order — the family's argmax input, shared by the
+    * exact and batched trainers. */
+  private def scoredPairs(cur: DataFrame): DataFrame = {
+    val symCnt = cur
+      .select(col("cnt"), explode(expr(
+        s"filter(split(seq, '[${Bpe.Sep}]'), x -> x != '')")).as("s"))
+      .groupBy("s").agg(sum("cnt").as("sc"))
+    Bpe.pairCounts(cur)
+      .join(broadcast(symCnt.select(col("s").as("a"),
+        col("sc").as("ca"))), Seq("a"))
+      .join(broadcast(symCnt.select(col("s").as("b"),
+        col("sc").as("cb"))), Seq("b"))
+      // ONE exactly-rounded double division of exactly-rounded
+      // products — deterministic cross-engine; mirrored verbatim
+      .withColumn("score", col("total").cast("double") /
+        (col("ca").cast("double") * col("cb").cast("double")))
+  }
+
   /** The loop is [[Bpe.trainCoreWith]] — the ONLY family difference is
     * this argmax. */
   private def trainCore(wordSeqs: DataFrame,
                         nMerges: Int): Seq[Bpe.Merge] =
     Bpe.trainCoreWith(wordSeqs, nMerges) { cur =>
-      val symCnt = cur
-        .select(col("cnt"), explode(expr(
-          s"filter(split(seq, '[${Bpe.Sep}]'), x -> x != '')")).as("s"))
-        .groupBy("s").agg(sum("cnt").as("sc"))
-      Bpe.pairCounts(cur)
-        .join(broadcast(symCnt.select(col("s").as("a"),
-          col("sc").as("ca"))), Seq("a"))
-        .join(broadcast(symCnt.select(col("s").as("b"),
-          col("sc").as("cb"))), Seq("b"))
-        // ONE exactly-rounded double division of exactly-rounded
-        // products — deterministic cross-engine; mirrored verbatim
-        .withColumn("score", col("total").cast("double") /
-          (col("ca").cast("double") * col("cb").cast("double")))
+      scoredPairs(cur)
         .orderBy(col("score").desc, col("a"), col("b"))
         .limit(1).collect().headOption
         .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
     }
+
+  /** BATCHED merge learning — [[Bpe.trainBatched]]'s block-greedy loop
+    * with the likelihood argmax (the RISKS.md row-4 production-vocab
+    * lever applied to this family). Per driver round, candidates are
+    * scored ONCE from the frozen snapshot and walked in exact
+    * (score desc, a, b) order; up to `batch` symbol-disjoint pairs are
+    * adopted. Disjointness keeps the LIKELIHOOD score exact at
+    * adoption time, not just the pair count: an adopted (a,b) can
+    * change a later candidate's count(c), count(d), or count(cd) only
+    * through occurrences involving a, b, or ab, all excluded by
+    * symbol-disjointness — so every adopted score equals what the
+    * sequential trainer would have computed at its own round start.
+    * Same documented block-greedy deviation as BPE: a pair CREATED by
+    * an earlier same-round merge waits for the next round. `batch = 1`
+    * is exactly [[train]] (WordPieceSpec pins it on a real corpus).
+    */
+  def trainBatched(docs: DataFrame, textCol: String, nMerges: Int,
+                   batch: Int): Seq[Bpe.Merge] =
+    Bpe.trainBatchedWith(Bpe.wordCounts(docs, textCol), nMerges, batch)(
+      (cur, k) =>
+        scoredPairs(cur)
+          .orderBy(col("score").desc, col("a"), col("b"))
+          .limit(k).collect()
+          .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)
 
   /** The surface-token vocabulary a greedy encoder matches against:
     * train-corpus alphabet singles + merged surfaces, deduplicated

@@ -283,6 +283,14 @@ object ProbeR14 {
             f"(${n / tw}%.1f merges/s) bpe=${tb}%.1f s " +
             f"(${n / tb}%.1f merges/s) tables_differ=${wm != bm}")
           if (n == 64) {
+            // batched trainer (the RISKS row-4 lever applied to this
+            // family): merges/s at batch=8 vs the sequential rate
+            val t2 = System.nanoTime()
+            val wb = WordPiece.trainBatched(docs, "text", n, batch = 8)
+            val t8 = (System.nanoTime() - t2) / 1e9
+            println(f"PROBE14 wp_train_batched n=$n batch=8 " +
+              f"${t8}%.1f s (${n / t8}%.1f merges/s) " +
+              f"head_kept=${wb.head == wm.head}")
             val vocab = WordPiece.vocabTokens(docs, "text", wm)
             timed("wp_encode_64merge")(
               WordPiece.encode(docs, "doc_id", "text", vocab)

@@ -92,6 +92,46 @@ class WordPieceSpec extends AnyFunSuite {
         "if they agree the score is not exercising anything")
   }
 
+  test("trainBatched: batch=1 is exactly train; larger batches keep " +
+    "the argmax head, full rank cover, and determinism under " +
+    "partitioning") {
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcdef"
+    val words = (1 to 60).map { _ =>
+      (1 to (2 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, (w + " ") * (1 + i % 3)) }
+      .toDF("doc_id", "text")
+    val seq = WordPiece.train(df, "text", 10).map(m => (m.a, m.b))
+    assert(WordPiece.trainBatched(df, "text", 10, batch = 1)
+      .map(m => (m.a, m.b)) == seq,
+      "batch=1 must be the exact sequential likelihood order")
+    for (parts <- Seq(1, 7)) {
+      val b4 = WordPiece.trainBatched(df.repartition(parts), "text", 10,
+        batch = 4)
+      assert(b4.map(_.rank) == (1 to 10), s"parts=$parts")
+      // the first adoption of the first round IS the global argmax —
+      // batching can only defer same-round-created pairs, never demote
+      // the head
+      assert((b4.head.a, b4.head.b) == seq.head, s"parts=$parts")
+      // every adopted surface is buildable from the ones before it +
+      // the alphabet (a valid agglomerative table)
+      val known = scala.collection.mutable.Set[String]()
+      known ++= alphabet.map(_.toString)
+      b4.foreach { m =>
+        assert(known(m.a) && known(m.b),
+          s"merge (${m.a},${m.b}) uses an unbuildable symbol")
+        known += m.merged
+      }
+    }
+    // determinism: two identical runs learn identical tables
+    assert(WordPiece.trainBatched(df, "text", 10, batch = 4) ==
+      WordPiece.trainBatched(df, "text", 10, batch = 4))
+  }
+
   test("greedy longest-match encode: longest wins, UNK per unseen " +
     "char, pieces reconstruct the word") {
     import s.implicits._
