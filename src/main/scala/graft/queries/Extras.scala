@@ -691,8 +691,38 @@ object Extras {
                          WHERE doc_id = 7)
       GROUP BY 1"""))
 
+  // X24 — incremental cumulative-distinct over mergeable HLL sketches
+  // (operators/DistinctSketch): per-day sketches of active users, a
+  // window-folded cumulative union, and the EXACT cumulative count
+  // (first-tick running sum) next to an `est_ok` tolerance verdict.
+  // The estimate itself can't replay cross-engine (register hashing is
+  // implementation-defined), so the DuckDB mirror computes the same
+  // exact count with TRUE — the hash-match certifies the exact
+  // arithmetic AND that every tick's sketch landed within 5% (>3
+  // standard errors at lgK=12). The scale story is appendTick: a new
+  // day folds into the standing state as ONE two-sketch union, no
+  // history rescan (DistinctSketchSpec pins append == rebuild).
+  private val x24 = QueryDef("x24_hll_cumulative_distinct", (s, dir) => {
+    import graft.operators.DistinctSketch
+    val ev = Tables.eventsWithTsUs(s, dir)
+      .select(expr("ts_us DIV 86400000000").as("day"), col("user_id"))
+    DistinctSketch.certifiedCumulative(ev, "day", "user_id")
+      .withColumnRenamed("tick", "day")
+  }, Some("""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        user_id AS k FROM events),
+      days AS (SELECT DISTINCT day FROM ev),
+      ft AS (SELECT k, min(day) AS day FROM ev GROUP BY k),
+      nf AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+             FROM ft GROUP BY day)
+      SELECT d.day,
+        CAST(sum(coalesce(nf.n, 0)) OVER
+          (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+           CURRENT ROW) AS BIGINT) AS exact_cum,
+        TRUE AS est_ok
+      FROM days d LEFT JOIN nf ON nf.day = d.day"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23)
+      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23, x24)
 }

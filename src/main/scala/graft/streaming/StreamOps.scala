@@ -567,6 +567,43 @@ object StreamOps {
     graft.operators.WordPiece.trainFromWords(
       spark.read.parquet(statePath).select("word", "cnt"), nMerges)
 
+  /** Standing per-tick HLL distinct sketches maintained at ingest
+    * (the [[graft.operators.DistinctSketch]] state as a streaming
+    * fold): each micro-batch's per-tick sketches union into the state
+    * table by register-max — associative, commutative, AND idempotent,
+    * so besides the marker short-circuit the merge itself is retry-
+    * tolerant. State stays ≤|ticks| fixed-size binary rows no matter
+    * how much history streamed; cumulative estimates come from
+    * [[distinctEstimatesFromState]] without any corpus rescan.
+    */
+  def distinctSketchForeachBatch(statePath: String, tickCol: String,
+                                 keyCol: String, lgK: Int = 12)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        val part = graft.operators.DistinctSketch
+          .tickSketches(batch, tickCol, keyCol, lgK)
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(live))
+            spark.read.parquet(statePath).unionByName(part)
+              .groupBy("tick").agg(hll_union_agg(col("sk")).as("sk"))
+          else part
+        publishAtomic(spark, statePath, merged, Some(batchId))
+      }
+    }
+  }
+
+  /** Cumulative distinct estimates from the standing sketch state —
+    * equal to [[graft.operators.DistinctSketch.cumulativeEstimates]]
+    * over everything streamed so far (StreamOpsSpec pins it). */
+  def distinctEstimatesFromState(spark: org.apache.spark.sql.SparkSession,
+                                 statePath: String): DataFrame =
+    graft.operators.DistinctSketch.cumulativeEstimates(
+      spark.read.parquet(statePath).select("tick", "sk"))
+
   /** Streaming WARC crawl ingest — the m4 container parse (operators/
     * Warc) as a foreachBatch sink: each micro-batch of raw WARC
     * payloads splits into records once, good HTTP responses land as

@@ -1516,6 +1516,33 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(gotW == wantW, "state-trained WordPiece != batch WordPiece")
   }
 
+  test("streaming distinct-sketch state: estimates from the standing " +
+    "state == one-shot batch sketching over everything streamed; " +
+    "retries inert (union is idempotent AND marker-gated)") {
+    import s.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_hll_stream").toString + "/sk"
+    val sink = StreamOps.distinctSketchForeachBatch(statePath, "tick", "k")
+    val rnd = new scala.util.Random(3)
+    def mk(tickLo: Int, tickHi: Int, n: Int) =
+      Seq.fill(n)((tickLo + rnd.nextInt(tickHi - tickLo + 1)).toLong ->
+        rnd.nextInt(5000).toLong)
+        .toDF("tick", "k")
+    val b1 = mk(1, 2, 4000)
+    val b2 = mk(2, 4, 4000) // tick 2 spans batches: state must UNION it
+    sink(b1, 1L)
+    sink(b2, 2L)
+    sink(b2, 2L) // retry after publish: marker short-circuits
+    val got = StreamOps.distinctEstimatesFromState(s, statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.DistinctSketch.cumulativeEstimates(
+      graft.operators.DistinctSketch.tickSketches(
+        b1.unionByName(b2), "tick", "k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"state estimates drifted: $got vs $want")
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("streaming unigram-LM word state folds by addition; vocabulary " +
     "from state == batch training over everything streamed; retries " +
     "and empty batches inert") {
