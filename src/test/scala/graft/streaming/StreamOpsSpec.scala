@@ -680,6 +680,54 @@ class StreamOpsSpec extends AnyFunSuite {
       index.length + 1, "batch 3 must add exactly its one new hash")
   }
 
+  test("auto-compacted dedup sink: the delta-dir count stays bounded " +
+    "at the cadence, flags and index equal the never-compacted run, " +
+    "and a post-compaction retry is absorbed") {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dedup_cadence").toString
+    val plainSink = StreamOps.dedupIndexForeachBatch(
+      s"$root/pidx", s"$root/pflags", "doc_id", "text")
+    val autoSink = StreamOps.dedupIndexForeachBatchCompacted(
+      s"$root/cidx", s"$root/cflags", "doc_id", "text", maxDeltas = 3)
+    val pool = Seq("alpha text", "beta text", "gamma text", "delta text",
+      "epsilon text", "zeta text")
+    val rnd = new scala.util.Random(13)
+    val batches = (1L to 8L).map { b =>
+      b -> (1 to 3).map(i =>
+        (b * 10 + i, pool(rnd.nextInt(pool.length)))).toDF("doc_id", "text")
+    }
+    for ((b, df) <- batches) {
+      plainSink(df, b)
+      autoSink(df, b)
+      assert(StreamOps.deltaDirCount(s, s"$root/cidx") <= 3,
+        s"cadence bound broken after batch $b")
+    }
+    // the never-compacted run lists one dir per batch — the growth the
+    // cadence exists to stop (non-vacuity of the bound above)
+    assert(StreamOps.deltaDirCount(s, s"$root/pidx") == 8)
+    def flags(path: String) = s.read.parquet(path)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("dup_of_existing")).toMap
+    for ((b, _) <- batches)
+      assert(flags(s"$root/cflags/batch=$b") ==
+        flags(s"$root/pflags/batch=$b"), s"batch $b flags drifted")
+    def index(path: String) = StreamOps.dedupIndex(s, path)
+      .select("content_hash", "first_batch").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sorted.toSeq
+    assert(index(s"$root/cidx") == index(s"$root/pidx"),
+      "compaction changed the logical index")
+    // retry batch 7 AFTER its delta was compacted away: flags must be
+    // byte-identical, the re-created d=7 sits next to the base segment
+    // holding the same hashes, and the next compaction absorbs it
+    val f7 = flags(s"$root/cflags/batch=7")
+    autoSink(batches(6)._2, 7L)
+    assert(flags(s"$root/cflags/batch=7") == f7,
+      "post-compaction retry changed flags")
+    assert(index(s"$root/cidx") == index(s"$root/pidx"),
+      "post-compaction retry changed the logical index")
+  }
+
   test("windowed counts with watermark aggregate per minute") {
     import s.implicits._
     implicit val sq = s.sqlContext
