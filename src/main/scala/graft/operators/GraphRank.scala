@@ -149,9 +149,10 @@ object GraphRank {
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
                           dstCol: String, maxIters: Int = 64,
-                          prePartitionEdges: Boolean = false): DataFrame =
+                          prePartitionEdges: Boolean = false,
+                          reliableCheckpoints: Boolean = false): DataFrame =
     connectedComponentsWithStats(edges, srcCol, dstCol, maxIters,
-      prePartitionEdges)._1
+      prePartitionEdges, reliableCheckpoints)._1
 
   /** [[connectedComponents]] plus the round count (spec hook for the
     * pointer-jump convergence bound).
@@ -167,7 +168,23 @@ object GraphRank {
   private[graft] def connectedComponentsWithStats(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 64,
-      prePartitionEdges: Boolean = false): (DataFrame, Int) = {
+      prePartitionEdges: Boolean = false,
+      reliableCheckpoints: Boolean = false): (DataFrame, Int) = {
+    // Per-round lineage truncation is mandatory either way (see the
+    // in-body comment); HOW it truncates is the local-vs-cluster
+    // trade. localCheckpoint (default) writes RDD blocks to executor
+    // storage — free locally, but lineage-FREE means losing an
+    // executor mid-convergence fails the whole job. reliableCheckpoints
+    // uses real checkpoint(): each round's |V|-row label table lands in
+    // the session's checkpoint DIRECTORY (sc.setCheckpointDir — object
+    // storage on a cluster), so executor loss recovers from files and a
+    // 40-hour convergence doesn't restart from round 0. The rounds are
+    // O(log |V|) and each table is 16 bytes/node, so the storage cost
+    // is bounded and tiny next to the edge list. Results are identical
+    // by construction (GraphRankSpec pins it and proves real files).
+    def snap(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true)
+      else df.localCheckpoint(true)
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val eSym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -187,9 +204,8 @@ object GraphRank {
     // scope. (Cluster caveat, documented: localCheckpoint is lineage-
     // free, so losing an executor mid-convergence fails the job and the
     // caller reruns — the standard trade for iterative graph loops.)
-    var lab = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+    var lab = snap(e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
     var rounds = 0
     var changed = 1L
     while (changed > 0) {
@@ -198,16 +214,16 @@ object GraphRank {
         s"connectedComponents: no fixpoint after $maxIters rounds")
       val nbrMin = e.join(lab, e("src") === lab("node"))
         .groupBy(col("dst").as("node")).agg(min("lbl").as("nm"))
-      val stepped = lab.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("mid"))
-        .localCheckpoint(true) // consumed twice by the self-join below
+      val stepped = snap( // consumed twice by the self-join below
+        lab.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), col("lbl").as("old"),
+            least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("mid")))
       val parent = stepped
         .select(col("node").as("p"), col("mid").as("plbl"))
-      val next = stepped.join(parent, stepped("mid") === parent("p"), "left")
-        .select(col("node"), col("old"),
-          least(col("mid"), coalesce(col("plbl"), col("mid"))).as("lbl"))
-        .localCheckpoint(true)
+      val next = snap(
+        stepped.join(parent, stepped("mid") === parent("p"), "left")
+          .select(col("node"), col("old"),
+            least(col("mid"), coalesce(col("plbl"), col("mid"))).as("lbl")))
       changed = next.filter(col("lbl") < col("old")).count()
       lab = next.select("node", "lbl")
     }

@@ -150,6 +150,38 @@ class GraphRankSpec extends AnyFunSuite {
     assert(safe(25L) == naive(25L))
   }
 
+  test("reliableCheckpoints: CC with real storage checkpoints equals " +
+    "the localCheckpoint form and actually writes checkpoint files") {
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(200)(
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_ck").toString
+    val prev = s.sparkContext.getCheckpointDir
+    s.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val local = GraphRank.connectedComponents(df, "src", "dst")
+      val got = local.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      local.unpersist(blocking = false)
+      val reliable = GraphRank.connectedComponents(df, "src", "dst",
+        reliableCheckpoints = true)
+      val gotR = reliable.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      reliable.unpersist(blocking = false)
+      assert(got == gotR, "checkpoint mode must never change labels")
+      assert(got == refComponents(edges))
+      // the point of the mode: per-round label tables actually live in
+      // the checkpoint DIRECTORY (cluster: object storage), so executor
+      // loss mid-convergence recovers from files instead of failing
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable mode wrote no checkpoint files")
+    } finally prev.foreach(s.sparkContext.setCheckpointDir)
+  }
+
   test("prePartitionEdges is result-inert for BOTH iterative ops and " +
     "cuts total shuffle bytes on an edge-heavy graph (RISKS row 2)") {
     import s.implicits._
