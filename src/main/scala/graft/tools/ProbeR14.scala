@@ -298,6 +298,33 @@ object ProbeR14 {
           }
         }
 
+      case "graph" =>
+        // Pre-partitioned iterative graph loops (RISKS row 2): 20M
+        // synthetic edges over 2M nodes — the rank table (2M rows,
+        // ~32 MB) is past both broadcast thresholds, so the per-
+        // iteration joins run shuffled exactly as they would at 100 TB.
+        // plain: every iteration re-exchanges the 20M-row cached edge
+        // list on src; prepart: the edge list is exchanged ONCE at
+        // cache time and each iteration shuffles only the (dst,
+        // contrib) aggregate.
+        import graft.operators.GraphRank
+        val nEdges = 20L * 1000 * 1000
+        val nNodes = 2L * 1000 * 1000
+        val e = spark.range(nEdges).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+          pmod(xxhash64(col("id") + lit(nEdges)), lit(nNodes)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        for (pre <- Seq(false, true)) {
+          timed(s"pagerank_20m_pre=$pre", reps = 2) {
+            val r = GraphRank.pageRankFixedPoint(e, "src", "dst",
+              iters = 6, prePartitionEdges = pre)
+            val chk = r.agg(sum(col("r"))).collect()(0).getLong(0)
+            r.unpersist(blocking = false)
+            spark.sharedState.cacheManager.clearCache()
+            chk
+          }
+        }
+
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()
