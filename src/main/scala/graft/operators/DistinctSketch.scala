@@ -107,4 +107,67 @@ object DistinctSketch {
     sketches.select(col("tick"),
       hll_union_agg(col("sk")).over(w).as("cum_sk"))
   }
+
+  // -----------------------------------------------------------------
+  // KMV set-overlap estimation — corpus∩corpus WITHOUT the join.
+  // -----------------------------------------------------------------
+
+  /** The k smallest DISTINCT xxhash64 values of `keyExpr` — a KMV
+    * (k-minimum-values) signature of the corpus, the multi-set
+    * companion of [[graft.functions.KmvSketch]]: HLL (above) answers
+    * |A| and folds unions, but registers can't answer INTERSECTIONS;
+    * the KMV k-min SET can, because the k smallest hashes of A∪B are
+    * a uniform sample of A∪B in which membership of A and B is
+    * observable. Plan shape: distinct → global k-smallest
+    * (TakeOrdered — one partial top-k per partition, k rows to the
+    * driver-side merge; never a full sort), so the signature costs one
+    * scan regardless of corpus size and IS the thing you persist per
+    * corpus snapshot.
+    */
+  def kminHashes(df: DataFrame, keyExpr: org.apache.spark.sql.Column,
+                 k: Int): DataFrame =
+    df.select(xxhash64(keyExpr).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+
+  /** Overlap estimates from two KMV signatures (each from
+    * [[kminHashes]] with the SAME k): one row with `est_jaccard`,
+    * `est_union`, `est_intersection`, `est_exact` (true when the two
+    * corpora together hold fewer than k distinct keys, in which case
+    * all three are exact by construction). Standard KMV theory
+    * (Beyer et al. 2007, "On synopses for distinct-value estimation"):
+    * the k smallest of A∪B are exactly the k smallest of
+    * (kmin(A) ∪ kmin(B)); Jaccard estimates as the fraction of that
+    * set present in BOTH signatures, |A∪B| as (k−1)/U_(k) with U_(k)
+    * the k-th smallest hash mapped to (0,1), and |A∩B| as their
+    * product. All arithmetic is exact-integer until two final double
+    * divisions — deterministic given the input value sets.
+    */
+  def overlapEstimate(aK: DataFrame, bK: DataFrame, k: Int): DataFrame = {
+    val s = aK.select(col("h"), lit(1L).as("ina"))
+      .join(bK.select(col("h"), lit(1L).as("inb")), Seq("h"), "full_outer")
+      .na.fill(0L, Seq("ina", "inb"))
+      .orderBy(col("h")).limit(k)
+    // map a signed-64 hash to (0, 1): h/2^64 + 0.5, exact in doubles
+    // up to the 2^-11 ulp of the magnitude range — far below the
+    // sketch's own 1/sqrt(k) error
+    val norm = col("kth").cast("double") / lit(math.pow(2.0, 64)) +
+      lit(0.5)
+    s.agg(count(lit(1)).as("n"),
+        sum(col("ina") * col("inb")).as("matches"),
+        max(col("h")).as("kth"))
+      .select(
+        when(col("n") < k, col("matches").cast("double") /
+            greatest(col("n").cast("double"), lit(1.0)))
+          .otherwise(col("matches").cast("double") / lit(k.toDouble))
+          .as("est_jaccard"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / norm).as("est_union"),
+        (col("n") < k).as("est_exact"),
+        col("matches"), col("n"))
+      .select(col("est_jaccard"), col("est_union"),
+        when(col("est_exact"), col("matches").cast("double"))
+          .otherwise(col("est_jaccard") * col("est_union"))
+          .as("est_intersection"),
+        col("est_exact"))
+  }
 }

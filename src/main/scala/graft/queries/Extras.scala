@@ -721,8 +721,66 @@ object Extras {
         TRUE AS est_ok
       FROM days d LEFT JOIN nf ON nf.day = d.day"""))
 
+  // X25 — KMV corpus-overlap estimation (DistinctSketch.kminHashes /
+  // overlapEstimate): how much does crawl snapshot A overlap crawl
+  // snapshot B, WITHOUT joining them — each corpus reduces to its k
+  // smallest distinct content-hash values (one TakeOrdered scan, k
+  // rows persisted per snapshot), and Jaccard/union/intersection
+  // estimate from the two signatures alone. The sketch estimate can't
+  // replay cross-engine (xxhash64 values differ from DuckDB's hash),
+  // so the x24 certification pattern: emit the EXACT overlap counts
+  // (distinct normalized texts, inner join) plus tolerance verdicts;
+  // the mirror computes the same exacts with TRUE — the hash-match
+  // certifies the exact arithmetic AND that the estimates landed
+  // inside >3-standard-error tolerances at every gate SF. Corpora:
+  // doc_id%3 ∈ {0,1} vs {1,2} — bucket 1's texts (plus planted
+  // re-crawl dups) form a real overlap.
+  private val x25 = QueryDef("x25_kmv_corpus_overlap", (s, dir) => {
+    import graft.operators.{Dedup, DistinctSketch}
+    val k = 4096
+    val docs = Tables.documents(s, dir)
+    // 3-gram shingles (the l2 key): tens of thousands of distinct keys
+    // per corpus even at gate SF, so the ESTIMATOR path is what the
+    // verdicts certify (whole-doc keys would fall into the exact n<k
+    // branch and prove nothing)
+    def corpus(m: Int*) = docs
+      .filter(pmod(col("doc_id"), lit(3)).isin(m.map(_.toLong): _*))
+      .select(explode(Dedup.shingles("text", 3)).as("g"))
+    val a = corpus(0, 1)
+    val b = corpus(1, 2)
+    val est = DistinctSketch.overlapEstimate(
+      DistinctSketch.kminHashes(a, col("g"), k),
+      DistinctSketch.kminHashes(b, col("g"), k), k)
+    val na = a.agg(countDistinct(col("g")).as("n_a"))
+    val nb = b.agg(countDistinct(col("g")).as("n_b"))
+    val inter = a.distinct().join(b.distinct(), "g")
+      .agg(count(lit(1)).as("n_inter"))
+    na.crossJoin(nb).crossJoin(inter).crossJoin(est)
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        (abs(col("est_union") -
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")) <=
+          lit(0.05) * (col("n_a") + col("n_b") - col("n_inter"))
+            .cast("double")).as("union_ok"),
+        (abs(col("est_intersection") - col("n_inter").cast("double")) <=
+          lit(0.08) * (col("n_a") + col("n_b") - col("n_inter"))
+            .cast("double")).as("inter_ok"))
+  }, Some("""WITH toks AS (SELECT doc_id % 3 AS m,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      sh AS (SELECT m, unnest(list_distinct(list_transform(
+          range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS g
+        FROM toks WHERE len(tk) >= 3),
+      an AS (SELECT DISTINCT g FROM sh WHERE m IN (0, 1)),
+      bn AS (SELECT DISTINCT g FROM sh WHERE m IN (1, 2))
+      SELECT CAST((SELECT count(*) FROM an) AS BIGINT) AS n_a,
+             CAST((SELECT count(*) FROM bn) AS BIGINT) AS n_b,
+             CAST((SELECT count(*) FROM an JOIN bn USING (g)) AS BIGINT)
+               AS n_inter,
+             TRUE AS union_ok, TRUE AS inter_ok"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23, x24)
+      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23, x24, x25)
 }

@@ -66,6 +66,42 @@ class DistinctSketchSpec extends AnyFunSuite {
       "register-max merge must equal the single-pass sketch")
   }
 
+  test("KMV overlap: estimator path lands within 3-sigma tolerances on " +
+    "a planted overlap; n<k path is exact; signatures are " +
+    "partitioning-invariant") {
+    import s.implicits._
+    val k = 1024
+    // planted: A = 0..39999, B = 30000..69999 -> |A|=|B|=40000,
+    // union 70000, intersection 10000, jaccard 1/7
+    val a = (0L until 40000L).toDF("v")
+    val b = (30000L until 70000L).toDF("v")
+    def sig(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      DistinctSketch.kminHashes(df.repartition(parts), col("v"), k)
+    val est = DistinctSketch.overlapEstimate(sig(a, 4), sig(b, 9), k)
+      .collect()(0)
+    assert(!est.getBoolean(3), "must exercise the ESTIMATOR path")
+    val (ej, eu, ei) =
+      (est.getDouble(0), est.getDouble(1), est.getDouble(2))
+    assert(math.abs(eu - 70000.0) <= 0.10 * 70000.0, s"union est $eu")
+    assert(math.abs(ei - 10000.0) <= 0.12 * 70000.0, s"inter est $ei")
+    assert(math.abs(ej - 1.0 / 7.0) <= 0.05, s"jaccard est $ej")
+    // partitioning invariance: the k smallest distinct hashes are a
+    // set property of the data
+    val again = DistinctSketch.overlapEstimate(sig(a, 1), sig(b, 32), k)
+      .collect()(0)
+    assert((again.getDouble(0), again.getDouble(1), again.getDouble(2))
+      == ((ej, eu, ei)), "signature must not depend on layout")
+    // exact branch: under k total distinct values => exact numbers
+    val sa = (0L until 300L).toDF("v")
+    val sb = (200L until 500L).toDF("v")
+    val ex = DistinctSketch.overlapEstimate(
+      DistinctSketch.kminHashes(sa, col("v"), k),
+      DistinctSketch.kminHashes(sb, col("v"), k), k).collect()(0)
+    assert(ex.getBoolean(3), "under-k must take the exact branch")
+    assert(ex.getDouble(1) == 500.0 && ex.getDouble(2) == 100.0 &&
+      ex.getDouble(0) == 100.0 / 500.0)
+  }
+
   test("appendTick: the standing table built by per-day appends equals " +
     "the rebuilt-from-scratch cumulative at every prefix, without " +
     "rescanning history") {
