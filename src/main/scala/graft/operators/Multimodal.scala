@@ -730,6 +730,63 @@ object Multimodal {
       .toDF("id", "phash")
   }
 
+  /** (id, frame_index, fhash): a perceptual hash PER SAMPLED FRAME —
+    * the video-level signature [[videoNearDupPairs]] consumes. Demuxed
+    * containers (GIF/MJPEG-AVI) hash real decoded frames; codec-less
+    * payloads hash fixed-size byte chunks (the [[sampleFrames]]
+    * degrade), so the pipeline shape is format-independent. Map-only:
+    * one codec per partition, one input row fanning out to its frame
+    * rows, no shuffle until the caller aggregates.
+    */
+  def frameHashes(items: Dataset[MediaItem], frameSize: Int,
+                  stride: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    sampleFrames(items, frameSize, stride)
+      .mapPartitions(_.map(f =>
+        (f.id, f.frameIndex, PHash.ofItem(f.frameBytes))))
+      .toDF("id", "frame_index", "fhash")
+  }
+
+  /** Video-level near-dup pairs: Jaccard over the DISTINCT frame-hash
+    * SETS of two items >= `threshold`. The temporal complement of
+    * [[phashNearPairs]] — one whole-item hash is blind to trims,
+    * re-splits, and videos containing another's frames, while shared
+    * frame hashes survive all three (order-free by design: set
+    * Jaccard, not sequence alignment — the l2 semantics ported to
+    * frames). Distributed shape IS l2's inverted index: explode to
+    * (fhash, id), self-join on the 8-byte hash, count intersections,
+    * join back two size rows — no pairwise comparison outside shared
+    * hashes.
+    *
+    * `maxDf` is the hot-frame cap (the l2b treatment, same semantics:
+    * Jaccard over the SUB-CAP hash universe for both the intersection
+    * AND the sizes): blank/black frames are the boilerplate lines of
+    * video — one hash shared by d items otherwise detonates d²/2
+    * candidates through the shuffle. Default unlimited = exact.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame, threshold: Double,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
+    val fh = frameHashes.select("id", "fhash").distinct()
+    val live = fh.join(
+      fh.groupBy("fhash").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fhash"),
+      Seq("fhash"))
+    val sizes = live.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = live.as("a")
+      .join(live.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "jaccard")
+  }
+
   /** Near-duplicate image pairs by pHash Hamming distance <= `maxDist`:
     * the hash is split into four 16-bit bands and candidates bucket-join
     * on (band, value) — pigeonhole-COMPLETE for maxDist <= 3 (four

@@ -1279,6 +1279,36 @@ object LlmOps {
         coalesce(col("n_neardup"), lit(0L)).as("n_neardup"))
   }, None)
 
+  // M5 — VIDEO-level near-dup via frame-hash set Jaccard
+  // (Multimodal.frameHashes + videoNearDupPairs): one pHash per
+  // sampled frame, then the l2 inverted-index Jaccard over the
+  // distinct frame-hash sets — the temporal complement of m3's one-
+  // hash-per-item Hamming join (a trimmed/re-split video shares most
+  // frame hashes while its whole-item hash moves arbitrarily).
+  // DECLARED rows-only BY NATURE (the m3/l33 class — frame pHash has
+  // no SQL mirror); the math and the trim/re-encode recall are pinned
+  // by MultimodalSpec on REAL MJPEG AVIs, and the testdata run is
+  // deterministic (byte-chunk frames via the FakeCodec discipline;
+  // planted re-crawl dup texts land at Jaccard 1).
+  private val m5 = QueryDef("m5_video_frame_near_dup", (s, dir) => {
+    import s.implicits._
+    val items = Multimodal.asMediaItems(
+      Tables.documents(s, dir), "doc_id", "text")
+      .as[Multimodal.MediaItem]
+    val fh = Multimodal.frameHashes(items, frameSize = 64, stride = 1)
+    val pairs = Multimodal.videoNearDupPairs(fh, threshold = 0.5)
+    val partners = pairs
+      .select(col("id_a").as("id"), col("jaccard"))
+      .union(pairs.select(col("id_b").as("id"), col("jaccard")))
+      .groupBy("id").agg(count(lit(1)).as("n_neardup"),
+        max(col("jaccard")).as("best_jaccard"))
+    fh.groupBy("id").agg(countDistinct(col("fhash")).as("n_frame_hashes"))
+      .join(partners, Seq("id"), "left")
+      .select(col("id"), col("n_frame_hashes"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+  }, None)
+
   // L67 — DoReMi domain mixture weights (Xie et al. 2023): one
   // corpus-scale pass computes per-domain EXCESS LOSS (global unigram
   // bit-surprisal minus the domain specialist's, clipped at 0 per
@@ -3965,5 +3995,5 @@ object LlmOps {
       l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
       l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e,
-      l73, l73e, m1, m2, m3, m4)
+      l73, l73e, m1, m2, m3, m4, m5)
 }

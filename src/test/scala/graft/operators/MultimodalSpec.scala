@@ -555,4 +555,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == brute, s"got $got expect $brute")
     assert(brute.size == 21, "fixture: 15 within-group + 6 cross pairs")
   }
+
+  test("video near-dup: a trimmed + brightness-shifted re-encode of a " +
+    "real MJPEG AVI pairs at its frame-overlap Jaccard; unrelated " +
+    "video stays unpaired; maxDf drops hot-frame-only pairs") {
+    import s.implicits._
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array(0.toByte)
+         else Array.empty[Byte])
+    def list(tp: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", tp.getBytes("US-ASCII") ++ children)
+    def avi(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val avih = new Array[Byte](56)
+      le32(w).copyToArray(avih, 32); le32(h).copyToArray(avih, 36)
+      val body = "AVI ".getBytes("US-ASCII") ++
+        list("hdrl", chunk("avih", avih)) ++
+        list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    // textured frames (a solid color would DCT to the same hash for
+    // every frame); shift = the re-encode/brightness perturbation the
+    // per-frame pHash must absorb (pinned for images above)
+    def frame(seed: Int, shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val g0 = (x * 7 + y * 13 + seed * 57) % 199 + shift
+        val g = math.min(255, math.max(0, g0))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val a = avi(64, 48, Seq(frame(1, 0), frame(2, 0), frame(3, 0),
+      frame(4, 0)))
+    val bTrim = avi(64, 48, Seq(frame(2, 2), frame(3, 2), frame(4, 2)))
+    val cOther = avi(64, 48, Seq(frame(9, 0), frame(10, 0)))
+    val items = Seq(
+      MediaItem(1L, a, "video/avi", a.length.toLong),
+      MediaItem(2L, bTrim, "video/avi", bTrim.length.toLong),
+      MediaItem(3L, cOther, "video/avi", cOther.length.toLong)).toDS()
+    val fh = Multimodal.frameHashes(items, frameSize = 4096, stride = 1)
+    // real demux: one hash per frame
+    val counts = fh.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 4L, 2L -> 3L, 3L -> 2L))
+    val pairs = Multimodal.videoNearDupPairs(fh, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"only the trim should pair: ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == ((3L, 0.75)),
+      "3 shared frames over a 4-frame union")
+    // hot-frame cap: plant one frame hash shared by ALL videos; with
+    // maxDf=2 it leaves the universe, so a pair sharing ONLY it drops
+    val hot = Seq((1L, 0, 42L), (2L, 0, 42L), (3L, 0, 42L),
+      (4L, 0, 42L), (4L, 1, 77L))
+      .toDF("id", "frame_index", "fhash")
+    val uncapped = Multimodal.videoNearDupPairs(hot, threshold = 0.3)
+    assert(uncapped.count() == 6L, "all pairs share the hot frame")
+    val capped = Multimodal
+      .videoNearDupPairs(hot, threshold = 0.3, maxDf = 2)
+    assert(capped.count() == 0L,
+      "sub-cap universe holds no shared frames")
+  }
 }
