@@ -3907,18 +3907,10 @@ object LlmOps {
   // Train (l72) pins the model; this pins the INFERENCE path on real
   // corpus words — together the tokenizer family's full lifecycle is
   // hash-checked, the l30/l30e treatment for the unigram side.
-  private val l72e = QueryDef("l72e_unigram_encode", (s, dir) => {
-    import graft.operators.UnigramLm
-    val docs = Tables.documents(s, dir)
-    val vocab = UnigramLm.train(docs, "text", seedTop = l72SeedTop,
-        vocabTop = l72VocabTop, iters = l72Iters)
-      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
-    UnigramLm.encode(docs, "doc_id", "text", vocab)
-      .select(col("doc_id"), col("n_pieces"),
-        expr("""aggregate(pieces, CAST(0 AS BIGINT), (a, t) ->
-            (a * 31 + length(t) * 17 + ascii(substring(t, 1, 1)))
-              % 1000000007)""").as("piece_fp"))
-  }, Some {
+  /** The full l72e mirror body (shared with l74's per-family wrap):
+    * per doc (doc_id, n_pieces, piece_fp) under the l72-trained
+    * unigram vocabulary. */
+  private lazy val l72EncodeMirrorSql =
     s"""WITH ${l72TrainChains},
       me AS (SELECT map(list(piece ORDER BY piece),
           list(cost ORDER BY piece)) mp FROM c$l72Iters),
@@ -3942,7 +3934,19 @@ object LlmOps {
           (a, b) -> (a * 31 + b) % 1000000007), 0) AS BIGINT)
           AS piece_fp
       FROM documents d LEFT JOIN dstream s ON s.doc_id = d.doc_id"""
-  })
+
+  private val l72e = QueryDef("l72e_unigram_encode", (s, dir) => {
+    import graft.operators.UnigramLm
+    val docs = Tables.documents(s, dir)
+    val vocab = UnigramLm.train(docs, "text", seedTop = l72SeedTop,
+        vocabTop = l72VocabTop, iters = l72Iters)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    UnigramLm.encode(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_pieces"),
+        expr("""aggregate(pieces, CAST(0 AS BIGINT), (a, t) ->
+            (a * 31 + length(t) * 17 + ascii(substring(t, 1, 1)))
+              % 1000000007)""").as("piece_fp"))
+  }, Some(l72EncodeMirrorSql))
 
   // L73 — WordPiece merge training (Schuster & Nakajima 2012; the BERT
   // tokenizer family): BPE's greedy agglomerative loop with the
@@ -3982,6 +3986,71 @@ object LlmOps {
               % 1000000007)""").as("piece_fp"))
   }, Some(WordPiece.oracleEncodeSql("text", bpeTrainFilter, wpMerges)))
 
+  // L74 — the tokenizer-selection harness: all THREE families (BPE
+  // l30, unigram-LM l72, WordPiece l73) trained exactly as their
+  // registered queries train them, then the WHOLE corpus encoded by
+  // each, compared on one axis every tokenizer decision starts from —
+  // compression (chars per emitted piece over the shared [a-z]+ word
+  // domain). ONE mirror replays all three trainings AND all three
+  // encodes (each family's existing certified mirror, wrapped as a
+  // subquery and re-aggregated), so the comparison table itself is
+  // hash-checked cross-engine — the l71 composed-oracle discipline
+  // applied across tokenizer families. chars_per_piece is one double
+  // division of exact BIGINTs (the BM25 determinism discipline).
+  private val l74 = QueryDef("l74_tokenizer_eval", (s, dir) => {
+    import s.implicits._
+    import graft.operators.UnigramLm
+    val docs = Tables.documents(s, dir)
+    val chars = docs.select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .agg(sum(length(col("w"))).cast("long").as("total_chars"))
+    val bm = bpeMemo.computeIfAbsent(dir,
+      d => Bpe.train(bpeTrainDocs(s, d), "text", bpeMerges))
+    val bpeTotal = Bpe.encodeCounts(docs, "text", bm)
+      .agg(sum("bpe_tokens").cast("long").as("total_pieces"))
+      .select(lit("bpe").as("tokenizer"), col("total_pieces"))
+    val wm = wpMemo.computeIfAbsent(dir,
+      d => WordPiece.train(bpeTrainDocs(s, d), "text", wpMerges))
+    val wv = WordPiece.vocabTokens(bpeTrainDocs(s, dir), "text", wm)
+    val wpTotal = WordPiece.encode(docs, "doc_id", "text", wv)
+      .agg(sum("n_pieces").cast("long").as("total_pieces"))
+      .select(lit("wordpiece").as("tokenizer"), col("total_pieces"))
+    val uv = UnigramLm.train(docs, "text", seedTop = l72SeedTop,
+        vocabTop = l72VocabTop, iters = l72Iters)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val ugTotal = UnigramLm.encode(docs, "doc_id", "text", uv)
+      .agg(sum("n_pieces").cast("long").as("total_pieces"))
+      .select(lit("unigram").as("tokenizer"), col("total_pieces"))
+    bpeTotal.unionByName(wpTotal).unionByName(ugTotal)
+      .crossJoin(chars)
+      .select(col("tokenizer"), col("total_pieces"), col("total_chars"),
+        (col("total_chars").cast("double") /
+          col("total_pieces").cast("double")).as("chars_per_piece"))
+  }, Some {
+    def row(name: String, piecesSql: String) =
+      s"""SELECT '$name' AS tokenizer,
+            (SELECT p FROM ${name}_t) AS total_pieces,
+            total_chars,
+            CAST(total_chars AS DOUBLE) /
+              CAST((SELECT p FROM ${name}_t) AS DOUBLE) AS chars_per_piece
+          FROM chars"""
+    s"""WITH chars AS (SELECT CAST(sum(length(w)) AS BIGINT)
+            AS total_chars
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS w FROM documents)),
+        bpe_t AS (SELECT CAST(sum(bpe_total) AS BIGINT) AS p FROM (
+          ${Bpe.oracleEncodeSql("text", bpeTrainFilter, bpeSplitCase,
+            bpeMerges)}) q1),
+        wordpiece_t AS (SELECT CAST(sum(n_pieces) AS BIGINT) AS p FROM (
+          ${WordPiece.oracleEncodeSql("text", bpeTrainFilter,
+            wpMerges)}) q2),
+        unigram_t AS (SELECT CAST(sum(n_pieces) AS BIGINT) AS p FROM (
+          $l72EncodeMirrorSql) q3)
+        ${row("bpe", "")}
+        UNION ALL ${row("wordpiece", "")}
+        UNION ALL ${row("unigram", "")}"""
+  })
+
   val defs: Seq[QueryDef] =
     Seq(l1, l2, l2b, l2bh, l2h, l3, l3p, l4, l5, l6, l6m, l6p, l7, l8, l9,
       l10,
@@ -3995,5 +4064,5 @@ object LlmOps {
       l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
       l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e,
-      l73, l73e, m1, m2, m3, m4, m5)
+      l73, l73e, l74, m1, m2, m3, m4, m5)
 }
