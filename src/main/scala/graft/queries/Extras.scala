@@ -779,8 +779,80 @@ object Extras {
                AS n_inter,
              TRUE AS union_ok, TRUE AS inter_ok"""))
 
+  // X26 — ordered funnel analysis (view → click → purchase): per user
+  // the earliest ts of each stage, a later stage counting ONLY when it
+  // happens strictly after the user's earliest previous stage — the
+  // product-analytics staple x1's sessionization feeds into. Scale
+  // shape: ONE combinable groupBy(user) of conditional min-aggregates
+  // (no window, no self-join — the naive per-stage joins would be three
+  // corpus-scale shuffles), then a one-row conditional count. The
+  // funnel is monotone by construction (stage k requires stage k-1),
+  // which the oracle's identical CASE chain certifies cross-engine.
+  private val x26 = QueryDef("x26_funnel", (s, dir) => {
+    val ev = Tables.eventsWithTsUs(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    def stageMin(t: String) =
+      min(when(col("event_type") === t, col("ts_us"))).as(s"t_$t")
+    val perUser = ev.groupBy("user_id")
+      .agg(stageMin("view"), stageMin("click"), stageMin("purchase"))
+      .withColumn("reached_view", col("t_view").isNotNull)
+      .withColumn("reached_click",
+        col("reached_view") && col("t_click") > col("t_view"))
+      .withColumn("reached_purchase",
+        col("reached_click") && col("t_purchase") > col("t_click"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("reached_view").cast("long")).as("n_view"),
+      sum(col("reached_click").cast("long")).as("n_view_click"),
+      sum(col("reached_purchase").cast("long"))
+        .as("n_view_click_purchase"))
+  }, Some("""WITH pu AS (SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) t_view,
+        min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) t_click,
+        min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+          t_purchase
+      FROM events GROUP BY user_id),
+      st AS (SELECT
+        t_view IS NOT NULL AS rv,
+        t_view IS NOT NULL AND t_click > t_view AS rc,
+        t_view IS NOT NULL AND t_click > t_view AND
+          t_purchase > t_click AS rp
+      FROM pu)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(CAST(rv AS BIGINT)) AS BIGINT) AS n_view,
+        CAST(sum(CAST(rc AS BIGINT)) AS BIGINT) AS n_view_click,
+        CAST(sum(CAST(rp AS BIGINT)) AS BIGINT) AS n_view_click_purchase
+      FROM st"""))
+
+  // X27 — retention cohorts (the activation dashboard): users cohorted
+  // by FIRST-activity day, each cohort's distinct active users counted
+  // at day offsets 0..7. Scale shape: one groupBy(user) for the cohort
+  // day, one distinct over (user, day), one 8-byte-key join back, one
+  // combinable groupBy (cohort, offset) — no window, no per-day scans.
+  private val x27 = QueryDef("x27_retention_cohorts", (s, dir) => {
+    val act = Tables.eventsWithTsUs(s, dir)
+      .select(col("user_id"),
+        expr("ts_us DIV 86400000000").as("day"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    act.join(cohort, "user_id")
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .filter(col("offset") <= 7)
+      .groupBy("cohort_day", "offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }, Some("""WITH act AS (SELECT DISTINCT user_id,
+        epoch_us(ts) // 86400000000 AS day FROM events),
+      cohort AS (SELECT user_id, min(day) AS cohort_day
+        FROM act GROUP BY user_id)
+      SELECT c.cohort_day, a.day - c.cohort_day AS "offset",
+        CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM act a JOIN cohort c USING (user_id)
+      WHERE a.day - c.cohort_day <= 7
+      GROUP BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23, x24, x25)
+      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23, x24, x25, x26,
+      x27)
 }
