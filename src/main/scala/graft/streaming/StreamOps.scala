@@ -572,6 +572,69 @@ object StreamOps {
     graft.operators.WordPiece.trainFromWords(
       spark.read.parquet(statePath).select("word", "cnt"), nMerges)
 
+  /** Standing dup-CLUSTER state maintained at ingest — INCREMENTAL
+    * connected components, the step between the standing near-dup PAIR
+    * logs (the MinHash/PassJoin/pHash indexes) and "keep one doc per
+    * cluster" that previously needed a full-history CC run per
+    * arrival. State: the (node, component) label table. Per batch, the
+    * existing state compresses to STAR EDGES (node → its component —
+    * min-label-equivalent to every edge ever seen, diameter ≤ 2), and
+    * [[graft.operators.GraphRank.connectedComponents]] runs over
+    * star ∪ new-batch edges only: O(|V| + |batch|) per arrival instead
+    * of O(all pairs ever), converging in O(1) pointer-jump rounds on
+    * the star part. Correctness: CC(star(L) ∪ B) == CC(all edges so
+    * far) because star(L) preserves exactly L's connectivity and min
+    * labels are stable under the compression (components are labeled
+    * by their minimum node id, which the star keeps as a member).
+    * StreamOpsSpec pins state == one-shot CC over everything streamed,
+    * including cross-batch merges of previously separate clusters, and
+    * retry inertness.
+    */
+  def componentsForeachBatch(statePath: String,
+                             srcCol: String, dstCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        val fresh = batch.select(
+          col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val edges =
+          if (fs.exists(live))
+            spark.read.parquet(statePath)
+              .filter(col("node") =!= col("component"))
+              .select(col("node").as("src"), col("component").as("dst"))
+              .unionByName(fresh)
+          else fresh
+        val labels = graft.operators.GraphRank
+          .connectedComponents(edges, "src", "dst")
+        // singletons of the OLD state that gained no new edge keep
+        // their self-label: CC only returns nodes WITH an edge, and a
+        // previously-singleton node has none in the reduced graph
+        val merged =
+          if (fs.exists(live))
+            spark.read.parquet(statePath).select("node")
+              .unionByName(labels.select("node")).distinct()
+              .join(labels, Seq("node"), "left")
+              .select(col("node"),
+                coalesce(col("component"), col("node")).as("component"))
+          else labels.select("node", "component")
+        publishAtomic(spark, statePath, merged, Some(batchId))
+        labels.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** The standing cluster labels — equal to one-shot
+    * [[graft.operators.GraphRank.connectedComponents]] over every
+    * edge streamed so far (plus self-labeled singletons retained from
+    * earlier batches). */
+  def componentsFromState(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String): DataFrame =
+    spark.read.parquet(statePath).select("node", "component")
+
   /** Standing per-tick HLL distinct sketches maintained at ingest
     * (the [[graft.operators.DistinctSketch]] state as a streaming
     * fold): each micro-batch's per-tick sketches union into the state

@@ -1564,6 +1564,41 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(gotW == wantW, "state-trained WordPiece != batch WordPiece")
   }
 
+  test("incremental connected components: streamed cluster state == " +
+    "one-shot CC over all edges streamed, including a cross-batch " +
+    "merge of two standing clusters; retries inert") {
+    import s.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_cc_stream").toString + "/cc"
+    val sink = StreamOps.componentsForeachBatch(statePath,
+      "doc_a", "doc_b")
+    // batch 1: clusters {1,2,3} and {10,11}; batch 2: grows {1,2,3}
+    // by 4 and plants {20,21}; batch 3: BRIDGES the two standing
+    // clusters (3-10) — the case where per-batch-only labels go wrong
+    val b1 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val b2 = Seq((3L, 4L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val b3 = Seq((3L, 10L)).toDF("doc_a", "doc_b")
+    sink(b1, 1L)
+    sink(b2, 2L)
+    sink(b2, 2L) // retry after publish: marker short-circuits
+    val mid = StreamOps.componentsFromState(s, statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mid == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    sink(b3, 3L)
+    val got = StreamOps.componentsFromState(s, statePath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = graft.operators.GraphRank.connectedComponents(
+      b1.unionByName(b2).unionByName(b3), "doc_a", "doc_b")
+    val want = oneShot.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    oneShot.unpersist(blocking = false)
+    assert(got == want,
+      s"incremental labels drifted from one-shot CC: $got vs $want")
+    assert(got(11L) == 1L,
+      "the bridge must relabel the whole absorbed cluster")
+  }
+
   test("streaming distinct-sketch state: estimates from the standing " +
     "state == one-shot batch sketching over everything streamed; " +
     "retries inert (union is idempotent AND marker-gated)") {
