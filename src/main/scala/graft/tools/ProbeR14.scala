@@ -298,6 +298,36 @@ object ProbeR14 {
           }
         }
 
+      case "kmv" =>
+        // KMV corpus-overlap at scale: two half-corpora of sf5textdiv
+        // 3-gram shingles. exact = distinct+distinct+join (what x25's
+        // certification side pays); kmv = two independent signature
+        // scans (k rows each) + a 2k-row estimate — the form that
+        // never joins the corpora and whose signatures persist per
+        // snapshot.
+        import graft.operators.{Dedup, DistinctSketch}
+        val k = 4096
+        val docs = graft.core.Tables.documents(spark, sfDir)
+        def corpus(m: Int*) = docs
+          .filter(pmod(col("doc_id"), lit(3))
+            .isin(m.map(_.toLong): _*))
+          .select(explode(Dedup.shingles("text", 3)).as("g"))
+        val a = corpus(0, 1)
+        val b = corpus(1, 2)
+        timed("kmv_exact_join") {
+          val na = a.distinct().count()
+          val nb = b.distinct().count()
+          val ni = a.distinct().join(b.distinct(), "g").count()
+          (na, nb, ni)
+        }
+        timed("kmv_signatures_estimate") {
+          val est = DistinctSketch.overlapEstimate(
+            DistinctSketch.kminHashes(a, col("g"), k),
+            DistinctSketch.kminHashes(b, col("g"), k), k).collect()(0)
+          (math.round(est.getDouble(1)), math.round(est.getDouble(2)),
+            est.getBoolean(3))
+        }
+
       case "graph" =>
         // Pre-partitioned iterative graph loops (RISKS row 2): 20M
         // synthetic edges over 2M nodes — the rank table (2M rows,
