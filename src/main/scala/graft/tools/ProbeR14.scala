@@ -298,6 +298,43 @@ object ProbeR14 {
           }
         }
 
+      case "ccinc" =>
+        // Incremental CC economics: history = 5M random edges over 1M
+        // nodes already labeled (the standing state); a 20k-edge batch
+        // arrives. full = CC over all 5.02M edges (what a per-arrival
+        // recompute pays, growing with history); incremental = CC over
+        // star(state) ∪ batch (≤|V| + 20k edges, flat in history).
+        import graft.operators.GraphRank
+        val nNodes = 1000000L
+        val hist = spark.range(5000000L).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+          pmod(xxhash64(col("id") + lit(7L)), lit(nNodes)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val batch = spark.range(20000L).select(
+          pmod(xxhash64(col("id") + lit(99L)), lit(nNodes)).as("src"),
+          pmod(xxhash64(col("id") + lit(424242L)), lit(nNodes)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val state = GraphRank.connectedComponents(hist, "src", "dst")
+        state.count() // labeled standing state, excluded from timings
+        val star = state.filter(col("node") =!= col("component"))
+          .select(col("node").as("src"), col("component").as("dst"))
+          .localCheckpoint(true)
+        timed("ccinc_full_recompute", reps = 2) {
+          val r = GraphRank.connectedComponents(
+            hist.unionByName(batch), "src", "dst")
+          val n = r.select(countDistinct(col("component"))).collect()(0)
+            .getLong(0)
+          r.unpersist(blocking = false); n
+        }
+        timed("ccinc_star_plus_batch", reps = 2) {
+          val r = GraphRank.connectedComponents(
+            star.unionByName(batch), "src", "dst")
+          val n = r.select(countDistinct(col("component"))).collect()(0)
+            .getLong(0)
+          r.unpersist(blocking = false); n
+        }
+        state.unpersist(blocking = false)
+
       case "kmv" =>
         // KMV corpus-overlap at scale: two half-corpora of sf5textdiv
         // 3-gram shingles. exact = distinct+distinct+join (what x25's
