@@ -850,9 +850,59 @@ object Extras {
       WHERE a.day - c.cohort_day <= 7
       GROUP BY 1, 2"""))
 
+  // X28 — parquet corrupt-file quarantine scan
+  // (Formats.scanParquetQuarantining): the customer table written as
+  // two valid parquet files plus three planted corrupt arms (truncated
+  // tail, alien bytes, 4-byte stub); the scan must read every valid
+  // row, list exactly the three bad files with their reasons, and
+  // never die — where the plain read fails on the first bad footer
+  // and ignoreCorruptFiles drops them SILENTLY (FormatsSpec pins the
+  // plain-read failure). Oracle: the mirror knows the fixture, so
+  // row count, quarantine count, and the sorted reason list are all
+  // exact cross-engine values.
+  private val x28 = QueryDef("x28_parquet_quarantine_scan", (s, dir) => {
+    import graft.sources.Formats
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_x28").toString
+    val src = Tables.customer(s, dir)
+    for (i <- 1 to 2) {
+      val d = s"$tmp/stage$i"
+      src.filter(pmod(col("c_custkey"), lit(2)) === (i - 1).toLong)
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/good$i.parquet"))
+    }
+    val goodBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/good1.parquet"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/torn.parquet"),
+      java.util.Arrays.copyOfRange(goodBytes, 0, goodBytes.length - 9))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/alien.parquet"),
+      "not parquet at all PAR1".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/stub.parquet"),
+      Array[Byte](80, 65, 82, 49))
+    val (data, quarantined) = Formats.scanParquetQuarantining(s, tmp)
+    val rows = data.agg(count(lit(1)).as("n_rows"),
+      sum("c_custkey").cast("long").as("key_sum"))
+    val quar = quarantined.agg(
+      count(lit(1)).as("n_quarantined"),
+      array_join(sort_array(collect_list(col("reason"))), ",")
+        .as("reasons"))
+    rows.crossJoin(quar)
+  }, Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        CAST(3 AS BIGINT) AS n_quarantined,
+        'bad-footer-magic,bad-header-magic,too-short-for-parquet'
+          AS reasons
+      FROM customer"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
       x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23, x24, x25, x26,
-      x27)
+      x27, x28)
 }

@@ -66,4 +66,78 @@ object Formats {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", "string"))
       .json(path)
+
+  /** Parquet directory scan with CORRUPT-FILE quarantine — the file-
+    * granular sibling of the row-granular [[readJsonlQuarantining]] /
+    * [[graft.sources.Csv]] contract. At 100 TB some files are torn
+    * (killed writers, partial uploads, bit rot): the default read
+    * fails the whole job on the first bad footer, and
+    * `spark.sql.files.ignoreCorruptFiles` drops them SILENTLY —
+    * neither is acceptable for a corpus whose completeness is audited.
+    * This scan validates every file's parquet FOOTER up front (magic
+    * bytes at both ends + a readable footer length — a distributed
+    * map over the file list, each task reading O(16 bytes) per file,
+    * never the data), then reads only the valid files and returns the
+    * quarantine list alongside: (data, quarantined(file, size_bytes,
+    * reason)). The footer check is the same gate the real reader
+    * applies first, so a file passing it cannot fail the scan for
+    * container reasons (page-level corruption inside a valid footer
+    * surfaces per-file at read time — rerun with the file added to
+    * the quarantine, the WarcFiles per-member degrade discipline).
+    */
+  def scanParquetQuarantining(s: SparkSession,
+                              dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => (st.getPath.toString, st.getLen))
+    val confBc = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration))
+    val verdicts = s.sparkContext
+      .parallelize(files.toIndexedSeq, math.max(1, files.length / 64))
+      .map { case (p, len) =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val reason =
+          if (len < 12L) Some("too-short-for-parquet")
+          else {
+            val f = path.getFileSystem(confBc.value.value).open(path)
+            try {
+              val head = new Array[Byte](4)
+              f.readFully(0L, head)
+              val tail = new Array[Byte](8)
+              f.readFully(len - 8, tail)
+              val magic = "PAR1".getBytes("US-ASCII")
+              if (!java.util.Arrays.equals(head, magic))
+                Some("bad-header-magic")
+              else if (!(tail(4) == magic(0) && tail(5) == magic(1) &&
+                  tail(6) == magic(2) && tail(7) == magic(3)))
+                Some("bad-footer-magic")
+              else {
+                val footerLen = (tail(0) & 0xff) | ((tail(1) & 0xff) << 8) |
+                  ((tail(2) & 0xff) << 16) | ((tail(3) & 0xff) << 24)
+                if (footerLen < 0 || footerLen.toLong > len - 12L)
+                  Some("footer-length-out-of-range")
+                else None
+              }
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                Some(s"unreadable: ${e.getClass.getSimpleName}")
+            } finally f.close()
+          }
+        (p, len, reason.getOrElse(""))
+      }.collect() // bounded by the FILE COUNT (one small row per file)
+    val (bad, good) = verdicts.partition(_._3.nonEmpty)
+    val quarantined = bad.toIndexedSeq
+      .toDF("file", "size_bytes", "reason")
+    require(good.nonEmpty || bad.isEmpty,
+      s"scanParquetQuarantining: every file in $dir is corrupt")
+    val data =
+      if (good.isEmpty) s.emptyDataFrame
+      else s.read.parquet(good.map(_._1).toIndexedSeq: _*)
+    (data, quarantined)
+  }
 }

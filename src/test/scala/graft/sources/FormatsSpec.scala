@@ -29,6 +29,56 @@ class FormatsSpec extends AnyFunSuite {
       "o_totalprice:double>"), scan.take(800))
   }
 
+  test("parquet corrupt-file quarantine: torn and alien files are " +
+    "listed with reasons, valid files read completely, and the plain " +
+    "read would have failed") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_pq_quar").toString
+    val src = Tables.region(s, dir)
+    // two VALID single-file parquet dirs, files copied up into tmp
+    for (i <- 1 to 2) {
+      val d = s"$tmp/stage$i"
+      src.coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/good$i.parquet"))
+    }
+    // corrupt arms: truncated tail (bad footer), alien bytes (bad
+    // header), too-short stub; plus a _SUCCESS marker that must be
+    // ignored, not quarantined
+    val goodBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/good1.parquet"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/torn.parquet"),
+      java.util.Arrays.copyOfRange(goodBytes, 0, goodBytes.length - 9))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/alien.parquet"),
+      "this is not a parquet file, it only ends in .parquet PAR1"
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/stub.parquet"),
+      Array[Byte](80, 65, 82, 49))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/_SUCCESS"), Array.empty[Byte])
+    // the stage dirs must not be scanned (files only)
+    val (data, quarantined) = Formats.scanParquetQuarantining(s, tmp)
+    assert(data.count() == 2 * src.count(),
+      "both valid files read in full")
+    assert(data.schema == src.schema)
+    val q = quarantined.collect()
+      .map(r => r.getString(0).split('/').last -> r.getString(2)).toMap
+    assert(q.keySet == Set("torn.parquet", "alien.parquet",
+      "stub.parquet"), s"quarantine list: $q")
+    assert(q("stub.parquet") == "too-short-for-parquet")
+    assert(q("alien.parquet") == "bad-header-magic")
+    assert(q("torn.parquet") == "bad-footer-magic")
+    // non-vacuity: the plain directory read dies on the same input
+    intercept[Throwable] {
+      s.read.parquet(s"$tmp/torn.parquet").count()
+    }
+  }
+
   test("quarantining JSON ingest: malformed lines survive with their " +
     "raw text, clean lines parse — nothing crashes, nothing vanishes") {
     import org.apache.spark.sql.types._
