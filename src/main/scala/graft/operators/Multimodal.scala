@@ -730,6 +730,131 @@ object Multimodal {
       .toDF("id", "phash")
   }
 
+  /** Per-window mean-absolute PCM amplitude of an audio payload —
+    * the raw material of [[audioSignatures]]. Channel-folded 16-bit
+    * streaming read (the [[AudioCodec.decode]] bounded-buffer
+    * discipline); None for non-audio/corrupt payloads.
+    */
+  private[operators] def windowEnergies(payload: Array[Byte],
+                                        window: Int): Option[Array[Double]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bigEndian = fmt.isBigEndian
+          val frameSize = math.max(2, fmt.getFrameSize)
+          val buf = new Array[Byte](8192 - 8192 % frameSize)
+          val out = Vector.newBuilder[Double]
+          var acc = 0.0
+          var inWin = 0
+          var read = in.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) { // first channel of each frame
+              val s =
+                if (bigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+              acc += math.abs(s.toDouble)
+              inWin += 1
+              if (inWin == window) {
+                out += acc / window; acc = 0.0; inWin = 0
+              }
+              i += frameSize
+            }
+            read = in.read(buf)
+          }
+          if (inWin > 0) out += acc / inWin
+          val arr = out.result().toArray
+          if (arr.isEmpty) None else Some(arr)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic 16-bit mono WAV synthesis (spec + m6 fixture): a
+    * triangle base wave with period == `window` samples (so every
+    * window's mean |amplitude| is EXACTLY equal before scaling) under
+    * a per-window envelope drawn from `seed` — the signature's bucket
+    * values are then exact integers of the envelope, making the spec's
+    * invariance arms (gain ×5/4, whole-window trims) bit-checkable.
+    * Base samples are multiples of 4 so a 5/4 gain stays exact.
+    */
+  def syntheticWav(seed: Long, windows: Int, window: Int = 1024,
+                   gainNum: Int = 1, gainDen: Int = 1,
+                   skipWindows: Int = 0): Array[Byte] = {
+    val n = (windows - skipWindows) * window
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val gi = i + skipWindows * window
+      val w = gi / window
+      // envelope 1..8 from the seed's bits, exactly reproducible
+      val scale = (((seed >>> ((w % 8) * 8)) & 0x7L) + 1L).toInt
+      val base = 4 * ((gi % window) - window / 2)
+      val v = base * scale * gainNum / gainDen
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true,
+      false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** (id, window_index, fhash): a GAIN-INVARIANT signature hash per
+    * energy-window shingle of an audio item — the audio member of the
+    * near-dup signature family (image = [[perceptualHashes]], video =
+    * [[frameHashes]]). Per window of `window` PCM samples the mean
+    * |amplitude| is taken RELATIVE to the track mean and bucketed on a
+    * log scale (round(8·log2(e/ē)), clamped ±64): scaling every sample
+    * by a constant gain scales window and track energy equally, so the
+    * bucket sequence — and therefore every signature hash — is
+    * unchanged (re-mastered/re-encoded copies of a recording differ by
+    * exactly such gains; MultimodalSpec pins ×1.25 gain → identical
+    * signature). Hashes are over `shingle`-length bucket runs, so the
+    * set survives whole-window trims (interior runs persist) while
+    * staying order-sensitive locally. Non-audio payloads degrade to
+    * byte-chunk frame hashes ([[frameHashes]]'s fallback), keeping the
+    * pipeline shape format-independent. Output column names match
+    * [[videoNearDupPairs]]'s input — the set-Jaccard join is SHARED
+    * across the video and audio modalities.
+    */
+  def audioSignatures(items: Dataset[MediaItem], window: Int = 1024,
+                      shingle: Int = 3): Dataset[(Long, Int, Long)] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(_.flatMap { it =>
+      windowEnergies(it.payload, window) match {
+        case Some(es) =>
+          val mean = math.max(es.sum / es.length, 1e-9)
+          val buckets = es.map { e =>
+            val r = math.log(math.max(e, 1e-9) / mean) / math.log(2.0)
+            math.max(-64L, math.min(64L, math.round(8.0 * r)))
+          }
+          (0 to buckets.length - shingle).iterator.map { i =>
+            var h = 1125899906842597L
+            var j = i
+            while (j < i + shingle) { h = h * 31 + buckets(j); j += 1 }
+            (it.id, i, h)
+          }
+        case None => // non-audio: the frameHashes chunk degrade
+          val n = it.payload.length / window
+          (0 until n).iterator.map { i =>
+            (it.id, i, PHash.ofItem(java.util.Arrays.copyOfRange(
+              it.payload, i * window, (i + 1) * window)))
+          }
+      }
+    }).toDF("id", "frame_index", "fhash")
+      .as[(Long, Int, Long)]
+  }
+
   /** (id, frame_index, fhash): a perceptual hash PER SAMPLED FRAME —
     * the video-level signature [[videoNearDupPairs]] consumes. Demuxed
     * containers (GIF/MJPEG-AVI) hash real decoded frames; codec-less

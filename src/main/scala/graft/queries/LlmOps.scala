@@ -1309,6 +1309,57 @@ object LlmOps {
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
   }, None)
 
+  // M6 — AUDIO near-dup via gain-invariant energy signatures
+  // (Multimodal.audioSignatures + the SAME videoNearDupPairs join):
+  // each doc synthesizes a deterministic 16-bit WAV whose envelope is
+  // seeded by xxhash64 of the normalized text, and the corpus is
+  // dirtied in-query exactly like l1/l22: a re-crawl arm (+1M ids,
+  // identical recording → Jaccard 1) and a trimmed-re-master arm
+  // (+2M ids, one full 8-window envelope cycle dropped, so the track
+  // mean and every bucket survive and the pair lands at a
+  // deterministic sub-1 Jaccard) — then per-window log-energy buckets relative to
+  // the track mean (constant-gain re-masters land on identical
+  // signatures, pinned ×5/4 in MultimodalSpec) shingle into the
+  // modality-shared set-Jaccard join. DECLARED rows-only BY NATURE
+  // (the m3/m5 class — streaming PCM decode has no SQL mirror); the
+  // invariance arms (exact gain equality, whole-window trims pairing,
+  // unrelated recordings unpaired) are spec-pinned on REAL WAVs
+  // through the JDK audio stack.
+  private val m6 = QueryDef("m6_audio_near_dup", (s, dir) => {
+    import s.implicits._
+    val seeds = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        xxhash64(graft.operators.Dedup.normalizeText(col("text")))
+          .as("seed"))
+      .as[(Long, Long)]
+    val items = seeds.flatMap { case (id, seed) =>
+      def item(mid: Long, skip: Int) = {
+        val wav = Multimodal.syntheticWav(seed, windows = 16,
+          window = 512, skipWindows = skip)
+        Multimodal.MediaItem(mid, wav, "audio/wav", wav.length.toLong)
+      }
+      // the trim drops ONE FULL envelope cycle (8 windows), so the
+      // track mean — and every bucket — is unchanged and the pair
+      // lands at a deterministic J (interior shingles shared, the
+      // original's cycle-boundary shingles not)
+      Seq(item(id, 0)) ++
+        (if (id % 5 == 0) Seq(item(id + 1000000L, 0)) else Nil) ++
+        (if (id % 7 == 0) Seq(item(id + 2000000L, 8)) else Nil)
+    }
+    val sig = Multimodal.audioSignatures(items, window = 512).toDF()
+    val pairs = Multimodal.videoNearDupPairs(sig, threshold = 0.5)
+    val partners = pairs
+      .select(col("id_a").as("id"), col("jaccard"))
+      .union(pairs.select(col("id_b").as("id"), col("jaccard")))
+      .groupBy("id").agg(count(lit(1)).as("n_neardup"),
+        max(col("jaccard")).as("best_jaccard"))
+    sig.groupBy("id").agg(countDistinct(col("fhash")).as("n_sig_hashes"))
+      .join(partners, Seq("id"), "left")
+      .select(col("id"), col("n_sig_hashes"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+  }, None)
+
   // L67 — DoReMi domain mixture weights (Xie et al. 2023): one
   // corpus-scale pass computes per-domain EXCESS LOSS (global unigram
   // bit-surprisal minus the domain specialist's, clipped at 0 per
@@ -4064,5 +4115,5 @@ object LlmOps {
       l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
       l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e,
-      l73, l73e, l74, m1, m2, m3, m4, m5)
+      l73, l73e, l74, m1, m2, m3, m4, m5, m6)
 }

@@ -556,6 +556,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(brute.size == 21, "fixture: 15 within-group + 6 cross pairs")
   }
 
+  test("audio near-dup: a gain-scaled copy signature-matches exactly, " +
+    "a whole-window trim still pairs, an unrelated recording stays " +
+    "unpaired — through the SAME set-Jaccard join as video") {
+    import s.implicits._
+    val W = 1024
+    // envelope seed chosen so the 8-window cycle is aperiodic
+    val a = Multimodal.syntheticWav(0x1536271845362718L, windows = 16,
+      window = W)
+    val gain = Multimodal.syntheticWav(0x1536271845362718L, windows = 16,
+      window = W, gainNum = 5, gainDen = 4)
+    val trim = Multimodal.syntheticWav(0x1536271845362718L, windows = 16,
+      window = W, skipWindows = 8) // drop one full envelope cycle:
+      // the remaining windows repeat the cycle, so the track mean —
+      // and every bucket — is unchanged
+    val other = Multimodal.syntheticWav(0x7B2D4F6E1A3C5870L, windows = 16,
+      window = W)
+    val items = Seq(
+      MediaItem(1L, a, "audio/wav", a.length.toLong),
+      MediaItem(2L, gain, "audio/wav", gain.length.toLong),
+      MediaItem(3L, trim, "audio/wav", trim.length.toLong),
+      MediaItem(4L, other, "audio/wav", other.length.toLong)).toDS()
+    val sig = Multimodal.audioSignatures(items, window = W).toDF()
+    val byId = sig.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    // gain invariance is EXACT: same windows, same hashes, same order
+    assert(byId(1L).toSet.map((t: (Long, Int, Long)) => (t._2, t._3)) ==
+      byId(2L).toSet.map((t: (Long, Int, Long)) => (t._2, t._3)),
+      "a 5/4 gain must not move one signature hash")
+    val pairs = Multimodal.videoNearDupPairs(sig, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0,
+      s"gain copy must pair at Jaccard 1: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 0.5,
+      s"whole-window trim must still pair: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated recording must stay unpaired: $pairs")
+    // the non-audio degrade path still produces a usable signature
+    val textItem = Seq(MediaItem(9L, ("z" * 5000).getBytes("UTF-8"),
+      "text/plain", 5000L)).toDS()
+    assert(Multimodal.audioSignatures(textItem, window = W).count() == 4L)
+  }
+
   test("video near-dup: a trimmed + brightness-shifted re-encode of a " +
     "real MJPEG AVI pairs at its frame-overlap Jaccard; unrelated " +
     "video stays unpaired; maxDf drops hot-frame-only pairs") {
