@@ -182,4 +182,27 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(err < 0.20, s"KMV rel_err $err out of envelope")
     assert(r.getAs[Long]("true_distinct") > 0)
   }
+
+  test("x26 funnel and x27 retention plan WINDOW-FREE: combinable " +
+    "aggregates only — a per-user window (or a global one) would " +
+    "serialize exactly where user counts explode at scale") {
+    for (name <- Seq("x26_funnel", "x27_retention_cohorts")) {
+      val q = graft.SparkEntry.queries(name)(s, sf)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plans a Window:\n" +
+        plan.take(1200))
+      assert(plan.contains("HashAggregate") ||
+        plan.contains("SortAggregate"), s"$name lost its aggregate")
+    }
+    // x25's signature side plans as TakeOrdered (the x5p shape): the
+    // k-min scan must never be a full global sort
+    val sig = graft.operators.DistinctSketch.kminHashes(
+      graft.core.Tables.documents(s, sf),
+      org.apache.spark.sql.functions.col("text"), 64)
+    sig.collect()
+    assert(sig.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "kminHashes must plan as TakeOrdered, not Sort+Limit")
+  }
 }
