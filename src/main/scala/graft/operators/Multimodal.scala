@@ -731,9 +731,13 @@ object Multimodal {
   }
 
   /** Per-window mean-absolute PCM amplitude of an audio payload —
-    * the raw material of [[audioSignatures]]. Channel-folded 16-bit
-    * streaming read (the [[AudioCodec.decode]] bounded-buffer
-    * discipline); None for non-audio/corrupt payloads.
+    * the raw material of [[audioSignatures]]. 16-bit streaming read
+    * over the FIRST channel of each frame (channel choice is
+    * signature-inert as long as it is consistent; the
+    * [[AudioCodec.decode]] bounded-buffer discipline, and
+    * AudioInputStream.read guarantees frame-aligned counts so a
+    * sample never splits across buffers); None for non-audio/corrupt
+    * payloads.
     */
   private[operators] def windowEnergies(payload: Array[Byte],
                                         window: Int): Option[Array[Double]] =

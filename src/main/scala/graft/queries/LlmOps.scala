@@ -4078,7 +4078,7 @@ object LlmOps {
         (col("total_chars").cast("double") /
           col("total_pieces").cast("double")).as("chars_per_piece"))
   }, Some {
-    def row(name: String, piecesSql: String) =
+    def row(name: String) =
       s"""SELECT '$name' AS tokenizer,
             (SELECT p FROM ${name}_t) AS total_pieces,
             total_chars,
@@ -4097,9 +4097,9 @@ object LlmOps {
             wpMerges)}) q2),
         unigram_t AS (SELECT CAST(sum(n_pieces) AS BIGINT) AS p FROM (
           $l72EncodeMirrorSql) q3)
-        ${row("bpe", "")}
-        UNION ALL ${row("wordpiece", "")}
-        UNION ALL ${row("unigram", "")}"""
+        ${row("bpe")}
+        UNION ALL ${row("wordpiece")}
+        UNION ALL ${row("unigram")}"""
   })
 
   val defs: Seq[QueryDef] =
