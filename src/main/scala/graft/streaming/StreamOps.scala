@@ -635,6 +635,80 @@ object StreamOps {
                           statePath: String): DataFrame =
     spark.read.parquet(statePath).select("node", "component")
 
+  /** Standing MEDIA near-dup clusters maintained at ingest — the full
+    * streaming composition of the modality-shared signature machinery:
+    * per batch, each item's signature hashes (video frame pHashes,
+    * audio energy shingles — any (id, fhash) signature) append to a
+    * delta-log signature index (`indexPath/d=<batchId>`), new-vs-
+    * standing near-dup PAIRS come from one fhash equi-join of the
+    * batch's signatures against the full log (set-Jaccard ≥
+    * `threshold`, `maxDf` hot-hash cap — the [[graft.operators
+    * .Multimodal.videoNearDupPairs]] semantics with the batch side
+    * fixed), and the pairs feed [[componentsForeachBatch]]'s
+    * incremental star-edge cluster state at `clustersPath`. Per-batch
+    * cost: O(batch signatures + matching log rows + |V| star edges) —
+    * no full-history pair recompute, no all-pairs anywhere.
+    *
+    * Idempotency: the signature delta is keyed by batch dir (a retry
+    * overwrites byte-identical rows), pair derivation reads only
+    * deltas with id < batchId for the standing side plus the batch's
+    * own rows (so a retry sees the identical inputs), and the cluster
+    * state is marker-gated by [[componentsForeachBatch]] itself.
+    */
+  def mediaNearDupForeachBatch(indexPath: String, clustersPath: String,
+                               threshold: Double, maxDf: Int = Int.MaxValue)
+      : (DataFrame, Long) => Unit = { (batchSig, batchId) =>
+    if (!batchSig.isEmpty) {
+      val spark = batchSig.sparkSession
+      val fresh = batchSig.select(col("id").cast("long").as("id"),
+        col("fhash").cast("long").as("fhash")).distinct()
+        .withColumn("d", lit(batchId)).localCheckpoint(true)
+      // standing = deltas from EARLIER batches only (retry-stable)
+      val prior = readDeltaDirs(spark, indexPath)
+        .map(_.filter(col("d") < batchId))
+        .getOrElse(fresh.limit(0))
+      val all = prior.unionByName(fresh)
+      val live = all.join(
+        all.groupBy("fhash").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("fhash"), Seq("fhash"))
+      val sizes = live.groupBy("id").agg(count(lit(1)).as("n"))
+      // candidates: batch side × full live set (old-old pairs were
+      // emitted by their own batches). The pair is normalized
+      // (least, greatest) — an a<b filter on the raw orientation would
+      // silently drop every old-new pair whose OLD id is the larger
+      // one — and the intersection counts DISTINCT hashes because a
+      // new-new pair reaches the join in both orientations.
+      val b = live.join(fresh.select(col("id").as("id")).distinct(), "id")
+      val inter = b.select(col("fhash"), col("id").as("idb"))
+        .join(live.select(col("fhash"), col("id").as("ida")), "fhash")
+        .filter(col("ida") =!= col("idb"))
+        .groupBy(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"))
+        .agg(countDistinct(col("fhash")).as("inter"))
+      val pairs = inter
+        .join(sizes.select(col("id").as("id_a"), col("n").as("na")),
+          "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n").as("nb")),
+          "id_b")
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")
+          >= threshold)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      // MATERIALIZE the pairs before touching the delta dir: on a
+      // retry the lazy pair plan references the existing d=<batchId>
+      // files through readDeltaDirs, and the overwrite below deletes
+      // them out from under it (FILE_NOT_EXIST at cluster-fold time)
+      val pairsM = pairs.localCheckpoint(true)
+      // publish the signature delta FIRST (so a crash between the two
+      // writes leaves a re-derivable state), then fold the pairs into
+      // the standing cluster labels
+      fresh.select("id", "fhash", "d").write.mode("overwrite")
+        .parquet(s"$indexPath/d=$batchId")
+      componentsForeachBatch(clustersPath, "doc_a", "doc_b")(
+        pairsM, batchId)
+    }
+  }
+
   /** Standing per-tick HLL distinct sketches maintained at ingest
     * (the [[graft.operators.DistinctSketch]] state as a streaming
     * fold): each micro-batch's per-tick sketches union into the state

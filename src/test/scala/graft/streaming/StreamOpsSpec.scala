@@ -1564,6 +1564,48 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(gotW == wantW, "state-trained WordPiece != batch WordPiece")
   }
 
+  test("streaming media near-dup: cross-batch signature matches land " +
+    "in ONE standing cluster (including an old id LARGER than the " +
+    "new one), hot hashes capped, retries inert") {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_media_stream").toString
+    val sink = StreamOps.mediaNearDupForeachBatch(
+      s"$root/sig", s"$root/cc", threshold = 0.5)
+    def sig(id: Long, hs: Long*) =
+      hs.map(h => (id, h))
+    // batch 1: items 10 and 99 unrelated; batch 2: item 50 duplicates
+    // item 99's signature (old id 99 > new id 50 — the orientation a
+    // naive a<b candidate filter drops), item 60 half-overlaps item 10
+    val b1 = (sig(10L, 1L, 2L, 3L, 4L) ++ sig(99L, 7L, 8L, 9L))
+      .toDF("id", "fhash")
+    val b2 = (sig(50L, 7L, 8L, 9L) ++ sig(60L, 1L, 2L, 3L, 5L))
+      .toDF("id", "fhash")
+    sink(b1, 1L)
+    sink(b2, 2L)
+    sink(b2, 2L) // retry after publish
+    val got = StreamOps.componentsFromState(s, s"$root/cc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 50 ~ 99 at J=1 (cross-batch, old id larger); 60 ~ 10 at J=3/5
+    assert(got(99L) == 50L && got(50L) == 50L,
+      s"cross-batch dup with larger old id missed: $got")
+    assert(got(60L) == 10L && got(10L) == 10L, s"overlap pair: $got")
+    // hot-hash cap: a third batch item sharing ONLY a hash present on
+    // every item must not join anything under the cap
+    val hotSink = StreamOps.mediaNearDupForeachBatch(
+      s"$root/sig2", s"$root/cc2", threshold = 0.2, maxDf = 2)
+    hotSink((sig(1L, 42L, 100L) ++ sig(2L, 42L, 200L))
+      .toDF("id", "fhash"), 1L)
+    hotSink(sig(3L, 42L, 300L).toDF("id", "fhash"), 2L)
+    val fs2 = new java.io.File(s"$root/cc2")
+    val capped =
+      if (!fs2.exists()) Map.empty[Long, Long]
+      else StreamOps.componentsFromState(s, s"$root/cc2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!capped.contains(3L),
+      s"hot-hash-only match must stay unclustered under the cap: $capped")
+  }
+
   test("incremental connected components: streamed cluster state == " +
     "one-shot CC over all edges streamed, including a cross-batch " +
     "merge of two standing clusters; retries inert") {
