@@ -900,9 +900,84 @@ object Extras {
           AS reasons
       FROM customer"""))
 
+  // X29 — time-series gap fill with LINEAR INTERPOLATION (the resample
+  // step between w2's forward fill and real metric dashboards): per
+  // user the sparse daily metric series densifies to every day between
+  // the user's first and last observation, missing days interpolating
+  // between the bracketing observations. Scale shape: one combinable
+  // (user, day) aggregate, a per-user sequence explode (bounded by the
+  // date span), and per-USER windows — never global ones; a single
+  // user's row count is calendar-bounded, so the window key cannot
+  // collapse. Per-day values aggregate by max (not avg — a double avg
+  // is partition-order-dependent and would never hash-match); the
+  // interpolation is one deterministic double expression mirrored
+  // verbatim.
+  private val x29 = QueryDef("x29_interpolate", (s, dir) => {
+    val daily = Tables.eventsWithTsUs(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_us DIV 86400000000").as("day"),
+        col("value"))
+      .groupBy("user_id", "day").agg(max("value").as("v"))
+      .filter(pmod(col("user_id"), lit(7L)) === 0L) // keep it sparse
+    val spans = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = spans
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val prevW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = w.rowsBetween(0, Window.unboundedFollowing)
+    dense
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(prevW))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(prevW))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(nextW))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")),
+        ignoreNulls = true).over(nextW))
+      .select(col("user_id"), col("day"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("day") - col("pd")).cast("double") /
+            (col("nd") - col("pd")).cast("double")).as("value"),
+        col("v").isNotNull.as("is_observed"))
+  }, Some("""WITH daily AS (SELECT user_id,
+        epoch_us(ts) // 86400000000 AS day, max(value) AS v
+      FROM events WHERE event_type = 'purchase'
+        AND user_id % 7 = 0
+      GROUP BY 1, 2),
+      spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id),
+      grid AS (SELECT s.user_id, u.day
+        FROM spans s,
+          LATERAL (SELECT unnest(range(s.d0, s.d1 + 1)) AS day) u),
+      dense AS (SELECT g.user_id, g.day, d.v
+        FROM grid g
+        LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day),
+      anno AS (SELECT user_id, day, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM dense)
+      SELECT user_id, day,
+        CASE WHEN v IS NOT NULL THEN v
+             ELSE pv + (nv - pv) * CAST(day - pd AS DOUBLE)
+                    / CAST(nd - pd AS DOUBLE) END AS value,
+        v IS NOT NULL AS is_observed
+      FROM anno"""))
+
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
       x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23, x24, x25, x26,
-      x27, x28)
+      x27, x28, x29)
 }
