@@ -159,6 +159,42 @@ class DedupSpec extends AnyFunSuite {
       s"missing=${full.diff(pf).take(5)} extra=${pf.diff(full).take(5)}")
   }
 
+  test("ngram-Jaccard param fuzz: Spark pairs == an in-memory brute " +
+    "reference across random corpora, n in {2,3}, tau in {0.2,0.34,0.5}") {
+    for ((n, tau, seed) <- Seq((2, 0.2, 101), (2, 0.5, 103),
+        (3, 0.34, 107), (3, 0.5, 109))) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val base = (0L until 45L).map { i =>
+        (i, Seq.fill(n + rng.nextInt(9))(
+          vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant near-dups so every (n, tau) arm is non-vacuous: an exact
+      // copy and a one-token append of the longest doc
+      val donor = base.maxBy(_._2.length)._2
+      val docs = base ++ Seq((100L, donor), (101L, donor + " a"))
+      def shingle(t: String): Set[String] =
+        t.split(" ").filter(_.nonEmpty).sliding(n)
+          .filter(_.length == n).map(_.mkString(" ")).toSet
+      val brute = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        sa = shingle(ta); sb = shingle(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= tau
+      } yield (a, b, j)).toSet
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = n, threshold = tau)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("jaccard"))).toSet
+      assert(got == brute, s"n=$n tau=$tau seed=$seed: " +
+        s"missing=${brute.diff(got).take(3)} extra=${got.diff(brute).take(3)}")
+      assert(brute.nonEmpty, s"n=$n tau=$tau must be non-vacuous")
+    }
+  }
+
   test("contamination scores: cap engaged leaves testdata scores exact") {
     val docs = Tables.documents(s, sf)
     val corpus = docs.filter(col("doc_id") >= 25)
