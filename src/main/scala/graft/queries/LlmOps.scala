@@ -1360,6 +1360,75 @@ object LlmOps {
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
   }, None)
 
+  // L75 — the corpus DATASHEET: one wide health row a dataset release
+  // ships with (Gebru et al. 2021's datasheet metrics, the computable
+  // subset), composed from the engine's own primitives — size, token
+  // budget, length percentiles (exact linear interpolation, the x12
+  // definition), source/language concentration (exact top-share),
+  // exact-dup accounting (the l1 key). ONE combinable-aggregate pass
+  // over the corpus plus two bounded group-bys; every metric exact and
+  // mirrored verbatim, so the whole datasheet hash-matches cross-
+  // engine. (The heavier quality axes live in their own certified
+  // queries — l63's Gopher battery, l58's funnel, l74's tokenizer
+  // table; a datasheet row links, it doesn't recompute.)
+  private val l75 = QueryDef("l75_corpus_datasheet", (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+      size(expr("filter(split(text, ' '), t -> length(t) > 0)"))
+        .cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars"),
+      sha2(graft.operators.Dedup.normalizeText(col("text")), 256)
+        .as("ch"))
+    val base = toks.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"),
+      sum("n_chars").as("total_chars"),
+      expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+      expr("percentile(n_tokens, 0.9)").as("p90_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val dups = toks.groupBy("ch").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_distinct_texts"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L))
+          .as("docs_in_dup_groups"))
+    val topSource = toks.groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .agg(max(struct(col("n"), col("source"))).as("m"))
+      .select(col("m.source").as("top_source"),
+        col("m.n").as("top_source_docs"))
+    base.crossJoin(dups).crossJoin(topSource)
+      .select(col("n_docs"), col("total_tokens"), col("total_chars"),
+        col("p50_tokens"), col("p90_tokens"),
+        col("n_sources"), col("n_langs"),
+        col("n_distinct_texts"), col("docs_in_dup_groups"),
+        col("top_source"), col("top_source_docs"))
+  }, Some("""WITH t AS (SELECT doc_id, lang, source,
+        CAST(len(list_filter(string_split(text, ' '),
+          x -> length(x) > 0)) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+      FROM documents),
+      base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        quantile_cont(n_tokens, 0.9) AS p90_tokens,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM t),
+      dups AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct_texts,
+        CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+          AS docs_in_dup_groups
+        FROM (SELECT ch, count(*) AS n FROM t GROUP BY ch)),
+      tops AS (SELECT source AS top_source,
+          CAST(n AS BIGINT) AS top_source_docs
+        FROM (SELECT source, count(*) AS n FROM t GROUP BY source)
+        ORDER BY n DESC, source DESC LIMIT 1)
+      SELECT n_docs, total_tokens, total_chars, p50_tokens, p90_tokens,
+        n_sources, n_langs, n_distinct_texts, docs_in_dup_groups,
+        top_source, top_source_docs
+      FROM base, dups, tops"""))
+
   // L67 — DoReMi domain mixture weights (Xie et al. 2023): one
   // corpus-scale pass computes per-domain EXCESS LOSS (global unigram
   // bit-surprisal minus the domain specialist's, clipped at 0 per
@@ -4115,5 +4184,5 @@ object LlmOps {
       l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
       l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e,
-      l73, l73e, l74, m1, m2, m3, m4, m5, m6)
+      l73, l73e, l74, l75, m1, m2, m3, m4, m5, m6)
 }
