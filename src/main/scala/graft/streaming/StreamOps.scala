@@ -635,6 +635,55 @@ object StreamOps {
                           statePath: String): DataFrame =
     spark.read.parquet(statePath).select("node", "component")
 
+  /** Standing KMV corpus signature + per-batch NOVELTY rate — "how
+    * much of this crawl batch is actually new?" answered at ingest
+    * without joining anything: the state is ONE k-row signature of
+    * everything streamed so far ([[graft.operators.DistinctSketch
+    * .kminHashes]] semantics — the k smallest distinct key hashes,
+    * merged per batch by concat→distinct→k-smallest, which is exactly
+    * the union's k-min set); per batch the sink appends a metrics row
+    * (batch distinct estimate, union estimate before/after, novelty =
+    * the union GROWTH — the estimate of keys never seen before).
+    * At 100 TB the state and the per-batch cost are both O(k) beyond
+    * the batch's own signature scan. Marker-idempotent like every
+    * standing state here; StreamOpsSpec pins streamed novelty ==
+    * one-shot overlap estimates on the same prefixes.
+    */
+  def noveltyForeachBatch(statePath: String, metricsPath: String,
+                          keyCol: String, k: Int)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        import spark.implicits._
+        val fresh = graft.operators.DistinctSketch
+          .kminHashes(batch, col(keyCol), k).localCheckpoint(true)
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior =
+          if (fs.exists(live)) spark.read.parquet(statePath).select("h")
+          else fresh.limit(0)
+        val merged = prior.unionByName(fresh).distinct()
+          .orderBy(col("h")).limit(k).localCheckpoint(true)
+        def estOf(sig: DataFrame): Double = {
+          val rows = sig.orderBy(col("h")).collect().map(_.getLong(0))
+          if (rows.length < k) rows.length.toDouble
+          else (k - 1).toDouble /
+            (rows.last.toDouble / math.pow(2.0, 64) + 0.5)
+        }
+        val before = estOf(prior)
+        val after = estOf(merged)
+        val batchEst = estOf(fresh)
+        Seq((batchId, batchEst, before, after,
+            math.max(0.0, after - before)))
+          .toDF("batch", "est_batch_distinct", "est_union_before",
+            "est_union_after", "est_novel")
+          .write.mode("overwrite").parquet(s"$metricsPath/batch=$batchId")
+        publishAtomic(spark, statePath, merged, Some(batchId))
+      }
+    }
+  }
+
   /** Standing MEDIA near-dup clusters maintained at ingest — the full
     * streaming composition of the modality-shared signature machinery:
     * per batch, each item's signature hashes (video frame pHashes,

@@ -1564,6 +1564,44 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(gotW == wantW, "state-trained WordPiece != batch WordPiece")
   }
 
+  test("streaming novelty rate: per-batch union growth from the " +
+    "standing KMV signature == one-shot estimates on the same " +
+    "prefixes; an all-repeat batch reads ~zero novel; retries inert") {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_novelty").toString
+    val k = 512
+    val sink = StreamOps.noveltyForeachBatch(
+      s"$root/sig", s"$root/metrics", "k", k)
+    val b1 = (0L until 20000L).toDF("k")
+    val b2 = (15000L until 40000L).toDF("k") // 5k repeats, 25k... 20k new
+    val b3 = (0L until 20000L).toDF("k")     // ALL repeats
+    sink(b1, 1L)
+    sink(b2, 2L)
+    sink(b2, 2L) // retry after publish
+    sink(b3, 3L)
+    def metric(b: Long) = s.read.parquet(s"$root/metrics/batch=$b")
+      .collect()(0)
+    val m2 = metric(2L)
+    // one-shot references via the batch estimator on the same data
+    def est(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = graft.operators.DistinctSketch.kminHashes(df, col("k"), k)
+        .orderBy("h").collect().map(_.getLong(0))
+      if (rows.length < k) rows.length.toDouble
+      else (k - 1).toDouble / (rows.last.toDouble / math.pow(2.0, 64) + 0.5)
+    }
+    assert(m2.getDouble(2) == est(b1), "union-before == one-shot(b1)")
+    assert(m2.getDouble(3) == est(b1.unionByName(b2)),
+      "union-after == one-shot(b1 ∪ b2)")
+    // novelty ≈ 20k new keys, within the k=512 error envelope (~3/√k)
+    val novel2 = m2.getDouble(4)
+    assert(math.abs(novel2 - 20000.0) <= 0.15 * 40000.0,
+      s"batch-2 novelty estimate off: $novel2")
+    val novel3 = metric(3L).getDouble(4)
+    assert(novel3 <= 0.05 * 40000.0,
+      s"all-repeat batch must read ~zero novel: $novel3")
+  }
+
   test("streaming media near-dup: cross-batch signature matches land " +
     "in ONE standing cluster (including an old id LARGER than the " +
     "new one), hot hashes capped, retries inert") {
