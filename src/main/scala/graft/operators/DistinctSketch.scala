@@ -87,10 +87,23 @@ object DistinctSketch {
     * `daySketch` the new tick's (tick, sk) row. Returns the new
     * standing table (history rows unchanged, one appended row whose
     * cum_sk = union of the previous cumulative sketch and the new
-    * day). DistinctSketchSpec pins append-built == rebuilt-from-
-    * scratch estimates for every prefix.
+    * day). Requires a non-empty standing table (bootstrap the first
+    * tick with [[standingFromSketches]] — an empty standing would
+    * silently drop the new day through the empty crossJoin) and a
+    * tick value not already present (a replayed tick would otherwise
+    * duplicate rows). Both are cheap actions on the standing table,
+    * which by construction holds one row per tick, not per key.
+    * DistinctSketchSpec pins append-built == rebuilt-from-scratch
+    * estimates for every prefix.
     */
   def appendTick(standing: DataFrame, daySketch: DataFrame): DataFrame = {
+    require(!standing.isEmpty,
+      "appendTick needs a non-empty standing table; bootstrap the " +
+        "first tick with standingFromSketches")
+    require(standing.select("tick")
+      .join(daySketch.select("tick"), Seq("tick"), "left_semi").isEmpty,
+      "appendTick: a tick in daySketch is already present in the " +
+        "standing table (replay would duplicate rows)")
     val last = standing.orderBy(col("tick").desc).limit(1)
       .select(col("cum_sk").as("prev_sk"))
     val appended = daySketch.crossJoin(last)

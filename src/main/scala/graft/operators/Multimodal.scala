@@ -746,7 +746,12 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
+        // PCM_SIGNED only: the loop below decodes samples as signed
+        // shorts, so a 16-bit PCM_UNSIGNED stream would be read
+        // sign-flipped and break the gain-invariance premise.
+        if (fmt.getSampleSizeInBits != 16 ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
         else {
           val bigEndian = fmt.isBigEndian
           val frameSize = math.max(2, fmt.getFrameSize)

@@ -95,9 +95,18 @@ object WordPiece {
     * through occurrences involving a, b, or ab, all excluded by
     * symbol-disjointness — so every adopted score equals what the
     * sequential trainer would have computed at its own round start.
-    * Same documented block-greedy deviation as BPE: a pair CREATED by
-    * an earlier same-round merge waits for the next round. `batch = 1`
-    * is exactly [[train]] (WordPieceSpec pins it on a real corpus).
+    * Documented block-greedy deviation, BROADER here than in BPE's
+    * count score: (a) a pair CREATED by an earlier same-round merge
+    * waits for the next round (the BPE-shared half); and (b) because
+    * the likelihood score's DENOMINATOR shrinks when an adopted merge
+    * consumes symbol occurrences, an EXISTING pair that is non-disjoint
+    * with an adopted one can see its score RISE mid-round — sequential
+    * training could have adopted it before a later batch pick, so
+    * batched order may reorder pre-existing pairs too, not only
+    * newly-created ones. Both halves are the accepted trade; adopted
+    * scores themselves stay exact (disjointness argument above).
+    * `batch = 1` is exactly [[train]] (WordPieceSpec pins it on a
+    * real corpus).
     */
   def trainBatched(docs: DataFrame, textCol: String, nMerges: Int,
                    batch: Int): Seq[Bpe.Merge] =

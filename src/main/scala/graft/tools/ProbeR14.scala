@@ -306,11 +306,18 @@ object ProbeR14 {
         val n = 100L * 1000 * 1000
         val keys = spark.range(n).select(
           pmod(xxhash64(col("id")), lit(30000000L)).as("k"))
+        // Exact distinct computed, NOT assumed: pmod(xxhash64, 30M)
+        // over 100M rows leaves ~3.5% of residues unoccupied
+        // (E[occupied] = 30M·(1−e^(−10/3)) ≈ 28.93M), so treating 30M
+        // as the truth would fold that coverage gap into the reported
+        // HLL error (the round-14 record's −3.24% was almost entirely
+        // this baseline artifact, corrected in SCALE_r14.md §10).
+        val exact = keys.distinct().count()
         timed("hll_100m_rows") {
           val est = keys.agg(hll_sketch_estimate(
             hll_sketch_agg(col("k"), lit(12)))).collect()(0).getLong(0)
-          val exact = 30000000L // range mod: every residue hit at n >> m
-          f"est=$est err=${(est - exact).toDouble / exact * 100}%.2f%%"
+          f"est=$est exact=$exact " +
+            f"err=${(est - exact).toDouble / exact * 100}%.2f%%"
         }
         timed("kmv_100m_rows") {
           val sig = graft.operators.DistinctSketch
