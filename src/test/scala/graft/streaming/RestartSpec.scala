@@ -1,0 +1,209 @@
+package graft.streaming
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** CROSS-PROCESS streaming restart proof — the round-14 verdict's one
+  * unproven claim: every standing-index sink is idempotent-by-marker,
+  * but until now only re-invoked in-process. Here the dedup delta-log,
+  * incremental-components, and quality-quota states are driven by a
+  * REAL child JVM ([[graft.tools.RestartDriver]]) off a file-based
+  * readStream with a real checkpointLocation; the child is
+  * Runtime.halt()ed immediately after a batch's states PUBLISH but
+  * before Spark writes the streaming commit log (the
+  * published-but-unacknowledged window), then a SECOND, fresh JVM
+  * resumes from the checkpoint. The spec asserts the window actually
+  * happened (state marker ahead of the commit log), that the replayed
+  * batch is absorbed exactly once, and that the final states equal the
+  * one-shot batch operators over everything streamed.
+  */
+class RestartSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  // same list build.sbt forks with (Spark 4 on JDK 17 outside
+  // spark-submit needs the opens injected by hand)
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Classpath for the child JVM: the forked test JVM's own property,
+    * plus any URLClassLoader chain entries (defensive against sbt
+    * launcher indirection). */
+  private def fullClasspath: String = {
+    def urls(cl: ClassLoader): Seq[String] = cl match {
+      case null => Nil
+      case u: java.net.URLClassLoader =>
+        u.getURLs.toSeq.flatMap(x =>
+          scala.util.Try(Paths.get(x.toURI).toString).toOption) ++
+          urls(u.getParent)
+      case other => urls(other.getParent)
+    }
+    (System.getProperty("java.class.path")
+      .split(File.pathSeparator).toSeq ++
+      urls(getClass.getClassLoader))
+      .filter(_.nonEmpty).distinct.mkString(File.pathSeparator)
+  }
+
+  private def runChild(args: Seq[String]): (Int, String) = {
+    val javaBin = Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx4g", "-cp", fullClasspath,
+      "graft.tools.RestartDriver") ++ args
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val code = p.waitFor()
+    (code, out)
+  }
+
+  private def listLog(ckpt: String, sub: String): Seq[Long] = {
+    val d = new File(s"$ckpt/$sub")
+    if (!d.exists()) Nil
+    else d.listFiles().map(_.getName).filter(_.forall(_.isDigit))
+      .map(_.toLong).sorted.toSeq
+  }
+
+  private def marker(path: String): Option[Long] = {
+    val f = new File(s"$path/_GRAFT_BATCH")
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), "UTF-8")
+      .trim.toLongOption
+  }
+
+  test("cross-process restart: halt after a published-but-" +
+    "unacknowledged batch, resume in a fresh JVM, final state == " +
+    "one-shot operators") {
+    val root = Files.createTempDirectory("graft_restart").toString
+    val inputDir = s"$root/input"; new File(inputDir).mkdirs()
+    val ckpt = s"$root/ckpt"
+    val stateRoot = s"$root/state"
+    val refRoot = s"$root/ref"
+
+    // 4 micro-batches, one parquet FILE each (maxFilesPerTrigger=1),
+    // ordered by explicit mtime. Cross-batch dup texts exercise the
+    // delta-log's at-arrival flags; batch 3's (3,100) edge merges two
+    // standing components AFTER the restart.
+    val batches: Seq[Seq[(Long, String, String, Long, Long)]] = Seq(
+      Seq((0L, "web", "alpha beta gamma", 0L, 1L),
+        (1L, "web", "delta epsilon", 1L, 2L),
+        (2L, "books", "zeta eta theta iota", 100L, 101L),
+        (3L, "books", "kappa lambda", 100L, 101L),
+        (4L, "web", "mu nu xi omicron pi", 0L, 1L)),
+      Seq((10L, "web", "Alpha  BETA gamma", 2L, 3L), // dup of doc 0
+        (11L, "web", "rho sigma tau", 101L, 102L),
+        (12L, "books", "upsilon phi chi psi", 2L, 3L)),
+      Seq((20L, "web", "rho  SIGMA tau", 200L, 201L), // dup of doc 11
+        (21L, "books", "delta epsilon", 200L, 201L), // dup of doc 1
+        (22L, "web", "omega aleph bet", 201L, 202L)),
+      Seq((30L, "books", "OMEGA aleph bet", 3L, 100L), // dup of doc 22
+        (31L, "web", "gimel dalet he vav", 3L, 100L)))
+    val stage = s"$root/stage"
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "source", "text", "src", "dst")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = new File(inputDir, f"f$i%02d.parquet")
+      Files.copy(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    // --- run 1: crash immediately after batch 1's states publish ---
+    val (code1, out1) = runChild(
+      Seq(inputDir, ckpt, stateRoot, "1"))
+    assert(code1 == 42, s"crash run should halt(42); got $code1\n$out1")
+    assert(out1.contains("halting post-publish batch=1"), out1)
+
+    // the window under test REALLY happened: batch 1's offsets are
+    // planned and its states live with markers, but the commit log
+    // stops at batch 0 — published, not acknowledged
+    assert(listLog(ckpt, "offsets") == Seq(0L, 1L))
+    assert(listLog(ckpt, "commits") == Seq(0L),
+      "batch 1 must be uncommitted (halt skips the commit write)")
+    assert(marker(s"$stateRoot/quota").contains(1L))
+    assert(marker(s"$stateRoot/cc").contains(1L))
+
+    // --- run 2: FRESH JVM resumes from the checkpoint, replays the
+    // unacknowledged batch 1, then drains batches 2 and 3 ---
+    val (code2, out2) = runChild(
+      Seq(inputDir, ckpt, stateRoot, "-1"))
+    assert(code2 == 0, s"resume run failed: $code2\n$out2")
+    assert(out2.contains("RESTARTDRIVER done"), out2)
+    assert(out2.contains("published batch=1"),
+      "resume must replay the unacknowledged batch")
+    assert(listLog(ckpt, "commits") == Seq(0L, 1L, 2L, 3L))
+    assert(marker(s"$stateRoot/quota").contains(3L))
+
+    // --- parity 1: in-process replay of the same sinks (the one-shot
+    // daily-ingest operators, batch by batch) ---
+    val dedupRef = StreamOps.dedupIndexForeachBatch(
+      s"$refRoot/index", s"$refRoot/flags", "doc_id", "text")
+    val ccRef = StreamOps.componentsForeachBatch(
+      s"$refRoot/cc", "src", "dst")
+    val quotaRef = StreamOps.quotaForeachBatch(
+      s"$refRoot/quota", "source", "doc_id", "text")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("doc_id", "source", "text", "src", "dst")
+      dedupRef(df, i.toLong); ccRef(df, i.toLong); quotaRef(df, i.toLong)
+    }
+
+    def flagsOf(base: String): Map[(Long, Long), Long] =
+      (0 to 3).flatMap { i =>
+        s.read.parquet(s"$base/batch=$i").collect()
+          .map(r => (i.toLong, r.getAs[Long]("doc_id")) ->
+            r.getAs[Long]("dup_of_existing"))
+      }.toMap
+    val streamedFlags = flagsOf(s"$stateRoot/flags")
+    assert(streamedFlags == flagsOf(s"$refRoot/flags"))
+    // spot-pin the at-arrival semantics across the crash boundary
+    assert(streamedFlags((1L, 10L)) == 1L, "dup of pre-crash doc 0")
+    assert(streamedFlags((2L, 20L)) == 1L,
+      "dup of doc published by the CRASHED batch")
+    assert(streamedFlags((3L, 31L)) == 0L)
+
+    def indexSet(path: String) = StreamOps.dedupIndex(s, path)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(indexSet(s"$stateRoot/index") == indexSet(s"$refRoot/index"))
+
+    def quotaSet(path: String) = s.read.parquet(path).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("quality"),
+        r.getAs[Long]("tokens"))).toSet
+    assert(quotaSet(s"$stateRoot/quota") == quotaSet(s"$refRoot/quota"))
+
+    def ccMap(path: String) = StreamOps.componentsFromState(s, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamedCc = ccMap(s"$stateRoot/cc")
+    assert(streamedCc == ccMap(s"$refRoot/cc"))
+
+    // --- parity 2: against the true ONE-SHOT operators over all input
+    val allDocs = batches.flatten
+      .toDF("doc_id", "source", "text", "src", "dst")
+    val oneShotQuota = graft.operators.CorpusAssembly
+      .scoreDocs(allDocs, "source", "doc_id", "text")
+      .groupBy("source", "quality").agg(sum("n_tokens").as("tokens"))
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("quality"), r.getAs[Long]("tokens"))).toSet
+    assert(quotaSet(s"$stateRoot/quota") == oneShotQuota,
+      "additive quota state must not double-count the replayed batch")
+    val oneShotCc = graft.operators.GraphRank
+      .connectedComponents(allDocs.select("src", "dst"), "src", "dst")
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("component")).toMap
+    assert(streamedCc == oneShotCc)
+    // batch 3 (post-restart) really merged the two standing components
+    assert(streamedCc(0L) == streamedCc(102L))
+  }
+}
