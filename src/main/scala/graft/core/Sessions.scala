@@ -28,6 +28,16 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Performance-only, result-inert: keep bucketed scans BUCKETED
+      // even in plans the heuristic thinks don't benefit. The heuristic
+      // breaks the iterative-graph cold start: a cache()d edge frame's
+      // InMemoryRelation plan is compiled STANDALONE at registration
+      // time, sees no join, silently drops the bucket layout — and
+      // every iteration then re-exchanges the edge list the table was
+      // bucketed to avoid (GraphRank.pageRankFromBucketed/
+      // componentsFromBucketed, GraphRankSpec pins the partitioning).
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

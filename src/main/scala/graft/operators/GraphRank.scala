@@ -165,6 +165,70 @@ object GraphRank {
     * neighbor join then reads the cached layout and the round's
     * shuffles shrink to the ≤|V|-row aggregate + pointer-jump tables.
     */
+  /** Write an edge list in the ON-DISK layout the iterative ops read
+    * with ZERO edge-side exchange: bucketed (hash-partitioned at write
+    * time) on `src`, normalized to (src: long, dst: long). This is
+    * SCALE_r14 §7's closing lever made real — `prePartitionEdges`
+    * moves the per-iteration |E| exchange to one upfront exchange per
+    * RUN; bucketed-at-write storage pays it once per CORPUS, and every
+    * cold start after that just reads the layout ([[Bucketed]] is the
+    * general mechanism; this wrapper fixes the column contract the
+    * graph loops consume).
+    *
+    * `symmetrizeForCC = true` additionally bakes in what
+    * [[connectedComponents]] would compute per run before its loop —
+    * symmetrize + self-loop removal + distinct (CC is multiplicity-
+    * blind, so distinct is purely a cost optimization); read such a
+    * table back through [[componentsFromBucketed]]. Keep it `false`
+    * for [[pageRankFromBucketed]] — PageRank is multiplicity-SENSITIVE
+    * (each edge contributes), so its table must hold the edges as
+    * given.
+    */
+  def writeEdgesBucketed(edges: DataFrame, srcCol: String,
+                         dstCol: String, table: String, buckets: Int,
+                         path: String,
+                         symmetrizeForCC: Boolean): Unit = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val out =
+      if (symmetrizeForCC)
+        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .filter(col("src") =!= col("dst")).distinct()
+      else e0
+    graft.sources.Bucketed.writeBucketed(out, table, "src", buckets, path)
+  }
+
+  /** [[pageRankFixedPoint]] cold-started from a
+    * [[writeEdgesBucketed]] table (`symmetrizeForCC = false`): the
+    * bucketed scan reports HashPartitioning(src), the edge cache
+    * preserves it (autoBucketedScan is disabled in Sessions.build
+    * precisely so the standalone cache-materialization plan keeps the
+    * layout), and EnsureRequirements inserts no edge-side Exchange —
+    * not even the one upfront exchange `prePartitionEdges` pays.
+    * GraphRankSpec pins result equality, the scan's partitioning, and
+    * the shuffle-byte cut vs the pre-partitioned form.
+    */
+  def pageRankFromBucketed(spark: org.apache.spark.sql.SparkSession,
+                           table: String, iters: Int,
+                           scale: Long = 1L << 20,
+                           dampNum: Long = 85L,
+                           dampDen: Long = 100L): DataFrame =
+    pageRankFixedPoint(spark.table(table), "src", "dst", iters, scale,
+      dampNum, dampDen, prePartitionEdges = false)
+
+  /** [[connectedComponents]] cold-started from a
+    * [[writeEdgesBucketed]] table written with
+    * `symmetrizeForCC = true`: the per-run symmetrize + distinct +
+    * repartition all collapse into the write-time layout, so a cold
+    * start reads the edge list exchange-free and goes straight into
+    * the label loop.
+    */
+  def componentsFromBucketed(spark: org.apache.spark.sql.SparkSession,
+                             table: String, maxIters: Int = 64,
+                             reliableCheckpoints: Boolean = false)
+      : DataFrame =
+    ccCore(spark.table(table), maxIters, reliableCheckpoints)._1
+
   private[graft] def connectedComponentsWithStats(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 64,
@@ -182,16 +246,26 @@ object GraphRank {
     // O(log |V|) and each table is 16 bytes/node, so the storage cost
     // is bounded and tiny next to the edge list. Results are identical
     // by construction (GraphRankSpec pins it and proves real files).
-    def snap(df: DataFrame): DataFrame =
-      if (reliableCheckpoints) df.checkpoint(true)
-      else df.localCheckpoint(true)
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val eSym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    val e = (if (prePartitionEdges) eSym.repartition(col("src")) else eSym)
-      .cache()
+    ccCore(if (prePartitionEdges) eSym.repartition(col("src")) else eSym,
+      maxIters, reliableCheckpoints)
+  }
+
+  /** The label-propagation loop over an edge list the caller
+    * guarantees SYMMETRIZED and self-loop-free, in whatever layout it
+    * arrived in (per-run prepared above, or bucketed-at-write via
+    * [[componentsFromBucketed]] — the loop itself never re-exchanges
+    * the edges). Caches and releases the edge frame. */
+  private def ccCore(edgesReady: DataFrame, maxIters: Int,
+                     reliableCheckpoints: Boolean): (DataFrame, Int) = {
+    def snap(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val e = edgesReady.cache()
     // Lineage MUST be truncated per round: the label table feeds THREE
     // of next round's operators (neighbor join, left join, pointer-jump
     // self-join), so a cache-only discipline still nests the logical

@@ -424,6 +424,209 @@ object Pca {
     q
   }
 
+  // ---------------------------------------------------------------------
+  // Quantized fixed-point PCA — the l44p/l48p PORTABLE sibling
+  // (verdict item 4): the l31 discipline applied to the eigensolve.
+  // The exact [[fit]] (cyclic Jacobi on doubles) has no SQL mirror by
+  // nature; this sibling computes the top-k axes by FIXED-POINT POWER
+  // ITERATION WITH DEFLATION over the exact INTEGER moment sums — every
+  // operation is int64 multiply/add/truncating-divide, so DuckDB
+  // replays the whole fit bit-exactly from its own l43 moment mirror
+  // (unrolled CTEs, [[quantizedOracleCtes]]). Accuracy is the trade:
+  // components carry ~QF precision and truncated deflation compounds
+  // across components (PcaSpec pins alignment with the exact solve on
+  // a decaying spectrum); [[fit]] stays the production eigensolve.
+  // ---------------------------------------------------------------------
+
+  /** Fixed-point scale of quantized component entries (and of the
+    * power-iteration renormalization). */
+  val QF: Long = 1L << 15
+
+  /** Moment-matrix rescale target: entries are truncated so
+    * |m| ≤ ~2^22, keeping every later product inside int64 (both
+    * engines' BIGINT ops fail LOUDLY on overflow — Scala uses
+    * multiplyExact/addExact, DuckDB errors — so the envelope is a
+    * guarded contract, not a silent wrap). */
+  private val QRescale: Long = 1L << 22
+
+  final case class QuantizedPca(dim: Int, k: Int,
+                                components: Array[Array[Long]],
+                                eigenvaluesScaled: Array[Long])
+
+  /** Truncate-toward-zero division — what Scala/Java `/` already does;
+    * named so the SQL mirrors (Spark DIV truncates, DuckDB `//` floors
+    * and needs the CASE trick) stay visibly in lockstep with it. */
+  private def tdiv(a: Long, b: Long): Long = a / b
+
+  /** Top-k axes of the UNCENTERED second-moment matrix by integer
+    * power iteration: one exact distributed moment pass, then a pure
+    * int64 driver loop (see object-level comment). Deterministic under
+    * any partitioning — the moments are exact integers and everything
+    * after is integer arithmetic in a fixed order.
+    */
+  def fitQuantized(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                   iters: Int, digits: Int = 6): QuantizedPca =
+    quantizedFromMoments(momentSums(df, vecCol, dim, digits).collect(),
+      dim, k, iters)
+
+  def quantizedFromMoments(rows: Array[org.apache.spark.sql.Row],
+                           dim: Int, k: Int, iters: Int): QuantizedPca = {
+    require(rows.nonEmpty, "quantized PCA fit on an empty dataset")
+    val sRaw = Array.ofDim[Long](dim, dim)
+    rows.foreach { r =>
+      val i = r.getLong(r.fieldIndex("i")).toInt
+      val j = r.getLong(r.fieldIndex("j")).toInt
+      val sxy = r.getLong(r.fieldIndex("sxy"))
+      sRaw(i)(j) = sxy; sRaw(j)(i) = sxy
+    }
+    val maxAbs = sRaw.flatten.map(math.abs).max
+    val r0 = tdiv(maxAbs, QRescale) + 1L
+    val m = sRaw.map(_.map(tdiv(_, r0)))
+    val comps = Array.ofDim[Long](k, dim)
+    val eigs = new Array[Long](k)
+    for (c <- 0 until k) {
+      var v = Array.fill(dim)(QF)
+      var u = new Array[Long](dim)
+      for (_ <- 1 to iters) {
+        u = Array.tabulate(dim) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < dim) {
+            acc = Math.addExact(acc, Math.multiplyExact(m(i)(j), v(j)))
+            j += 1
+          }
+          acc
+        }
+        val nrm = u.map(math.abs).max
+        val den = math.max(1L, tdiv(nrm, QF))
+        v = u.map(tdiv(_, den))
+      }
+      // Rayleigh quotient in the rescaled-moment scale, computed with
+      // the SAME truncation order the mirror unrolls: uh = u/QF per
+      // element first, then the integer sums, then one division.
+      val num = v.zip(u.map(tdiv(_, QF)))
+        .foldLeft(0L) { case (a, (x, y)) =>
+          Math.addExact(a, Math.multiplyExact(x, y)) }
+      val den2 = v.foldLeft(0L)((a, x) =>
+        Math.addExact(a, Math.multiplyExact(x, x)))
+      val lam = tdiv(num, math.max(1L, tdiv(den2, QF)))
+      comps(c) = v
+      eigs(c) = lam
+      // Hotelling deflation, truncated: m -= (lam·v·vᵀ) / (vᵀv)
+      if (c < k - 1 && den2 > 0) {
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) {
+            m(i)(j) = Math.subtractExact(m(i)(j),
+              tdiv(Math.multiplyExact(Math.multiplyExact(lam, v(i)),
+                v(j)), den2))
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    QuantizedPca(dim, k, comps, eigs)
+  }
+
+  /** Quantize a vector column exactly as [[momentSums]] does —
+    * ⌊x·10^digits⌉ as BIGINT — shared by the quantized projection and
+    * its mirror so the two quantizations cannot drift. */
+  def quantizeVecExpr(vecCol: String, digits: Int = 6): Column =
+    expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * " +
+      s"${math.pow(10, digits)}, 0) AS BIGINT))")
+
+  /** Fully-integer projection onto the quantized axes: one posexplode
+    * + a broadcast join with the k·dim component table + a combinable
+    * (id, c) sum — codegen the whole way, no per-element lambdas.
+    * Output (idCol, c, coord), coord = Σ_i ⌊x_i·10^digits⌉·q_ci —
+    * exact BIGINTs, hash-stable under any partitioning.
+    */
+  def projectQuantized(df: DataFrame, q: QuantizedPca, idCol: String,
+                       vecCol: String, digits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val compRows = for {
+      c <- 0 until q.k; i <- 0 until q.dim
+    } yield (c.toLong, i.toLong, q.components(c)(i))
+    val comp = spark.createDataset(compRows).toDF("c", "i", "w")
+    df.select(col(idCol),
+        posexplode(quantizeVecExpr(vecCol, digits)).as(Seq("i", "qx")))
+      .join(broadcast(comp), Seq("i"))
+      .groupBy(idCol, "c")
+      .agg(sum(col("qx") * col("w")).as("coord"))
+  }
+
+  private def duckTrunc(num: String, den: String): String =
+    s"(CASE WHEN ($num) >= 0 THEN ($num) // ($den) " +
+      s"ELSE -((-($num)) // ($den)) END)"
+
+  /** The unrolled DuckDB replay of [[quantizedFromMoments]] on
+    * `table`.`vecCol`: CTE chain ending in `qcomp(c, i, w)` — the
+    * quantized component table, bit-identical to the Spark fit because
+    * every step is the same int64 op in the same order. Size: ~k·(2·
+    * iters + 4) CTEs over ≤ dim²-row tables (the l31 unrolled-training
+    * discipline at PCA's design point).
+    */
+  def quantizedOracleCtes(table: String, vecCol: String, dim: Int,
+                          k: Int, iters: Int,
+                          digits: Int = 6): String = {
+    val head =
+      s"""qmom AS MATERIALIZED (${momentSumsOracleSql(table, vecCol,
+           dim, digits)}),
+        #qsf AS (SELECT i, j, sxy FROM qmom
+        #  UNION ALL SELECT j, i, sxy FROM qmom WHERE i <> j),
+        #qr0 AS (SELECT (max(abs(sxy)) // $QRescale) + 1 AS r FROM qsf),
+        #qm_0 AS MATERIALIZED (SELECT i, j,
+        #  ${duckTrunc("sxy", "r")} AS v FROM qsf CROSS JOIN qr0)"""
+        .stripMargin('#')
+    val comps = (0 until k).map { c =>
+      val v0 =
+        s"""qv_${c}_0 AS (SELECT CAST(r.i AS BIGINT) AS i,
+           #  CAST($QF AS BIGINT) AS x FROM range(0, $dim) r(i))"""
+          .stripMargin('#')
+      val its = (1 to iters).map { t =>
+        s"""qu_${c}_$t AS MATERIALIZED (SELECT m.i,
+           #  CAST(sum(m.v * v.x) AS BIGINT) AS u
+           #  FROM qm_$c m JOIN qv_${c}_${t - 1} v ON v.i = m.j
+           #  GROUP BY m.i),
+           #qn_${c}_$t AS (SELECT GREATEST(CAST(1 AS BIGINT),
+           #  max(abs(u)) // $QF) AS d FROM qu_${c}_$t),
+           #qv_${c}_$t AS MATERIALIZED (SELECT i,
+           #  ${duckTrunc("u", "d")} AS x
+           #  FROM qu_${c}_$t CROSS JOIN qn_${c}_$t)"""
+          .stripMargin('#')
+      }
+      val ray =
+        s"""qray_$c AS (SELECT
+           #  CAST(sum(v.x * ${duckTrunc("u.u", QF.toString)})
+           #    AS BIGINT) AS num,
+           #  CAST(sum(v.x * v.x) AS BIGINT) AS den
+           #  FROM qu_${c}_$iters u JOIN qv_${c}_$iters v USING (i)),
+           #qlam_$c AS (SELECT ${duckTrunc("num",
+                s"GREATEST(CAST(1 AS BIGINT), den // $QF)")} AS lam,
+           #  den FROM qray_$c)"""
+          .stripMargin('#')
+      val defl =
+        if (c == k - 1) Seq.empty
+        else Seq(
+          s"""qm_${c + 1} AS MATERIALIZED (SELECT m.i, m.j,
+             #  CASE WHEN l.den > 0 THEN m.v -
+             #    ${duckTrunc("l.lam * a.x * b.x", "l.den")}
+             #  ELSE m.v END AS v
+             #  FROM qm_$c m JOIN qv_${c}_$iters a ON a.i = m.i
+             #  JOIN qv_${c}_$iters b ON b.i = m.j
+             #  CROSS JOIN qlam_$c l)"""
+            .stripMargin('#'))
+      (Seq(v0) ++ its ++ Seq(ray) ++ defl).mkString(",\n")
+    }
+    val compUnion = (0 until k).map(c =>
+      s"SELECT CAST($c AS BIGINT) AS c, i, x AS w FROM qv_${c}_$iters")
+      .mkString("\n  UNION ALL ")
+    (Seq(head) ++ comps ++ Seq(s"qcomp AS ($compUnion)")).mkString(",\n")
+  }
+
   /** Map-only projection of `vecCol` onto the first `k` principal axes:
     * out(c) = vec_dot(x, comp_c) − ⟨mean, comp_c⟩ (the centering dot is a
     * driver-side constant — and zero for an uncentered model, so the

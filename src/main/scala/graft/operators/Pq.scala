@@ -182,10 +182,22 @@ object Pq {
   def ivfPqTopKResidual(corpus: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int,
                         model: Model, centroids: DataFrame,
-                        nProbe: Int = 4): DataFrame = {
-    val assigned = encodeResidual(corpus, idCol, vecCol, centroids,
-        model)
-      .withColumnRenamed(idCol, "n_id")
+                        nProbe: Int = 4): DataFrame =
+    ivfPqTopKResidualCodes(
+      encodeResidual(corpus, idCol, vecCol, centroids, model)
+        .withColumnRenamed(idCol, "n_id"),
+      queries, idCol, vecCol, k, model, centroids, nProbe)
+
+  /** [[ivfPqTopKResidual]] against a STANDING codes table
+    * (`(n_id, cell, codes)` from [[encodeResidual]], persisted/cached
+    * once) — the production shape: the per-query-batch cost is the
+    * probed-cells code scan only, never a corpus re-encode. ProbeR15
+    * `ann1m` prices the two forms separately.
+    */
+  def ivfPqTopKResidualCodes(assigned: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             model: Model, centroids: DataFrame,
+                             nProbe: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", Similarity.norm("qv"))

@@ -676,6 +676,50 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** [[cosineNearDupPairsReduced]] with the reduction replaced by the
+    * PORTABLE quantized fit ([[Pca.fitQuantized]] — the l44p integer
+    * power-iteration sibling): reduced coordinates are exact BIGINTs
+    * cast to double, so the candidate stage (4-d LSH buckets + reduced
+    * cosine at `candThreshold`, hot-cell cap included) and the
+    * full-space verify are BOTH replayable cross-engine to the bit —
+    * l48p registers the full DuckDB mirror. l48 (exact-Jacobi
+    * reduction) stays the production form; this is its hash-matched
+    * certificate sibling, same output contract.
+    */
+  def cosineNearDupPairsReducedQuantized(corpus: DataFrame, idCol: String,
+                                         vecCol: String,
+                                         q: Pca.QuantizedPca,
+                                         threshold: Double,
+                                         candThreshold: Double,
+                                         nPlanes: Int = 4,
+                                         nTables: Int = 8,
+                                         maxBucket: Int = 64,
+                                         digits: Int = 6): DataFrame = {
+    require(candThreshold <= threshold,
+      s"candThreshold $candThreshold must not exceed threshold $threshold")
+    // (id, c, coord) → one array<double> per id, ordered by c; the
+    // coords are exact integers so the cast is value-preserving and
+    // the mirror's list(... ORDER BY c) reproduces it exactly
+    val red = Pca.projectQuantized(corpus, q, idCol, vecCol, digits)
+      .groupBy(idCol)
+      .agg(expr("transform(array_sort(collect_list(struct(c, coord)))," +
+        " s -> CAST(s.coord AS DOUBLE))").as("__r"))
+    val cand = cosineNearDupPairsCapped(red, idCol, "__r",
+      candThreshold, q.k, nPlanes, nTables, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+    val ev = corpus.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__n", norm("__v"))
+    cand
+      .join(ev.select(col("__id").as("doc_a"), col("__v").as("__va"),
+        col("__n").as("__na")), "doc_a")
+      .join(ev.select(col("__id").as("doc_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (dot("__va", "__vb") / (col("__na") * col("__nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** L2-normalize + symmetric int8 quantization summary of an
     * array<double> vector column: per-vector scale = max|x_i|/127 over
     * the normalized components, q_i = round(x_i / norm / scale) in

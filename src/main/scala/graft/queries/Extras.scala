@@ -789,23 +789,16 @@ object Extras {
   // funnel is monotone by construction (stage k requires stage k-1),
   // which the oracle's identical CASE chain certifies cross-engine.
   private val x26 = QueryDef("x26_funnel", (s, dir) => {
+    // factored through operators/Retention (round 15) so the streaming
+    // standing-state sink shares this exact implementation — parity by
+    // construction, pinned in StreamOpsSpec
+    import graft.operators.Retention
     val ev = Tables.eventsWithTsUs(s, dir)
       .select(col("user_id"), col("event_type"), col("ts_us"))
-    def stageMin(t: String) =
-      min(when(col("event_type") === t, col("ts_us"))).as(s"t_$t")
-    val perUser = ev.groupBy("user_id")
-      .agg(stageMin("view"), stageMin("click"), stageMin("purchase"))
-      .withColumn("reached_view", col("t_view").isNotNull)
-      .withColumn("reached_click",
-        col("reached_view") && col("t_click") > col("t_view"))
-      .withColumn("reached_purchase",
-        col("reached_click") && col("t_purchase") > col("t_click"))
-    perUser.agg(
-      count(lit(1)).as("n_users"),
-      sum(col("reached_view").cast("long")).as("n_view"),
-      sum(col("reached_click").cast("long")).as("n_view_click"),
-      sum(col("reached_purchase").cast("long"))
-        .as("n_view_click_purchase"))
+    Retention.funnelCounts(
+      Retention.stageMins(ev, "user_id", "event_type", "ts_us",
+        Seq("view", "click", "purchase")),
+      Seq("view", "click", "purchase"))
   }, Some("""WITH pu AS (SELECT user_id,
         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) t_view,
         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) t_click,
@@ -830,16 +823,14 @@ object Extras {
   // day, one distinct over (user, day), one 8-byte-key join back, one
   // combinable groupBy (cohort, offset) — no window, no per-day scans.
   private val x27 = QueryDef("x27_retention_cohorts", (s, dir) => {
-    val act = Tables.eventsWithTsUs(s, dir)
-      .select(col("user_id"),
-        expr("ts_us DIV 86400000000").as("day"))
-      .distinct()
-    val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
-    act.join(cohort, "user_id")
-      .withColumn("offset", col("day") - col("cohort_day"))
-      .filter(col("offset") <= 7)
-      .groupBy("cohort_day", "offset")
-      .agg(countDistinct(col("user_id")).as("n_active"))
+    // factored through operators/Retention (round 15): one-shot =
+    // retentionTable(retentionState(activeDays)) — the same functions
+    // the streaming sink folds per batch, so the at-ingest dashboard
+    // provably equals this query (StreamOpsSpec)
+    import graft.operators.Retention
+    Retention.retentionTable(Retention.retentionState(
+      Retention.activeDays(Tables.eventsWithTsUs(s, dir),
+        "user_id", "ts_us")))
   }, Some("""WITH act AS (SELECT DISTINCT user_id,
         epoch_us(ts) // 86400000000 AS day FROM events),
       cohort AS (SELECT user_id, min(day) AS cohort_day

@@ -765,6 +765,34 @@ object LlmOps {
       "energy_ratio")
   }, None)
 
+  // L44P — the PORTABLE quantized-PCA sibling (the l12p trick applied
+  // to the eigensolve, round-15 verdict item 4): top-4 axes by
+  // FIXED-POINT INTEGER POWER ITERATION with Hotelling deflation over
+  // the exact l43 moment sums, then a fully-integer projection
+  // coord = Σ ⌊x_i·10^6⌉·q_ci. Every op is int64 multiply/add/
+  // truncating-divide, so the DuckDB oracle REPLAYS THE ENTIRE FIT
+  // (unrolled power-iteration CTEs — the l31 unrolled-training
+  // discipline at PCA's design point) and the projection to identical
+  // bits. l44 (exact Jacobi, rows-by-nature) stays the production
+  // eigensolve; PcaSpec pins the sibling's axes against it on a
+  // decaying spectrum.
+  private val l44p = QueryDef("l44p_pca_project_portable", (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = Pca.fitQuantized(emb, "embedding", dim = 64, k = 4,
+      iters = 20)
+    Pca.projectQuantized(emb, q, "vec_id", "embedding")
+  }, Some {
+    s"""WITH ${Pca.quantizedOracleCtes("embeddings", "embedding",
+          dim = 64, k = 4, iters = 20)},
+      qe AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+        AS q FROM embeddings)
+      SELECT qe.vec_id, qcomp.c,
+        CAST(sum(qe.q[qcomp.i + 1] * qcomp.w) AS BIGINT) AS coord
+      FROM qe CROSS JOIN qcomp
+      GROUP BY qe.vec_id, qcomp.c"""
+  })
+
   // L45 — feature hashing (the hashing trick): embed text into a
   // 64-bucket signed-count vector with no trained vocabulary — the
   // engine-native bridge from the text family to the vector family
@@ -847,6 +875,84 @@ object LlmOps {
       gram, kReduced = 16, threshold = 0.9, candThreshold = 0.6,
       nPlanes = 12, nTables = 8)
   }, None)
+
+  // L48P — l48's shape with EVERY stage hash-matched (round-15 verdict
+  // item 4): the reduction is the l44p quantized integer fit (k=4), so
+  // the reduced coordinates are exact BIGINTs; the candidate stage
+  // (4-d hyperplane-LSH with the hot-cell cap at 2 — both branches
+  // fire at this SF, the l12cp discipline — plus the reduced-cosine
+  // pre-filter at 0.6) and the full-space verify at 0.9 are replayed
+  // by DuckDB bit for bit. l48 (exact-Jacobi reduction, maxBucket 64)
+  // stays the production form and keeps its SimilaritySpec pins; this
+  // sibling is its cross-engine certificate.
+  private val l48p = QueryDef("l48p_near_dup_reduced_portable",
+    (s, dir) => {
+      val corpus = twinnedEmbeddings(s, dir)
+      val q = Pca.fitQuantized(corpus, "embedding", dim = 64, k = 4,
+        iters = 20)
+      Similarity.cosineNearDupPairsReducedQuantized(corpus, "vec_id",
+        "embedding", q, threshold = 0.9, candThreshold = 0.6,
+        nPlanes = 12, nTables = 8, maxBucket = 2)
+    }, Some {
+      def dotN(a: String, b: String, n: Int): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])),
+            (x, y) -> x + y)"""
+      val planeRows = (0 until 96).map(g =>
+        s"($g, ${Similarity.planeSqlLiteral(g, 4)})")
+        .mkString(",\n        ")
+      s"""WITH $twinnedSql,
+        ${Pca.quantizedOracleCtes("tw", "embedding", dim = 64, k = 4,
+           iters = 20)},
+        qe AS (SELECT vec_id, list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT)) AS q FROM tw),
+        red AS (SELECT qe.vec_id, qcomp.c,
+            CAST(sum(qe.q[qcomp.i + 1] * qcomp.w) AS BIGINT) AS coord
+          FROM qe CROSS JOIN qcomp GROUP BY qe.vec_id, qcomp.c),
+        rv AS (SELECT vec_id,
+            list(CAST(coord AS DOUBLE) ORDER BY c) AS v FROM red
+          GROUP BY vec_id),
+        rn AS (SELECT vec_id, v,
+            sqrt(${dotN("v", "v", 4)}) AS nrm FROM rv),
+        planes AS (SELECT * FROM (VALUES $planeRows) t(g, pl)),
+        bits AS (SELECT vec_id, g // 12 AS tbl,
+            CASE WHEN ${dotN("v", "pl", 4)} > 0
+              THEN CAST(power(2, g % 12) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS bit
+          FROM rv CROSS JOIN planes),
+        buck AS (SELECT vec_id, tbl, CAST(sum(bit) AS BIGINT) AS bucket
+          FROM bits GROUP BY 1, 2),
+        cells AS (SELECT b.vec_id AS doc, rn.v, rn.nrm, b.tbl, b.bucket
+          FROM buck b JOIN rn ON rn.vec_id = b.vec_id),
+        stats AS (SELECT tbl, bucket, CAST(count(*) AS BIGINT) cnt,
+            min(doc) rep, arg_min(v, doc) repv, arg_min(nrm, doc) repn
+          FROM cells GROUP BY tbl, bucket),
+        cs AS (SELECT c.doc, c.v, c.nrm, c.tbl, c.bucket,
+            s.cnt, s.rep, s.repv, s.repn
+          FROM cells c JOIN stats s
+            ON s.tbl = c.tbl AND s.bucket = c.bucket),
+        small AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+            ${dotN("a.v", "b.v", 4)} / (a.nrm * b.nrm) AS rcos
+          FROM cs a JOIN cs b
+            ON a.tbl = b.tbl AND a.bucket = b.bucket
+          WHERE a.cnt <= 2 AND a.doc < b.doc),
+        star AS (SELECT rep AS doc_a, doc AS doc_b,
+            ${dotN("repv", "v", 4)} / (repn * nrm) AS rcos
+          FROM cs WHERE cnt > 2 AND doc <> rep),
+        cand AS (SELECT DISTINCT doc_a, doc_b
+          FROM (SELECT * FROM small UNION ALL SELECT * FROM star)
+          WHERE rcos >= CAST(0.6 AS DOUBLE)),
+        en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+            sqrt(${dotN("CAST(embedding AS DOUBLE[])",
+              "CAST(embedding AS DOUBLE[])", 64)}) AS fn FROM tw)
+        SELECT c.doc_a, c.doc_b,
+          ${dotN("ea.fv", "eb.fv", 64)} / (ea.fn * eb.fn) AS cosine
+        FROM cand c JOIN en ea ON ea.vec_id = c.doc_a
+        JOIN en eb ON eb.vec_id = c.doc_b
+        WHERE ${dotN("ea.fv", "eb.fv", 64)} / (ea.fn * eb.fn) >=
+          CAST(0.9 AS DOUBLE)"""
+    })
 
   // L49 — edit-distance similarity join: all document pairs within
   // levenshtein <= 8, via PassJoin segment-pigeonhole blocking
@@ -1371,6 +1477,154 @@ object LlmOps {
   // engine. (The heavier quality axes live in their own certified
   // queries — l63's Gopher battery, l58's funnel, l74's tokenizer
   // table; a datasheet row links, it doesn't recompute.)
+  // L76 — the fused WARC-FILES → curation ingest (round-15 verdict
+  // item 6): the two round-14 headliners composed into the actual
+  // CommonCrawl job shape. A REAL multi-member .warc.gz fixture is
+  // written on executors (one gzip member per record; deterministic
+  // per-(JVM, sf-dir) dir, the x28 reuse discipline), then read back
+  // through `WarcFiles.records` (gzip-member walk → warc_parse) →
+  // 2xx-response filter → `Html.cleanText` extraction → exact-dedup
+  // keep-first. Arms: %11 → 404 (must drop before extraction), %6 →
+  // verbatim recrawl under id+1e6 (dedup must kill the copy, keep-min
+  // the original), %13 → a valid gzip member holding non-WARC bytes
+  // (must surface as exactly one quarantine row, never a parse). The
+  // oracle regenerates the record multiset logically from `documents`
+  // (the m4 discipline) — file/gzip mechanics are WarcSpec's domain,
+  // and splitBytes exceeds every fixture file so the record set is
+  // split-layout-free; the hash match certifies the COMPOSITION: every
+  // count, token and char total, and the keep-first survivor tokens.
+  private val l76 = QueryDef("l76_warc_curation_ingest", (s, dir) => {
+    import graft.sources.WarcFiles
+    val fixtureBase = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      "graft_l76_" + Integer.toHexString(dir.hashCode))
+    val marker = new java.io.File(fixtureBase, "_fixture_complete")
+    def wipe(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(wipe)
+      f.delete(); ()
+    }
+    if (!marker.exists()) {
+      wipe(fixtureBase); fixtureBase.mkdirs()
+      val src = Tables.documents(s, dir).select("doc_id", "text")
+      val rows = src.select(col("doc_id").as("id"), col("text"),
+          lit(false).as("bad"))
+        .unionByName(src.filter(pmod(col("doc_id"), lit(6L)) === 0L)
+          .select((col("doc_id") + lit(1000000L)).as("id"), col("text"),
+            lit(false).as("bad")))
+        .unionByName(src.filter(pmod(col("doc_id"), lit(13L)) === 0L)
+          .select(col("doc_id").as("id"), col("text"),
+            lit(true).as("bad")))
+      val outDir = fixtureBase.toString
+      rows.repartition(4).foreachPartition {
+        it: Iterator[org.apache.spark.sql.Row] =>
+          if (it.hasNext) {
+            val crlf = "\r\n"
+            val f = java.nio.file.Files.createTempFile(
+              java.nio.file.Paths.get(outDir), "part-", ".warc.gz")
+            val out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(f.toFile), 1 << 20)
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val member: Array[Byte] =
+                if (r.getBoolean(2))
+                  ("WARX/1.0" + crlf + "Content-Length: 1" + crlf +
+                    crlf + "x" + crlf + crlf).getBytes("UTF-8")
+                else {
+                  val body = "<html><head><style>p { color: red }" +
+                    "</style></head><body><p>" + r.getString(1) +
+                    "</p><a href=\"/n\">nav &amp; more</a>" +
+                    "</body></html>"
+                  val status =
+                    if (id % 11 == 0) "404 Not Found" else "200 OK"
+                  val http = "HTTP/1.1 " + status + crlf +
+                    "Content-Type: text/html" + crlf + crlf + body
+                  val httpB = http.getBytes("UTF-8")
+                  ("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+                    s"WARC-Target-URI: http://site${id % 5}" +
+                    s".example.org/doc/$id" + crlf +
+                    "Content-Type: application/http;msgtype=response" +
+                    crlf + s"Content-Length: ${httpB.length}" +
+                    crlf + crlf).getBytes("UTF-8") ++ httpB ++
+                    (crlf + crlf).getBytes("UTF-8")
+                }
+              val shield = new java.io.FilterOutputStream(out) {
+                override def write(b: Array[Byte], o: Int,
+                                   n: Int): Unit = out.write(b, o, n)
+                override def close(): Unit = ()
+              }
+              val g = new java.util.zip.GZIPOutputStream(shield)
+              g.write(member); g.close()
+            }
+            out.close()
+          }
+      }
+      marker.createNewFile()
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => wipe(fixtureBase)))
+    }
+    val recs = WarcFiles.records(s, s"$fixtureBase/*.warc.gz",
+      splitBytes = 64L << 20)
+    val tok = WarcFiles.responseTextsFromRecords(recs)
+      .withColumn("doc_id", regexp_extract(col("target_uri"),
+        "/doc/([0-9]+)$", 1).cast("long"))
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount("text").as("ntok"),
+        length(col("text")).cast("long").as("nch"))
+    val groups = Dedup.exactDupGroups(tok, "doc_id", "text")
+    val recAgg = recs.agg(count(lit(1)).as("n_records"),
+      sum(when(col("error").isNotNull, 1L).otherwise(0L))
+        .as("n_quarantined"),
+      sum(when(col("error").isNull && col("warc_type") === "response",
+        1L).otherwise(0L)).as("n_responses"))
+    val okAgg = tok.agg(count(lit(1)).as("n_ok"),
+      coalesce(sum("ntok"), lit(0L)).as("n_tokens"),
+      coalesce(sum("nch"), lit(0L)).as("n_chars"))
+    val dupAgg = groups.agg(count(lit(1)).as("n_unique"),
+      (coalesce(sum("n_copies"), lit(0L)) - count(lit(1)))
+        .as("n_dup_killed"))
+    val keepAgg = groups.select(col("keep_id"))
+      .join(tok, col("keep_id") === col("doc_id"))
+      .agg(coalesce(sum("ntok"), lit(0L)).as("keep_tokens"))
+    recAgg.crossJoin(okAgg).crossJoin(dupAgg).crossJoin(keepAgg)
+  }, Some {
+    val html = "'<html><head><style>p { color: red }</style></head>" +
+      "<body><p>' || text || '</p><a href=\"/n\">nav &amp; more</a>" +
+      "</body></html>'"
+    s"""WITH o AS (SELECT doc_id, text FROM documents),
+      ids AS (SELECT doc_id AS id, text FROM o
+        UNION ALL SELECT doc_id + 1000000, text FROM o
+        WHERE doc_id % 6 = 0),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bad FROM o
+        WHERE doc_id % 13 = 0),
+      okd AS (SELECT id,
+          ${graft.operators.Html.cleanTextDuckSql(html)} AS t
+        FROM ids WHERE id % 11 <> 0),
+      tok AS (SELECT id, t,
+          CAST(len(list_filter(string_split(t, ' '),
+            x -> length(x) > 0)) AS BIGINT) AS ntok,
+          CAST(length(t) AS BIGINT) AS nch FROM okd),
+      grp AS (SELECT
+          sha256(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')) h,
+          min(id) keep_id, CAST(count(*) AS BIGINT) nc
+        FROM tok GROUP BY 1)
+      SELECT
+        CAST((SELECT count(*) FROM ids) + (SELECT n_bad FROM nb)
+          AS BIGINT) AS n_records,
+        (SELECT n_bad FROM nb) AS n_quarantined,
+        CAST((SELECT count(*) FROM ids) AS BIGINT) AS n_responses,
+        CAST((SELECT count(*) FROM tok) AS BIGINT) AS n_ok,
+        (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM tok)
+          AS n_tokens,
+        (SELECT CAST(coalesce(sum(nch), 0) AS BIGINT) FROM tok)
+          AS n_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM grp) AS n_unique,
+        (SELECT CAST(coalesce(sum(nc), 0) - count(*) AS BIGINT)
+          FROM grp) AS n_dup_killed,
+        (SELECT CAST(coalesce(sum(tok.ntok), 0) AS BIGINT)
+          FROM grp JOIN tok ON tok.id = grp.keep_id) AS keep_tokens"""
+  })
+
   private val l75 = QueryDef("l75_corpus_datasheet", (s, dir) => {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), col("lang"), col("source"),
@@ -4180,9 +4434,10 @@ object LlmOps {
       l24b, l25, l25b, l25s, l26, l26h, l27, l27b, l28, l29, l29h, l30,
       l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, l44r, l45, l46, l47, l48, l49, l51, l52, l52a,
+      l41b, l42, l43, l44, l44p, l44r, l45, l46, l47, l48, l48p, l49,
+      l51, l52, l52a,
       l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
       l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e,
-      l73, l73e, l74, l75, m1, m2, m3, m4, m5, m6)
+      l73, l73e, l74, l75, l76, m1, m2, m3, m4, m5, m6)
 }

@@ -242,6 +242,84 @@ object StreamOps {
     }
   }
 
+  /** STREAMING ordered-funnel state (x26's activation dashboard
+    * maintained at ingest — round-15 verdict item 7): the standing
+    * state is per-user earliest-timestamp-per-stage
+    * ([[graft.operators.Retention.stageMins]]), which merges across
+    * batches by MIN — order-insensitive, so late/out-of-order events
+    * land exactly where the one-shot query would put them. State is
+    * |users| rows of (stages+1) longs; the dashboard is computed from
+    * state on demand by [[stageFunnelFromState]] with the SAME code
+    * x26 runs, so streamed == one-shot by construction (StreamOpsSpec
+    * pins it on shuffled batches).
+    */
+  def stageFunnelForeachBatch(statePath: String, userCol: String,
+                              typeCol: String, tsCol: String,
+                              stages: Seq[String])
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        val part = graft.operators.Retention.stageMins(
+          batch, userCol, typeCol, tsCol, stages)
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(live)) {
+            val aggs = stages.map(t => min(s"t_$t").as(s"t_$t"))
+            spark.read.parquet(statePath).unionByName(part)
+              .groupBy(userCol).agg(aggs.head, aggs.tail: _*)
+          } else part
+        publishAtomic(spark, statePath, merged, Some(batchId))
+      }
+    }
+  }
+
+  /** The x26 dashboard row from the standing funnel state — equal to
+    * the one-shot query over everything streamed so far. */
+  def stageFunnelFromState(spark: org.apache.spark.sql.SparkSession,
+                           statePath: String,
+                           stages: Seq[String]): DataFrame =
+    graft.operators.Retention.funnelCounts(
+      spark.read.parquet(statePath), stages)
+
+  /** STREAMING retention-cohort state (x27 at ingest): per-user
+    * (cohort_day, 8-bit active-day mask) — two longs per user forever,
+    * closed under merge (see [[graft.operators.Retention]]: an
+    * earlier-day arrival shifts existing days to HIGHER offsets, some
+    * permanently out of the window, exactly as the one-shot filter
+    * would). Per batch: reduce the batch to distinct (user, day)
+    * pairs, union with the state EXPLODED back to its pairs (≤ 8 per
+    * user), re-reduce. [[retentionFromState]] then computes x27's
+    * exact dashboard from the state.
+    */
+  def retentionForeachBatch(statePath: String, userCol: String,
+                            tsUsCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      if (!appliedBatch(spark, statePath).contains(batchId)) {
+        import graft.operators.Retention
+        val fresh = Retention.activeDays(batch, userCol, tsUsCol)
+        val live = new org.apache.hadoop.fs.Path(statePath)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val pairs =
+          if (fs.exists(live))
+            Retention.stateDays(spark.read.parquet(statePath))
+              .unionByName(fresh).distinct()
+          else fresh
+        publishAtomic(spark, statePath, Retention.retentionState(pairs),
+          Some(batchId))
+      }
+    }
+  }
+
+  /** The x27 activation dashboard from the standing retention state. */
+  def retentionFromState(spark: org.apache.spark.sql.SparkSession,
+                         statePath: String): DataFrame =
+    graft.operators.Retention.retentionTable(
+      spark.read.parquet(statePath))
+
   /** STREAMING line-frequency state for boilerplate removal
     * ([[graft.operators.Dedup.lineFrequencyFilter]]'s corpus statistic
     * as an append-only delta log): each micro-batch reduces to its own

@@ -248,4 +248,92 @@ class GraphRankSpec extends AnyFunSuite {
       df.unpersist(blocking = false)
     }
   }
+
+  test("bucketed-at-write edges: cold-start reads are exchange-free " +
+    "on the edge side, results identical, shuffle below even the " +
+    "pre-partitioned form (SCALE_r14 §7's closing lever)") {
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges = Seq.fill(60000)(
+      (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst").repartition(13).cache()
+    df.count()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bucketed_graph").toString
+    GraphRank.writeEdgesBucketed(df, "src", "dst",
+      "graft_spec_pr_edges", 8, s"$tmp/pr", symmetrizeForCC = false)
+    GraphRank.writeEdgesBucketed(df, "src", "dst",
+      "graft_spec_cc_edges", 8, s"$tmp/cc", symmetrizeForCC = true)
+
+    // the scan itself must REPORT the layout — this is what
+    // EnsureRequirements consumes to skip the edge-side Exchange
+    // (autoBucketedScan is disabled in Sessions.build so the cache-
+    // materialization plan cannot silently drop it)
+    val scan = s.table("graft_spec_pr_edges")
+      .queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    scan.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        assert(h.numPartitions == 8)
+        assert(h.expressions.map(_.toString).exists(_.contains("src")),
+          h.expressions.mkString(","))
+      case other => fail(s"bucketed scan lost its layout: $other")
+    }
+
+    val listener = graft.tools.TaskMetricsListener.installed(s)
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeThresh =
+      s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    def measure(f: => Map[Long, Long]): (Map[Long, Long], Long) = {
+      s.sharedState.cacheManager.clearCache()
+      df.cache().count()
+      listener.drain(); listener.reset()
+      val got = f
+      listener.drain()
+      (got, listener.shuffleWriteBytes.get())
+    }
+    try {
+      def collectRanks(r: org.apache.spark.sql.DataFrame) = {
+        val got = r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        r.unpersist(blocking = false); got
+      }
+      val (prep, prepBytes) = measure(collectRanks(
+        GraphRank.pageRankFixedPoint(df, "src", "dst", iters = 6,
+          prePartitionEdges = true)))
+      val (buck, buckBytes) = measure(collectRanks(
+        GraphRank.pageRankFromBucketed(s, "graft_spec_pr_edges",
+          iters = 6)))
+      assert(prep == buck, "bucketed layout must never change ranks")
+      assert(buckBytes < prepBytes,
+        "bucketed cold-start must shuffle less than the pre-partitioned" +
+          s" form (no upfront |E| exchange): $buckBytes !< $prepBytes")
+
+      val (ccPrep, ccPrepBytes) = measure(collectRanks(
+        GraphRank.connectedComponents(df, "src", "dst",
+          prePartitionEdges = true)))
+      val (ccBuck, ccBuckBytes) = measure(collectRanks(
+        GraphRank.componentsFromBucketed(s, "graft_spec_cc_edges")))
+      assert(ccPrep == ccBuck,
+        "bucketed layout must never change component labels")
+      assert(ccBuckBytes < ccPrepBytes,
+        "bucketed CC cold-start must shuffle less (symmetrize+distinct" +
+          s"+repartition baked into the write): $ccBuckBytes !< " +
+          s"$ccPrepBytes")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      prevAqeThresh match {
+        case Some(v) =>
+          s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      df.unpersist(blocking = false)
+      s.sql("DROP TABLE IF EXISTS graft_spec_pr_edges")
+      s.sql("DROP TABLE IF EXISTS graft_spec_cc_edges")
+    }
+  }
 }

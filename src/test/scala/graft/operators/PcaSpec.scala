@@ -203,4 +203,43 @@ class PcaSpec extends AnyFunSuite {
     assert(rand.varianceExplained(6) > 0.99,
       s"only ${rand.varianceExplained(6)} of variance in top 6")
   }
+
+  test("fitQuantized: integer power-iteration axes align with the " +
+    "exact uncentered solve on a decaying spectrum, eigenvalue ratios " +
+    "agree, and the fit is bit-deterministic across partitionings") {
+    val d = 48
+    val df = lowRank(n = 3000, d = d, r = 6).cache()
+    try {
+      val exact = Pca.fit(df, "embedding", dim = d, center = false)
+      val q = Pca.fitQuantized(df, "embedding", dim = d, k = 4,
+        iters = 20)
+      // axis alignment: |cos(exact_c, quantized_c)| near 1 per rank
+      // (signs may differ — power iteration has no sign convention)
+      for (c <- 0 until 4) {
+        val qv = q.components(c).map(_.toDouble)
+        val qn = math.sqrt(qv.map(x => x * x).sum)
+        val cos = exact.components(c).zip(qv).map(p => p._1 * p._2).sum /
+          math.max(qn, 1e-300)
+        assert(math.abs(cos) > 0.98,
+          s"component $c misaligned: |cos| = ${math.abs(cos)}")
+      }
+      // Rayleigh-quotient ratios track the exact eigenvalue ratios
+      // (the scaled integers share one unknown scale factor, so only
+      // RATIOS are comparable)
+      for (c <- 1 until 4) {
+        val exactRatio = exact.eigenvalues(c) / exact.eigenvalues(0)
+        val qRatio = q.eigenvaluesScaled(c).toDouble /
+          q.eigenvaluesScaled(0).toDouble
+        assert(math.abs(exactRatio - qRatio) < 0.02,
+          s"eigenvalue ratio $c: exact $exactRatio vs quantized $qRatio")
+      }
+      // bit-determinism: the fit consumes exact integer moments, so
+      // any partitioning must produce the identical component table
+      val q13 = Pca.fitQuantized(df.repartition(13), "embedding",
+        dim = d, k = 4, iters = 20)
+      assert(q.components.map(_.toSeq).toSeq ==
+        q13.components.map(_.toSeq).toSeq)
+      assert(q.eigenvaluesScaled.toSeq == q13.eigenvaluesScaled.toSeq)
+    } finally df.unpersist(blocking = false)
+  }
 }

@@ -1743,4 +1743,72 @@ class StreamOpsSpec extends AnyFunSuite {
       .toMap
     assert(after == state, "empty batch is a no-op")
   }
+
+  test("streaming funnel + retention states: dashboards from state == " +
+    "the one-shot x26/x27 operators over everything streamed, under " +
+    "OUT-OF-ORDER arrival (late earlier-day events shift cohorts)") {
+    import s.implicits._
+    val day = 86400000000L
+    // deliberately out of order: user 1's view arrives AFTER its
+    // click (stage mins must still order them); user 3's day-0 event
+    // arrives last (its cohort must SHIFT and day 9 must fall out of
+    // the 8-day window); user 2 never converts past view
+    val batches = Seq(
+      Seq((1L, "click", 5L * day + 7L), (2L, "view", 1L * day),
+        (3L, "purchase", 9L * day)),
+      Seq((1L, "view", 5L * day), (3L, "click", 2L * day),
+        (2L, "view", 3L * day)),
+      Seq((1L, "purchase", 6L * day), (3L, "view", 0L),
+        (2L, "click", 1L * day - 1L))) // click BEFORE view: no convert
+    val stages = Seq("view", "click", "purchase")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retention_stream").toString
+    val funnelPath = s"$root/funnel"
+    val retPath = s"$root/retention"
+    val fSink = StreamOps.stageFunnelForeachBatch(funnelPath, "user_id",
+      "event_type", "ts_us", stages)
+    val rSink = StreamOps.retentionForeachBatch(retPath, "user_id",
+      "ts_us")
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF("user_id", "event_type", "ts_us")
+      fSink(df, i.toLong); rSink(df, i.toLong)
+    }
+    val all = batches.flatten.toDF("user_id", "event_type", "ts_us")
+
+    def row1(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect()(0).toSeq.map(_.asInstanceOf[Long])
+    val streamedFunnel = row1(
+      StreamOps.stageFunnelFromState(s, funnelPath, stages))
+    val oneShotFunnel = row1(graft.operators.Retention.funnelCounts(
+      graft.operators.Retention.stageMins(all, "user_id", "event_type",
+        "ts_us", stages), stages))
+    assert(streamedFunnel == oneShotFunnel)
+    // users 1 and 3 convert fully (stage mins end up ordered despite
+    // arrival order); user 2's click lands just BEFORE its earliest
+    // view and stops at the view stage
+    assert(streamedFunnel == Seq(3L, 3L, 2L, 2L))
+
+    def retMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getLong(2)).toMap
+    val streamedRet = retMap(StreamOps.retentionFromState(s, retPath))
+    val oneShotRet = retMap(graft.operators.Retention.retentionTable(
+      graft.operators.Retention.retentionState(
+        graft.operators.Retention.activeDays(all, "user_id", "ts_us"))))
+    assert(streamedRet == oneShotRet)
+    // user 3 cohort shifted to day 0 by the LAST batch: day 2 stays
+    // (offset 2), day 9 fell out (offset 9 > 7); user 2's near-
+    // midnight click lands on day 0, its view on days 1 and 3
+    assert(streamedRet((0L, 0L)) == 2L, streamedRet.toString)
+    assert(streamedRet((0L, 2L)) == 1L)
+    assert(!streamedRet.contains((0L, 9L)))
+
+    // retry idempotence: replaying the last batch changes nothing
+    val lastDf = batches.last.toDF("user_id", "event_type", "ts_us")
+    fSink(lastDf, 2L); rSink(lastDf, 2L)
+    assert(row1(StreamOps.stageFunnelFromState(s, funnelPath, stages))
+      == streamedFunnel)
+    assert(retMap(StreamOps.retentionFromState(s, retPath))
+      == streamedRet)
+  }
 }
