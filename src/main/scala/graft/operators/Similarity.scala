@@ -827,6 +827,16 @@ object Similarity {
     * partitions*k rows per query through the final shuffle, output
     * bit-identical to `row_number() OVER (PARTITION BY q_id ORDER BY
     * cosine DESC, n_id) <= k` (exact score compare, id tie-break).
+    *
+    * DEPLOYMENT NOTE (measured, SCALE_r15 §7): a udaf plans as
+    * ObjectHashAggregate, whose sort-based fallback fires past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * DISTINCT KEYS (default 128) — a query BATCH larger than 128
+    * silently sorts the entire scored stream instead of folding it
+    * (141 GB spill on a 2B-row brute scan at 2,000 queries, 7.5×
+    * the wall). BoundedTopK state is O(k) tiny, so raise the
+    * threshold to cover the query-batch size; the default guards
+    * unbounded-state aggregates like collect_list, not this one.
     */
   private[graft] def rankTopKByCosine(scored: DataFrame,
                                       k: Int): DataFrame = {

@@ -203,6 +203,15 @@ object ProbeR15 {
         // price is per-query scan cost at a real batch size.
         val queries = corpus.filter(pmod(col("vec_id"), lit(500L))
           === 3L).cache()
+        // Without this, EVERY top-k in this mode degrades past 128
+        // queries: the BoundedTopK udaf plans as ObjectHashAggregate,
+        // whose sort-based fallback (key-count threshold, default 128)
+        // sorts the full scored stream — measured 141 GB spill / 7.5×
+        // wall on the brute row. BoundedTopK state is O(k); 65536
+        // keys of it is a few MB per partition.
+        spark.conf.set(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          "65536")
         println(s"PROBE15 ann1m queries=${queries.count()}")
         def topMap(df: org.apache.spark.sql.DataFrame)
             : Map[Long, Set[Long]] =
