@@ -663,6 +663,71 @@ object Extras {
          JOIN orders ON l_orderkey = o_orderkey) b2""", iters = 4)))
 
   // X23 — parquet NATIVE bloom-filter point lookup: the documents
+  // X22W/X22B — the x16w discipline applied to the GRAPH layout
+  // (round 15): x22w pays the ONE-TIME bucketed-on-src write of x22's
+  // edge list (plus the symmetrized+distinct CC variant of the same
+  // edges — both tables a production graph store would keep); x22b is
+  // every later COLD-START PageRank over that layout —
+  // `pageRankFromBucketed` reads the bucket layout and runs all four
+  // iterations with zero edge-side exchange (not even x22p's one
+  // upfront repartition). Same oracle as x22/x22p: storage layout must
+  // never change ranks, certified cross-engine. Table names carry the
+  // dir hash (the x16w session-cache discipline).
+  private def x22BucketedNames(dir: String): (String, String, String) = {
+    val h = Integer.toHexString(dir.hashCode)
+    val tmp = System.getProperty("java.io.tmpdir") + s"/graft_b_graph_$h"
+    (s"graft_b_predges_$h", s"graft_b_ccedges_$h", tmp)
+  }
+
+  private def writeBucketedGraph(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): Unit = {
+    import graft.operators.GraphRank
+    val (pt, ct, tmp) = x22BucketedNames(dir)
+    val e0 = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val e = e0.union(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    GraphRank.writeEdgesBucketed(e, "src", "dst", pt, 8, s"$tmp/pr",
+      symmetrizeForCC = false)
+    GraphRank.writeEdgesBucketed(e, "src", "dst", ct, 8, s"$tmp/cc",
+      symmetrizeForCC = true)
+  }
+
+  private val x22w = QueryDef("x22w_bucketed_graph_write", (s, dir) => {
+    writeBucketedGraph(s, dir)
+    val (pt, ct, _) = x22BucketedNames(dir)
+    s.table(pt).agg(count(lit(1)).as("n_pr_edges"))
+      .crossJoin(s.table(ct).agg(count(lit(1)).as("n_cc_edges")))
+  }, Some("""WITH b AS (SELECT DISTINCT o_custkey*2 AS src,
+        l_suppkey*2+1 AS dst FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT src, dst FROM b
+        UNION ALL SELECT dst, src FROM b),
+      cc AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+        WHERE src <> dst)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_pr_edges,
+        (SELECT CAST(count(*) AS BIGINT) FROM cc) AS n_cc_edges"""))
+
+  private val x22b = QueryDef("x22b_pagerank_bucketed", (s, dir) => {
+    import graft.operators.GraphRank
+    val (pt, ct, _) = x22BucketedNames(dir)
+    if (!s.catalog.tableExists(pt) || !s.catalog.tableExists(ct))
+      writeBucketedGraph(s, dir)
+    GraphRank.pageRankFromBucketed(s, pt, iters = 4)
+  }, Some(graft.operators.GraphRank.oracleSql(
+    """SELECT src, dst FROM (SELECT DISTINCT o_custkey*2 AS src,
+         l_suppkey*2+1 AS dst FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey) b
+       UNION ALL
+       SELECT dst AS src, src AS dst FROM (SELECT DISTINCT
+         o_custkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey) b2""", iters = 4)))
+
   // content-hash table written with a format-level bloom on `h`
   // (Formats.writeParquetBloom), then a needle query — find every doc
   // sharing doc 7's content hash (the planted re-crawl dups make it
@@ -990,6 +1055,7 @@ object Extras {
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x23, x24, x25, x26,
+      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x22w, x22b, x23,
+      x24, x25, x26,
       x27, x28, x29)
 }
