@@ -387,6 +387,34 @@ object ProbeR15 {
             math.max(0.001, (System.nanoTime() - tStart) / 1e9)}%.0f"
         }
 
+      case "ohathresh" =>
+        // Does the ObjectHashAggregate sort-based fallback (the §7
+        // finding) also tax the BENCHED queries? The near-dup family
+        // aggregates O(1)-state min_by/BoundedTopK over corpus-scale
+        // group counts — all past the 128-key default, so all
+        // sort-based today. Measure the registered queries at sf0.1
+        // under the default vs a raised threshold; results must be
+        // IDENTICAL (the conf is execution-strategy-only).
+        val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val names = Seq("l2b_ngram_jaccard_capped", "l23_dup_span_removal",
+          "l12c_cosine_near_dup_capped", "l40_canonical_dedup",
+          "l5_knn_brute", "x8_collect_sorted")
+        for (thresh <- Seq("128", "65536");
+             name <- names) {
+          spark.conf.set(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            thresh)
+          timed(s"oha_${name}_t$thresh", reps = 2) {
+            spark.sharedState.cacheManager.clearCache()
+            val df = graft.SparkEntry.queries(name)(spark, sfDir)
+            val n = df.count()
+            s"rows=$n"
+          }
+        }
+        spark.conf.set(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+          "128")
+
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()
