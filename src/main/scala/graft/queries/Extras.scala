@@ -728,6 +728,23 @@ object Extras {
          o_custkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey) b2""", iters = 4)))
 
+  // X22C — connected components COLD-STARTED from the bucketed CC
+  // table (symmetrize + distinct + clustering all baked in at write
+  // time by x22w): the label loop's per-round neighbor join reads the
+  // layout exchange-free from the first job. Oracle: the recursive-CTE
+  // reachable-min over the same edge set — layout is result-inert for
+  // CC exactly as for PageRank.
+  private val x22c = QueryDef("x22c_components_bucketed", (s, dir) => {
+    import graft.operators.GraphRank
+    val (pt, ct, _) = x22BucketedNames(dir)
+    if (!s.catalog.tableExists(pt) || !s.catalog.tableExists(ct))
+      writeBucketedGraph(s, dir)
+    GraphRank.componentsFromBucketed(s, ct)
+  }, Some(graft.operators.GraphRank.componentsOracleSql(
+    """SELECT src AS doc_a, dst AS doc_b FROM (SELECT DISTINCT
+         o_custkey*2 AS src, l_suppkey*2+1 AS dst FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey) b""")))
+
   // content-hash table written with a format-level bloom on `h`
   // (Formats.writeParquetBloom), then a needle query — find every doc
   // sharing doc 7's content hash (the planted re-crawl dups make it
@@ -1055,7 +1072,8 @@ object Extras {
   val defs: Seq[QueryDef] =
     Seq(x1, x2, x3, x4, x5, x5p, x6, x7, x8, x9, x10, x11, x12, x12p, x13,
       x14, x15,
-      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x22w, x22b, x23,
+      x16w, x16, x17, x18, x19, x20, x21, x22, x22p, x22w, x22b, x22c,
+      x23,
       x24, x25, x26,
       x27, x28, x29)
 }

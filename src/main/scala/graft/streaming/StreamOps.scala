@@ -320,6 +320,186 @@ object StreamOps {
     graft.operators.Retention.retentionTable(
       spark.read.parquet(statePath))
 
+  /** [[stageFunnelForeachBatch]]'s DELTA-LOG form — the rewrite-per-
+    * batch pattern above is right for BOUNDED states (the |rules|-row
+    * funnel, the |sources|-row quota) but the per-USER state is
+    * corpus-sized: rewriting 10⁸ user rows every micro-batch is the
+    * row-6 anti-pattern. Here each batch appends ONLY its own partial
+    * stage-mins to `statePath/d=<batchId>` (O(batch) writes,
+    * mode-overwrite = retry-idempotent, the dedup-index LSM shape);
+    * the standing mins are the min-merge of the deltas at read time
+    * ([[stageFunnelFromDeltas]]), and min-merge absorbs any duplicate
+    * rows a crashed compaction leaves. [[compactStageFunnelDeltas]]
+    * bounds the listed-dir count exactly like the dedup index.
+    */
+  def stageFunnelForeachBatchDelta(statePath: String, userCol: String,
+                                   typeCol: String, tsCol: String,
+                                   stages: Seq[String])
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      graft.operators.Retention
+        .stageMins(batch, userCol, typeCol, tsCol, stages)
+        .write.mode("overwrite").parquet(s"$statePath/d=$batchId")
+    }
+  }
+
+  private def deltaDirs(spark: org.apache.spark.sql.SparkSession,
+                        statePath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
+        !s.getPath.getName.contains("__staging"))
+      .map(_.getPath.toString).toSeq
+  }
+
+  private def unionDeltas(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String): Option[DataFrame] = {
+    val dirs = deltaDirs(spark, statePath)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Standing per-user stage mins from the delta log (min of mins),
+    * and the x26 dashboard row from them. */
+  def stageFunnelMinsFromDeltas(spark: org.apache.spark.sql.SparkSession,
+                                statePath: String, userCol: String,
+                                stages: Seq[String]): DataFrame = {
+    val all = unionDeltas(spark, statePath).getOrElse(
+      throw new IllegalStateException(
+        s"stageFunnelMinsFromDeltas: no deltas under $statePath"))
+    val aggs = stages.map(t => min(s"t_$t").as(s"t_$t"))
+    all.groupBy(userCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def stageFunnelFromDeltas(spark: org.apache.spark.sql.SparkSession,
+                            statePath: String, userCol: String,
+                            stages: Seq[String]): DataFrame =
+    graft.operators.Retention.funnelCounts(
+      stageFunnelMinsFromDeltas(spark, statePath, userCol, stages),
+      stages)
+
+  /** LSM compaction of the funnel delta log: min-merge every delta
+    * into one `d=c<upTo>` dir (staged rename BEFORE source deletes —
+    * a crash in between leaves duplicate rows that the min-merge read
+    * absorbs, the compactDedupIndex discipline). */
+  def compactStageFunnelDeltas(spark: org.apache.spark.sql.SparkSession,
+                               statePath: String, upTo: Long,
+                               userCol: String,
+                               stages: Seq[String]): Unit =
+    compactDeltaLog(spark, statePath, upTo) { dirs =>
+      val aggs = stages.map(t => min(s"t_$t").as(s"t_$t"))
+      spark.read.parquet(dirs: _*).groupBy(userCol)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+
+  /** [[retentionForeachBatch]]'s DELTA-LOG form (same motivation as
+    * the funnel delta above — the retention state is |users| rows):
+    * each batch appends its OWN (cohort_day, mask) partial state;
+    * the standing state is re-reduced from the deltas' exploded day
+    * pairs at read ([[retentionStateFromDeltas]]). Duplicate day
+    * pairs from retries/crashed compactions are absorbed by the
+    * distinct() in the re-reduce.
+    */
+  def retentionForeachBatchDelta(statePath: String, userCol: String,
+                                 tsUsCol: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      import graft.operators.Retention
+      Retention.retentionState(Retention.activeDays(batch, userCol,
+          tsUsCol))
+        .write.mode("overwrite").parquet(s"$statePath/d=$batchId")
+    }
+  }
+
+  def retentionStateFromDeltas(spark: org.apache.spark.sql.SparkSession,
+                               statePath: String): DataFrame = {
+    import graft.operators.Retention
+    val all = unionDeltas(spark, statePath).getOrElse(
+      throw new IllegalStateException(
+        s"retentionStateFromDeltas: no deltas under $statePath"))
+    Retention.retentionState(Retention.stateDays(all).distinct())
+  }
+
+  def retentionFromDeltas(spark: org.apache.spark.sql.SparkSession,
+                          statePath: String): DataFrame =
+    graft.operators.Retention.retentionTable(
+      retentionStateFromDeltas(spark, statePath))
+
+  def compactRetentionDeltas(spark: org.apache.spark.sql.SparkSession,
+                             statePath: String, upTo: Long): Unit =
+    compactDeltaLog(spark, statePath, upTo) { dirs =>
+      import graft.operators.Retention
+      Retention.retentionState(
+        Retention.stateDays(spark.read.parquet(dirs: _*)).distinct())
+    }
+
+  /** The cadence knob for the dashboard delta logs (the
+    * dedupIndexForeachBatchCompacted discipline): compact whenever the
+    * listed delta-dir count reaches `maxDeltas`. */
+  def stageFunnelForeachBatchDeltaCompacted(statePath: String,
+      userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String], maxDeltas: Int)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    require(maxDeltas >= 2, s"maxDeltas must be >= 2, got $maxDeltas")
+    stageFunnelForeachBatchDelta(statePath, userCol, typeCol, tsCol,
+      stages)(batch, batchId)
+    val spark = batch.sparkSession
+    if (deltaDirCount(spark, statePath) >= maxDeltas)
+      compactStageFunnelDeltas(spark, statePath, upTo = batchId,
+        userCol, stages)
+  }
+
+  def retentionForeachBatchDeltaCompacted(statePath: String,
+      userCol: String, tsUsCol: String, maxDeltas: Int)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    require(maxDeltas >= 2, s"maxDeltas must be >= 2, got $maxDeltas")
+    retentionForeachBatchDelta(statePath, userCol, tsUsCol)(
+      batch, batchId)
+    val spark = batch.sparkSession
+    if (deltaDirCount(spark, statePath) >= maxDeltas)
+      compactRetentionDeltas(spark, statePath, upTo = batchId)
+  }
+
+  /** Shared LSM compaction plumbing for the dashboard delta logs:
+    * merge every delta dir named `d=<id>` with id <= upTo (and any
+    * prior `d=c<id>` segments in range) into one staged `d=c<upTo>`,
+    * rename it live, THEN delete the sources — every reader tolerates
+    * the crash window because the read-side merges are duplicate-
+    * absorbing (min / distinct). */
+  private def compactDeltaLog(spark: org.apache.spark.sql.SparkSession,
+                              statePath: String, upTo: Long)(
+      merge: Seq[String] => DataFrame): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    def idOf(name: String): Option[Long] = {
+      val s = name.stripPrefix("d=")
+      (if (s.startsWith("c")) s.drop(1) else s).toLongOption
+    }
+    val eligible = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
+        !s.getPath.getName.contains("__staging"))
+      .filter(s => idOf(s.getPath.getName).exists(_ <= upTo))
+      .map(_.getPath)
+    if (eligible.length < 2) return
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s"d=c${upTo}__staging")
+    val target = new org.apache.hadoop.fs.Path(root, s"d=c$upTo")
+    merge(eligible.map(_.toString).toSeq)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(
+        s"compactDeltaLog: cannot publish $staging to $target")
+    // qualify both sides before comparing (the compactDedupIndex
+    // lesson: qualified-vs-unqualified Path equality once deleted a
+    // just-published target)
+    val qualifiedTarget = fs.makeQualified(target)
+    eligible.filterNot(p => fs.makeQualified(p) == qualifiedTarget)
+      .foreach(fs.delete(_, true))
+  }
+
   /** STREAMING line-frequency state for boilerplate removal
     * ([[graft.operators.Dedup.lineFrequencyFilter]]'s corpus statistic
     * as an append-only delta log): each micro-batch reduces to its own

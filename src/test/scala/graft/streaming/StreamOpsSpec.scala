@@ -1810,5 +1810,38 @@ class StreamOpsSpec extends AnyFunSuite {
       == streamedFunnel)
     assert(retMap(StreamOps.retentionFromState(s, retPath))
       == streamedRet)
+
+    // ---- DELTA-LOG forms (the |users|-scale shape): O(batch)
+    // appends instead of a full-state rewrite per batch; dashboards
+    // from the deltas == the rewrite forms == one-shot; compaction
+    // cadence bounds the dir count and is result-inert; a retried
+    // batch after compaction is absorbed by the min/distinct reads
+    val fdPath = s"$root/funnel_delta"
+    val rdPath = s"$root/retention_delta"
+    val fdSink = StreamOps.stageFunnelForeachBatchDeltaCompacted(
+      fdPath, "user_id", "event_type", "ts_us", stages, maxDeltas = 2)
+    val rdSink = StreamOps.retentionForeachBatchDeltaCompacted(
+      rdPath, "user_id", "ts_us", maxDeltas = 2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val df = b.toDF("user_id", "event_type", "ts_us")
+      fdSink(df, i.toLong); rdSink(df, i.toLong)
+    }
+    assert(row1(StreamOps.stageFunnelFromDeltas(s, fdPath, "user_id",
+      stages)) == streamedFunnel)
+    assert(retMap(StreamOps.retentionFromDeltas(s, rdPath))
+      == streamedRet)
+    assert(StreamOps.deltaDirCount(s, fdPath) <= 2,
+      "funnel delta-dir count must stay cadence-bounded")
+    assert(StreamOps.deltaDirCount(s, rdPath) <= 2,
+      "retention delta-dir count must stay cadence-bounded")
+    // retry a batch whose delta was already compacted away: its
+    // re-created d=1 sits next to the compacted segment; duplicate
+    // rows/day pairs must be absorbed at read
+    fdSink(batches(1).toDF("user_id", "event_type", "ts_us"), 1L)
+    rdSink(batches(1).toDF("user_id", "event_type", "ts_us"), 1L)
+    assert(row1(StreamOps.stageFunnelFromDeltas(s, fdPath, "user_id",
+      stages)) == streamedFunnel)
+    assert(retMap(StreamOps.retentionFromDeltas(s, rdPath))
+      == streamedRet)
   }
 }
