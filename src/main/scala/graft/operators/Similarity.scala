@@ -720,6 +720,35 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** [[twoStageTopK]] with the reduction replaced by the PORTABLE
+    * quantized fit ([[Pca.fitQuantized]]) — the l48p treatment applied
+    * to retrieval: reduced coordinates are exact BIGINTs cast to
+    * double, so stage 1 (reduced-space brute top-`kCand` per query)
+    * and stage 2 (exact full-space re-rank to top-`k`) are BOTH
+    * replayable cross-engine to the bit — l46p registers the full
+    * DuckDB mirror. [[twoStageTopK]] (exact-Jacobi reduction) stays
+    * the production form with its SimilaritySpec recall/degeneracy
+    * pins; this sibling is its hash-matched certificate. Same output
+    * contract: (q_id, rnk, n_id, cosine).
+    */
+  def twoStageTopKQuantized(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            q: Pca.QuantizedPca, kCand: Int, k: Int,
+                            digits: Int = 6): DataFrame = {
+    // (id, c, coord) → one array<double> per id, ordered by c — exact
+    // integers, so the mirror's list(... ORDER BY c) reproduces the
+    // array (and therefore every stage-1 cosine) bit for bit
+    def red(df: DataFrame): DataFrame =
+      Pca.projectQuantized(df, q, idCol, vecCol, digits)
+        .groupBy(idCol)
+        .agg(expr("transform(array_sort(collect_list(struct(c, coord)))," +
+          " s -> CAST(s.coord AS DOUBLE))").as("__r"))
+    val cand = bruteForceTopK(red(corpus), red(queries), idCol, "__r",
+        kCand)
+      .select(col("q_id"), col("n_id"))
+    rerankTopK(cand, corpus, queries, idCol, vecCol, k)
+  }
+
   /** L2-normalize + symmetric int8 quantization summary of an
     * array<double> vector column: per-vector scale = max|x_i|/127 over
     * the normalized components, q_i = round(x_i / norm / scale) in

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Bpe, CorpusAssembly, WordPiece, Dedup, Html, IngestPipeline, Multimodal, Pca, QualityClassifier, Similarity, TextAnalysis, Urls}
+import graft.operators.{Bpe, CorpusAssembly, WordPiece, Dedup, Html, IngestPipeline, Multimodal, Pca, QualityClassifier, Similarity, SuffixArray, TextAnalysis, Urls}
 
 /** LLM training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash), similarity search
@@ -821,6 +821,65 @@ object LlmOps {
       "vec_id", "embedding", gram, kReduced = 16, kCand = 50, k = 5)
   }, None)
 
+  // L46P — l46's two-stage retrieval with EVERY stage hash-matched:
+  // the reduction is the l44p quantized integer fit (k=4), so stage 1
+  // (reduced-space brute top-kCand per query, ties (cosine DESC,
+  // n_id) — BoundedTopK's exact order) and stage 2 (exact full-space
+  // re-rank to top-5) are replayed by DuckDB bit for bit: the reduced
+  // coords are exact BIGINTs, so every stage-1 cosine is the same
+  // double on both engines. l46 (exact-Jacobi reduction, kReduced=16)
+  // stays the production form and keeps its SimilaritySpec pins
+  // (recall == coverage, brute degeneracy); this sibling is its
+  // cross-engine certificate — the l44p/l48p treatment completing the
+  // PCA-float family, so every declared rows-only retrieval query now
+  // has a hash-green portable twin.
+  private val l46p = QueryDef("l46p_two_stage_ann_portable",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = Pca.fitQuantized(emb, "embedding", dim = 64, k = 4,
+        iters = 20)
+      Similarity.twoStageTopKQuantized(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", q,
+        kCand = 50, k = 5)
+    }, Some {
+      def dotN(a: String, b: String, n: Int): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])),
+            (x, y) -> x + y)"""
+      s"""WITH ${Pca.quantizedOracleCtes("embeddings", "embedding",
+           dim = 64, k = 4, iters = 20)},
+        qe AS (SELECT vec_id, list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0)
+              AS BIGINT)) AS q FROM embeddings),
+        red AS (SELECT qe.vec_id, qcomp.c,
+            CAST(sum(qe.q[qcomp.i + 1] * qcomp.w) AS BIGINT) AS coord
+          FROM qe CROSS JOIN qcomp GROUP BY qe.vec_id, qcomp.c),
+        rv AS (SELECT vec_id, list(CAST(coord AS DOUBLE) ORDER BY c)
+            AS v FROM red GROUP BY vec_id),
+        rn AS (SELECT vec_id, v, sqrt(${dotN("v", "v", 4)}) AS nrm
+          FROM rv),
+        rsc AS (SELECT qs.vec_id AS q_id, cs.vec_id AS n_id,
+            ${dotN("qs.v", "cs.v", 4)} / (qs.nrm * cs.nrm) AS rcos
+          FROM rn qs JOIN rn cs ON qs.vec_id <> cs.vec_id
+          WHERE qs.vec_id < 10),
+        cand AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY rcos DESC, n_id) AS r FROM rsc) WHERE r <= 50),
+        en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv,
+            sqrt(${dotN("CAST(embedding AS DOUBLE[])",
+              "CAST(embedding AS DOUBLE[])", 64)}) AS fn
+          FROM embeddings),
+        scored AS (SELECT c.q_id, c.n_id,
+            ${dotN("ea.fv", "eb.fv", 64)} / (ea.fn * eb.fn) AS cosine
+          FROM cand c JOIN en ea ON ea.vec_id = c.q_id
+          JOIN en eb ON eb.vec_id = c.n_id),
+        ranked AS (SELECT q_id, n_id, cosine,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id) AS BIGINT) AS rnk
+          FROM scored)
+        SELECT q_id, rnk, n_id, cosine FROM ranked WHERE rnk <= 5"""
+    })
+
   // L47 — the cross-family composition, fully oracle-checked end to
   // end: documents → feature-hash embedding (l45's trick, dense form) →
   // hyperplane-LSH cosine near-dup (l12p's geometry — SAME global plane
@@ -1623,6 +1682,51 @@ object LlmOps {
           FROM grp) AS n_dup_killed,
         (SELECT CAST(coalesce(sum(tok.ntok), 0) AS BIGINT)
           FROM grp JOIN tok ON tok.id = grp.keep_id) AS keep_tokens"""
+  })
+
+  // L77 — duplicated-span detection WITHOUT a fixed n-gram width:
+  // prefix-doubling suffix ranks (Manber–Myers as dataflow) report, per
+  // document, the longest cross-doc duplicated span on the power-of-two
+  // grid plus dup-position counts at the 8- and 32-token thresholds —
+  // the data-adaptive complement to l23's fixed-8 windows (round count
+  // = ⌈log2(longest repeat)⌉ with early stop, not a design-time n).
+  // The oracle replays the rank-tie ⇔ clamped-window-equality invariant
+  // directly: for each grid span it groups the space-joined token
+  // windows and keeps those spanning ≥2 distinct docs — engine-
+  // independent string equality, no rank values cross the boundary.
+  private val l77 = QueryDef("l77_suffix_dup_spans", (s, dir) => {
+    SuffixArray.gridDupSpans(Tables.documents(s, dir), "doc_id", "text",
+      horizon = 64)
+  }, Some {
+    val windows = (0 to 6).map { k =>
+      val sp = 1 << k
+      s"""SELECT doc_id, pos, n, CAST($sp AS BIGINT) AS s0,
+          array_to_string(tk[pos:pos + ${sp - 1}], ' ') AS w FROM p"""
+    }.mkString("\n        UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      t2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) n FROM toks),
+      p AS (SELECT doc_id, n, tk,
+          unnest(range(1, CAST(n AS INTEGER) + 1)) AS pos FROM t2),
+      w AS ($windows),
+      d AS (SELECT s0, w FROM w GROUP BY s0, w
+        HAVING count(DISTINCT doc_id) >= 2),
+      f AS (SELECT doc_id, pos,
+          LEAST(s0, n - pos + 1) AS span FROM w JOIN d USING (s0, w)),
+      pp AS (SELECT doc_id, pos, max(span) AS span FROM f
+        GROUP BY doc_id, pos),
+      agg AS (SELECT doc_id, max(span) AS mx,
+          CAST(sum(CASE WHEN span >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+            AS d8,
+          CAST(sum(CASE WHEN span >= 32 THEN 1 ELSE 0 END) AS BIGINT)
+            AS d32
+        FROM pp GROUP BY doc_id)
+      SELECT t2.doc_id, t2.n AS n_tokens,
+        coalesce(agg.mx, 0) AS max_dup_span,
+        coalesce(agg.d8, 0) AS n_dup_pos_8,
+        coalesce(agg.d32, 0) AS n_dup_pos_32
+      FROM t2 LEFT JOIN agg USING (doc_id)"""
   })
 
   private val l75 = QueryDef("l75_corpus_datasheet", (s, dir) => {
@@ -4434,10 +4538,11 @@ object LlmOps {
       l24b, l25, l25b, l25s, l26, l26h, l27, l27b, l28, l29, l29h, l30,
       l30b, l30e,
       l30t, l30v, l31, l31s, l32, l33, l34, l35, l36, l37, l39, l40, l41,
-      l41b, l42, l43, l44, l44p, l44r, l45, l46, l47, l48, l48p, l49,
+      l41b, l42, l43, l44, l44p, l44r, l45, l46, l46p, l47, l48, l48p,
+      l49,
       l51, l52, l52a,
       l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
       l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e,
-      l73, l73e, l74, l75, l76, m1, m2, m3, m4, m5, m6)
+      l73, l73e, l74, l75, l76, l77, m1, m2, m3, m4, m5, m6)
 }
