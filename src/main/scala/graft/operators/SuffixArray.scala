@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Corpus-wide duplicated-span detection via PREFIX DOUBLING — the
   * suffix-array rank construction (Manber–Myers) expressed as dataflow,
@@ -15,22 +17,29 @@ import org.apache.spark.sql.functions._
   * n is a design-time guess. Prefix doubling answers "how LONG is the
   * longest duplicated prefix at this position?" on a power-of-two grid
   * {1, 2, 4, ..., horizon} in ⌈log2(horizon)⌉ rounds, and stops EARLY
-  * the round all suffix ranks become distinct — so the round count is
-  * data-adaptive: ⌈log2(longest repeat + 1)⌉, not log2(corpus length).
-  * A corpus whose longest cross-doc repeat is 100 tokens finishes in 7
-  * rounds regardless of whether it is 1 GB or 100 TB.
+  * the round no rank group spans two documents — so the round count is
+  * data-adaptive: ⌈log2(longest cross-doc repeat)⌉ + 1, not
+  * log2(corpus length). A corpus whose longest cross-doc repeat is 100
+  * tokens finishes in 7 rounds whether it is 1 GB or 100 TB.
   *
   * Scale shape (the reason this is dataflow and not a single-node
-  * suffix array): every round is (a) one distinct + range-partitioned
-  * sort + zipWithIndex to assign dense ranks ([[Gold.orderedId]] — no
-  * global window), and (b) two hash joins on (doc, pos) / (rank, rank)
-  * 8-byte-class keys. State is always (position → rank), linear in the
-  * corpus; a hot rank group (site boilerplate) is a large AGGREGATION
-  * group — O(group), never the O(group²) a pair join would pay, so the
-  * boilerplate skew that kills naive n-gram pair generation (RISKS
-  * row 1) costs only its row count here. Rounds are driver-paced like
-  * Bpe.train: ≤ log2(horizon) bounded iterations, one early-stop
-  * isEmpty action each.
+  * suffix array) — per round:
+  *   1. cross-doc tie flags: one combinable groupBy(rank) — map-side
+  *      partial aggregation keeps a hot rank group (site boilerplate)
+  *      skew-safe: O(group) aggregation rows, never the O(group²)
+  *      pairs naive n-gram pair generation pays (RISKS row 1);
+  *   2. the rank 2^(k-1) ahead: lead() over a per-DOCUMENT window
+  *      (bounded by document length — never a global window);
+  *   3. dense re-rank of the (rank, rank-ahead) pairs: ONE
+  *      range-partitioned sort + the two-light-job dense-id pass
+  *      ([[denseRankOver]] — the [[Gold.orderedId]] zipWithIndex trick
+  *      generalized to equal-keys-get-equal-ids), replacing the
+  *      distinct + id + join-back shape that costs three extra
+  *      corpus-sized exchanges per round (measured 170.9 s → see
+  *      SCALE_r15 §11 for the before/after at 13.5M positions).
+  * State is always (position → rank), linear in the corpus. Rounds are
+  * driver-paced like Bpe.train: ≤ log2(horizon) bounded iterations,
+  * one early-stop isEmpty action each.
   */
 object SuffixArray {
 
@@ -44,6 +53,46 @@ object SuffixArray {
           .as(Seq("pos0", "tok")))
       .select(col("doc"), (col("pos0") + 1).cast("long").as("pos"),
         col("tok"))
+
+  /** Dense 1-based ranks of `df` in `keyCols` order — equal keys get
+    * EQUAL ranks (the orderedId contract relaxed from unique rows to
+    * key groups): range-partition + sort on the keys, then job 1
+    * counts DISTINCT keys per partition and job 2 assigns
+    * offset + local dense index. Equal keys are co-located by the
+    * range partitioner and contiguous after the sort, so the two
+    * streaming passes need O(1) state per partition. One shuffle
+    * total; both jobs reuse its output.
+    */
+  private[operators] def denseRankOver(df: DataFrame,
+                                       keyCols: Seq[String],
+                                       outName: String): DataFrame = {
+    val sorted = df.repartitionByRange(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+    val keyIdx = keyCols.map(sorted.schema.fieldIndex)
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitions { it =>
+      var n = 0L
+      var last: Seq[Any] = null
+      it.foreach { r =>
+        val k = keyIdx.map(r.get)
+        if (k != last) { n += 1; last = k }
+      }
+      Iterator.single(n)
+    }.collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val offB = df.sparkSession.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(outName, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var rank = offB.value(pi)
+      var last: Seq[Any] = null
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        if (k != last) { rank += 1; last = k }
+        Row.fromSeq(r.toSeq :+ rank)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
 
   /** Per-document duplicated-span summary on the power-of-two grid.
     *
@@ -82,16 +131,33 @@ object SuffixArray {
                              horizon: Int = 64): (DataFrame, Int) = {
     require(horizon >= 1 && (horizon & (horizon - 1)) == 0,
       s"horizon must be a power of two, got $horizon")
-    val tk = tokens(docs, idCol, textCol).localCheckpoint()
-    val lens = tk.groupBy("doc").agg(count(lit(1)).as("n")).localCheckpoint()
+    import org.apache.spark.storage.StorageLevel.{DISK_ONLY,
+      MEMORY_AND_DISK}
+    // memory discipline: every corpus-sized intermediate is persisted
+    // DISK_ONLY (serialized, off the unified pool's storage side — the
+    // rounds' sorts and joins need the execution side), MATERIALIZED
+    // eagerly, and unpersisted the moment its last consumer ran — so
+    // the operator's standing footprint is one rank table + the
+    // per-round flag tables (dup positions only), never all rounds'
+    // ranks at once, and nothing leaks past the return (the result is
+    // localCheckpointed, everything internal is freed).
+    def mat(df: DataFrame,
+            level: org.apache.spark.storage.StorageLevel): DataFrame = {
+      df.persist(level); df.count(); df
+    }
+    val tk = mat(tokens(docs, idCol, textCol), DISK_ONLY)
+    val lens = mat(tk.groupBy("doc").agg(count(lit(1)).as("n")),
+      MEMORY_AND_DISK)
 
-    var ranks = tk
-      .join(Gold.orderedId(tk.select("tok").distinct(), Seq("tok"), "r"),
-        "tok")
-      .select(col("doc"), col("pos"), col("r"))
-      .localCheckpoint()
+    var ranks = mat(denseRankOver(tk, Seq("tok"), "r")
+      .select(col("doc"), col("pos"), col("r")), DISK_ONLY)
+    tk.unpersist(false)
 
-    var spans: DataFrame = null
+    // flags carry the RAW grid value s; the suffix-length clamp is a
+    // single lens join AFTER the loop (max over rounds commutes with
+    // the clamp: rem is fixed per position and least(·, rem) is
+    // monotone in s)
+    val flagsByRound = Seq.newBuilder[DataFrame]
     var s = 1L
     var rounds = 0
     var done = false
@@ -100,36 +166,35 @@ object SuffixArray {
       // only CROSS-doc tied groups matter for both flagging and the
       // early stop: groups can only split as rounds double, so once no
       // rank group spans two documents none ever will again
-      val cross = ranks.groupBy("r")
+      val cross = mat(ranks.groupBy("r")
         .agg(count(lit(1)).as("cnt"), min("doc").as("dmin"),
           max("doc").as("dmax"))
         .filter(col("cnt") >= 2 && col("dmin") =!= col("dmax"))
-        .select("r")
-        .localCheckpoint()
-      val flagged = ranks
-        .join(cross, "r")
-        .join(lens, "doc")
-        .select(col("doc"), col("pos"),
-          least(lit(s), col("n") - col("pos") + 1L).as("span"))
-      spans = if (spans == null) flagged else spans.unionByName(flagged)
-      if (cross.isEmpty || s >= horizon) done = true
+        .select("r"), MEMORY_AND_DISK)
+      flagsByRound += mat(ranks.join(cross, "r")
+        .select(col("doc"), col("pos"), lit(s).as("s")), DISK_ONLY)
+      val stop = cross.isEmpty || s >= horizon
+      cross.unpersist(false)
+      if (stop) done = true
       else {
-        // rank 2^(k-1) ahead, materialized by SHIFTING the rank table
-        // back by s so the combine is one equi-join on (doc, pos)
-        val ahead = ranks.select(col("doc"), (col("pos") - s).as("pos"),
-          col("r").as("r2"))
-        val keyed = ranks.join(ahead, Seq("doc", "pos"), "left")
-          .na.fill(0L, Seq("r2"))
-        val rid = Gold.orderedId(keyed.select("r", "r2").distinct(),
-          Seq("r", "r2"), "rn")
-        ranks = keyed.join(rid, Seq("r", "r2"))
-          .select(col("doc"), col("pos"), col("rn").as("r"))
-          .localCheckpoint()
+        val ahead = lead(col("r"), s.toInt, 0L)
+          .over(Window.partitionBy("doc").orderBy("pos"))
+        val prev = ranks
+        ranks = mat(denseRankOver(
+            prev.withColumn("r2", ahead), Seq("r", "r2"), "rn")
+          .select(col("doc"), col("pos"), col("rn").as("r")), DISK_ONLY)
+        prev.unpersist(false)
         s *= 2
       }
     }
+    ranks.unpersist(false)
 
-    val perPos = spans.groupBy("doc", "pos").agg(max("span").as("span"))
+    val flags = flagsByRound.result()
+    val spans = flags.reduce(_ unionByName _)
+    val perPos = spans.groupBy("doc", "pos").agg(max("s").as("s"))
+      .join(lens, "doc")
+      .select(col("doc"), col("pos"),
+        least(col("s"), col("n") - col("pos") + 1L).as("span"))
     val perDoc = perPos.groupBy("doc").agg(
       max("span").as("max_dup_span"),
       sum(when(col("span") >= 8, 1L).otherwise(0L)).as("n_dup_pos_8"),
@@ -142,6 +207,9 @@ object SuffixArray {
         coalesce(col("max_dup_span"), lit(0L)).as("max_dup_span"),
         coalesce(col("n_dup_pos_8"), lit(0L)).as("n_dup_pos_8"),
         coalesce(col("n_dup_pos_32"), lit(0L)).as("n_dup_pos_32"))
+      .localCheckpoint()
+    flags.foreach(_.unpersist(false))
+    lens.unpersist(false)
     (out, rounds)
   }
 }

@@ -415,6 +415,50 @@ object ProbeR15 {
           "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
           "128")
 
+      case "suffix" =>
+        // l77 prefix-doubling at 250k docs / ~13.5M token positions,
+        // three regimes: (a) content-diverse corpus — the early-stop
+        // claim (rounds = ceil(log2(longest repeat)) + 1, not
+        // log2(horizon) + 1); (b) diverse + a planted 64-token
+        // boilerplate line on 10% of docs — the RISKS-row-1 skew shape:
+        // one ~25k-position rank group persisting to the horizon, which
+        // here is an AGGREGATION group (O(group) rows), never the
+        // O(group^2) pairs that shape costs an n-gram pair join;
+        // (c) x50 exact-replica corpus — EVERY position's suffix
+        // duplicated cross-doc, all groups tied to the horizon, the
+        // absolute worst case. Each regime also times the fixed-8
+        // dupSpanRemoval comparator (what one l23 pass costs).
+        import graft.operators.{Dedup, SuffixArray}
+        val divDir = if (args.length > 1) args(1) else "/tmp/sfsuffix_div"
+        val repDir = if (args.length > 2) args(2) else "/tmp/sfsuffix_rep"
+        val div = spark.read.parquet(s"$divDir/documents.parquet")
+        val boiler = (1 to 64).map(i => s"boil$i").mkString(" ")
+        val planted = div.withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"), lit(" " + boiler)))
+            .otherwise(col("text")))
+        val rep = spark.read.parquet(s"$repDir/documents.parquet")
+        for ((label, docs) <- Seq("textdiv" -> div, "planted" -> planted,
+            "replica" -> rep)) {
+          timed(s"suffix_grid_$label", reps = 2) {
+            val (out, rounds) = SuffixArray.gridDupSpansWithRounds(
+              docs, "doc_id", "text", horizon = 64)
+            val r = out.agg(
+              coalesce(sum("n_dup_pos_8"), lit(0L)),
+              coalesce(max("max_dup_span"), lit(0L)),
+              count(lit(1))).collect()(0)
+            s"rounds=$rounds dup8=${r.getLong(0)} " +
+              s"maxspan=${r.getLong(1)} docs=${r.getLong(2)}"
+          }
+          timed(s"fixed8_l23_$label", reps = 2) {
+            val out = Dedup.dupSpanRemoval(docs, "doc_id", "text", n = 8,
+              hashedGramKeys = true)
+            val r = out.agg(coalesce(sum("n_dup_positions"), lit(0L)),
+              count(lit(1))).collect()(0)
+            s"dup=${r.getLong(0)} docs=${r.getLong(1)}"
+          }
+        }
+
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()
