@@ -1335,6 +1335,118 @@ object StreamOps {
       .foreach(fs.delete(_, true))
   }
 
+  /** Plain (uncompacted) delta-dir count — `d=<digits>` only, staging
+    * and compacted segments excluded: the tiered cadence triggers on
+    * THIS, because compacted segments legitimately accumulate
+    * (O(fanout·log batches) of them) and counting them would make the
+    * trigger fire every batch forever once enough segments exist. */
+  def plainDeltaDirCount(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root)
+      .count(s => s.isDirectory &&
+        s.getPath.getName.matches("d=[0-9]+"))
+  }
+
+  /** [[dedupIndexForeachBatch]] with SIZE-TIERED compaction — the
+    * probe-measured fix for [[dedupIndexForeachBatchCompacted]]'s
+    * write amplification: the cadence form folds EVERY delta plus the
+    * previous base into one new base each time it fires, so each hash
+    * row is rewritten O(batches / maxDeltas) times over the stream's
+    * life (total write cost O(B²/maxDeltas) — SCALE_r15 §12 measures
+    * the resulting per-batch wall slope at 1,000 batches). Here a
+    * firing folds ONLY the plain deltas into a NEW segment and never
+    * touches old segments; segments then merge geometrically (when
+    * `fanout` segments share a size class they merge into the next
+    * class), so a row is rewritten once per class it passes through —
+    * O(log B) — while the index read still lists ≤ maxDeltas deltas +
+    * O(fanout·log B) segments. Flag semantics, retry idempotence, and
+    * the crash window are EXACTLY the cadence form's: every merge
+    * stages, renames, THEN deletes sources, and duplicate rows from a
+    * crash between those steps are absorbed by the distinct/min
+    * readers and the next merge's groupBy-min.
+    */
+  def dedupIndexForeachBatchTiered(indexPath: String, flagsPath: String,
+                                   idCol: String, textCol: String,
+                                   maxDeltas: Int, fanout: Int = 4)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    require(maxDeltas >= 2, s"maxDeltas must be >= 2, got $maxDeltas")
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    dedupIndexForeachBatch(indexPath, flagsPath, idCol, textCol)(
+      batch, batchId)
+    val spark = batch.sparkSession
+    if (plainDeltaDirCount(spark, indexPath) >= maxDeltas)
+      compactDedupIndexTiered(spark, indexPath, upTo = batchId, fanout)
+  }
+
+  /** Tiered compaction: (1) merge every eligible PLAIN delta (max
+    * first_batch <= upTo, or empty) into one new segment `d=c<upTo>`;
+    * (2) while any size class (floor(log_fanout(bytes)) over segment
+    * dirs) holds >= fanout segments, merge that class into one
+    * `d=c<upTo>t<n>` segment. Old segments are immutable until their
+    * class fills — the LSM bound. Every merge publishes staged-rename-
+    * before-source-deletes (the [[compactDedupIndex]] crash
+    * discipline, including the qualified-vs-unqualified Path-equality
+    * fix: survivors are excluded by NAME).
+    */
+  def compactDedupIndexTiered(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, upTo: Long,
+                              fanout: Int = 4): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+
+    def publishMerged(sources: Seq[org.apache.hadoop.fs.Path],
+                      name: String): Unit = {
+      val merged = spark.read
+        .parquet(sources.map(_.toString): _*)
+        .groupBy("content_hash")
+        .agg(min("first_batch").as("first_batch"))
+      val staging =
+        new org.apache.hadoop.fs.Path(s"$indexPath/${name}__staging")
+      val target = new org.apache.hadoop.fs.Path(s"$indexPath/$name")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      fs.delete(target, true)
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(s"compact: cannot publish $target")
+      sources.filterNot(_.getName == target.getName)
+        .foreach(fs.delete(_, true))
+    }
+
+    // phase 1: plain deltas -> one new segment (old segments untouched)
+    val plain = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("d=[0-9]+"))
+      .map(_.getPath)
+      .filter { p =>
+        val top = spark.read.parquet(p.toString)
+          .agg(max("first_batch")).head()
+        top.isNullAt(0) || top.getLong(0) <= upTo
+      }
+    if (plain.length >= 2) publishMerged(plain.toSeq, s"d=c$upTo")
+
+    // phase 2: geometric segment merging by size class
+    var mergeN = 0
+    var again = true
+    while (again) {
+      val segs = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=c") &&
+          !s.getPath.getName.contains("__staging"))
+        .map(s => (s.getPath,
+          fs.getContentSummary(s.getPath).getLength.max(1L)))
+      val byClass = segs.groupBy { case (_, bytes) =>
+        (math.log(bytes.toDouble) / math.log(fanout.toDouble)).toInt
+      }
+      byClass.find(_._2.length >= fanout) match {
+        case Some((_, members)) =>
+          mergeN += 1
+          publishMerged(members.map(_._1).toSeq, s"d=c${upTo}t$mergeN")
+        case None => again = false
+      }
+    }
+  }
+
   /** The full standing hash index: the union of all published deltas
     * (each hash appears in exactly one — the delta build anti-joins
     * history). Empty frame when no delta exists yet.

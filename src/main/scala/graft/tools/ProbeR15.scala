@@ -459,6 +459,78 @@ object ProbeR15 {
           }
         }
 
+      case "compact1k" =>
+        // RISKS row 6 says the uncompacted delta-log read dominates
+        // "after ~10^3 batches" — measured only to 8 batches in
+        // StreamOpsSpec. Drive the dedup standing index to 1,000
+        // batches under the cadence compaction (maxDeltas=8) and to 300
+        // under no compaction, recording per-batch wall windows: the
+        // compacted arm must stay FLAT, the uncompacted arm shows the
+        // listed-dir growth. Batches are 100 docs with a 50k-key id
+        // space so later batches carry real duplicates.
+        import graft.streaming.StreamOps
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_p15_c1k").toString
+        def docsFor(b: Long, n: Int) = {
+          val off = b * n
+          spark.range(n).select(
+            (col("id") + off).as("doc_id"),
+            concat_ws(" ", lit("alpha tok"),
+              pmod(col("id") + off, lit(50000L)).cast("string"),
+              lit("body line"),
+              pmod(col("id"), lit(97L)).cast("string")).as("text"))
+        }
+        val arms = args.drop(1) match {
+          case a if a.nonEmpty => a.toSeq
+          case _ => Seq("compacted", "tiered", "uncompacted")
+        }
+        for (label <- arms) {
+          val (nBatches, maxDeltas) = label match {
+            case "uncompacted" => (300, -1)
+            case _             => (1000, 8)
+          }
+          val idx = s"$base/$label/index"
+          val flags = s"$base/$label/flags"
+          val sink = label match {
+            case "uncompacted" =>
+              StreamOps.dedupIndexForeachBatch(idx, flags, "doc_id",
+                "text")
+            case "tiered" =>
+              StreamOps.dedupIndexForeachBatchTiered(idx, flags,
+                "doc_id", "text", maxDeltas, fanout = 4)
+            case _ =>
+              StreamOps.dedupIndexForeachBatchCompacted(idx, flags,
+                "doc_id", "text", maxDeltas)
+          }
+          val walls = Array.ofDim[Double](nBatches)
+          val t0 = System.nanoTime()
+          for (b <- 0 until nBatches) {
+            val tb = System.nanoTime()
+            sink(docsFor(b.toLong, 100), b.toLong)
+            walls(b) = (System.nanoTime() - tb) / 1e9
+          }
+          val total = (System.nanoTime() - t0) / 1e9
+          def w(from: Int, until: Int): String = {
+            val sl = walls.slice(from, until)
+            f"${sl.sum / sl.length}%.3f"
+          }
+          val windows = Seq(0 -> 50, 100 -> 150, 250 -> 300)
+            .filter(_._2 <= nBatches) ++
+            (if (nBatches >= 1000) Seq(500 -> 550, 950 -> 1000)
+             else Seq.empty)
+          val detail = windows
+            .map { case (a, b) => s"avg[$a,$b)=${w(a, b)}" }
+            .mkString(" ")
+          val idxPath = new org.apache.hadoop.fs.Path(idx)
+          val fs = idxPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val nDirs = fs.listStatus(idxPath)
+            .count(_.getPath.getName.startsWith("d="))
+          val mb = fs.getContentSummary(idxPath).getLength / 1e6
+          println(f"PROBE15 c1k_$label batches=$nBatches " +
+            f"total=$total%.1f s dirs=$nDirs size=$mb%.1f MB $detail")
+        }
+
       case other => sys.error(s"unknown mode: $other")
     }
     spark.stop()

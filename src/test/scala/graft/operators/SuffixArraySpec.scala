@@ -64,9 +64,12 @@ class SuffixArraySpec extends AnyFunSuite {
     // the tie-at-s=8 semantics derived in the operator's scaladoc
     val toks = docs.select(col("doc_id"),
       expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk"))
+      // guard BEFORE sequence: Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0], not empty, and slice(tk, 0, 8) throws
+      .filter(size(col("tk")) >= 8)
     val w8 = toks
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, greatest(size(tk) - 7, 0)), " +
+        "transform(sequence(1, size(tk) - 7), " +
           "i -> array_join(slice(tk, i, 8), ' '))")).as(Seq("p0", "w")))
     val dup = w8.groupBy("w")
       .agg(min("doc_id").as("a"), max("doc_id").as("b"))

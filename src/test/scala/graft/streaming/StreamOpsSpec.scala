@@ -728,6 +728,70 @@ class StreamOpsSpec extends AnyFunSuite {
       "post-compaction retry changed the logical index")
   }
 
+  test("tiered dedup sink: flags and index equal the never-compacted " +
+    "run over 20 batches, plain deltas stay cadence-bounded, segments " +
+    "tier-merge instead of rewriting one base, and a post-compaction " +
+    "retry is absorbed") {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dedup_tiered").toString
+    val plainSink = StreamOps.dedupIndexForeachBatch(
+      s"$root/pidx", s"$root/pflags", "doc_id", "text")
+    val tierSink = StreamOps.dedupIndexForeachBatchTiered(
+      s"$root/tidx", s"$root/tflags", "doc_id", "text",
+      maxDeltas = 3, fanout = 2)
+    val pool = Seq("alpha text", "beta text", "gamma text", "delta text",
+      "epsilon text", "zeta text", "eta text", "theta text")
+    val rnd = new scala.util.Random(29)
+    val batches = (1L to 20L).map { b =>
+      b -> (1 to 3).map(i =>
+        (b * 100 + i, pool(rnd.nextInt(pool.length))))
+        .toDF("doc_id", "text")
+    }
+    for ((b, df) <- batches) {
+      plainSink(df, b)
+      tierSink(df, b)
+      assert(StreamOps.plainDeltaDirCount(s, s"$root/tidx") <= 3,
+        s"plain-delta cadence bound broken after batch $b")
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dirs(path: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("d=")).toSeq.sorted
+    // the never-compacted run lists one dir per batch; the tiered run
+    // must list FAR fewer (deltas bounded by the cadence, segments by
+    // the geometric merge), and at least one tier merge must have
+    // actually fired (a d=c...t... segment, or segments collapsed to
+    // one) — otherwise this test would pass vacuously with phase 2 off
+    assert(dirs(s"$root/pidx").length == 20)
+    val tdirs = dirs(s"$root/tidx")
+    assert(tdirs.length <= 8, s"tiered dirs unbounded: $tdirs")
+    val segs = tdirs.filter(_.startsWith("d=c"))
+    assert(segs.nonEmpty, "no compacted segment exists")
+    assert(segs.exists(_.contains("t")) || segs.length == 1,
+      s"no tier merge ever fired: $segs")
+    def flags(path: String) = s.read.parquet(path)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("dup_of_existing")).toMap
+    for ((b, _) <- batches)
+      assert(flags(s"$root/tflags/batch=$b") ==
+        flags(s"$root/pflags/batch=$b"), s"batch $b flags drifted")
+    def index(path: String) = StreamOps.dedupIndex(s, path)
+      .select("content_hash", "first_batch").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sorted.toSeq
+    assert(index(s"$root/tidx") == index(s"$root/pidx"),
+      "tiered compaction changed the logical index")
+    // retry a mid-stream batch whose delta was long since compacted:
+    // flags byte-identical, duplicate rows absorbed by the next merge
+    val f9 = flags(s"$root/tflags/batch=9")
+    tierSink(batches(8)._2, 9L)
+    assert(flags(s"$root/tflags/batch=9") == f9,
+      "post-compaction retry changed flags")
+    assert(index(s"$root/tidx") == index(s"$root/pidx"),
+      "post-compaction retry changed the logical index")
+  }
+
   test("windowed counts with watermark aggregate per minute") {
     import s.implicits._
     implicit val sq = s.sqlContext
