@@ -108,7 +108,11 @@ object SuffixArray {
     *
     * Output: (doc_id, n_tokens, max_dup_span, n_dup_pos_8,
     * n_dup_pos_32) — one row per input document, zero-filled for
-    * documents with no duplicated span (or no tokens).
+    * documents with no duplicated span (or no tokens). The result is
+    * localCheckpointed (every internal table is freed before return),
+    * so it is pinned at docs-count size (MEMORY_AND_DISK — evicts to
+    * disk, never OOMs); for a corpus-release-sized doc count, write it
+    * to a table and drop the reference rather than holding it hot.
     *
     * Rank-tie ⇔ window-equality invariant (what the DuckDB mirror
     * replays): two positions share a round-k rank iff their suffixes'
