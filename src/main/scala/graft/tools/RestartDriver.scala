@@ -26,18 +26,32 @@ import graft.streaming.StreamOps
   * deliberate post-publish halt. Anything else is a real failure.
   *
   * args: inputDir checkpointDir stateRoot crashAfterBatch(-1 = never)
+  *       [dedupForm: plain (default) | tiered]
+  *
+  * `tiered` swaps the dedup sink for
+  * [[StreamOps.dedupIndexForeachBatchTiered]] at maxDeltas=2/fanout=2,
+  * so compaction (and tier merges) fire around the crash boundary —
+  * the replayed batch then re-creates its delta NEXT TO a segment
+  * already holding the same hashes, the exact absorb case the tiered
+  * form documents, now across real process death.
   */
 object RestartDriver {
   def main(args: Array[String]): Unit = {
-    require(args.length == 4,
+    require(args.length == 4 || args.length == 5,
       "usage: RestartDriver <inputDir> <checkpointDir> <stateRoot> " +
-        "<crashAfterBatch|-1>")
-    val Array(inputDir, checkpointDir, stateRoot, crashAtRaw) = args
+        "<crashAfterBatch|-1> [plain|tiered]")
+    val Seq(inputDir, checkpointDir, stateRoot, crashAtRaw) =
+      args.take(4).toSeq
     val crashAfter = crashAtRaw.toLong
+    val tiered = args.length == 5 && args(4) == "tiered"
     val spark = graft.core.Sessions.build("graft-restart-driver", 8)
 
-    val dedupSink = StreamOps.dedupIndexForeachBatch(
-      s"$stateRoot/index", s"$stateRoot/flags", "doc_id", "text")
+    val dedupSink =
+      if (tiered) StreamOps.dedupIndexForeachBatchTiered(
+        s"$stateRoot/index", s"$stateRoot/flags", "doc_id", "text",
+        maxDeltas = 2, fanout = 2)
+      else StreamOps.dedupIndexForeachBatch(
+        s"$stateRoot/index", s"$stateRoot/flags", "doc_id", "text")
     val ccSink = StreamOps.componentsForeachBatch(
       s"$stateRoot/cc", "src", "dst")
     val quotaSink = StreamOps.quotaForeachBatch(

@@ -83,20 +83,12 @@ class RestartSpec extends AnyFunSuite {
       .trim.toLongOption
   }
 
-  test("cross-process restart: halt after a published-but-" +
-    "unacknowledged batch, resume in a fresh JVM, final state == " +
-    "one-shot operators") {
-    val root = Files.createTempDirectory("graft_restart").toString
-    val inputDir = s"$root/input"; new File(inputDir).mkdirs()
-    val ckpt = s"$root/ckpt"
-    val stateRoot = s"$root/state"
-    val refRoot = s"$root/ref"
-
-    // 4 micro-batches, one parquet FILE each (maxFilesPerTrigger=1),
-    // ordered by explicit mtime. Cross-batch dup texts exercise the
-    // delta-log's at-arrival flags; batch 3's (3,100) edge merges two
-    // standing components AFTER the restart.
-    val batches: Seq[Seq[(Long, String, String, Long, Long)]] = Seq(
+  // 4 micro-batches, one parquet FILE each (maxFilesPerTrigger=1),
+  // ordered by explicit mtime. Cross-batch dup texts exercise the
+  // delta-log's at-arrival flags; batch 3's (3,100) edge merges two
+  // standing components AFTER the restart.
+  private val batches: Seq[Seq[(Long, String, String, Long, Long)]] =
+    Seq(
       Seq((0L, "web", "alpha beta gamma", 0L, 1L),
         (1L, "web", "delta epsilon", 1L, 2L),
         (2L, "books", "zeta eta theta iota", 100L, 101L),
@@ -110,6 +102,8 @@ class RestartSpec extends AnyFunSuite {
         (22L, "web", "omega aleph bet", 201L, 202L)),
       Seq((30L, "books", "OMEGA aleph bet", 3L, 100L), // dup of doc 22
         (31L, "web", "gimel dalet he vav", 3L, 100L)))
+
+  private def writeInput(root: String, inputDir: String): Unit = {
     val stage = s"$root/stage"
     batches.zipWithIndex.foreach { case (rows, i) =>
       rows.toDF("doc_id", "source", "text", "src", "dst")
@@ -120,6 +114,18 @@ class RestartSpec extends AnyFunSuite {
       Files.copy(part.toPath, dest.toPath)
       dest.setLastModified(1700000000000L + i * 60000L)
     }
+  }
+
+  test("cross-process restart: halt after a published-but-" +
+    "unacknowledged batch, resume in a fresh JVM, final state == " +
+    "one-shot operators") {
+    val root = Files.createTempDirectory("graft_restart").toString
+    val inputDir = s"$root/input"; new File(inputDir).mkdirs()
+    val ckpt = s"$root/ckpt"
+    val stateRoot = s"$root/state"
+    val refRoot = s"$root/ref"
+
+    writeInput(root, inputDir)
 
     // --- run 1: crash immediately after batch 1's states publish ---
     val (code1, out1) = runChild(
@@ -205,5 +211,61 @@ class RestartSpec extends AnyFunSuite {
     assert(streamedCc == oneShotCc)
     // batch 3 (post-restart) really merged the two standing components
     assert(streamedCc(0L) == streamedCc(102L))
+  }
+
+  test("cross-process restart with TIERED compaction: the crashed " +
+    "batch's delta is subsumed by a segment before the fresh JVM " +
+    "replays it, and flags/index still equal the never-compacted run") {
+    val root = Files.createTempDirectory("graft_restart_t").toString
+    val inputDir = s"$root/input"; new File(inputDir).mkdirs()
+    val ckpt = s"$root/ckpt"
+    val stateRoot = s"$root/state"
+    val refRoot = s"$root/ref"
+    writeInput(root, inputDir)
+
+    // crash after batch 1 under maxDeltas=2/fanout=2: batch 0's and
+    // batch 1's deltas have already compacted into a segment by the
+    // time the halt fires, so the fresh JVM's replay of batch 1
+    // re-creates d=1 NEXT TO the segment holding the same hashes —
+    // the documented absorb case, across real process death
+    val (code1, out1) = runChild(
+      Seq(inputDir, ckpt, stateRoot, "1", "tiered"))
+    assert(code1 == 42, s"crash run should halt(42); got $code1\n$out1")
+    assert(listLog(ckpt, "commits") == Seq(0L),
+      "batch 1 must be uncommitted (halt skips the commit write)")
+    val segsAtCrash = new File(s"$stateRoot/index").listFiles()
+      .map(_.getName).filter(_.startsWith("d=c"))
+    assert(segsAtCrash.nonEmpty,
+      "compaction must have fired before the crash (non-vacuity)")
+
+    val (code2, out2) = runChild(
+      Seq(inputDir, ckpt, stateRoot, "-1", "tiered"))
+    assert(code2 == 0, s"resume run failed: $code2\n$out2")
+    assert(out2.contains("published batch=1"),
+      "resume must replay the unacknowledged batch")
+    assert(listLog(ckpt, "commits") == Seq(0L, 1L, 2L, 3L))
+
+    // parity vs the never-compacted in-process run
+    val dedupRef = StreamOps.dedupIndexForeachBatch(
+      s"$refRoot/index", s"$refRoot/flags", "doc_id", "text")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      dedupRef(rows.toDF("doc_id", "source", "text", "src", "dst"),
+        i.toLong)
+    }
+    def flagsOf(base: String): Map[(Long, Long), Long] =
+      (0 to 3).flatMap { i =>
+        s.read.parquet(s"$base/batch=$i").collect()
+          .map(r => (i.toLong, r.getAs[Long]("doc_id")) ->
+            r.getAs[Long]("dup_of_existing"))
+      }.toMap
+    val streamed = flagsOf(s"$stateRoot/flags")
+    assert(streamed == flagsOf(s"$refRoot/flags"))
+    assert(streamed((2L, 20L)) == 1L,
+      "dup of a doc whose delta was compacted away pre-crash")
+    def indexSet(path: String) = StreamOps.dedupIndex(s, path)
+      .select("content_hash", "first_batch").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(indexSet(s"$stateRoot/index") == indexSet(s"$refRoot/index"),
+      "tiered compaction across the crash changed the logical index")
   }
 }
