@@ -17,11 +17,42 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
 
+  /** JDK-17 module opens Spark 4 needs outside spark-submit — the
+    * build.sbt fork list; executor JVMs launched by a local-cluster
+    * Worker need them injected explicitly. */
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
   def build(appName: String, cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    // SPARK_GRAFT_MASTER overrides the master for the multi-JVM
+    // execution proof: `local-cluster[2,16,4096]` runs REAL separate
+    // executor JVMs (a true serialization boundary — closure capture,
+    // executor-side lazy init, broadcast lifecycle all real), which
+    // local[n]'s single JVM cannot test. Executors are fresh JVMs
+    // launched from SPARK_HOME, so they need this build's classes
+    // (the driver's own classpath) and the JDK-17 opens on their
+    // command line.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .appName(appName)
       .withExtensions(new graft.plans.GraftExtensions)
+    val builder =
+      if (!master.startsWith("local-cluster")) builder0
+      else builder0
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "4g"))
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions", jdk17AddOpens)
+    val s = builder
       // One shuffle partition per core: at local[32] the driver contract asks
       // for 32, not the 200 default sized for real clusters. AQE coalesces
       // further when partitions come out small.

@@ -906,19 +906,8 @@ object Dedup {
     */
   def dupSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, hashedGramKeys: Boolean = false): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-      expr(s"filter(split($textCol, ' '), t -> length(t) > 0)").as("tk"))
-      .withColumn("n_tokens", size(col("tk")).cast("long"))
-    val grams = toks.filter(col("n_tokens") >= n)
-      .select(col("doc"), posexplode(expr(
-        s"""transform(sequence(1, size(tk) - ${n - 1}),
-              i -> array_join(slice(tk, i, $n), ' '))"""))
-        .as(Seq("p0", "gram")))
-      .select(col("doc"), (col("p0") + 1).as("pos"),
-        // the key is computed BEFORE the shuffles below, so the hashed
-        // form never moves a gram string off its map side
-        (if (hashedGramKeys) xxhash64(col("gram")) else col("gram"))
-          .as("gk"))
+    val toks = spanToks(docs, idCol, textCol)
+    val grams = spanGrams(toks, n, hashedGramKeys)
     val dupGrams = grams.groupBy("gk")
       .agg(countDistinct(col("doc")).as("nd"))
       .filter(col("nd") >= 2).select("gk")
@@ -926,6 +915,36 @@ object Dedup {
       .groupBy("doc")
       .agg(sort_array(array_distinct(collect_list(col("pos"))))
         .as("starts"))
+    spanAssemble(toks, flagged, idCol, n)
+  }
+
+  /** (doc, tk, n_tokens) token table shared by [[dupSpanRemoval]] and
+    * the streaming span index. */
+  private[graft] def spanToks(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      expr(s"filter(split($textCol, ' '), t -> length(t) > 0)").as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+
+  /** (doc, pos, gk) n-token window keys of every doc with >= n tokens.
+    * The key is computed BEFORE any shuffle, so the hashed form never
+    * moves a gram string off its map side. */
+  private[graft] def spanGrams(toks: DataFrame, n: Int,
+                               hashedGramKeys: Boolean): DataFrame =
+    toks.filter(col("n_tokens") >= n)
+      .select(col("doc"), posexplode(expr(
+        s"""transform(sequence(1, size(tk) - ${n - 1}),
+              i -> array_join(slice(tk, i, $n), ' '))"""))
+        .as(Seq("p0", "gram")))
+      .select(col("doc"), (col("p0") + 1).as("pos"),
+        (if (hashedGramKeys) xxhash64(col("gram")) else col("gram"))
+          .as("gk"))
+
+  /** Per-doc flag/clean assembly from flagged window starts — the
+    * decision rule (what counts as a duplicated window) is the
+    * caller's; coverage math and reassembly are shared. */
+  private[graft] def spanAssemble(toks: DataFrame, flagged: DataFrame,
+                                  idCol: String, n: Int): DataFrame =
     toks.join(flagged, Seq("doc"), "left")
       .withColumn("starts",
         coalesce(col("starts"), expr("CAST(array() AS array<int>)")))
@@ -947,7 +966,6 @@ object Dedup {
             filter(sequence(1, CAST(n_tokens AS INT)),
                    i -> NOT array_contains(covered, i)),
             i -> element_at(tk, i)), ' ')""")).as("clean_text"))
-  }
 
   /** LINE-frequency boilerplate removal — the CCNet/RefinedWeb cleaning
     * step (Wenzek et al. 2019; Penedo et al. 2023): split every

@@ -542,6 +542,16 @@ object Pca {
     * (id, c) sum — codegen the whole way, no per-element lambdas.
     * Output (idCol, c, coord), coord = Σ_i ⌊x_i·10^digits⌉·q_ci —
     * exact BIGINTs, hash-stable under any partitioning.
+    *
+    * Exactness is GUARDED, not assumed: the driver-side fit already
+    * fails loudly on int64 overflow (multiplyExact), but the
+    * distributed qx·w products and their sum would wrap SILENTLY under
+    * non-ANSI long arithmetic while the DuckDB mirror errors loudly —
+    * a silent engine divergence. The guard bounds every |qx| by
+    * Long.MaxValue / (dim · max|w|), which makes each product AND the
+    * ≤dim-term sum provably in-range (|Σ qx·w| ≤ dim·max|qx|·max|w|),
+    * independent of `spark.sql.ansi.enabled`; an out-of-envelope input
+    * raises with the offending value instead of diverging.
     */
   def projectQuantized(df: DataFrame, q: QuantizedPca, idCol: String,
                        vecCol: String, digits: Int = 6): DataFrame = {
@@ -551,8 +561,19 @@ object Pca {
       c <- 0 until q.k; i <- 0 until q.dim
     } yield (c.toLong, i.toLong, q.components(c)(i))
     val comp = spark.createDataset(compRows).toDF("c", "i", "w")
+    val maxW = math.max(1L,
+      q.components.iterator.flatten.map(math.abs).max)
+    val qxLimit = (BigInt(Long.MaxValue) /
+      (BigInt(math.max(1, q.dim)) * BigInt(maxW))).toLong
+    val qxGuarded = when(abs(col("qx")) <= lit(qxLimit), col("qx"))
+      .otherwise(raise_error(format_string(
+        "projectQuantized: |qx|=%s exceeds the exact int64 envelope " +
+          s"$qxLimit (dim=${q.dim}, max|w|=$maxW, digits=$digits) — " +
+          "the quantized sum would overflow; lower digits or rescale " +
+          "the vectors", col("qx"))).cast("long"))
     df.select(col(idCol),
         posexplode(quantizeVecExpr(vecCol, digits)).as(Seq("i", "qx")))
+      .withColumn("qx", qxGuarded)
       .join(broadcast(comp), Seq("i"))
       .groupBy(idCol, "c")
       .agg(sum(col("qx") * col("w")).as("coord"))

@@ -702,8 +702,7 @@ object Similarity {
     // the mirror's list(... ORDER BY c) reproduces it exactly
     val red = Pca.projectQuantized(corpus, q, idCol, vecCol, digits)
       .groupBy(idCol)
-      .agg(expr("transform(array_sort(collect_list(struct(c, coord)))," +
-        " s -> CAST(s.coord AS DOUBLE))").as("__r"))
+      .agg(reducedDoubleExpr.as("__r"))
     val cand = cosineNearDupPairsCapped(red, idCol, "__r",
       candThreshold, q.k, nPlanes, nTables, maxBucket)
       .select(col("doc_a"), col("doc_b"))
@@ -719,6 +718,20 @@ object Similarity {
         (dot("__va", "__vb") / (col("__na") * col("__nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** (id, c, coord) exact-BIGINT reduced coords → one ordered
+    * array<double> — with the double cast GUARDED: it is
+    * bit-preserving only for |coord| < 2^53, and past that the Spark
+    * value would silently round while the DuckDB mirror keeps exact
+    * BIGINTs — a silent hash divergence. Out-of-range coords raise
+    * with the value instead. */
+  private def reducedDoubleExpr: Column =
+    expr("transform(array_sort(collect_list(struct(c, coord))), s -> " +
+      "CASE WHEN abs(s.coord) < 9007199254740992 " + // 2^53
+      "THEN CAST(s.coord AS DOUBLE) " +
+      "ELSE CAST(raise_error(concat('quantized reduced coord not " +
+      "double-exact (|coord| >= 2^53): ', CAST(s.coord AS STRING))) " +
+      "AS DOUBLE) END)")
 
   /** [[twoStageTopK]] with the reduction replaced by the PORTABLE
     * quantized fit ([[Pca.fitQuantized]]) — the l48p treatment applied
@@ -741,8 +754,7 @@ object Similarity {
     def red(df: DataFrame): DataFrame =
       Pca.projectQuantized(df, q, idCol, vecCol, digits)
         .groupBy(idCol)
-        .agg(expr("transform(array_sort(collect_list(struct(c, coord)))," +
-          " s -> CAST(s.coord AS DOUBLE))").as("__r"))
+        .agg(reducedDoubleExpr.as("__r"))
     val cand = bruteForceTopK(red(corpus), red(queries), idCol, "__r",
         kCand)
       .select(col("q_id"), col("n_id"))

@@ -73,4 +73,21 @@ object PlanFingerprint {
   def render(fp: Map[String, Int]): String =
     fp.toSeq.sorted.map { case (k, v) => s""""$k" -> $v""" }
       .mkString("Map(", ", ", ")")
+
+  /** Fingerprint for the FULL-REGISTRY budget gate (PlanBudgetSpec):
+    * taken from the STATIC physical plan (`sparkPlan`, the tree AQE
+    * would re-plan from) so no conf toggle is needed, which keeps a
+    * 220-query sweep cheap. Budget asserts are bounds (= 0, <= n), so
+    * the static plan is the right object: AQE can only REMOVE
+    * exchanges/demote joins at runtime, never add a cartesian or a
+    * global window that is not in the static tree.
+    */
+  def budgetForQuery(spark: SparkSession, name: String,
+                     sfDir: String): Map[String, Int] = {
+    spark.sharedState.cacheManager.clearCache()
+    try {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      of(df.queryExecution.sparkPlan)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
 }

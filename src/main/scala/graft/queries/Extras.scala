@@ -935,51 +935,40 @@ object Extras {
   // exact cross-engine values.
   private val x28 = QueryDef("x28_parquet_quarantine_scan", (s, dir) => {
     import graft.sources.Formats
-    // Deterministic per-(JVM, sf-dir) fixture: repeated bench/verify
-    // invocations reuse one directory instead of accumulating fresh
-    // createTempDirectory copies in /tmp; a shutdown hook removes it.
-    // The `_fixture_complete` marker is invisible to the scan (it
-    // skips `_`/`.`-prefixed files) and is written LAST, so a crash
-    // mid-build leaves no marker and the next run rebuilds cleanly.
-    val fixtureBase = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_x28_" + Integer.toHexString(dir.hashCode))
-    val marker = new java.io.File(fixtureBase, "_fixture_complete")
-    def wipe(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(wipe)
-      f.delete(); ()
+    // Deterministic per-sf-dir fixture, built ATOMICALLY
+    // (graft.core.Fixtures: staging dir + rename publish) so repeated
+    // bench/verify invocations — including CONCURRENT JVMs sharing
+    // /tmp — reuse one complete directory and can never scan or wipe
+    // a half-built one. The `stage*` write dirs land in staging too,
+    // so the published dir holds only the scan's intended files.
+    val fixtureBase = graft.core.Fixtures.ensure(
+      "graft_x28_" + Integer.toHexString(dir.hashCode)) { stagingDir =>
+      val tmp = stagingDir.toString
+      val src = Tables.customer(s, dir)
+      for (i <- 1 to 2) {
+        val d = s"$tmp/stage$i"
+        src.filter(pmod(col("c_custkey"), lit(2)) === (i - 1).toLong)
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        val part = new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$tmp/good$i.parquet"))
+        graft.core.Fixtures.wipe(new java.io.File(d))
+      }
+      val goodBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/good1.parquet"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/torn.parquet"),
+        java.util.Arrays.copyOfRange(goodBytes, 0, goodBytes.length - 9))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/alien.parquet"),
+        "not parquet at all PAR1".getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/stub.parquet"),
+        Array[Byte](80, 65, 82, 49))
     }
-    val tmp = fixtureBase.toString
-    if (!marker.exists()) {
-    wipe(fixtureBase)
-    fixtureBase.mkdirs()
-    val src = Tables.customer(s, dir)
-    for (i <- 1 to 2) {
-      val d = s"$tmp/stage$i"
-      src.filter(pmod(col("c_custkey"), lit(2)) === (i - 1).toLong)
-        .coalesce(1).write.mode("overwrite").parquet(d)
-      val part = new java.io.File(d).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(s"$tmp/good$i.parquet"))
-    }
-    val goodBytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$tmp/good1.parquet"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$tmp/torn.parquet"),
-      java.util.Arrays.copyOfRange(goodBytes, 0, goodBytes.length - 9))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$tmp/alien.parquet"),
-      "not parquet at all PAR1".getBytes("UTF-8"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$tmp/stub.parquet"),
-      Array[Byte](80, 65, 82, 49))
-    marker.createNewFile()
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => wipe(fixtureBase)))
-    }
-    val (data, quarantined) = Formats.scanParquetQuarantining(s, tmp)
+    val (data, quarantined) =
+      Formats.scanParquetQuarantining(s, fixtureBase.toString)
     val rows = data.agg(count(lit(1)).as("n_rows"),
       sum("c_custkey").cast("long").as("key_sum"))
     val quar = quarantined.agg(

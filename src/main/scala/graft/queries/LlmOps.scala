@@ -1554,17 +1554,14 @@ object LlmOps {
   // count, token and char total, and the keep-first survivor tokens.
   private val l76 = QueryDef("l76_warc_curation_ingest", (s, dir) => {
     import graft.sources.WarcFiles
-    val fixtureBase = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      "graft_l76_" + Integer.toHexString(dir.hashCode))
-    val marker = new java.io.File(fixtureBase, "_fixture_complete")
-    def wipe(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(wipe)
-      f.delete(); ()
-    }
-    if (!marker.exists()) {
-      wipe(fixtureBase); fixtureBase.mkdirs()
+    // ATOMIC per-sf-dir fixture build (graft.core.Fixtures: staging +
+    // rename publish — concurrent JVMs sharing /tmp can never glob or
+    // wipe a half-built tree) and LOCAL-MODE-ONLY by design: the
+    // foreachPartition below writes from executor tasks, which only
+    // lands where the driver's read-back glob looks because local[n]
+    // executors share the driver's filesystem (see Fixtures scaladoc).
+    val fixtureBase = graft.core.Fixtures.ensure(
+      "graft_l76_" + Integer.toHexString(dir.hashCode)) { stagingDir =>
       val src = Tables.documents(s, dir).select("doc_id", "text")
       val rows = src.select(col("doc_id").as("id"), col("text"),
           lit(false).as("bad"))
@@ -1574,7 +1571,7 @@ object LlmOps {
         .unionByName(src.filter(pmod(col("doc_id"), lit(13L)) === 0L)
           .select(col("doc_id").as("id"), col("text"),
             lit(true).as("bad")))
-      val outDir = fixtureBase.toString
+      val outDir = stagingDir.toString
       rows.repartition(4).foreachPartition {
         it: Iterator[org.apache.spark.sql.Row] =>
           if (it.hasNext) {
@@ -1607,9 +1604,10 @@ object LlmOps {
                     crlf + crlf).getBytes("UTF-8") ++ httpB ++
                     (crlf + crlf).getBytes("UTF-8")
                 }
-              val shield = new java.io.FilterOutputStream(out) {
+              val sink = out
+              val shield = new java.io.FilterOutputStream(sink) {
                 override def write(b: Array[Byte], o: Int,
-                                   n: Int): Unit = out.write(b, o, n)
+                                   n: Int): Unit = sink.write(b, o, n)
                 override def close(): Unit = ()
               }
               val g = new java.util.zip.GZIPOutputStream(shield)
@@ -1618,9 +1616,6 @@ object LlmOps {
             out.close()
           }
       }
-      marker.createNewFile()
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => wipe(fixtureBase)))
     }
     val recs = WarcFiles.records(s, s"$fixtureBase/*.warc.gz",
       splitBytes = 64L << 20)
@@ -1728,6 +1723,75 @@ object LlmOps {
         coalesce(agg.d32, 0) AS n_dup_pos_32
       FROM t2 LEFT JOIN agg USING (doc_id)"""
   })
+
+  // L78 — the STREAMING fixed-8 span index driven as a query (RISKS
+  // row 15's between-releases policy, oracle-gated): documents arrive
+  // in three simulated batches (doc_id % 3); each batch's positions
+  // are flagged AT ARRIVAL — a window is duplicated for a batch doc
+  // iff it occurs in an EARLIER batch, or in ANOTHER doc of the same
+  // batch (standing docs keep the flags they got when they arrived —
+  // the l22 discipline applied to spans). The oracle replays the
+  // at-arrival rule in SQL via each gram's two smallest arrival
+  // batches over distinct docs: for an occurrence (doc d, batch b),
+  // the earliest OTHER-doc batch is b2 if d owns the overall minimum
+  // else b1, and the position flags iff that batch is <= b. The sink
+  // runs under the TIERED compaction cadence (maxDeltas=2), so the
+  // hash match also certifies compaction inertness mid-stream. State
+  // lives in a fresh per-invocation temp dir (re-runs rebuild it).
+  private val l78 = QueryDef("l78_streaming_span_index", (s, dir) => {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_l78").toString
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val sink = graft.streaming.StreamOps.dupSpanIndexForeachBatchTiered(
+      s"$root/index", s"$root/flags", "doc_id", "text", n = 8,
+      maxDeltas = 2, hashedGramKeys = true, fanout = 2)
+    (0L to 2L).foreach { b =>
+      sink(docs.filter(pmod(col("doc_id"), lit(3L)) === b), b)
+    }
+    s.read.parquet(s"$root/flags")
+      .select(col("doc_id"), col("batch").cast("long").as("batch"),
+        col("n_tokens"), col("n_dup_positions"), col("dup_ratio"),
+        col("clean_text"))
+  }, Some("""WITH toks AS (SELECT doc_id, doc_id % 3 AS b,
+        list_filter(string_split(text, ' '), t -> length(t) > 0) tk
+        FROM documents),
+      t2 AS (SELECT doc_id, b, tk, CAST(len(tk) AS BIGINT) n_tokens
+        FROM toks),
+      g AS (SELECT doc_id, b, u['pos'] pos, u['gram'] gram
+            FROM (SELECT doc_id, b,
+                   unnest(list_transform(range(1, len(tk) - 6),
+                   i -> {'pos': i, 'gram': array_to_string(tk[i:i+7],
+                     ' ')})) u
+                  FROM toks WHERE len(tk) >= 8)),
+      r AS (SELECT gram, doc_id, b,
+              row_number() OVER (PARTITION BY gram
+                ORDER BY b, doc_id) rn
+            FROM (SELECT DISTINCT gram, doc_id, b FROM g)),
+      top2 AS (SELECT gram,
+              max(CASE WHEN rn = 1 THEN b END) AS b1,
+              max(CASE WHEN rn = 1 THEN doc_id END) AS d1,
+              max(CASE WHEN rn = 2 THEN b END) AS b2
+            FROM r WHERE rn <= 2 GROUP BY gram),
+      fl AS (SELECT g.doc_id, list_sort(list_distinct(list(g.pos)))
+               starts
+             FROM g JOIN top2 USING (gram)
+             WHERE (CASE WHEN g.doc_id = top2.d1 THEN top2.b2
+                    ELSE top2.b1 END) <= g.b
+             GROUP BY g.doc_id),
+      c AS (SELECT t2.doc_id, t2.b, tk, n_tokens,
+              list_sort(list_distinct(flatten(list_transform(
+                coalesce(starts, []), p -> range(p, p + 8))))) covered
+            FROM t2 LEFT JOIN fl USING (doc_id))
+      SELECT doc_id, CAST(b AS BIGINT) AS batch, n_tokens,
+        CAST(len(covered) AS BIGINT) AS n_dup_positions,
+        CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(len(covered) AS DOUBLE) / n_tokens END
+          AS dup_ratio,
+        coalesce(array_to_string(list_transform(
+          list_filter(range(1, CAST(n_tokens AS INTEGER) + 1),
+            i -> NOT list_contains(covered, i)), i -> tk[i]), ' '), '')
+          AS clean_text
+      FROM c"""))
 
   private val l75 = QueryDef("l75_corpus_datasheet", (s, dir) => {
     val docs = Tables.documents(s, dir)
@@ -4544,5 +4608,5 @@ object LlmOps {
       l53,
       l53r, l54, l54h, l55, l56, l57, l58, l59, l60, l61, l61c, l61h, l62,
       l63, l64, l65, l66, l67, l68, l69, l70, l70h, l71, l72, l72e,
-      l73, l73e, l74, l75, l76, l77, m1, m2, m3, m4, m5, m6)
+      l73, l73e, l74, l75, l76, l77, l78, m1, m2, m3, m4, m5, m6)
 }

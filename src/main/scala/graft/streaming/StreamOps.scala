@@ -344,15 +344,8 @@ object StreamOps {
   }
 
   private def deltaDirs(spark: org.apache.spark.sql.SparkSession,
-                        statePath: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(statePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
-        !s.getPath.getName.contains("__staging"))
-      .map(_.getPath.toString).toSeq
-  }
+                        statePath: String): Seq[String] =
+    liveDeltaDirs(spark, statePath)
 
   private def unionDeltas(spark: org.apache.spark.sql.SparkSession,
                           statePath: String): Option[DataFrame] = {
@@ -1362,11 +1355,12 @@ object StreamOps {
     * `fanout` segments share a size class they merge into the next
     * class), so a row is rewritten once per class it passes through —
     * O(log B) — while the index read still lists ≤ maxDeltas deltas +
-    * O(fanout·log B) segments. Flag semantics, retry idempotence, and
-    * the crash window are EXACTLY the cadence form's: every merge
-    * stages, renames, THEN deletes sources, and duplicate rows from a
-    * crash between those steps are absorbed by the distinct/min
-    * readers and the next merge's groupBy-min.
+    * O(fanout·log B) segments. Flag semantics and retry idempotence
+    * are EXACTLY the cadence form's; crash safety is STRICTLY
+    * STRONGER: every merge publishes via [[publishSegment]]'s
+    * rename-aside discipline, so committed hashes stay reader-visible
+    * at every instant and a checkpoint-replayed compaction absorbs
+    * (never deletes) a previously published segment.
     */
   def dedupIndexForeachBatchTiered(indexPath: String, flagsPath: String,
                                    idCol: String, textCol: String,
@@ -1381,58 +1375,82 @@ object StreamOps {
       compactDedupIndexTiered(spark, indexPath, upTo = batchId, fanout)
   }
 
-  /** Tiered compaction: (1) merge every eligible PLAIN delta (max
-    * first_batch <= upTo, or empty) into one new segment `d=c<upTo>`;
-    * (2) while any size class (floor(log_fanout(bytes)) over segment
-    * dirs) holds >= fanout segments, merge that class into one
-    * `d=c<upTo>t<n>` segment. Old segments are immutable until their
-    * class fills — the LSM bound. Every merge publishes staged-rename-
-    * before-source-deletes (the [[compactDedupIndex]] crash
-    * discipline, including the qualified-vs-unqualified Path-equality
-    * fix: survivors are excluded by NAME).
+  /** Tiered compaction of the dedup index — delegates to the SHARED
+    * size-tiered compactor [[compactStoreTiered]] with the dedup
+    * fold (groupBy content_hash, min first_batch). See that method
+    * for the tier structure and the crash-FREE publish discipline.
     */
   def compactDedupIndexTiered(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String, upTo: Long,
-                              fanout: Int = 4): Unit = {
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-
-    def publishMerged(sources: Seq[org.apache.hadoop.fs.Path],
-                      name: String): Unit = {
-      val merged = spark.read
-        .parquet(sources.map(_.toString): _*)
+                              fanout: Int = 4): Unit =
+    compactStoreTiered(spark, indexPath, upTo, fanout) { dirs =>
+      spark.read.parquet(dirs: _*)
         .groupBy("content_hash")
         .agg(min("first_batch").as("first_batch"))
-      val staging =
-        new org.apache.hadoop.fs.Path(s"$indexPath/${name}__staging")
-      val target = new org.apache.hadoop.fs.Path(s"$indexPath/$name")
-      merged.write.mode("overwrite").parquet(staging.toString)
-      fs.delete(target, true)
-      if (!fs.rename(staging, target))
-        throw new java.io.IOException(s"compact: cannot publish $target")
-      sources.filterNot(_.getName == target.getName)
-        .foreach(fs.delete(_, true))
     }
 
-    // phase 1: plain deltas -> one new segment (old segments untouched)
-    val plain = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.matches("d=[0-9]+"))
+  /** SHARED size-tiered LSM compactor for every `d=<batchId>` delta
+    * log in this file, parameterized by the store's merge fold
+    * (dedup-min, dropDuplicates-by-key, sum, min-of-mins, …):
+    *
+    *  - phase 1: every PLAIN delta `d=<id>` with id <= upTo folds into
+    *    one NEW segment `d=c<upTo>`; previously compacted segments are
+    *    untouched (the fix for the cadence compactors' measured
+    *    O(B²/maxDeltas) base rewrite — SCALE_r15 §12);
+    *  - phase 2: while any size class (floor(log_fanout(bytes))) holds
+    *    >= fanout segments, that class folds into one `d=c<upTo>t<n>`
+    *    segment — geometric merging, so a row is rewritten once per
+    *    class it passes through, O(log batches) total.
+    *
+    * Eligibility is by DIRECTORY NAME (the id a retry-idempotent
+    * foreachBatch wrote), not a per-dir `max(first_batch)` scan — one
+    * listStatus instead of one Spark job per listed delta per cadence
+    * check. An empty delta (all-dup batch) is eligible like any other.
+    *
+    * Every merge publishes through [[publishSegment]], whose
+    * rename-ASIDE discipline leaves every row reader-visible at every
+    * instant — there is NO crash window in which committed state can
+    * be lost (the round-15 tiered form's delete-then-rename had one:
+    * a replayed compaction could delete a previously published target
+    * whose hashes the replayed sources no longer carried). Leftover
+    * `__replaced` dirs from a crash are recovered at entry and
+    * tolerated by every reader in between (readers exclude only
+    * `__staging`; duplicate rows are absorbed by each store's
+    * duplicate-tolerant fold).
+    *
+    * Mixing this with the same store's CADENCE compactor is safe for
+    * correctness (both preserve the logical fold) but not recommended:
+    * the cadence forms' name parsing treats `d=c<upTo>t<n>` segments
+    * as ineligible, so they would accumulate unmerged.
+    */
+  def compactStoreTiered(spark: org.apache.spark.sql.SparkSession,
+                         root: String, upTo: Long, fanout: Int = 4)(
+      merge: Seq[String] => DataFrame): Unit = {
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    recoverSegments(fs, rootPath)
+
+    // phase 1: plain deltas -> one new segment (old segments
+    // untouched). Post-recovery every listed plain is LIVE, so the
+    // merge consumes each row exactly once — sound for additive folds.
+    val plain = fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && isPlainDelta(s.getPath.getName))
       .map(_.getPath)
-      .filter { p =>
-        val top = spark.read.parquet(p.toString)
-          .agg(max("first_batch")).head()
-        top.isNullAt(0) || top.getLong(0) <= upTo
-      }
-    if (plain.length >= 2) publishMerged(plain.toSeq, s"d=c$upTo")
+      .filter(p => p.getName.stripPrefix("d=").toLong <= upTo)
+    if (plain.length >= 2)
+      publishSegment(fs, root, plain.toSeq, s"d=c$upTo",
+        plainFloor = upTo)(merge)
 
     // phase 2: geometric segment merging by size class
     var mergeN = 0
     var again = true
     while (again) {
-      val segs = fs.listStatus(root)
+      val segs = fs.listStatus(rootPath)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=c") &&
-          !s.getPath.getName.contains("__staging"))
+          !s.getPath.getName.contains("__staging") &&
+          !s.getPath.getName.contains("__replaced"))
         .map(s => (s.getPath,
           fs.getContentSummary(s.getPath).getLength.max(1L)))
       val byClass = segs.groupBy { case (_, bytes) =>
@@ -1441,10 +1459,319 @@ object StreamOps {
       byClass.find(_._2.length >= fanout) match {
         case Some((_, members)) =>
           mergeN += 1
-          publishMerged(members.map(_._1).toSeq, s"d=c${upTo}t$mergeN")
+          publishSegment(fs, root, members.map(_._1).toSeq,
+            s"d=c${upTo}t$mergeN", plainFloor = Long.MinValue)(merge)
         case None => again = false
       }
     }
+  }
+
+  /** Per-segment manifest (`_GRAFT_SEG`, underscore-prefixed so parquet
+    * scans skip it): line 1 = this segment's unique id, line 2 = the
+    * plains-consumed watermark (every plain delta `d=<id>` with id <=
+    * watermark is contained in this segment, directly or transitively),
+    * remaining lines = the segment ids this merge consumed. Together
+    * these make every crash/replay state RESOLVABLE for EVERY fold —
+    * including the ADDITIVE lineFreq sum, where "duplicate rows are
+    * absorbed by the read" is false: a consumed dir left on disk (halt
+    * between publish and source deletes, or a checkpoint replay
+    * re-creating the last batch's delta after a segment subsumed it)
+    * is EXCLUDED from reads and deleted at the next compactor entry,
+    * by id — never by name, since names (`d=c<upTo>t<n>`, replayed
+    * `d=<batchId>`) legitimately recur across replays.
+    */
+  private case class SegMeta(segid: String, plainsUpTo: Long,
+                             consumed: Seq[String])
+
+  private def segMetaPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_GRAFT_SEG")
+
+  private def readSegMeta(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path)
+      : Option[SegMeta] = {
+    val p = segMetaPath(dir)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+      if (lines.length < 2) None
+      else Some(SegMeta(lines(0), lines(1).toLong, lines.drop(2).toSeq))
+    }
+  }
+
+  private def writeSegMeta(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path,
+                           meta: SegMeta): Unit = {
+    val out = fs.create(segMetaPath(dir), true)
+    try out.write(
+      (meta.segid +: meta.plainsUpTo.toString +: meta.consumed)
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def isPlainDelta(name: String): Boolean =
+    name.matches("d=[0-9]+")
+
+  /** All `d=*` dirs under `root` (staging excluded) with their
+    * manifests, plus the consumed-id set and plain watermark implied
+    * by the manifests PRESENT — the shared resolution every reader
+    * and the recovery sweep use. */
+  private def segListing(fs: org.apache.hadoop.fs.FileSystem,
+                         root: org.apache.hadoop.fs.Path)
+      : (Seq[(org.apache.hadoop.fs.Path, Option[SegMeta])],
+         Set[String], Long) = {
+    if (!fs.exists(root)) return (Seq.empty, Set.empty, Long.MinValue)
+    val dirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
+        !s.getPath.getName.contains("__staging"))
+      .map(s => (s.getPath, readSegMeta(fs, s.getPath))).toSeq
+    val metas = dirs.flatMap(_._2)
+    val consumed = metas.flatMap(_.consumed).toSet
+    val watermark =
+      if (metas.isEmpty) Long.MinValue else metas.map(_.plainsUpTo).max
+    (dirs, consumed, watermark)
+  }
+
+  /** A present dir is CONSUMED (content already inside some present
+    * segment) iff it is a plain delta at or below the watermark, or a
+    * segment whose id a present manifest lists. Transitive across
+    * crash pile-ups without closure: a consumed-but-present segment
+    * still carries its own manifest, so its sources resolve too. */
+  private def isConsumed(entry: (org.apache.hadoop.fs.Path,
+                                 Option[SegMeta]),
+                         consumed: Set[String],
+                         watermark: Long): Boolean = entry match {
+    case (p, _) if isPlainDelta(p.getName) =>
+      p.getName.stripPrefix("d=").toLong <= watermark
+    case (_, Some(m)) => consumed.contains(m.segid)
+    case _ => false
+  }
+
+  /** The LIVE delta dirs of a store: every reader-visible dir minus
+    * the consumed ones. This is the listing every delta-log reader in
+    * this file goes through — it makes reads correct (not merely
+    * duplicate-tolerant) in every crash/replay state, which the
+    * ADDITIVE stores require. Stores never touched by the tiered
+    * compactor have no manifests, so this degrades to the plain
+    * listing. */
+  private def liveDeltaDirs(spark: org.apache.spark.sql.SparkSession,
+                            root: String): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dirs, consumed, watermark) = segListing(fs, rootPath)
+    dirs.filterNot(isConsumed(_, consumed, watermark))
+      .map(_._1.toString)
+  }
+
+  /** Crash-FREE merged-segment publish: the merge output replaces
+    * `name` with every LIVE row reader-visible (exactly once, per the
+    * manifest resolution) at EVERY intermediate instant.
+    *
+    * Order: (1) a pre-existing target or `__replaced` leftover —
+    * which a checkpoint replay or crash can produce, holding rows the
+    * current sources no longer carry — is ALWAYS absorbed as a merge
+    * source (disjointness with the other sources is guaranteed by the
+    * recovery sweep, so even additive folds absorb correctly);
+    * (2) the merge is staged under `<name>__staging` (reader-excluded,
+    * overwrite-safe) with a manifest recording a fresh segid, the
+    * consumed segids, and the inherited plain watermark; (3) the old
+    * target is renamed ASIDE to `<name>__replaced` — reader-resolvable
+    * by its segid, never deleted while it is the only copy; (4) staging
+    * renames onto the target; (5) only now are the aside and the
+    * merged sources deleted. A halt at any point leaves every live row
+    * in exactly one manifest-resolved dir; the next compactor entry
+    * finishes the deletes ([[recoverSegments]]).
+    */
+  private def publishSegment(fs: org.apache.hadoop.fs.FileSystem,
+                             root: String,
+                             sources: Seq[org.apache.hadoop.fs.Path],
+                             name: String, plainFloor: Long)(
+      merge: Seq[String] => DataFrame): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$root/$name")
+    val aside = new org.apache.hadoop.fs.Path(s"$root/${name}__replaced")
+    val extras = Seq(target, aside).filter(p =>
+      fs.exists(p) && !sources.exists(_.getName == p.getName))
+    val withExtras = sources ++ extras
+    // every non-plain source needs a segid so a crash-left copy stays
+    // resolvable; cadence-compactor segments and test fixtures lack
+    // one — assign it in place (underscore file, invisible to scans)
+    val sourceMetas = withExtras.map { p =>
+      if (isPlainDelta(p.getName)) None
+      else Some(readSegMeta(fs, p).getOrElse {
+        val m = SegMeta(java.util.UUID.randomUUID().toString,
+          Long.MinValue, Seq.empty)
+        writeSegMeta(fs, p, m)
+        m
+      })
+    }
+    val meta = SegMeta(
+      java.util.UUID.randomUUID().toString,
+      (plainFloor +: sourceMetas.flatten.map(_.plainsUpTo)).max,
+      sourceMetas.flatten.map(_.segid))
+    val staging = new org.apache.hadoop.fs.Path(s"$root/${name}__staging")
+    merge(withExtras.map(_.toString)).write.mode("overwrite")
+      .parquet(staging.toString)
+    writeSegMeta(fs, staging, meta)
+    if (fs.exists(target)) {
+      // a stale aside was already absorbed into the live target (its
+      // segid is in the target's manifest) — drop before re-parking
+      fs.delete(aside, true)
+      if (!fs.rename(target, aside))
+        throw new java.io.IOException(s"compact: cannot park $target")
+    }
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"compact: cannot publish $target")
+    // CRASH-INJECTION POINT (RestartSpec): halt between the publish
+    // rename and the source deletes — the replay window the manifest
+    // discipline exists for. Inert unless the test property names
+    // this exact segment.
+    if (sys.props.get("graft.test.haltAfterSegmentPublish")
+        .contains(name)) {
+      Console.out.println(s"COMPACT halting post-publish segment=$name")
+      Console.flush()
+      Runtime.getRuntime.halt(43)
+    }
+    fs.delete(aside, true)
+    val keep = Set(target.getName, aside.getName)
+    withExtras.filterNot(p => keep(p.getName)).foreach(fs.delete(_, true))
+  }
+
+  /** Entry-time recovery: (1) `__replaced` leftovers — if the target
+    * was published the aside is consumed (drop it), otherwise the
+    * aside IS the pre-merge target (restore its name); (2) finish any
+    * crashed merge's source deletes by dropping every CONSUMED dir the
+    * manifests resolve. After this sweep every row lives in exactly
+    * one dir, which is what lets a re-fired merge absorb a published
+    * target safely under EVERY fold, sums included. */
+  private def recoverSegments(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path): Unit = {
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.endsWith("__replaced"))
+      .foreach { s =>
+        val tgt = new org.apache.hadoop.fs.Path(root,
+          s.getPath.getName.stripSuffix("__replaced"))
+        if (fs.exists(tgt)) fs.delete(s.getPath, true)
+        else if (!fs.rename(s.getPath, tgt))
+          throw new java.io.IOException(
+            s"compact: cannot recover ${s.getPath}")
+      }
+    val (dirs, consumed, watermark) = segListing(fs, root)
+    dirs.filter(isConsumed(_, consumed, watermark))
+      .foreach(d => fs.delete(d._1, true))
+  }
+
+  /** Tiered variants of every cadence compactor in this file — same
+    * logical fold per store, [[compactStoreTiered]]'s write cost
+    * (O(log B) rewrites per row instead of the cadence forms'
+    * O(B/maxDeltas)) and crash-free publish. */
+  def compactPrefixDupIndexTiered(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, upTo: Long, fanout: Int = 4): Unit = {
+    compactStoreTieredByKey(spark, s"$indexPath/prefixes",
+      Seq("doc", "shingle"), upTo, fanout)
+    compactStoreTieredByKey(spark, s"$indexPath/shingles",
+      Seq("doc"), upTo, fanout)
+  }
+
+  def compactNearDupIndexTiered(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, upTo: Long, fanout: Int = 4): Unit = {
+    compactStoreTieredByKey(spark, s"$indexPath/shingles",
+      Seq("doc"), upTo, fanout)
+    compactStoreTieredByKey(spark, s"$indexPath/buckets",
+      Seq("doc", "band"), upTo, fanout)
+  }
+
+  def compactEdDistIndexTiered(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, upTo: Long, fanout: Int = 4): Unit = {
+    compactStoreTieredByKey(spark, s"$indexPath/segs",
+      Seq("doc", "key"), upTo, fanout)
+    compactStoreTieredByKey(spark, s"$indexPath/probes",
+      Seq("doc", "key"), upTo, fanout)
+    compactStoreTieredByKey(spark, s"$indexPath/texts",
+      Seq("doc"), upTo, fanout)
+  }
+
+  private def compactStoreTieredByKey(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      keyCols: Seq[String], upTo: Long, fanout: Int): Unit =
+    compactStoreTiered(spark, root, upTo, fanout) { dirs =>
+      spark.read.parquet(dirs: _*).dropDuplicates(keyCols)
+    }
+
+  def compactLineFreqTiered(spark: org.apache.spark.sql.SparkSession,
+                            statePath: String, upTo: Long,
+                            fanout: Int = 4): Unit =
+    compactStoreTiered(spark, statePath, upTo, fanout) { dirs =>
+      spark.read.parquet(dirs: _*)
+        .groupBy("lk").agg(sum("d").as("d"))
+        .withColumn("first_batch", lit(upTo))
+    }
+
+  def compactStageFunnelDeltasTiered(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      upTo: Long, userCol: String, stages: Seq[String],
+      fanout: Int = 4): Unit =
+    compactStoreTiered(spark, statePath, upTo, fanout) { dirs =>
+      val aggs = stages.map(t => min(s"t_$t").as(s"t_$t"))
+      spark.read.parquet(dirs: _*).groupBy(userCol)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+
+  def compactRetentionDeltasTiered(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      upTo: Long, fanout: Int = 4): Unit =
+    compactStoreTiered(spark, statePath, upTo, fanout) { dirs =>
+      import graft.operators.Retention
+      Retention.retentionState(
+        Retention.stateDays(spark.read.parquet(dirs: _*)).distinct())
+    }
+
+  /** Tiered-cadence foreachBatch wrappers (the
+    * [[dedupIndexForeachBatchTiered]] trigger shape — fire when the
+    * PLAIN delta count reaches maxDeltas; compacted segments
+    * legitimately accumulate O(fanout·log B) and don't count). */
+  def lineFreqForeachBatchTiered(statePath: String, idCol: String,
+                                 textCol: String, maxDeltas: Int,
+                                 delim: String = "\n",
+                                 hashedLineKeys: Boolean = true,
+                                 fanout: Int = 4)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    require(maxDeltas >= 2, s"maxDeltas must be >= 2, got $maxDeltas")
+    lineFreqForeachBatch(statePath, idCol, textCol, delim,
+      hashedLineKeys)(batch, batchId)
+    val spark = batch.sparkSession
+    if (plainDeltaDirCount(spark, statePath) >= maxDeltas)
+      compactLineFreqTiered(spark, statePath, upTo = batchId, fanout)
+  }
+
+  def stageFunnelForeachBatchDeltaTiered(statePath: String,
+      userCol: String, typeCol: String, tsCol: String,
+      stages: Seq[String], maxDeltas: Int, fanout: Int = 4)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    require(maxDeltas >= 2, s"maxDeltas must be >= 2, got $maxDeltas")
+    stageFunnelForeachBatchDelta(statePath, userCol, typeCol, tsCol,
+      stages)(batch, batchId)
+    val spark = batch.sparkSession
+    if (plainDeltaDirCount(spark, statePath) >= maxDeltas)
+      compactStageFunnelDeltasTiered(spark, statePath, upTo = batchId,
+        userCol, stages, fanout)
+  }
+
+  def retentionForeachBatchDeltaTiered(statePath: String,
+      userCol: String, tsUsCol: String, maxDeltas: Int,
+      fanout: Int = 4)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    require(maxDeltas >= 2, s"maxDeltas must be >= 2, got $maxDeltas")
+    retentionForeachBatchDelta(statePath, userCol, tsUsCol)(
+      batch, batchId)
+    val spark = batch.sparkSession
+    if (plainDeltaDirCount(spark, statePath) >= maxDeltas)
+      compactRetentionDeltasTiered(spark, statePath, upTo = batchId,
+        fanout)
   }
 
   /** The full standing hash index: the union of all published deltas
@@ -1453,19 +1780,99 @@ object StreamOps {
     */
   def dedupIndex(spark: org.apache.spark.sql.SparkSession,
                  indexPath: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltas =
-      if (!fs.exists(root)) Array.empty[String]
-      else fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
-          !s.getPath.getName.contains("__staging")) // crashed compaction
-        .map(_.getPath.toString)
+    val deltas = liveDeltaDirs(spark, indexPath)
     if (deltas.isEmpty) {
       import spark.implicits._
       Seq.empty[(String, Long)].toDF("content_hash", "first_batch")
     } else spark.read.parquet(deltas.toIndexedSeq: _*)
   }
+
+  /** Streaming fixed-n duplicated-SPAN dedup —
+    * [[graft.operators.Dedup.dupSpanRemoval]] maintained incrementally
+    * against a standing corpus. This is RISKS row 15's documented
+    * policy made real: suffix ranks are GLOBAL, so l77's exact grid
+    * has no cheap per-batch increment — between grid releases,
+    * arriving batches get fixed-n span flags AT ARRIVAL (the l22
+    * discipline: a batch doc's position is flagged iff its n-token
+    * window already occurs in the standing corpus, or in >= 2 docs of
+    * the batch itself; standing docs keep the flags they got when THEY
+    * arrived), and the exact data-adaptive grid recomputes per release
+    * (ProbeR16 prices the crossover).
+    *
+    * State is the dedup-index LSM shape applied to gram keys:
+    * `indexPath/d=<batchId>` holds (gk, first_batch) — the batch's
+    * NEW distinct window keys (anti-joined against history, so each
+    * key lives in exactly one delta). Per-batch writes are O(batch
+    * grams); the standing corpus is never re-signed. Per-batch flag
+    * rows land at `flagsPath/batch=<batchId>` BEFORE the delta
+    * publish, so every retry order recomputes byte-identical flags
+    * from the still-pre-batch standing set (`first_batch < batchId`).
+    * [[dupSpanIndexForeachBatchTiered]] adds the shared size-tiered
+    * compaction cadence.
+    *
+    * `hashedGramKeys` defaults TRUE (8-byte standing keys — the state
+    * is long-lived by definition; the l23h contract: value-identical
+    * output short of 64-bit gram collisions).
+    */
+  def dupSpanIndexForeachBatch(indexPath: String, flagsPath: String,
+                               idCol: String, textCol: String, n: Int,
+                               hashedGramKeys: Boolean = true)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      import graft.operators.Dedup
+      val toks = Dedup.spanToks(batch, idCol, textCol).cache()
+      val grams = Dedup.spanGrams(toks, n, hashedGramKeys).cache()
+      val standing = spanIndexGrams(spark, indexPath, hashedGramKeys)
+        .filter(col("first_batch") < batchId).select("gk")
+      val withinDup = grams.groupBy("gk")
+        .agg(countDistinct(col("doc")).as("nd"))
+        .filter(col("nd") >= 2).select("gk")
+      val dupKeys = standing.union(withinDup).distinct()
+      val flagged = grams.join(dupKeys, Seq("gk"))
+        .groupBy("doc")
+        .agg(sort_array(array_distinct(collect_list(col("pos"))))
+          .as("starts"))
+      Dedup.spanAssemble(toks, flagged, idCol, n)
+        .write.mode("overwrite").parquet(s"$flagsPath/batch=$batchId")
+      grams.select("gk").distinct()
+        .join(standing, Seq("gk"), "left_anti")
+        .withColumn("first_batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$indexPath/d=$batchId")
+      grams.unpersist(blocking = false)
+      toks.unpersist(blocking = false)
+    }
+  }
+
+  /** The standing window-key index (empty-schema frame when absent). */
+  def spanIndexGrams(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String,
+                     hashedGramKeys: Boolean = true): DataFrame =
+    readDeltaDirs(spark, indexPath).getOrElse {
+      import spark.implicits._
+      if (hashedGramKeys) Seq.empty[(Long, Long)].toDF("gk", "first_batch")
+      else Seq.empty[(String, Long)].toDF("gk", "first_batch")
+    }
+
+  def dupSpanIndexForeachBatchTiered(indexPath: String,
+      flagsPath: String, idCol: String, textCol: String, n: Int,
+      maxDeltas: Int, hashedGramKeys: Boolean = true, fanout: Int = 4)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    require(maxDeltas >= 2, s"maxDeltas must be >= 2, got $maxDeltas")
+    dupSpanIndexForeachBatch(indexPath, flagsPath, idCol, textCol, n,
+      hashedGramKeys)(batch, batchId)
+    val spark = batch.sparkSession
+    if (plainDeltaDirCount(spark, indexPath) >= maxDeltas)
+      compactDupSpanIndexTiered(spark, indexPath, upTo = batchId, fanout)
+  }
+
+  def compactDupSpanIndexTiered(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, upTo: Long,
+                                fanout: Int = 4): Unit =
+    compactStoreTiered(spark, indexPath, upTo, fanout) { dirs =>
+      spark.read.parquet(dirs: _*)
+        .groupBy("gk").agg(min("first_batch").as("first_batch"))
+    }
 
   /** Streaming incremental NEAR-dup dedup — the MinHash-LSH pair
     * pipeline (l3) maintained against a standing corpus, closing the
@@ -1998,14 +2405,7 @@ object StreamOps {
   private def readDeltaDirs(spark: org.apache.spark.sql.SparkSession,
                             root: String)
       : Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(p)) Array.empty[String]
-      else fs.listStatus(p)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("d=") &&
-          !s.getPath.getName.contains("__staging"))
-        .map(_.getPath.toString)
+    val dirs = liveDeltaDirs(spark, root)
     if (dirs.isEmpty) None
     else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
   }

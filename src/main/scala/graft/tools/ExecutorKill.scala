@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Executor-DEATH proof under `local-cluster` (round-15 verdict item
+  * 1's second half): round 15 proved driver death (RestartSpec halts
+  * the whole JVM); this kills ONE of the separate executor JVMs
+  * mid-job with SIGKILL and asserts (a) the job still completes —
+  * standalone re-registers a fresh executor and lost tasks/shuffle
+  * blocks are recomputed from lineage — and (b) the result is
+  * VALUE-IDENTICAL to the undisturbed baseline, exact integer
+  * aggregates so equality is bit-meaningful. Then runs the flagship
+  * query on the survivor session to show real plans (broadcasts,
+  * native expressions) also survive executor replacement.
+  *
+  * Must run under SPARK_GRAFT_MASTER=local-cluster[...] (separate
+  * executor JVMs; under local[n] there is nothing to kill). Exit 0 =
+  * proof held; 3 = the kill landed after the job finished (re-run
+  * with more rows); anything else = real failure.
+  *
+  * usage: runMain graft.tools.ExecutorKill [rows] [killAfterMs]
+  */
+object ExecutorKill {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 2000000000L
+    val killAfterMs = if (args.length > 1) args(1).toLong else 2500L
+    require(sys.env.get("SPARK_GRAFT_MASTER")
+        .exists(_.startsWith("local-cluster")),
+      "ExecutorKill needs SPARK_GRAFT_MASTER=local-cluster[n,c,m]")
+    val spark = graft.core.Sessions.build("graft-executor-kill", 32)
+
+    // deterministic multi-stage job: wide scan -> hash shuffle ->
+    // exact integer aggregate (sum stays in int64; bit_xor catches
+    // any wrong/duplicated per-key partial the retry path could leave)
+    def job(): (Long, Long, Long) = {
+      val r = spark.range(0L, rows, 1L, 64)
+        .select((col("id") % 100003L).as("k"), col("id"))
+        .groupBy("k")
+        .agg(sum("id").as("s"), count(lit(1)).as("n"))
+        .agg(sum("s").as("total"), expr("bit_xor(s)").as("chk"),
+          sum("n").as("cnt"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    def executorPids(): Seq[ProcessHandle] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ProcessHandle]
+      ProcessHandle.allProcesses().forEach { p =>
+        if (p.info.commandLine.orElse("")
+            .contains("CoarseGrainedExecutorBackend")) out += p
+      }
+      out.toSeq
+    }
+
+    println(s"EXECKILL executors before: ${executorPids().map(_.pid())}")
+    val baseline = job()
+    println(s"EXECKILL baseline=$baseline")
+
+    @volatile var killedAtNs = 0L
+    @volatile var killedPid = -1L
+    val killer = new Thread(() => {
+      Thread.sleep(killAfterMs)
+      executorPids().headOption.foreach { p =>
+        killedPid = p.pid()
+        killedAtNs = System.nanoTime()
+        p.destroyForcibly()
+        println(s"EXECKILL SIGKILLed executor pid=$killedPid")
+      }
+    })
+    val t0 = System.nanoTime()
+    killer.start()
+    val killed = job()
+    val jobEndNs = System.nanoTime()
+    killer.join()
+    val killLandedMidJob = killedAtNs != 0L && killedAtNs < jobEndNs &&
+      killedPid > 0
+    println(f"EXECKILL killed-run=$killed wall=${(jobEndNs - t0) / 1e9}%.1fs" +
+      s" midJob=$killLandedMidJob")
+    if (!killLandedMidJob) {
+      println("EXECKILL VACUOUS: kill landed after job end — " +
+        "increase rows")
+      spark.stop(); sys.exit(3)
+    }
+    require(killed == baseline,
+      s"executor death changed the result: $killed vs $baseline")
+
+    // the session must remain fully serviceable: fresh executor
+    // registered, real query (broadcast joins, native expressions)
+    // still correct
+    val flagship = graft.SparkEntry.entry(spark).count()
+    require(flagship > 0, "flagship query returned no rows post-kill")
+    println(s"EXECKILL flagship rows=$flagship " +
+      s"executors after: ${executorPids().map(_.pid())}")
+    println("EXECKILL PASS: identical results across executor death")
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -26,7 +26,7 @@ import graft.streaming.StreamOps
   * deliberate post-publish halt. Anything else is a real failure.
   *
   * args: inputDir checkpointDir stateRoot crashAfterBatch(-1 = never)
-  *       [dedupForm: plain (default) | tiered]
+  *       [dedupForm: plain (default) | tiered] [haltSegment|-]
   *
   * `tiered` swaps the dedup sink for
   * [[StreamOps.dedupIndexForeachBatchTiered]] at maxDeltas=2/fanout=2,
@@ -34,16 +34,25 @@ import graft.streaming.StreamOps
   * the replayed batch then re-creates its delta NEXT TO a segment
   * already holding the same hashes, the exact absorb case the tiered
   * form documents, now across real process death.
+  *
+  * `haltSegment` (e.g. `d=c1`) arms the compactor's crash-injection
+  * point instead: the JVM halts(43) INSIDE the tiered compaction,
+  * after that segment's publish rename but before its source deletes
+  * — the round-15 ADVICE window where a replayed compaction used to
+  * delete a published segment whose hashes its replayed sources no
+  * longer carried.
   */
 object RestartDriver {
   def main(args: Array[String]): Unit = {
-    require(args.length == 4 || args.length == 5,
+    require(args.length >= 4 && args.length <= 6,
       "usage: RestartDriver <inputDir> <checkpointDir> <stateRoot> " +
-        "<crashAfterBatch|-1> [plain|tiered]")
+        "<crashAfterBatch|-1> [plain|tiered] [haltSegment|-]")
     val Seq(inputDir, checkpointDir, stateRoot, crashAtRaw) =
       args.take(4).toSeq
     val crashAfter = crashAtRaw.toLong
-    val tiered = args.length == 5 && args(4) == "tiered"
+    val tiered = args.length >= 5 && args(4) == "tiered"
+    if (args.length == 6 && args(5) != "-")
+      sys.props("graft.test.haltAfterSegmentPublish") = args(5)
     val spark = graft.core.Sessions.build("graft-restart-driver", 8)
 
     val dedupSink =

@@ -268,4 +268,68 @@ class RestartSpec extends AnyFunSuite {
     assert(indexSet(s"$stateRoot/index") == indexSet(s"$refRoot/index"),
       "tiered compaction across the crash changed the logical index")
   }
+
+  test("cross-process restart halting INSIDE tiered compaction, " +
+    "between the segment publish rename and the source deletes: the " +
+    "replayed compaction absorbs the published segment instead of " +
+    "deleting hashes the replayed sources no longer carry") {
+    val root = Files.createTempDirectory("graft_restart_w").toString
+    val inputDir = s"$root/input"; new File(inputDir).mkdirs()
+    val ckpt = s"$root/ckpt"
+    val stateRoot = s"$root/state"
+    val refRoot = s"$root/ref"
+    writeInput(root, inputDir)
+
+    // maxDeltas=2/fanout=2: batch 1 triggers compaction at upTo=1;
+    // the injection halts(43) right after `d=c1` renames live, with
+    // d=0 and d=1 still on disk and batch 1 unacknowledged — the
+    // round-15 ADVICE window: on replay the foreachBatch re-creates
+    // d=1 EMPTY (its hashes already live in d=c1), the re-fired
+    // compaction's plain sources therefore lack batch 1's hashes, and
+    // only the absorb-the-existing-target discipline keeps them.
+    val (code1, out1) = runChild(
+      Seq(inputDir, ckpt, stateRoot, "-1", "tiered", "d=c1"))
+    assert(code1 == 43, s"crash run should halt(43); got $code1\n$out1")
+    assert(out1.contains("halting post-publish segment=d=c1"), out1)
+    assert(listLog(ckpt, "commits") == Seq(0L),
+      "batch 1 must be uncommitted (halt inside its foreachBatch)")
+    // the window REALLY happened: segment live AND sources undeleted
+    val dirsAtCrash = new File(s"$stateRoot/index").listFiles()
+      .map(_.getName).toSet
+    assert(dirsAtCrash.contains("d=c1"), s"$dirsAtCrash")
+    assert(dirsAtCrash.contains("d=0") && dirsAtCrash.contains("d=1"),
+      s"sources must still exist at the halt: $dirsAtCrash")
+
+    val (code2, out2) = runChild(
+      Seq(inputDir, ckpt, stateRoot, "-1", "tiered"))
+    assert(code2 == 0, s"resume run failed: $code2\n$out2")
+    assert(out2.contains("published batch=1"),
+      "resume must replay the unacknowledged batch")
+    assert(listLog(ckpt, "commits") == Seq(0L, 1L, 2L, 3L))
+
+    val dedupRef = StreamOps.dedupIndexForeachBatch(
+      s"$refRoot/index", s"$refRoot/flags", "doc_id", "text")
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      dedupRef(rows.toDF("doc_id", "source", "text", "src", "dst"),
+        i.toLong)
+    }
+    def flagsOf(base: String): Map[(Long, Long), Long] =
+      (0 to 3).flatMap { i =>
+        s.read.parquet(s"$base/batch=$i").collect()
+          .map(r => (i.toLong, r.getAs[Long]("doc_id")) ->
+            r.getAs[Long]("dup_of_existing"))
+      }.toMap
+    val streamed = flagsOf(s"$stateRoot/flags")
+    assert(streamed == flagsOf(s"$refRoot/flags"))
+    // THE assertion the pre-fix code fails: doc 20 duplicates doc 11,
+    // whose hash lived only in the published-then-reabsorbed d=c1 at
+    // the replayed compaction — losing it flags 20 first-seen
+    assert(streamed((2L, 20L)) == 1L,
+      "hash published by the crashed compaction was lost on replay")
+    def indexSet(path: String) = StreamOps.dedupIndex(s, path)
+      .select("content_hash", "first_batch").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(indexSet(s"$stateRoot/index") == indexSet(s"$refRoot/index"),
+      "crash inside compaction changed the logical index")
+  }
 }

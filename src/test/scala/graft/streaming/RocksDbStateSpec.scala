@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The RocksDB state-store arm of the stateful-API story (round-15
+  * verdict item 7): the foreachBatch standing states are parquet
+  * delta logs (disk-backed by construction, crash-proven in
+  * RestartSpec), but [[StreamOps.runningUserProfile]] and
+  * [[StreamOps.sessionize]] go through the state-store API, whose
+  * DEFAULT provider holds every key on the executor heap — at 10⁸+
+  * users that heap is the bottleneck. RocksDB
+  * (`spark.sql.streaming.stateStore.providerClass`) keeps the working
+  * set on executor-local disk with the same exactly-once semantics;
+  * this spec pins RESULT EQUALITY between the two providers on both
+  * stateful paths (same scenarios their primary specs pin), plus
+  * non-vacuity: the RocksDB run must actually lay down RocksDB state
+  * files in its checkpoint.
+  */
+class RocksDbStateSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksDb =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  private def withProvider[T](provider: Option[String])(body: => T): T = {
+    val prev = s.conf.getOption(providerKey)
+    provider match {
+      case Some(p) => s.conf.set(providerKey, p)
+      case None => s.conf.unset(providerKey)
+    }
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+  }
+
+  private def stateFiles(ckpt: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(ckpt, "state")
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      java.nio.file.Files.walk(root).forEach(p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          out += p.getFileName.toString)
+      out.toSeq
+    }
+  }
+
+  private def runProfile(provider: Option[String], tag: String)
+      : (Set[(Long, Long, Double, Long)], Seq[String]) =
+    withProvider(provider) {
+      implicit val sq = s.sqlContext
+      import StreamOps.KeyedEvent
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_rocks_p_$tag").toString
+      val input = MemoryStream[KeyedEvent]
+      val q = StreamOps.runningUserProfile(input.toDS())
+        .writeStream.format("memory").queryName(s"profiles_$tag")
+        .option("checkpointLocation", ckpt)
+        .outputMode(StreamOps.runningProfileOutputMode).start()
+      try {
+        input.addData(KeyedEvent(1L, 100L, 10.0),
+          KeyedEvent(1L, 200L, 5.0), KeyedEvent(2L, 150L, 7.0))
+        q.processAllAvailable()
+        input.addData(KeyedEvent(1L, 300L, 1.0),
+          KeyedEvent(3L, 400L, 2.5))
+        q.processAllAvailable()
+        val rows = s.sql(s"""SELECT user_id, max(nEvents) AS n,
+            max(valueSum) AS v, max(lastTs) AS t
+            FROM profiles_$tag GROUP BY user_id""")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2), r.getLong(3))).toSet
+        (rows, stateFiles(ckpt))
+      } finally q.stop()
+    }
+
+  private def runSessions(provider: Option[String], tag: String)
+      : (Set[(Long, Long, Double)], Seq[String]) =
+    withProvider(provider) {
+      implicit val sq = s.sqlContext
+      import StreamOps.TimedEvent
+      def ts(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_rocks_s_$tag").toString
+      val input = MemoryStream[TimedEvent]
+      val q = StreamOps.sessionize(input.toDS(), gapMs = 5000)
+        .writeStream.format("memory").queryName(s"sessions_$tag")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        input.addData(TimedEvent(1L, ts(1), 1.0),
+          TimedEvent(1L, ts(3), 2.0))
+        q.processAllAvailable()
+        input.addData(TimedEvent(1L, ts(40), 7.0))
+        q.processAllAvailable()
+        input.addData(TimedEvent(2L, ts(59), 1.0))
+        q.processAllAvailable()
+        val rows = s.sql(
+          s"SELECT user_id, nEvents, valueSum FROM sessions_$tag")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDouble(2))).toSet
+        (rows, stateFiles(ckpt))
+      } finally q.stop()
+    }
+
+  test("runningUserProfile under the RocksDB state store equals the " +
+    "default provider, and RocksDB state files actually materialize") {
+    val (defRows, defFiles) = runProfile(None, "hdfs")
+    val (rdbRows, rdbFiles) = runProfile(Some(rocksDb), "rocks")
+    assert(rdbRows == defRows,
+      s"provider changed mapGroupsWithState results: $rdbRows vs $defRows")
+    assert(defRows.contains((1L, 3L, 16.0, 300L)),
+      "scenario must exercise cross-batch state (non-vacuity)")
+    // provider really swapped: RocksDB checkpoints ship zip/changelog
+    // artifacts the HDFS-backed provider never writes
+    def rocksArtifacts(files: Seq[String]) = files.filter(f =>
+      f.endsWith(".zip") || f.endsWith(".changelog"))
+    assert(rocksArtifacts(rdbFiles).nonEmpty,
+      s"no RocksDB artifacts under the rocks checkpoint: $rdbFiles")
+    assert(rocksArtifacts(defFiles).isEmpty,
+      s"default-provider checkpoint has RocksDB artifacts: $defFiles")
+  }
+
+  test("sessionize (flatMapGroupsWithState + event-time timeout) under " +
+    "the RocksDB state store closes the same sessions") {
+    val (defRows, _) = runSessions(None, "hdfs")
+    val (rdbRows, rdbFiles) = runSessions(Some(rocksDb), "rocks")
+    assert(rdbRows == defRows,
+      s"provider changed sessionization results: $rdbRows vs $defRows")
+    assert(defRows.contains((1L, 2L, 3.0)),
+      "the gap-timeout close must have happened (non-vacuity)")
+    assert(rdbFiles.exists(f =>
+      f.endsWith(".zip") || f.endsWith(".changelog")),
+      s"no RocksDB artifacts under the rocks checkpoint: $rdbFiles")
+  }
+}
