@@ -40,6 +40,17 @@ object Sessions {
     // (the driver's own classpath) and the JDK-17 opens on their
     // command line.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+    if (master.startsWith("local-cluster")) {
+      // The Worker launches executors through the launcher library,
+      // which infers the Scala suffix from SPARK_HOME's build dirs — a
+      // layout a jars-only install doesn't have. Without the env the
+      // executors die at launch with "Cannot find any build
+      // directories." before the app sees a single task.
+      require(sys.env.contains("SPARK_SCALA_VERSION"),
+        "local-cluster mode needs SPARK_SCALA_VERSION=2.13 (and " +
+          "SPARK_HOME) exported so the in-process Worker can build " +
+          "executor launch commands from a jars-only Spark install")
+    }
     val builder0 = SparkSession.builder()
       .master(master)
       .appName(appName)

@@ -13,10 +13,20 @@ import org.apache.spark.sql.functions._
   * Spark's `hll_sketch_agg`, 2^lgK registers ≈ KBs at lgK=12): a new
   * day folds in as one `hll_union` of two sketches — append-only
   * publishing, no history rescan, and per-tick sketches parallelize
-  * as an ordinary combinable aggregate (register-wise max is
-  * associative + commutative + idempotent, so the result is invariant
-  * to partitioning, input order, and retries — the marker-idempotence
-  * discipline's aggregate analogue).
+  * as an ordinary combinable aggregate. The merged SET the sketch
+  * represents is invariant to partitioning, input order, and retries
+  * (register-wise max is associative + commutative + idempotent) —
+  * but the ESTIMATE is not bit-stable across merge topologies:
+  * Datasketches keeps an HIP estimator that depends on coupon
+  * insertion ORDER, so the same value set aggregated under different
+  * partition layouts can estimate a few per-mille apart (the round-16
+  * local-cluster run measured 0.55% on an untouched tick that was
+  * gratuitously re-unioned — see the selective fold in
+  * `StreamOps.distinctSketchForeachBatch`). Equality claims must
+  * therefore bind either the BYTES (an un-touched sketch) or a
+  * tolerance, never cross-topology estimates; the registered x24
+  * query certifies tolerance against the exact count for exactly
+  * this reason.
   *
   * Cross-engine certification shape: an HLL ESTIMATE can't be
   * replayed in another engine (register hashing is implementation-

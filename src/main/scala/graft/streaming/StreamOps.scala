@@ -1012,10 +1012,15 @@ object StreamOps {
   /** Standing per-tick HLL distinct sketches maintained at ingest
     * (the [[graft.operators.DistinctSketch]] state as a streaming
     * fold): each micro-batch's per-tick sketches union into the state
-    * table by register-max — associative, commutative, AND idempotent,
-    * so besides the marker short-circuit the merge itself is retry-
-    * tolerant. State stays ≤|ticks| fixed-size binary rows no matter
-    * how much history streamed; cumulative estimates come from
+    * table by register-max — associative, commutative, AND idempotent
+    * on the represented SET, so besides the marker short-circuit the
+    * merge itself is retry-tolerant. Only ticks PRESENT in the batch
+    * are folded; untouched ticks pass through byte-identical — their
+    * estimates must not move when unrelated data arrives, and a
+    * gratuitous union pass CAN move them (Datasketches' HIP estimator
+    * is merge-topology-sensitive; see the DistinctSketch object doc).
+    * State stays ≤|ticks| fixed-size binary rows no matter how much
+    * history streamed; cumulative estimates come from
     * [[distinctEstimatesFromState]] without any corpus rescan.
     */
   def distinctSketchForeachBatch(statePath: String, tickCol: String,
@@ -1028,11 +1033,25 @@ object StreamOps {
           .tickSketches(batch, tickCol, keyCol, lgK)
         val live = new org.apache.hadoop.fs.Path(statePath)
         val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Fold ONLY the ticks present in this batch. Ticks the batch
+        // doesn't touch pass through BYTE-IDENTICAL — re-passing them
+        // through the union gadget is not just wasted work, it can
+        // CHANGE their estimates: Datasketches' HIP estimator is
+        // insertion-order-sensitive, so a union pass's result depends
+        // on merge topology (partition layout), which the round-16
+        // local-cluster run proved by drifting an untouched tick's
+        // estimate by 0.5% when default parallelism changed.
         val merged =
-          if (fs.exists(live))
-            spark.read.parquet(statePath).unionByName(part)
+          if (fs.exists(live)) {
+            val standing = spark.read.parquet(statePath)
+            val batchTicks = part.select("tick")
+            val folded = standing
+              .join(batchTicks, Seq("tick"), "left_semi")
+              .unionByName(part)
               .groupBy("tick").agg(hll_union_agg(col("sk")).as("sk"))
-          else part
+            standing.join(batchTicks, Seq("tick"), "left_anti")
+              .unionByName(folded)
+          } else part
         publishAtomic(spark, statePath, merged, Some(batchId))
       }
     }

@@ -43,11 +43,19 @@ object ExecutorKill {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
+    // ProcessHandle.info.commandLine is TRUNCATED by the JDK to 4096
+    // bytes on Linux; the executor's -cp (every Spark jar) pushes the
+    // main class past the cap, so matching on it silently finds
+    // nothing and the kill goes vacuous. Read /proc/<pid>/cmdline.
     def executorPids(): Seq[ProcessHandle] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[ProcessHandle]
       ProcessHandle.allProcesses().forEach { p =>
-        if (p.info.commandLine.orElse("")
-            .contains("CoarseGrainedExecutorBackend")) out += p
+        val cmdline = java.nio.file.Paths.get(s"/proc/${p.pid()}/cmdline")
+        val cmd =
+          try new String(java.nio.file.Files.readAllBytes(cmdline))
+            .replace(0.toChar, ' ')
+          catch { case _: java.io.IOException => "" }
+        if (cmd.contains("CoarseGrainedExecutorBackend")) out += p
       }
       out.toSeq
     }

@@ -1758,16 +1758,38 @@ class StreamOpsSpec extends AnyFunSuite {
     val b1 = mk(1, 2, 4000)
     val b2 = mk(2, 4, 4000) // tick 2 spans batches: state must UNION it
     sink(b1, 1L)
+    def stateBytes(): Map[Long, Seq[Byte]] =
+      s.read.parquet(statePath).select("tick", "sk").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val tick1AfterB1 = stateBytes()(1L)
     sink(b2, 2L)
+    val afterB2 = stateBytes()
     sink(b2, 2L) // retry after publish: marker short-circuits
+    // retry inertness is EXACT: the marker short-circuits before any
+    // union, so the state bytes cannot move
+    assert(stateBytes() == afterB2, "retry must leave state untouched")
+    // b2 carries no tick-1 rows, so the selective fold must pass tick
+    // 1's sketch through BYTE-IDENTICAL (a gratuitous union pass can
+    // move its estimate — Datasketches HIP is merge-topology-
+    // sensitive; the round-16 local-cluster run caught exactly this)
+    assert(afterB2(1L) == tick1AfterB1,
+      "untouched tick's sketch bytes must not change")
     val got = StreamOps.distinctEstimatesFromState(s, statePath)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = graft.operators.DistinctSketch.cumulativeEstimates(
       graft.operators.DistinctSketch.tickSketches(
         b1.unionByName(b2), "tick", "k"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == want, s"state estimates drifted: $got vs $want")
     assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // Estimates across DIFFERENT merge topologies (incremental fold
+    // vs one-shot aggregate) agree within sketch tolerance, never
+    // bitwise: lgK=12 RSE is ~1.6%, two estimates of the same set sit
+    // within ~2 RSE of each other
+    got.foreach { case (tick, est) =>
+      val w = want(tick)
+      assert(math.abs(est - w) <= 0.03 * w,
+        s"tick $tick: state estimate $est vs one-shot $w drifted >3%")
+    }
   }
 
   test("streaming unigram-LM word state folds by addition; vocabulary " +
