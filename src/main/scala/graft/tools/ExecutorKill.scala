@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   *
   * usage: runMain graft.tools.ExecutorKill [rows] [killAfterMs]
   */
+/** Executor-JVM process discovery shared by the kill tools.
+  *
+  * ProcessHandle.info.commandLine is TRUNCATED by the JDK to 4096
+  * bytes on Linux; the executor's -cp (every Spark jar) pushes the
+  * main class past the cap, so matching on it silently finds nothing
+  * and a kill goes vacuous. Read /proc/<pid>/cmdline directly.
+  */
+object ExecProcs {
+  def executorPids(): Seq[ProcessHandle] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[ProcessHandle]
+    ProcessHandle.allProcesses().forEach { p =>
+      val cmdline = java.nio.file.Paths.get(s"/proc/${p.pid()}/cmdline")
+      val cmd =
+        try new String(java.nio.file.Files.readAllBytes(cmdline))
+          .replace(0.toChar, ' ')
+        catch { case _: java.io.IOException => "" }
+      if (cmd.contains("CoarseGrainedExecutorBackend")) out += p
+    }
+    out.toSeq
+  }
+}
+
 object ExecutorKill {
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 2000000000L
@@ -43,22 +65,7 @@ object ExecutorKill {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
-    // ProcessHandle.info.commandLine is TRUNCATED by the JDK to 4096
-    // bytes on Linux; the executor's -cp (every Spark jar) pushes the
-    // main class past the cap, so matching on it silently finds
-    // nothing and the kill goes vacuous. Read /proc/<pid>/cmdline.
-    def executorPids(): Seq[ProcessHandle] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[ProcessHandle]
-      ProcessHandle.allProcesses().forEach { p =>
-        val cmdline = java.nio.file.Paths.get(s"/proc/${p.pid()}/cmdline")
-        val cmd =
-          try new String(java.nio.file.Files.readAllBytes(cmdline))
-            .replace(0.toChar, ' ')
-          catch { case _: java.io.IOException => "" }
-        if (cmd.contains("CoarseGrainedExecutorBackend")) out += p
-      }
-      out.toSeq
-    }
+    def executorPids(): Seq[ProcessHandle] = ExecProcs.executorPids()
 
     println(s"EXECKILL executors before: ${executorPids().map(_.pid())}")
     val baseline = job()
