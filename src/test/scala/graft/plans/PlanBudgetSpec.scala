@@ -13,9 +13,9 @@ import graft.TestSpark
   * committed allowlist:
   *
   *  - `CartesianProduct` — always a bug at scale. Budget 0, no
-  *    exceptions (the x21 naive-form demonstrator plans as a
-  *    broadcast nested loop, not a cartesian, so even it needs no
-  *    entry).
+  *    exceptions (even x21, the range join whose NAIVE predicate
+  *    form would be a cross, sweeps clean — the registered query is
+  *    the bucketed equi-join form, which is the point).
   *  - `GlobalSort` — a full-data total order. Budget 0: every
   *    registered query that needs a deterministic output order gets
   *    it from the Verify dump's own canonical sort, not the plan.
