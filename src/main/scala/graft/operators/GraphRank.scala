@@ -31,20 +31,21 @@ import org.apache.spark.sql.functions._
   * chain lazily (the keeper-resolution loop discipline) with a cache
   * per rank table so iteration k+1 doesn't recompute 1..k.
   *
-  * `prePartitionEdges` is the 100 TB iteration form (RISKS.md row 2's
-  * named lever): the edge list is hash-partitioned ON THE JOIN KEY
-  * (`src`) once, before caching, so every iteration's edge⋈rank join
-  * reads the cached layout directly instead of re-exchanging |E| rows
-  * per round — iterations run as separate jobs, so cross-job shuffle
-  * reuse never applies and the per-round exchange is otherwise paid
-  * in full each time. With it on, the only per-iteration shuffle is
-  * the (dst, contrib) aggregate (≤|V| combined rows); the |E|-row
-  * exchange happens exactly once for the whole run. Results are
-  * bit-identical by construction (partitioning is result-inert —
-  * x22p pins it against x22's own DuckDB oracle, GraphRankSpec pins
-  * plain == pre-partitioned AND measures the shuffle-byte cut with a
-  * task-metrics listener). Default stays off: below ~10⁶ edges the
-  * upfront exchange is the same order as the savings.
+  * Since round 16 the out-degree is folded into the cached edge list
+  * ONCE (the `edeg` pre-join below), so EVERY form pays the |E|-row
+  * layout cost exactly once per run and no iteration re-joins deg or
+  * re-exchanges edges — the only per-iteration shuffle is the
+  * (dst, contrib) aggregate (≤|V| combined rows; GraphRankSpec pins
+  * that shuffle bytes no longer scale with the iteration count).
+  * `prePartitionEdges` (RISKS.md row 2's named lever) now only moves
+  * WHERE that single |E| exchange happens: an explicit repartition on
+  * `src` before the cache instead of the exchange inside the edeg
+  * build — byte-equivalent, kept for the declared x22p form and for
+  * callers that want the layout pinned independent of join planning.
+  * Results are bit-identical by construction (partitioning is
+  * result-inert — x22p pins it against x22's own DuckDB oracle).
+  * [[pageRankFromBucketed]] still strictly dominates both: the
+  * bucketed-at-write layout makes even the one upfront exchange zero.
   */
 object GraphRank {
 
@@ -74,13 +75,22 @@ object GraphRank {
       .cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    // Out-degree is per-edge join metadata: fold it into the cached edge
+    // list ONCE (edeg) instead of re-joining deg every iteration — the
+    // old shape paid an |E|-side join (and, without prePartitionEdges,
+    // an |E|-row Exchange) per iteration for a value that never changes.
+    // With edeg cached partitioned on src, the only per-iteration
+    // shuffle left is the map-side-combined (dst, contrib) aggregate.
+    // LAZY on purpose: iteration 1 materializes it inside its own job
+    // (an eager count() here measured as a pure extra |E| pass at gate
+    // SF, where deg broadcasts and the join is already exchange-free).
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edeg = e.join(deg, "src").cache()
     val base = scale * (dampDen - dampNum) / dampDen
     var r = nodes.withColumn("r", lit(scale))
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src").join(r,
-          e("src") === r("node"))
+      val contrib = edeg.join(r, edeg("src") === r("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r DIV outdeg")).as("__in"))
       val next = nodes.join(contrib, Seq("node"), "left")
@@ -104,7 +114,7 @@ object GraphRank {
     // reps) otherwise accumulate distinct entries until LRU eviction —
     // the bench harness clears between queries via clearCache().
     e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    edeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     r
   }
@@ -192,8 +202,7 @@ object GraphRank {
       col(dstCol).cast("long").as("dst"))
     val out =
       if (symmetrizeForCC)
-        e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-          .filter(col("src") =!= col("dst")).distinct()
+        symmetrize(e0).filter(col("src") =!= col("dst")).distinct()
       else e0
     graft.sources.Bucketed.writeBucketed(out, table, "src", buckets, path)
   }
@@ -229,6 +238,20 @@ object GraphRank {
       : DataFrame =
     ccCore(spark.table(table), maxIters, reliableCheckpoints)._1
 
+  /** (src, dst) plus the reversed copy of every row, in ONE pass over
+    * the input: `explode(array(fwd, rev))` instead of
+    * `e0.union(e0.swap)`. Same multiset by construction, but the union
+    * shape EXECUTES the edge-list subtree twice when the result is
+    * materialized (once per branch) — and the CC callers hand in pair
+    * generators (shingle candidate gen + verify joins) whose double
+    * execution was most of the symmetrize cost at every scale.
+    */
+  private def symmetrize(e0: DataFrame): DataFrame =
+    e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
   private[graft] def connectedComponentsWithStats(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 64,
@@ -248,7 +271,7 @@ object GraphRank {
     // by construction (GraphRankSpec pins it and proves real files).
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val eSym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val eSym = symmetrize(e0)
       .filter(col("src") =!= col("dst"))
       .distinct()
     ccCore(if (prePartitionEdges) eSym.repartition(col("src")) else eSym,

@@ -57,38 +57,34 @@ object QualityClassifier {
 
   /** Per-doc feature table: (doc, y, x) with x = F hashed-bucket token
     * PRESENCE bits + trailing bias 1. Keeps every doc (empty ones get
-    * the all-zero vector) and any extra `carry` columns. Two-stage
-    * aggregation (doc, j) -> doc, so the per-bucket presence comes from
-    * a codegen'd count — no HOFs over corpus tokens.
+    * the all-zero vector) and any extra `carry` columns. ONE map-side-
+    * combinable aggregation straight to the doc grain: each presence
+    * bit is max(j = jj) — F+1 small codegen'd aggregates, no HOFs over
+    * corpus tokens and no per-bucket intermediate (the previous
+    * two-stage (doc, j) -> doc shape paid a second corpus shuffle plus
+    * a collect_list/map_from_entries per doc for values only ever
+    * consumed as presence bits).
     */
   def featurize(docs: DataFrame, idCol: String, textCol: String,
                 cfg: Config, carry: Seq[String] = Nil): DataFrame = {
     val carryCols = carry.map(col)
-    val perBucket = docs
+    val bits = (0 until cfg.nFeatures).map(jj =>
+      max(when(col("j") === jj, 1L).otherwise(0L)).as(s"__b$jj"))
+    docs
       .select(col(idCol).as("doc") +: carryCols :+
         explode_outer(expr(toksSql(textCol))).as("t"): _*)
       .withColumn("j",
         when(col("t").isNotNull,
           pmod(expr("poly_hash(t)"), lit(cfg.nFeatures)).cast("long")))
-      .groupBy(col("doc") +: col("j") +: carryCols: _*)
-      .agg(count(col("t")).as("cnt"),
-        sum(when(col("t").isin(Stopwords: _*), 1L).otherwise(0L))
-          .as("st"))
-    perBucket
       .groupBy(col("doc") +: carryCols: _*)
-      .agg(
-        map_from_entries(
-          expr("filter(collect_list(struct(j, cnt)), s -> s.j IS NOT NULL)"))
-          .as("__m"),
-        sum("st").as("__stop"))
+      .agg(bits.head, bits.tail :+
+        sum(when(col("t").isin(Stopwords: _*), 1L).otherwise(0L))
+          .as("__stop"): _*)
       .withColumn("y",
         when(col("__stop") >= cfg.stopMin, 1L).otherwise(0L))
-      .withColumn("x", expr(
-        s"""concat(transform(sequence(0, ${cfg.nFeatures - 1}),
-              i -> IF(element_at(__m, CAST(i AS BIGINT)) IS NULL,
-                CAST(0 AS BIGINT), CAST(1 AS BIGINT))),
-            array(CAST(1 AS BIGINT)))"""))
-      .drop("__m", "__stop")
+      .withColumn("x", array(
+        (0 until cfg.nFeatures).map(jj => col(s"__b$jj")) :+ lit(1L): _*))
+      .drop((0 until cfg.nFeatures).map(jj => s"__b$jj") :+ "__stop": _*)
   }
 
   /** Truncate-toward-zero integer division as a SQL fragment (Spark DIV
@@ -112,24 +108,49 @@ object QualityClassifier {
       .map { case (wv, i) => s"element_at(x, ${i + 1}) * ${wv}L" }
       .mkString(" + ")
 
-  /** Train on `feats` (from [[featurizeImpl]]); returns the F+1 weight
+  /** Train on `feats` (from [[featurize]]); returns the F+1 weight
     * vector after `iters` full-batch steps. `feats` should be cached by
     * the caller if it will be reused for scoring.
+    *
+    * Iteration cost discipline (round 16): the `iters` tiny full-batch
+    * jobs are driver-latency-bound, so
+    *  - the current weights enter as a broadcast ONE-ROW frame
+    *    (`__w` array column) instead of inlined literals — the plan
+    *    (and the generated whole-stage code) is then byte-identical
+    *    across iterations and Spark's codegen compile cache hits 23 of
+    *    24 times, where the literal form re-compiled per step;
+    *  - the feature table is coalesced (narrow — reads the caller's
+    *    cache) to ~64 MB per task, floored at 1 and capped at the
+    *    session parallelism, so the gate-SF table (a few MB) stops
+    *    paying `cores` near-empty tasks per step while a corpus-sized
+    *    table keeps full parallelism. Integer arithmetic and term
+    *    order are unchanged — the weight vector is bit-identical.
     */
   def train(feats: DataFrame, cfg: Config): Array[Long] = {
+    val spark = feats.sparkSession
     val n = feats.count()
     require(n > 0, "empty training corpus")
+    val rowBytes = 8L * (cfg.nFeatures + 2) + 32L
+    val k = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (n * rowBytes + (64L << 20) - 1) / (64L << 20))).toInt
+    val f = feats.coalesce(k)
     var w = Array.fill(cfg.nFeatures + 1)(0L)
+    val zS = (0 to cfg.nFeatures)
+      .map(i => s"element_at(x, ${i + 1}) * element_at(__w, ${i + 1})")
+      .mkString(" + ")
+    val errCol = expr(s"y * ${Scale}L - ${sigmaFp(s"($zS)")}")
+    // gradient = F+1 independent integer sums — ONE fully-codegen'd
+    // global aggregation (partials merge map-side, a single row per
+    // partition reaches the driver); the error is projected once per
+    // row so the logit isn't recomputed per feature column
+    val gradCols = (0 to cfg.nFeatures).map(j =>
+      sum(expr(s"err * element_at(x, ${j + 1})")).as(s"g$j"))
     for (_ <- 1 to cfg.iters) {
-      val errCol = expr(
-        s"y * ${Scale}L - ${sigmaFp(s"(${zSql(w)})")}")
-      // gradient = F+1 independent integer sums — ONE fully-codegen'd
-      // global aggregation (partials merge map-side, a single row per
-      // partition reaches the driver); the error is projected once per
-      // row so the logit isn't recomputed per feature column
-      val gradCols = (0 to cfg.nFeatures).map(j =>
-        sum(expr(s"err * element_at(x, ${j + 1})")).as(s"g$j"))
-      val row = feats.select(errCol.as("err"), col("x"))
+      import spark.implicits._
+      val wDf = Seq(Tuple1(w.toSeq)).toDF("__w")
+      val row = f.crossJoin(broadcast(wDf))
+        .select(errCol.as("err"), col("x"))
         .agg(gradCols.head, gradCols.tail: _*).head()
       w = w.zipWithIndex.map { case (wv, j) =>
         val g = row.getLong(j)

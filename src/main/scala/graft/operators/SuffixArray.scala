@@ -65,7 +65,19 @@ object SuffixArray {
     */
   private[operators] def denseRankOver(df: DataFrame,
                                        keyCols: Seq[String],
-                                       outName: String): DataFrame = {
+                                       outName: String): DataFrame =
+    denseRankOverWithMax(df, keyCols, outName)._1
+
+  /** [[denseRankOver]] plus the TOTAL distinct-key count (= the maximum
+    * assigned rank) — known for free from the per-partition counts, and
+    * what [[gridDupSpansWithRounds]] uses to decide whether the next
+    * round can PACK (rank, rank-ahead) pairs into one long instead of
+    * paying a full dense re-rank (see the pack note there).
+    */
+  private[operators] def denseRankOverWithMax(df: DataFrame,
+                                              keyCols: Seq[String],
+                                              outName: String)
+      : (DataFrame, Long) = {
     val sorted = df.repartitionByRange(keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
     val keyIdx = keyCols.map(sorted.schema.fieldIndex)
@@ -91,7 +103,7 @@ object SuffixArray {
         Row.fromSeq(r.toSeq :+ rank)
       }
     }
-    df.sparkSession.createDataFrame(out, schema)
+    (df.sparkSession.createDataFrame(out, schema), offsets.last)
   }
 
   /** Per-document duplicated-span summary on the power-of-two grid.
@@ -149,13 +161,28 @@ object SuffixArray {
             level: org.apache.spark.storage.StorageLevel): DataFrame = {
       df.persist(level); df.count(); df
     }
+    // materialize AND return the row count (the count is paid anyway;
+    // reusing it for the early stop kills the per-round isEmpty job)
+    def matN(df: DataFrame,
+             level: org.apache.spark.storage.StorageLevel)
+        : (DataFrame, Long) = {
+      df.persist(level); (df, df.count())
+    }
     val tk = mat(tokens(docs, idCol, textCol), DISK_ONLY)
     val lens = mat(tk.groupBy("doc").agg(count(lit(1)).as("n")),
       MEMORY_AND_DISK)
 
-    var ranks = mat(denseRankOver(tk, Seq("tok"), "r")
-      .select(col("doc"), col("pos"), col("r")), DISK_ONLY)
+    val (ranks0, bound0) = denseRankOverWithMax(tk, Seq("tok"), "r")
+    var ranks = mat(ranks0.select(col("doc"), col("pos"), col("r")),
+      DISK_ONLY)
+    // exact upper bound on the current rank values — the PACK decision
+    // below needs it (rank values after a dense round are 1..bound)
+    var bound = bound0
     tk.unpersist(false)
+
+    // Largest v with (v+1)^2 - 1 <= Long.MaxValue: pairs over values
+    // <= v pack losslessly into one long as r*(v+1)+r2.
+    val MaxPackable = 3037000498L
 
     // flags carry the RAW grid value s; the suffix-length clamp is a
     // single lens join AFTER the loop (max over rounds commutes with
@@ -170,23 +197,48 @@ object SuffixArray {
       // only CROSS-doc tied groups matter for both flagging and the
       // early stop: groups can only split as rounds double, so once no
       // rank group spans two documents none ever will again
-      val cross = mat(ranks.groupBy("r")
+      val (cross, nCross) = matN(ranks.groupBy("r")
         .agg(count(lit(1)).as("cnt"), min("doc").as("dmin"),
           max("doc").as("dmax"))
         .filter(col("cnt") >= 2 && col("dmin") =!= col("dmax"))
         .select("r"), MEMORY_AND_DISK)
       flagsByRound += mat(ranks.join(cross, "r")
         .select(col("doc"), col("pos"), lit(s).as("s")), DISK_ONLY)
-      val stop = cross.isEmpty || s >= horizon
+      val stop = nCross == 0L || s >= horizon
       cross.unpersist(false)
       if (stop) done = true
       else {
         val ahead = lead(col("r"), s.toInt, 0L)
           .over(Window.partitionBy("doc").orderBy("pos"))
         val prev = ranks
-        ranks = mat(denseRankOver(
+        // PACK-ALTERNATE doubling: a round's rank only carries an
+        // EQUALITY CLASS (two positions share it iff their windows are
+        // equal — density and order are never consumed), so when the
+        // current values fit, the (r, r-ahead) pair packs LOSSLESSLY
+        // into r*(bound+1)+r2 (r in [1,bound], r2 in [0,bound] with 0
+        // the lead sentinel, so packed values stay >= 1 and distinct
+        // pairs stay distinct) — a pure projection that replaces the
+        // dense re-rank's range-sample pass + corpus-wide range
+        // exchange + two assignment passes, AND keeps the (doc, pos)
+        // window layout so the NEXT round's lead() re-sorts without
+        // re-shuffling. Packed values square the bound, so rounds
+        // alternate pack / dense re-rank (the re-rank restores small
+        // dense values); a corpus with more than ~3e9 distinct windows
+        // (bound > MaxPackable after a dense round) simply never packs
+        // — the adaptive fallback is the old always-dense path.
+        if (bound <= MaxPackable) {
+          ranks = mat(prev.withColumn("r2", ahead)
+            .select(col("doc"), col("pos"),
+              (col("r") * lit(bound + 1L) + col("r2")).as("r")),
+            DISK_ONLY)
+          bound = (bound + 1L) * (bound + 1L) - 1L
+        } else {
+          val (rr, mx) = denseRankOverWithMax(
             prev.withColumn("r2", ahead), Seq("r", "r2"), "rn")
-          .select(col("doc"), col("pos"), col("rn").as("r")), DISK_ONLY)
+          ranks = mat(rr.select(col("doc"), col("pos"),
+            col("rn").as("r")), DISK_ONLY)
+          bound = mx
+        }
         prev.unpersist(false)
         s *= 2
       }

@@ -613,17 +613,26 @@ object Extras {
   // iterations replay in DuckDB as unrolled CTEs and must land on the
   // identical rank vector — cross-engine-exact iterative graph
   // training, the l31 discipline on a graph algorithm.
-  private val x22 = QueryDef("x22_pagerank", (s, dir) => {
-    import graft.operators.GraphRank
-    val e0 = Tables.lineitem(s, dir)
+  // both directions in ONE pass over the joined+distinct edge base —
+  // the union shape (e0.union(e0.swap)) executed the lineitem⋈orders
+  // join + distinct TWICE when pageRank materialized its edge cache
+  private def x22Edges(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    val e = e0.union(
-      e0.select(col("dst").as("src"), col("src").as("dst")))
-    GraphRank.pageRankFixedPoint(e, "src", "dst", iters = 4)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+
+  private val x22 = QueryDef("x22_pagerank", (s, dir) => {
+    import graft.operators.GraphRank
+    GraphRank.pageRankFixedPoint(x22Edges(s, dir), "src", "dst",
+      iters = 4)
   }, Some(graft.operators.GraphRank.oracleSql(
     """SELECT src, dst FROM (SELECT DISTINCT o_custkey*2 AS src,
          l_suppkey*2+1 AS dst FROM lineitem
@@ -643,16 +652,8 @@ object Extras {
   // measures the shuffle-byte cut with a task-metrics listener.
   private val x22p = QueryDef("x22p_pagerank_prepart", (s, dir) => {
     import graft.operators.GraphRank
-    val e0 = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val e = e0.union(
-      e0.select(col("dst").as("src"), col("src").as("dst")))
-    GraphRank.pageRankFixedPoint(e, "src", "dst", iters = 4,
-      prePartitionEdges = true)
+    GraphRank.pageRankFixedPoint(x22Edges(s, dir), "src", "dst",
+      iters = 4, prePartitionEdges = true)
   }, Some(graft.operators.GraphRank.oracleSql(
     """SELECT src, dst FROM (SELECT DISTINCT o_custkey*2 AS src,
          l_suppkey*2+1 AS dst FROM lineitem
@@ -683,14 +684,7 @@ object Extras {
                                  dir: String): Unit = {
     import graft.operators.GraphRank
     val (pt, ct, tmp) = x22BucketedNames(dir)
-    val e0 = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val e = e0.union(
-      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val e = x22Edges(s, dir)
     GraphRank.writeEdgesBucketed(e, "src", "dst", pt, 8, s"$tmp/pr",
       symmetrizeForCC = false)
     GraphRank.writeEdgesBucketed(e, "src", "dst", ct, 8, s"$tmp/cc",
