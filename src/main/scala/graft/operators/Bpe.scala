@@ -160,8 +160,27 @@ object Bpe {
     val merges = Vector.newBuilder[Merge]
     val base = wordSeqs.cache()
     base.count()
-    val snapshotEvery = 8
-    var cur = base.select(col("cnt"), col("seq"))
+    val spark = base.sparkSession
+    import spark.implicits._
+    // Round 16: the adopted merges enter each round's vocab state as
+    // DATA (a broadcast one-row array of (search, replace) pairs,
+    // folded left-to-right — exactly the old chained replace()s'
+    // order), not as a literal replace-chain in the plan. The literal
+    // chain grew the plan per round (O(N^2) total analysis) and its
+    // changing constants forced a fresh whole-stage-codegen compile
+    // per argmax job; the fold's plan is byte-identical across rounds
+    // (compile cache hits) and the snapshotEvery localCheckpoint jobs
+    // that bounded the chain are unnecessary and gone. The fold lambda
+    // is an interpreted HOF, but it runs over the ≤|vocab|-row word
+    // table, never the corpus — the l31 weights-as-data discipline
+    // applied to the merge loop.
+    var adopted = Vector.empty[(String, String)]
+    def cur: DataFrame =
+      if (adopted.isEmpty) base.select(col("cnt"), col("seq"))
+      else base.crossJoin(broadcast(Seq(Tuple1(adopted)).toDF("__m")))
+        .select(col("cnt"), expr(
+          "aggregate(__m, seq, (s, mm) -> replace(s, mm._1, mm._2))")
+          .as("seq"))
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
@@ -169,10 +188,7 @@ object Bpe {
         case None => exhausted = true // every word fully merged
         case Some((a, b)) =>
           merges += Merge(r, a, b)
-          cur = cur.withColumn("seq",
-            expr(s"replace(seq, '${searchLit(a, b)}', " +
-              s"'${replaceLit(a, b)}')"))
-          if (r % snapshotEvery == 0) cur = cur.localCheckpoint(true)
+          adopted = adopted :+ ((searchLit(a, b), replaceLit(a, b)))
           r += 1
       }
     }
@@ -231,9 +247,16 @@ object Bpe {
     val merges = Vector.newBuilder[Merge]
     val base = base0.cache()
     base.count()
-    val snapshotEvery = 64 // merges between lineage snapshots
-    var sinceSnapshot = 0
-    var cur = base.select(col("cnt"), col("seq"))
+    val spark = base.sparkSession
+    import spark.implicits._
+    // merges-as-data fold — same rationale as trainCoreWith
+    var applied = Vector.empty[(String, String)]
+    def cur: DataFrame =
+      if (applied.isEmpty) base.select(col("cnt"), col("seq"))
+      else base.crossJoin(broadcast(Seq(Tuple1(applied)).toDF("__m")))
+        .select(col("cnt"), expr(
+          "aggregate(__m, seq, (s, mm) -> replace(s, mm._1, mm._2))")
+          .as("seq"))
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
@@ -256,14 +279,8 @@ object Bpe {
           .take(want).toVector
         adopted.foreach { case (a, b) =>
           merges += Merge(r, a, b)
-          cur = cur.withColumn("seq", expr(
-            s"replace(seq, '${searchLit(a, b)}', '${replaceLit(a, b)}')"))
+          applied = applied :+ ((searchLit(a, b), replaceLit(a, b)))
           r += 1
-        }
-        sinceSnapshot += adopted.size
-        if (sinceSnapshot >= snapshotEvery) {
-          cur = cur.localCheckpoint(true)
-          sinceSnapshot = 0
         }
       }
     }
