@@ -127,12 +127,14 @@ object DomainMix {
     val iterCtes = (1 to iters).map { t =>
       s"""tmp$t AS MATERIALIZED (SELECT dom, n_tokens, sum_excess,
            excess_milli,
-           w * (1000 + $etaMilli * excess_milli // 1000) AS tmp
+           CAST(w * (1000 + $etaMilli * excess_milli // 1000)
+             AS BIGINT) AS tmp
            FROM w${t - 1}),
          w$t AS MATERIALIZED (SELECT dom, n_tokens, sum_excess,
            excess_milli,
-           (${Scale} - $c) * tmp
-             // (SELECT sum(tmp) FROM tmp$t) + $c // kk.k AS w
+           CAST((${Scale} - $c) * tmp
+             // (SELECT CAST(sum(tmp) AS BIGINT) FROM tmp$t)
+             + $c // kk.k AS BIGINT) AS w
            FROM tmp$t CROSS JOIN kk)"""
     }.mkString(",\n")
     s"""WITH toks AS MATERIALIZED (SELECT $domainCol AS dom,
@@ -157,9 +159,12 @@ object DomainMix {
               // CAST(count(*) AS BIGINT) AS excess_milli
           FROM exs GROUP BY dom),
         kk AS (SELECT CAST(count(*) AS BIGINT) k FROM e),
-        w0 AS (SELECT e.*, ${Scale} // kk.k AS w FROM e CROSS JOIN kk),
+        w0 AS (SELECT e.*, CAST(${Scale} // kk.k AS BIGINT) AS w
+          FROM e CROSS JOIN kk),
         $iterCtes
-        SELECT dom AS $domainCol, n_tokens, sum_excess, excess_milli,
-          w AS w_scaled FROM w$iters"""
+        SELECT dom AS $domainCol, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(sum_excess AS BIGINT) AS sum_excess,
+          CAST(excess_milli AS BIGINT) AS excess_milli,
+          CAST(w AS BIGINT) AS w_scaled FROM w$iters"""
   }
 }
