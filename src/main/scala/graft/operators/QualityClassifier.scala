@@ -64,6 +64,19 @@ object QualityClassifier {
     * two-stage (doc, j) -> doc shape paid a second corpus shuffle plus
     * a collect_list/map_from_entries per doc for values only ever
     * consumed as presence bits).
+    *
+    * CODEGEN BOUND (round-16 verdict item 9): whole-stage codegen
+    * bails when an operator's schema exceeds
+    * `spark.sql.codegen.maxFields` (default 100) — a silent 10-20x
+    * interpreted-evaluation cliff. This aggregate carries F+2 fields
+    * (F presence bits + __stop + the group key), so the registered
+    * F=32 sits at ~34/100 with 3x headroom; F > ~97 would fall out.
+    * Anyone raising nFeatures past the conf must either raise
+    * maxFields with it or revert to the two-stage (doc, j) -> doc
+    * shape (narrow schema, one extra shuffle). QualityClassifierSpec
+    * pins "featurize's aggregates stay whole-stage-compiled at the
+    * registered config" so a drift out of codegen fails CI, not the
+    * 100 TB run.
     */
   def featurize(docs: DataFrame, idCol: String, textCol: String,
                 cfg: Config, carry: Seq[String] = Nil): DataFrame = {

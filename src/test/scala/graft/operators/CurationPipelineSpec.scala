@@ -172,7 +172,7 @@ class CurationPipelineSpec extends AnyFunSuite {
   }
 
   test("opt-in stages: checkpointed form matches the in-memory form " +
-    "with both arms on") {
+    "with both arms on", graft.SlowProof) {
     val dir = java.nio.file.Files.createTempDirectory("curation-ck-opt")
     val splitter: org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column =
@@ -236,7 +236,7 @@ class CurationPipelineSpec extends AnyFunSuite {
 
   test("checkpointed form: restart after a mid-stage kill recomputes " +
     "only from the killed stage; completed prefixes are read, not " +
-    "re-derived") {
+    "re-derived", graft.SlowProof) {
     import scala.jdk.CollectionConverters._
     val dir = java.nio.file.Files.createTempDirectory("curation-ck")
     val first = runCk(dir)

@@ -151,7 +151,7 @@ class GraphRankSpec extends AnyFunSuite {
   }
 
   test("reliableCheckpoints: CC with real storage checkpoints equals " +
-    "the localCheckpoint form and actually writes checkpoint files") {
+    "the localCheckpoint form and actually writes checkpoint files", graft.SlowProof) {
     import s.implicits._
     val rnd = new scala.util.Random(17)
     val edges = Seq.fill(200)(
@@ -183,7 +183,7 @@ class GraphRankSpec extends AnyFunSuite {
   }
 
   test("prePartitionEdges is result-inert for BOTH iterative ops and " +
-    "cuts total shuffle bytes on an edge-heavy graph (RISKS row 2)") {
+    "cuts total shuffle bytes on an edge-heavy graph (RISKS row 2)", graft.SlowProof) {
     import s.implicits._
     val rnd = new scala.util.Random(23)
     // edge-heavy on purpose: |E| >> |V| is where re-exchanging the edge
@@ -266,7 +266,7 @@ class GraphRankSpec extends AnyFunSuite {
 
   test("bucketed-at-write edges: cold-start reads are exchange-free " +
     "on the edge side, results identical, shuffle below even the " +
-    "pre-partitioned form (SCALE_r14 §7's closing lever)") {
+    "pre-partitioned form (SCALE_r14 §7's closing lever)", graft.SlowProof) {
     import s.implicits._
     val rnd = new scala.util.Random(31)
     val edges = Seq.fill(60000)(

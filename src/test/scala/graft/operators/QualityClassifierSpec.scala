@@ -71,4 +71,29 @@ class QualityClassifierSpec extends AnyFunSuite {
       .agg(min("v"), max("v")).head()
     assert(all.getLong(0) == 0L && all.getLong(1) == 1L)
   }
+
+  test("featurize's aggregates stay whole-stage-compiled at the " +
+    "registered config (codegen.maxFields cliff guard)") {
+    // The F+2-field aggregate falls out of whole-stage codegen past
+    // spark.sql.codegen.maxFields (default 100) — a silent 10-20x
+    // interpreted cliff invisible at toy SF (see featurize's scaladoc).
+    // Pin: at the REGISTERED config every HashAggregate in the static
+    // plan renders inside a WholeStageCodegen span (the `*(n)` prefix).
+    val prev = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = QualityClassifier
+        .featurize(corpus, "doc_id", "text", cfg)
+        .queryExecution.executedPlan.toString
+      val aggLines = plan.linesIterator
+        .filter(_.contains("HashAggregate")).toSeq
+      assert(aggLines.nonEmpty, plan.take(800))
+      val bare = aggLines.filterNot(_.trim
+        .dropWhile(c => c == '+' || c == '-' || c == ' ' || c == ':')
+        .startsWith("*("))
+      assert(bare.isEmpty,
+        s"HashAggregate fell out of whole-stage codegen (maxFields " +
+          s"cliff? F=${cfg.nFeatures}):\n${bare.mkString("\n")}")
+    } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

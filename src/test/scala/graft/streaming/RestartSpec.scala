@@ -118,7 +118,7 @@ class RestartSpec extends AnyFunSuite {
 
   test("cross-process restart: halt after a published-but-" +
     "unacknowledged batch, resume in a fresh JVM, final state == " +
-    "one-shot operators") {
+    "one-shot operators", graft.SlowProof) {
     val root = Files.createTempDirectory("graft_restart").toString
     val inputDir = s"$root/input"; new File(inputDir).mkdirs()
     val ckpt = s"$root/ckpt"
@@ -215,7 +215,7 @@ class RestartSpec extends AnyFunSuite {
 
   test("cross-process restart with TIERED compaction: the crashed " +
     "batch's delta is subsumed by a segment before the fresh JVM " +
-    "replays it, and flags/index still equal the never-compacted run") {
+    "replays it, and flags/index still equal the never-compacted run", graft.SlowProof) {
     val root = Files.createTempDirectory("graft_restart_t").toString
     val inputDir = s"$root/input"; new File(inputDir).mkdirs()
     val ckpt = s"$root/ckpt"
@@ -272,7 +272,7 @@ class RestartSpec extends AnyFunSuite {
   test("cross-process restart halting INSIDE tiered compaction, " +
     "between the segment publish rename and the source deletes: the " +
     "replayed compaction absorbs the published segment instead of " +
-    "deleting hashes the replayed sources no longer carry") {
+    "deleting hashes the replayed sources no longer carry", graft.SlowProof) {
     val root = Files.createTempDirectory("graft_restart_w").toString
     val inputDir = s"$root/input"; new File(inputDir).mkdirs()
     val ckpt = s"$root/ckpt"

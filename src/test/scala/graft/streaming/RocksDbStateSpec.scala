@@ -113,7 +113,7 @@ class RocksDbStateSpec extends AnyFunSuite {
     }
 
   test("runningUserProfile under the RocksDB state store equals the " +
-    "default provider, and RocksDB state files actually materialize") {
+    "default provider, and RocksDB state files actually materialize", graft.SlowProof) {
     val (defRows, defFiles) = runProfile(None, "hdfs")
     val (rdbRows, rdbFiles) = runProfile(Some(rocksDb), "rocks")
     assert(rdbRows == defRows,
@@ -131,7 +131,7 @@ class RocksDbStateSpec extends AnyFunSuite {
   }
 
   test("sessionize (flatMapGroupsWithState + event-time timeout) under " +
-    "the RocksDB state store closes the same sessions") {
+    "the RocksDB state store closes the same sessions", graft.SlowProof) {
     val (defRows, _) = runSessions(None, "hdfs")
     val (rdbRows, rdbFiles) = runSessions(Some(rocksDb), "rocks")
     assert(rdbRows == defRows,

@@ -682,7 +682,7 @@ class StreamOpsSpec extends AnyFunSuite {
 
   test("auto-compacted dedup sink: the delta-dir count stays bounded " +
     "at the cadence, flags and index equal the never-compacted run, " +
-    "and a post-compaction retry is absorbed") {
+    "and a post-compaction retry is absorbed", graft.SlowProof) {
     import s.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft_dedup_cadence").toString
@@ -731,7 +731,7 @@ class StreamOpsSpec extends AnyFunSuite {
   test("tiered dedup sink: flags and index equal the never-compacted " +
     "run over 20 batches, plain deltas stay cadence-bounded, segments " +
     "tier-merge instead of rewriting one base, and a post-compaction " +
-    "retry is absorbed") {
+    "retry is absorbed", graft.SlowProof) {
     import s.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft_dedup_tiered").toString

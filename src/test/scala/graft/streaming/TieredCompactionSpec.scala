@@ -28,7 +28,7 @@ class TieredCompactionSpec extends AnyFunSuite {
 
   test("tiered lineFreq sink: 20-batch standing df equals the " +
     "never-compacted run, plain deltas cadence-bounded, a tier merge " +
-    "fires, post-compaction retry absorbed") {
+    "fires, post-compaction retry absorbed", graft.SlowProof) {
     val root = java.nio.file.Files
       .createTempDirectory("graft_linefreq_tiered").toString
     val plainSink = StreamOps.lineFreqForeachBatch(
@@ -72,7 +72,7 @@ class TieredCompactionSpec extends AnyFunSuite {
 
   test("tiered funnel/retention dashboard delta logs: 20-batch " +
     "dashboards equal the never-compacted runs, dirs bounded, " +
-    "post-compaction retry absorbed") {
+    "post-compaction retry absorbed", graft.SlowProof) {
     val day = 86400000000L
     val root = java.nio.file.Files
       .createTempDirectory("graft_dash_tiered").toString
@@ -125,7 +125,7 @@ class TieredCompactionSpec extends AnyFunSuite {
   test("tiered near-dup / prefix / edit-distance index compaction: " +
     "purely physical under per-batch firing, pair logs equal the " +
     "never-compacted runs, post-compaction batches still match the " +
-    "standing corpus") {
+    "standing corpus", graft.SlowProof) {
     val root = java.nio.file.Files
       .createTempDirectory("graft_idx_tiered").toString
     val t1 = "a b c d e f g h i j"
