@@ -68,19 +68,24 @@ object Sessions {
       // for 32, not the 200 default sized for real clusters. AQE coalesces
       // further when partitions come out small.
       .config("spark.sql.shuffle.partitions", cores.toString)
-      // Performance-only, result-inert (join STRATEGY never changes
-      // results): let AQE rewrite a sort-merge join to a shuffled hash
-      // join at runtime when every post-shuffle partition of the build
-      // side measures under 64 MB (default 0 = never). The dedup/
-      // similarity verify joins carry shingle-ARRAY payloads, and the
-      // SMJ sort of those arrays was the dominant cost (measured round
-      // 16: l61 −52%, l42 −26%, l65 −25%, l2b −23% at sf0.1). SCALE-
-      // ADAPTIVE by construction: the decision is made from MEASURED
-      // partition sizes, so corpus-sized partitions (>64 MB) keep the
-      // spill-safe sort-merge join — this is not a local[32] constant.
-      // Env-overridable for cluster tuning; "0" restores the default.
+      // AQE SMJ->shuffled-hash conversion: OFF (Spark default),
+      // REVERTING round 16's 64m threshold on round-17 measurements.
+      // (a) Gate-SF effect is noise: a within-JVM ALTERNATING A/B
+      // (ProbeR17 shjab — both arms share JIT warmup, unlike round
+      // 16's ordered A/B) reads every converted query inside +/-6% at
+      // sf0.1 (l61 0.96x, l2b 0.98x, l49 0.99x, l54h 1.14x...).
+      // (b) At 50x corpus scale (250k docs) the conversion is a CRASH:
+      // l61's candidate join dies with SparkOutOfMemoryError "not
+      // enough memory to build hash map", reproducibly — a 64 MB
+      // compressed-shuffle-bytes partition expands several-fold as an
+      // in-memory hash map, and 32 concurrent build tasks share
+      // ~0.6*heap of execution memory, so the per-partition gate does
+      // not bound peak usage (guide §3.1's stated SHJ risk). With the
+      // conversion off the same join sort-merge-spills and completes
+      // (94.5 s cold / 53.3 s warm, same box). A deployment with real
+      // per-core memory headroom can opt in via the env.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCALMAP", "0"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // Performance-only, result-inert: keep bucketed scans BUCKETED

@@ -78,32 +78,73 @@ object SuffixArray {
                                               keyCols: Seq[String],
                                               outName: String)
       : (DataFrame, Long) = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{
+      GenericInternalRow, JoinedRow}
     val sorted = df.repartitionByRange(keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
-    val keyIdx = keyCols.map(sorted.schema.fieldIndex)
-    val rdd = sorted.rdd
+    val schema = sorted.schema
+    val keyIdx = keyCols.map(schema.fieldIndex).toArray
+    val keyTypes = keyIdx.map(schema.fields(_).dataType)
+    val nk = keyIdx.length
+    // Both passes run on INTERNAL rows (round-16 verdict item 4 /
+    // guide §5): `Dataset.rdd` deserialized every UnsafeRow to a
+    // GenericRow — decoding the token UTF8Strings to java.lang.String
+    // twice per corpus position — and pass 2 re-encoded them through
+    // createDataFrame. toRdd + internalCreateDataFrame keep the sorted
+    // bytes as-is; only the (rare) group-boundary key copy allocates.
+    val rdd = sorted.queryExecution.toRdd
+    // equal-to-previous-group check + group-boundary key capture; the
+    // captured values are copied (UTF8String may alias a reused buffer)
+    def samePrev(r: InternalRow, last: Array[Any], has: Boolean)
+        : Boolean = {
+      if (!has) return false
+      var i = 0
+      while (i < nk) {
+        if (!java.util.Objects.equals(
+          r.get(keyIdx(i), keyTypes(i)), last(i))) return false
+        i += 1
+      }
+      true
+    }
+    def saveKeys(r: InternalRow, last: Array[Any]): Unit = {
+      var i = 0
+      while (i < nk) {
+        last(i) = InternalRow.copyValue(r.get(keyIdx(i), keyTypes(i)))
+        i += 1
+      }
+    }
     val counts = rdd.mapPartitions { it =>
       var n = 0L
-      var last: Seq[Any] = null
+      var has = false
+      val last = new Array[Any](nk)
       it.foreach { r =>
-        val k = keyIdx.map(r.get)
-        if (k != last) { n += 1; last = k }
+        if (!samePrev(r, last, has)) { n += 1; has = true
+          saveKeys(r, last) }
       }
       Iterator.single(n)
     }.collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val offB = df.sparkSession.sparkContext.broadcast(offsets)
-    val schema = sorted.schema.add(outName, LongType, nullable = false)
+    val outSchema = schema.add(outName, LongType, nullable = false)
     val out = rdd.mapPartitionsWithIndex { (pi, it) =>
       var rank = offB.value(pi)
-      var last: Seq[Any] = null
+      var has = false
+      val last = new Array[Any](nk)
+      // reused wrappers: the downstream RDD scan's UnsafeProjection
+      // copies each row out before the next iteration
+      val rankRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
       it.map { r =>
-        val k = keyIdx.map(r.get)
-        if (k != last) { rank += 1; last = k }
-        Row.fromSeq(r.toSeq :+ rank)
+        if (!samePrev(r, last, has)) { rank += 1; has = true
+          saveKeys(r, last) }
+        rankRow.setLong(0, rank)
+        joined(r, rankRow): InternalRow
       }
     }
-    (df.sparkSession.createDataFrame(out, schema), offsets.last)
+    (GraftSqlShim.internalDf(df.sparkSession, out, outSchema),
+      offsets.last)
   }
 
   /** Per-document duplicated-span summary on the power-of-two grid.

@@ -84,4 +84,35 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "testdata should contain cross-doc 8-windows")
   }
+
+  test("denseRankOver (InternalRow form): equal keys share one rank, " +
+    "ranks are dense 1..N in key order, max = distinct-key count, " +
+    "payload columns survive — vs a window dense_rank reference") {
+    // mixed key types exercise both the UTF8String copy-on-boundary
+    // path and the boxed-long fallback of the internal-row rewrite
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      (i.toLong, s"tok${rng.nextInt(300)}", rng.nextInt(7).toLong,
+        s"payload$i")
+    }
+    val df = s.createDataFrame(rows).toDF("id", "k1", "k2", "payload")
+      .repartition(7)
+    val (ranked, mx) =
+      SuffixArray.denseRankOverWithMax(df, Seq("k1", "k2"), "r")
+    val expect = df.withColumn("r",
+      dense_rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy("k1", "k2")).cast("long"))
+    assert(ranked.schema.fieldNames.toSeq ==
+      Seq("id", "k1", "k2", "payload", "r"))
+    val got = ranked.select("id", "r").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = expect.select("id", "r").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    val nDistinct = df.select("k1", "k2").distinct().count()
+    assert(mx == nDistinct)
+    // payloads unharmed by the JoinedRow append
+    assert(ranked.filter(col("payload") === concat(lit("payload"),
+      col("id"))).count() == 5000)
+  }
 }
