@@ -55,7 +55,7 @@ object ProbeR17 {
         val corpus = base.unionByName(wrapped)
         def agg(dfr: org.apache.spark.sql.DataFrame) = {
           val r = dfr.agg(count(lit(1)),
-            coalesce(sum(xxhash64(col("doc_a"), col("doc_b"))), lit(0L)))
+            coalesce(expr("bit_xor(xxhash64(doc_a, doc_b))"), lit(0L)))
             .collect()(0)
           s"pairs=${r.getLong(0)} fp=${r.getLong(1)}"
         }
