@@ -4632,24 +4632,33 @@ object LlmOps {
         (col("total_chars").cast("double") /
           col("total_pieces").cast("double")).as("chars_per_piece"))
   }, Some {
+    // Each family total is referenced ONCE (plain cross join of the
+    // one-row CTEs) and every family CTE is MATERIALIZED: the previous
+    // form read `(SELECT p FROM ${name}_t)` twice per row, and DuckDB
+    // versions that re-inline CTEs then computed each family's ENTIRE
+    // encode mirror twice — the l66 disease; this mirror was 276 s of
+    // the driver's round-16 oracle run. Result-identical (hints +
+    // reference count only).
     def row(name: String) =
-      s"""SELECT '$name' AS tokenizer,
-            (SELECT p FROM ${name}_t) AS total_pieces,
+      s"""SELECT '$name' AS tokenizer, p AS total_pieces,
             total_chars,
             CAST(total_chars AS DOUBLE) /
-              CAST((SELECT p FROM ${name}_t) AS DOUBLE) AS chars_per_piece
-          FROM chars"""
-    s"""WITH chars AS (SELECT CAST(sum(length(w)) AS BIGINT)
+              CAST(p AS DOUBLE) AS chars_per_piece
+          FROM chars, ${name}_t"""
+    s"""WITH chars AS MATERIALIZED (SELECT CAST(sum(length(w)) AS BIGINT)
             AS total_chars
           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
                   AS w FROM documents)),
-        bpe_t AS (SELECT CAST(sum(bpe_total) AS BIGINT) AS p FROM (
+        bpe_t AS MATERIALIZED (SELECT CAST(sum(bpe_total) AS BIGINT)
+          AS p FROM (
           ${Bpe.oracleEncodeSql("text", bpeTrainFilter, bpeSplitCase,
             bpeMerges)}) q1),
-        wordpiece_t AS (SELECT CAST(sum(n_pieces) AS BIGINT) AS p FROM (
+        wordpiece_t AS MATERIALIZED (SELECT CAST(sum(n_pieces) AS BIGINT)
+          AS p FROM (
           ${WordPiece.oracleEncodeSql("text", bpeTrainFilter,
             wpMerges)}) q2),
-        unigram_t AS (SELECT CAST(sum(n_pieces) AS BIGINT) AS p FROM (
+        unigram_t AS MATERIALIZED (SELECT CAST(sum(n_pieces) AS BIGINT)
+          AS p FROM (
           $l72EncodeMirrorSql) q3)
         ${row("bpe")}
         UNION ALL ${row("wordpiece")}
