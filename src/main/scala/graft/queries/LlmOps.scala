@@ -4431,10 +4431,10 @@ object LlmOps {
           list(cost ORDER BY piece)) mp FROM $prev),
       ${l72DpChain(i.toString)},
       ${l72BtChain(i.toString)},
-      cnt$i AS (SELECT piece, CAST(sum(wf) AS BIGINT) cnt
+      cnt$i AS MATERIALIZED (SELECT piece, CAST(sum(wf) AS BIGINT) cnt
         FROM (SELECT wf, unnest($l72SgList) AS piece FROM b${i}_$l72MaxW)
         WHERE piece <> '' GROUP BY piece),
-      v$i AS (
+      v$i AS MATERIALIZED (
         SELECT s.piece, coalesce(c.cnt, 0) AS cnt
         FROM sing s LEFT JOIN cnt$i c USING (piece)
         UNION ALL
@@ -4443,7 +4443,7 @@ object LlmOps {
           WHERE length(piece) > 1 AND cnt >= 1
           ORDER BY cnt DESC, piece LIMIT $l72VocabTop)),
       t$i AS (SELECT CAST(sum(cnt) AS BIGINT) t FROM v$i),
-      c$i AS (SELECT piece, cnt,
+      c$i AS MATERIALIZED (SELECT piece, cnt,
         length(bin(t)) - length(bin(cnt)) + 1 AS cost
         FROM v$i, t$i)"""
   }
@@ -4451,12 +4451,19 @@ object LlmOps {
     * table, seed vocabulary, and all `l72Iters` training rounds,
     * ending at `c<iters>` = the final (piece, cnt, cost) table.
     */
+  // Multi-referenced CTEs are MATERIALIZED (round-17, the l66/l74
+  // lesson): `words` is read by the seed selection AND every round's
+  // DP-chain head (5 references), `sing` by every round's prune (4),
+  // `subs`/`toks` twice — DuckDB versions that re-inline CTEs would
+  // otherwise recompute the corpus word table per reference.
+  // Result-identical: materialization hints only.
   private def l72TrainChains: String =
-    s"""toks AS (SELECT doc_id, list_filter(string_split(text, ' '),
+    s"""toks AS MATERIALIZED (SELECT doc_id,
+          list_filter(string_split(text, ' '),
           t -> length(t) > 0) tk FROM documents),
       w0 AS (SELECT substr(u.t, 1, 16) AS word FROM toks,
         LATERAL (SELECT unnest(tk) AS t) u),
-      words AS (SELECT word, CAST(count(*) AS BIGINT) wf
+      words AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) wf
         FROM w0 GROUP BY word),
       subl AS (SELECT wf, flatten(list_transform(
           range(1, length(word) + 1), s ->
@@ -4465,9 +4472,10 @@ object LlmOps {
                  THEN substr(word, s, l) END),
             p -> p IS NOT NULL))) AS ps FROM words),
       subs0 AS (SELECT wf, unnest(ps) AS piece FROM subl),
-      subs AS (SELECT piece, CAST(sum(wf) AS BIGINT) cnt
+      subs AS MATERIALIZED (SELECT piece, CAST(sum(wf) AS BIGINT) cnt
         FROM subs0 GROUP BY piece),
-      sing AS (SELECT piece, cnt FROM subs WHERE length(piece) = 1),
+      sing AS MATERIALIZED (SELECT piece, cnt FROM subs
+        WHERE length(piece) = 1),
       v0 AS (SELECT piece, cnt FROM sing
         UNION ALL
         SELECT piece, cnt FROM (
